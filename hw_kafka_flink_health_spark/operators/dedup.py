@@ -1,0 +1,200 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All batch-twin-friendly; the streaming analog of exact dedup is
+``dropDuplicatesWithinWatermark`` (wired in streaming/health_pipeline users).
+
+Scale design notes:
+* Exact dedup = hash-groupBy on a content fingerprint — one shuffle on the
+  hash, map-side partial aggregation; never a sort.
+* N-gram Jaccard = explode shingles -> self-equi-join on shingle ->
+  count-common -> filter. The join key is the shingle, so frequency skew is
+  the scale hazard: `max_shingle_freq` drops stop-shingles (df > cap) before
+  the join, the standard trick that bounds the pair blowup (a shingle seen
+  in f docs contributes f^2 pairs).
+* MinHash LSH uses pyspark.ml's MinHashLSH (banding via approxSimilarityJoin)
+  — the sub-quadratic path for 100 TB corpora.
+* SimHash: per-token xxhash64 (JVM-side), per-bit sign sums, recombined to a
+  63-bit fingerprint (bit 63 is skipped so the result stays a positive
+  signed long). Near-dup candidates are grouped by fingerprint band.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fingerprint_expr(text: Column | str) -> Column:
+    """Normalization fingerprint: md5 of lower/whitespace-collapsed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups: fingerprint -> canonical (min) id + copy count."""
+    return (
+        df.groupBy(fingerprint_expr(text_col).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array (1-indexed slice)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard >= threshold).
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-grams. Exact as
+    long as `max_shingle_freq` is None; with a cap it is a lower bound
+    (common shingles dropped), which is the scale-out configuration.
+    """
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(F.col(id_col).alias("doc"), word_shingles(toks, n).alias("sh"))
+    exploded = sh.select(
+        "doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
+            "shingle",
+        )
+    a = exploded.select(
+        F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"), "shingle"
+    )
+    b = exploded.select(
+        F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
+    )
+    jaccard = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def simhash63(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """63-bit SimHash fingerprint per document (JVM-side, no Python UDF).
+
+    Classic construction: hash each token (xxhash64), sum +1/-1 per bit
+    position over all tokens, set result bit where the sum is positive.
+    Bit 63 (the sign bit) is skipped so the fingerprint is a non-negative
+    long. Hamming-close fingerprints => near-duplicate texts.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(63)
+        ]
+    )
+    sim = reduce(
+        lambda acc, b: acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(1, 63),
+        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return bit_sums.select(F.col("doc"), sim.alias("simhash"))
+
+
+def simhash_band_candidates(fps: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any of the 4 16-bit simhash
+    bands (detects pairs within Hamming distance 3 of each other with
+    certainty; standard banding argument)."""
+    bands = fps.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(63 // band_bits + 1)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("doc").alias("doc1"), F.col("simhash").alias("sh1"), "band", "key")
+    b = bands.select(F.col("doc").alias("doc2"), F.col("simhash").alias("sh2"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "sh1", "sh2")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    jaccard_distance_threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash LSH (pyspark.ml).
+
+    shingle -> HashingTF (binary) -> MinHashLSH -> approxSimilarityJoin.
+    Sub-quadratic: candidate pairs come from hash-bucket joins, never a
+    cross join — the 100 TB-scale path where exact Jaccard is infeasible.
+    Returns (doc1, doc2, jaccard_distance) with doc1 < doc2.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(toks, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, jaccard_distance_threshold, distCol="jaccard_distance")
+    return (
+        pairs.select(
+            F.col("datasetA.doc").alias("doc1"),
+            F.col("datasetB.doc").alias("doc2"),
+            F.col("jaccard_distance"),
+        )
+        .filter(F.col("doc1") < F.col("doc2"))
+    )

@@ -1,0 +1,111 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Contract (MULTIMODAL_ASSET_SCHEMA in schemas.py): image/audio/video travel
+as `binary` columns; decode / feature-extract / resize / frame-sample run
+as Arrow-batched pandas functions over ``mapInPandas`` so each Python
+worker sees a columnar batch, never a row at a time.
+
+The actual codec step is environment-dependent (no image/audio libs in
+this container), so `decode_image_batch` raises NotImplementedError unless
+a decoder is injected; `fake_decode` is the deterministic stand-in used by
+tests — it exercises the REAL Spark plumbing (schema, partitioning, UDF
+signature, Arrow batch shape) with a fake pixel-stats computation derived
+from the payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Output schema of the feature-extraction stage.
+FEATURE_SCHEMA = (
+    "asset_id long, modality string, byte_len long, "
+    "feat_mean double, feat_std double, feat_dim int"
+)
+
+
+def attach_payload_metadata(assets: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata: byte length + content hash (no decode)."""
+    return assets.withColumn("byte_len", F.octet_length(F.col(payload_col)).cast("long")).withColumn(
+        "content_md5", F.md5(F.col(payload_col))
+    )
+
+
+def fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real image/audio decoder.
+
+    Derives a fixed-length feature vector from payload bytes — stable
+    across runs/partitions so tests can assert exact values.
+    """
+    if payload is None:
+        return []
+    step = max(1, len(payload) // 16)
+    return [float(payload[i]) for i in range(0, min(len(payload), 16 * step), step)][:16]
+
+
+def decode_image_batch(payloads: pd.Series) -> pd.Series:
+    """Real decoder slot — image libs are absent in this environment."""
+    raise NotImplementedError(
+        "image decoding requires a codec library not present in this "
+        "container; inject a decoder via extract_features(decoder=...)"
+    )
+
+
+def extract_features(
+    assets: DataFrame,
+    *,
+    decoder: Callable[[bytes], list[float]] = fake_decode,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas.
+
+    Per-batch (not per-row) Python: each iteration receives a columnar
+    pandas batch; the decoder runs once per asset; summary stats are
+    vectorized. Partitioning is preserved — no shuffle is introduced.
+    """
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(assets.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(p) for p in pdf[payload_col]]
+            means = [float(np.mean(f)) if f else 0.0 for f in feats]
+            stds = [float(np.std(f)) if f else 0.0 for f in feats]
+            dims = [len(f) for f in feats]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "byte_len": [len(p) if p is not None else 0 for p in pdf[payload_col]],
+                    "feat_mean": means,
+                    "feat_std": stds,
+                    "feat_dim": dims,
+                }
+            )
+
+    return assets.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque payloads.
+
+    Lets the multimodal plumbing run against the synthetic corpus (no
+    binary test fixtures exist); modality is assigned round-robin.
+    """
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime_type"),
+    )

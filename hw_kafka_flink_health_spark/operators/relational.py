@@ -1,0 +1,98 @@
+"""Relational operators beyond plain DataFrame calls.
+
+The reference has no joins at all (SURVEY §2.B); these are the
+driver-mandated extension operators (SURVEY §2.C), written so Catalyst
+keeps full control of the physical strategy.
+
+As-of join design (Spark has no native ASOF): the naive formulation —
+theta-join on ``right.ts <= left.ts`` then argmax — explodes to a
+nested-loop join at scale. The scalable formulation used here is
+union-then-window: tag both inputs, sort once per key by time, and carry
+the most recent right-side value forward with ``last(..., ignorenulls)``
+over an unbounded-preceding frame. One shuffle on the key, one sort —
+exactly what a hand-written merge-asof would do, but expressed
+declaratively so it parallelizes per key group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    value_cols: list[str],
+    *,
+    right_ts_alias: str = "asof_ts",
+) -> DataFrame:
+    """For each left row, attach the latest right row with ts <= left.ts.
+
+    Matches DuckDB/pandas ``merge_asof`` backward semantics (ties included:
+    a right row at exactly left.ts matches). Left rows keep all their
+    columns; right values arrive as `value_cols` plus `right_ts_alias`
+    (null when no prior right row exists).
+    """
+    # Tag and union; right rows sort before left rows at equal timestamps
+    # so an exactly-simultaneous right row is visible to the left row (<=).
+    right_types = dict(right.dtypes)
+    l_tagged = left.select(
+        F.lit(1).alias("__is_left"),
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right_types[c]).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right_types[ts_col]).alias("__r_ts"),
+    )
+    r_tagged = right.select(
+        F.lit(0).alias("__is_left"),
+        F.col(ts_col).alias("__ts"),
+        *[
+            (F.col(on) if c == on else F.lit(None).cast(t)).alias(c)
+            for c, t in left.dtypes
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(ts_col).alias("__r_ts"),
+    )
+    unioned = l_tagged.select(r_tagged.columns).unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+        F.col("__f_ts").alias(right_ts_alias),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_alias: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group via row_number (deterministic iff order_cols
+    form a total order within each group — pass a unique tiebreaker).
+
+    Scale note: Spark plans this as a shuffle on group_cols + per-partition
+    sort; with AQE, skewed groups split. No driver-side work.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_alias) <= k)
+    )

@@ -1,0 +1,169 @@
+"""Embedding similarity search over array<float> columns.
+
+Two tiers, as a 100 TB design requires:
+
+* **Exact brute-force cosine top-k** — the correctness baseline. Cosine is
+  a pure Catalyst higher-order-function expression (zip_with + aggregate),
+  evaluated JVM-side with whole-stage codegen; the query set is broadcast
+  so the scan of the big side stays shuffle-free, and top-k per query is a
+  window row_number (shuffle on query_id only — k rows per query survive).
+* **LSH-bucketed ANN** (BucketedRandomProjectionLSH) — the scale path:
+  candidates come from hash buckets, sub-quadratic in corpus size.
+
+All math is done in DOUBLE regardless of the stored float32 — both for
+numeric stability and for bit-parity with oracle engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rank_round: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). Ranking orders by
+    cosine rounded to `rank_round` decimals with neighbor_id as tiebreak,
+    which makes the result deterministic under floating-point jitter.
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sim = cosine_expr(F.col(vec_col), F.col("__qvec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__sim"), rank_round).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("__sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__sim").alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def neardup_pairs_blocked(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs within blocking-key groups (id1 < id2).
+
+    Blocking on a cheap key (cluster id, shard, language) turns the O(n^2)
+    cross join into sum of per-block squares — the standard first-stage
+    blocker when an LSH index is not warranted.
+    """
+    a = vectors.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("__v1"),
+    )
+    b = vectors.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("__v2"),
+    )
+    sim = cosine_expr(F.col("__v1"), F.col("__v2"))
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") > threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k nearest neighbors via random-projection LSH.
+
+    Euclidean LSH (BucketedRandomProjectionLSH) as the candidate
+    generator; for L2-normalized vectors Euclidean ordering == cosine
+    ordering. Returns (query_id, neighbor_id, distance, rank).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, idn: str) -> DataFrame:
+        arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+        unit = F.transform(arr, lambda x: x / norm)
+        return df.select(
+            F.col(id_col).alias(idn), array_to_vector(unit).alias("features")
+        )
+
+    c = prep(corpus, "cid")
+    q = prep(queries, "qid")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(c)
+    pairs = model.approxSimilarityJoin(q, c, float("inf"), distCol="distance")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(), F.col("cid").asc()
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.qid").alias("query_id"),
+            F.col("datasetB.cid").alias("neighbor_id"),
+            "distance",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("distance").asc(), F.col("neighbor_id").asc()
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,237 @@
+"""Text-analysis + deduplication queries over the documents table.
+
+LLM-training-data-pipeline operators (SURVEY §2.C): exact dedup, n-gram
+Jaccard near-dup, MinHash LSH (rows-only), SimHash (rows-only), language
+ID, quality scoring, token counting, fingerprinting, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.functions.text import (
+    avg_token_len_expr,
+    distinct_ratio_expr,
+    lang_id_expr,
+    quality_ok_expr,
+    regex_token_count_expr,
+    tokens_expr,
+)
+from hw_kafka_flink_health_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_expr,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash63,
+)
+from hw_kafka_flink_health_spark.operators.multimodal import (
+    attach_payload_metadata,
+    documents_as_assets,
+    extract_features,
+)
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by normalization fingerprint (hash-groupBy —
+    one shuffle on the hash; the canonical survivor is min(doc_id))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_exact_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup rate per source: distinct content hashes vs raw doc counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), e AS (
+        SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t
+    ), p AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               count(*) AS common, any_value(a.n) AS n1, any_value(b.n) AS n2
+        FROM e a JOIN e b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(common::DOUBLE / (n1 + n2 - common), 4) AS jaccard
+    FROM p
+    WHERE common::DOUBLE / (n1 + n2 - common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (>= 0.2).
+
+    Shingle-explode + self-equi-join on shingle — never a cross join. At
+    100 TB the same operator runs with max_shingle_freq set to cap
+    hot-shingle blowup (and MinHash LSH below replaces it wholesale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2).select(
+        "doc1", "doc2", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@register("dedup_minhash_lsh")  # approximate/seeded: rows-only by design
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (pyspark.ml banding) — the
+    sub-quadratic scale path; hash-seed-dependent, so no value oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_distance_threshold=0.8).select(
+        "doc1", "doc2", F.round("jaccard_distance", 4).alias("jaccard_distance")
+    )
+
+
+@register("dedup_simhash")  # xxhash64-based: rows-only by design
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash fingerprint per document (JVM-side xxhash64 — the
+    hash function is engine-specific, so no value oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash63(docs, "text", "doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over case/whitespace-normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_expr("text").alias("fp"))
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+          len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('el','la','de','los','y','que','en'))) AS s_es,
+          len(list_filter(toks, x -> x IN ('le','la','les','et','des','un','une'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS s_de
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic (deterministic argmax)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    return docs.select("doc_id", "lang", lang_id_expr(toks).alias("pred_lang"))
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio,
+           round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 4) AS avg_token_len,
+           CASE WHEN len(toks) >= 5 AND len(list_distinct(toks))::DOUBLE / len(toks) > 0.3
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, vocabulary ratio, mean token length,
+    and a keep/drop gate — the standard pre-training filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(distinct_ratio_expr(toks), 4).alias("distinct_ratio"),
+        F.round(avg_token_len_expr(toks), 4).alias("avg_token_len"),
+        quality_ok_expr(toks).alias("quality_ok"),
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens_regex,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens_ws,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (regex BPE-ish + whitespace) + byte length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        regex_token_count_expr("text").alias("n_tokens_regex"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens_ws"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payload + JVM-side
+    metadata (byte length, content hash). The pandas-UDF decode path is
+    exercised in tests (decode itself is environment-stubbed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_payload_metadata(documents_as_assets(docs))
+    return assets.select("asset_id", "modality", "byte_len", "content_md5")
+
+
+@register("multimodal_decode_features")  # pandas-UDF path: rows-only
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction with the deterministic
+    fake decoder (real codecs are absent in this container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_assets(docs))

@@ -1,0 +1,87 @@
+"""Embedding similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    neardup_pairs_blocked,
+)
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+_COS = (
+    "list_inner_product(e.embedding::DOUBLE[], q.qe) / "
+    "(sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_inner_product(q.qe, q.qe)))"
+)
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 20
+    ), c AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ), r AS (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        FROM c
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 20 query vectors.
+
+    Query set broadcast, corpus scanned once, cosine as a codegen'd
+    higher-order-function expression in double precision; ranking uses
+    round(sim, 6) + id tiebreak for FP determinism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_inner_product(a.ve, b.ve) /
+                 (sqrt(list_inner_product(a.ve, a.ve)) * sqrt(list_inner_product(b.ve, b.ve))), 4) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.ve, b.ve) /
+          (sqrt(list_inner_product(a.ve, a.ve)) * sqrt(list_inner_product(b.ve, b.ve))) > 0.3
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks (cosine > 0.3 — the
+    synthetic vectors are near-orthogonal, so the threshold is set where
+    pairs actually exist) — blocking turns O(n^2) into per-block squares."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_blocked(emb, threshold=0.3).select(
+        "id1", "id2", F.round("cosine", 4).alias("cosine")
+    )
+
+
+@register("embedding_ann_lsh")  # approximate/seeded: rows-only by design
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-projection LSH (seeded; candidates differ
+    from exact top-k by design — recall is checked in tests, not by hash)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_ann_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.round("distance", 4).alias("distance"), "rank"
+    )

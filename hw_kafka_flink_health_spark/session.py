@@ -1,0 +1,63 @@
+"""SparkSession factory with engine-wide defaults.
+
+The reference pins runtime config imperatively (parallelism=1, event-time
+characteristic, 5 s checkpoints — ``src/flink_job.py:49-59``). Here the
+analogous knobs are declarative session confs; per-query settings (watermark,
+trigger, checkpoint dir) live on each query.
+
+Scale posture: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing) so the same code survives a 1000-executor cluster; shuffle
+partition count is a default for local runs and is expected to be overridden
+(or left to AQE) on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hw_kafka_flink_health_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    Defaults matter for correctness as well as speed:
+
+    * ``spark.sql.session.timeZone=UTC`` — the reference's timestamps are
+      UTC ISO8601 (``src/kafka_producer.py:25``); UTC also makes results
+      comparable against UTC-naive engines (DuckDB oracle).
+    * ``spark.sql.legacy.parquet.nanosAsLong=true`` — the synthetic
+      ``events`` table stores TIMESTAMP(NANOS), which Spark 4 otherwise
+      rejects; the loader converts nanos->timestamp explicitly.
+    * AQE + skew-join handling on: at 100 TB, skewed keys and bad static
+      partition counts are the norm, not the exception.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,75 @@
+"""Batch file sources/sinks (reference operators S5-S7).
+
+The reference's batch half reads JSON alert files and writes parquet/csv
+(``src/spark_batch_analysis.py:22-26``). Here the same surface is generic:
+parquet-first loaders for the synthetic star schema plus JSON/CSV helpers.
+
+Scale notes:
+* Parquet scans go through Spark's vectorized reader; filters/projections
+  prune at the file/row-group level (check ``PushedFilters`` in explain).
+* ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark 4 reads it
+  (with ``spark.sql.legacy.parquet.nanosAsLong``) as a long, so the loader
+  converts to a microsecond TIMESTAMP_NTZ here, once, at the source —
+  downstream operators always see a real timestamp column.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.schemas import STAR_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; normalizes `events.ts` nanos -> timestamp.
+
+    `ts DIV 1000` is integer division on the JVM side — a float division
+    would lose precision above 2^53 ns (~1970+104 days), so epoch-nanos
+    MUST stay integral until the final cast.
+    """
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for spark.sql()."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_json_dir(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S6: batch-read a directory of JSON records (alert files).
+
+    Always pass a schema in production — schema inference is a full extra
+    pass over 100 TB of input.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """S7: parquet sink, overwrite mode like the reference batch job."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7 (csv variant)."""
+    df.write.mode(mode).option("header", "true").csv(path)

@@ -1,0 +1,61 @@
+"""Mirror of the driver's correctness gate: every oracle-checkable query
+runs on Spark AND DuckDB at sf0.001; row counts, column names, and
+order-insensitive canonicalized values must match exactly."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from hw_kafka_flink_health_spark.queries import ORACLES, QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    """Order-insensitive canonical form: sorted columns, stringified cells,
+    sorted rows."""
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        cells = []
+        for x in row:
+            if x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NaT:
+                cells.append("∅")
+            elif isinstance(x, float):
+                cells.append(repr(x))
+            else:
+                cells.append(str(x))
+        out.append(tuple(cells))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(ORACLES[name]).df()
+    assert sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns)), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    )
+    odf.columns = [c for c in odf.columns]
+    # align case: rename oracle columns to spark's casing
+    case_map = {c.lower(): c for c in sdf.columns}
+    odf = odf.rename(columns={c: case_map[c.lower()] for c in odf.columns})
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    s, o = canon(sdf), canon(odf)
+    if s != o:
+        diff_s = [r for r in s if r not in set(o)][:5]
+        diff_o = [r for r in o if r not in set(s)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch\n spark-only: {diff_s}\n oracle-only: {diff_o}"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
