@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect cost). Session startup and a warmup scan are excluded
+— the metric is engine time, not JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative coverage: scan+agg, join chains, windows (time + analytic),
+# as-of, dedup (exact + jaccard), similarity, text, sessionization.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_broadcast_part_revenue",
+    "join_asof",
+    "window_topk_per_group",
+    "hr_alerts_tumbling",
+    "hr_alerts_sliding",
+    "session_windows",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from hw_kafka_flink_health_spark.queries import QUERIES
+    from hw_kafka_flink_health_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warmup: touch the JVM + parquet footers once
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
