@@ -1,0 +1,283 @@
+"""Streaming-path tests: the SAME pipeline code as the batch twins, run as
+actual Structured Streaming queries (file sources, memory sinks) — pinning
+watermark/late-data semantics per SURVEY §5.2.3. No Kafka broker needed:
+the unified DataFrame API means only the source/sink edges differ.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.functions.parsing import parse_events_df
+from hw_kafka_flink_health_spark.streaming.health_pipeline import (
+    build_streaming_job,
+    heart_rate_alerts,
+)
+
+
+def _write_events_json(path: str, events: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps({"raw": json.dumps(e)}) + "\n")
+
+
+def _ev(pid: str, ts: str, bpm: int) -> dict:
+    return {"patient_id": pid, "timestamp": ts, "heart_rate_bpm": bpm}
+
+
+def _run_stream(spark, src_dir: str, name: str, *, max_files: int | None = None):
+    """File-source stream -> alert pipeline -> memory sink, run to completion."""
+    reader = (
+        spark.readStream.schema("raw string")
+        .option("maxFilesPerTrigger", max_files or 1000)
+        .json(src_dir)
+    )
+    alerts = build_streaming_job(reader, as_json=False)
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_matches_batch_twin(spark, tmp_path):
+    """Append-mode streaming emits exactly the windows the watermark closed,
+    with values identical to the batch twin."""
+    events = [
+        _ev("p001", "2025-11-19T07:00:05+00:00", 110),
+        _ev("p001", "2025-11-19T07:00:30+00:00", 120),
+        _ev("p002", "2025-11-19T07:00:40+00:00", 45),
+        _ev("p001", "2025-11-19T07:01:10+00:00", 80),
+        # sentinel far ahead: advances watermark past every window above
+        _ev("p099", "2025-11-19T07:10:00+00:00", 75),
+    ]
+    src = tmp_path / "stream1"
+    _write_events_json(str(src / "batch0.json"), events)
+    out = _run_stream(spark, str(src), "alerts_stream_1").collect()
+
+    raw_batch = spark.createDataFrame(
+        [(json.dumps(e),) for e in events], ["raw"]
+    )
+    batch = heart_rate_alerts(parse_events_df(raw_batch)).collect()
+
+    srows = {(r.patient_id, r.window_start): r for r in out}
+    brows = {(r.patient_id, r.window_start): r for r in batch}
+    # every emitted streaming window matches the batch twin exactly
+    assert len(srows) > 0
+    for k, r in srows.items():
+        b = brows[k]
+        assert (r.avg_hr, r.min_hr, r.max_hr, r.alert_type) == (
+            b.avg_hr,
+            b.min_hr,
+            b.max_hr,
+            b.alert_type,
+        )
+    # the three real windows closed (sentinel's own window stays open)
+    assert {("p001"), ("p002")} <= {k[0] for k in srows}
+    assert ("p001", 1763535600000) in srows and ("p001", 1763535660000) in srows
+    # classify semantics on the stream: avg(110,120)=115 -> tachycardia
+    assert srows[("p001", 1763535600000)].alert_type == "tachycardia"
+    assert srows[("p002", 1763535600000)].alert_type == "bradycardia"
+
+
+def test_streaming_drops_late_data(spark, tmp_path):
+    """An event arriving after its window was emitted+evicted is dropped —
+    the reference's bounded-out-of-orderness semantics (W1).
+
+    NOTE Spark's watermark guarantee is one-directional: within-delay data
+    is always aggregated; too-late data is dropped once the watermark has
+    been applied (one micro-batch of lag — an event racing the very batch
+    that advances the watermark may still merge). So the late arrival here
+    comes two batches after the advance, which IS guaranteed to drop."""
+    src = tmp_path / "stream2"
+    _write_events_json(
+        str(src / "b0.json"), [_ev("p001", "2025-11-19T07:00:10+00:00", 80)]
+    )
+    # advances watermark to 07:04:55 -> evicts/emits the 07:00 window
+    _write_events_json(
+        str(src / "b1.json"), [_ev("p001", "2025-11-19T07:05:00+00:00", 80)]
+    )
+    # spacer batch: watermark application lag
+    _write_events_json(
+        str(src / "b2.json"), [_ev("p001", "2025-11-19T07:06:00+00:00", 80)]
+    )
+    # too-late event for the already-evicted 07:00 window
+    _write_events_json(
+        str(src / "b3.json"), [_ev("p001", "2025-11-19T07:00:20+00:00", 200)]
+    )
+    # FileStreamSource orders by modification time — pin it
+    base = os.stat(src / "b0.json").st_mtime
+    for i, f in enumerate(["b0.json", "b1.json", "b2.json", "b3.json"]):
+        os.utime(src / f, (base + i * 60, base + i * 60))
+    out = _run_stream(spark, str(src), "alerts_stream_2", max_files=1).collect()
+    w0 = [r for r in out if r.window_start == 1763535600000]
+    # exactly one emission for the window, and the late bpm=200 never
+    # contributed nor re-emitted
+    assert len(w0) == 1
+    assert w0[0].avg_hr == 80.0 and w0[0].max_hr == 80
+
+
+def test_streaming_invalid_records_dropped(spark, tmp_path):
+    """P1/P4 on the stream: malformed JSON and missing fields -> dropped."""
+    src = tmp_path / "stream3"
+    os.makedirs(src, exist_ok=True)
+    with open(src / "batch0.json", "w") as f:
+        f.write(json.dumps({"raw": "not-json"}) + "\n")
+        f.write(json.dumps({"raw": json.dumps({"patient_id": "p001"})}) + "\n")
+        f.write(
+            json.dumps({"raw": json.dumps(_ev("p001", "2025-11-19T07:00:10+00:00", 80))})
+            + "\n"
+        )
+        f.write(
+            json.dumps({"raw": json.dumps(_ev("p001", "2025-11-19T07:09:10+00:00", 80))})
+            + "\n"
+        )
+    out = _run_stream(spark, str(src), "alerts_stream_3").collect()
+    assert len(out) == 1  # only the one valid closed window
+    assert out[0].min_hr == 80
+
+
+def test_streaming_hello_annotate(spark, tmp_path):
+    """P2 as a stream: parse-annotate-serialize with raw fallback."""
+    src = tmp_path / "hello"
+    os.makedirs(src, exist_ok=True)
+    with open(src / "b0.json", "w") as f:
+        f.write(json.dumps({"raw": '{"id": 1, "message": "hello flink", "timestamp": "t"}'}) + "\n")
+        f.write(json.dumps({"raw": "garbage"}) + "\n")
+    from hw_kafka_flink_health_spark.functions.parsing import annotate_df
+
+    reader = spark.readStream.schema("raw string").json(str(src))
+    q = (
+        annotate_df(reader, processed_by="hello_spark_job")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hello_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    vals = sorted(r.value for r in spark.sql("SELECT * FROM hello_stream").collect())
+    assert vals == sorted(
+        [
+            '{"id":1,"message":"hello flink","timestamp":"t","processed_by":"hello_spark_job"}',
+            '{"raw":"garbage","processed_by":"hello_spark_job"}',
+        ]
+    )
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup operator: duplicate (patient, ts) records collapse."""
+    src = tmp_path / "dedup"
+    dup = _ev("p001", "2025-11-19T07:00:10+00:00", 80)
+    _write_events_json(
+        str(src / "b0.json"),
+        [dup, dup, dup, _ev("p002", "2025-11-19T07:00:20+00:00", 90)],
+    )
+    reader = spark.readStream.schema("raw string").json(str(src))
+    deduped = (
+        parse_events_df(reader)
+        .withWatermark("event_ts", "5 seconds")
+        .dropDuplicatesWithinWatermark(["patient_id", "event_time"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM dedup_stream").collect()
+    assert len(rows) == 2
+
+
+def test_streaming_file_sink_alerts(spark, tmp_path):
+    """S5: alerts to JSON files (the reference's optional batch handoff),
+    then S6: Spark batch reads them back and runs the A2 group-count."""
+    src = tmp_path / "sink_src"
+    _write_events_json(
+        str(src / "b0.json"),
+        [
+            _ev("p001", "2025-11-19T07:00:05+00:00", 110),
+            _ev("p001", "2025-11-19T07:00:30+00:00", 120),
+            _ev("p099", "2025-11-19T07:10:00+00:00", 75),
+        ],
+    )
+    out_dir = str(tmp_path / "alerts_out")
+    ckpt = str(tmp_path / "ckpt")
+    reader = spark.readStream.schema("raw string").json(str(src))
+    alerts = build_streaming_job(reader, as_json=False)
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("json")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.json(out_dir)
+    counts = (
+        back.groupBy("patient_id", "alert_type").count().collect()
+    )
+    assert {(r.patient_id, r.alert_type, r["count"]) for r in counts} == {
+        ("p001", "tachycardia", 1)
+    }
+
+
+def test_rate_source_stream_schema(spark):
+    """G1/G2 analog: the rate-source generator is a real streaming DF with
+    the producer's wire schema."""
+    from hw_kafka_flink_health_spark.sources.rate import (
+        synthetic_heart_rate_raw_stream,
+        synthetic_heart_rate_stream,
+    )
+
+    s = synthetic_heart_rate_stream(spark)
+    assert s.isStreaming
+    assert [f.name for f in s.schema.fields] == ["patient_id", "timestamp", "heart_rate_bpm"]
+    raw = synthetic_heart_rate_raw_stream(spark)
+    assert raw.isStreaming and raw.columns == ["raw"]
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """Session windows on a real stream (gap 1 minute)."""
+    src = tmp_path / "sess"
+    _write_events_json(
+        str(src / "b0.json"),
+        [
+            _ev("p001", "2025-11-19T07:00:00+00:00", 80),
+            _ev("p001", "2025-11-19T07:00:30+00:00", 82),  # same session
+            _ev("p001", "2025-11-19T07:05:00+00:00", 84),  # new session
+            _ev("p099", "2025-11-19T08:00:00+00:00", 75),  # watermark sentinel
+        ],
+    )
+    reader = spark.readStream.schema("raw string").json(str(src))
+    parsed = parse_events_df(reader).withWatermark("event_ts", "5 seconds")
+    sess = (
+        parsed.groupBy(F.session_window("event_ts", "1 minute"), "patient_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "patient_id",
+            F.unix_millis(F.col("session_window.start").cast("timestamp")).alias("start_ms"),
+            "n",
+        )
+    )
+    q = sess.writeStream.outputMode("append").format("memory").queryName("sess_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r.patient_id, r.start_ms): r.n
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert rows[("p001", 1763535600000)] == 2
+    assert rows[("p001", 1763535900000)] == 1
