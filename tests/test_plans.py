@@ -1,0 +1,78 @@
+"""Physical-plan regression tests — the 100 TB posture, asserted.
+
+Correctness tests say the answer is right; these say the PLAN is the one
+that survives a 1000x scale-up: filters reach the parquet scan, column
+pruning holds, small dims broadcast, aggregations shuffle once, global
+top-k never sorts the world.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hw_kafka_flink_health_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_single_shuffle(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    assert plan.count("Exchange hashpartitioning") == 1  # partial+final agg
+
+
+def test_q1_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    scan = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scan, plan
+    cols = scan.group(1).split(",")
+    # 7 of 11 lineitem columns needed; a full-width scan is a regression
+    assert len(cols) <= 7, cols
+
+
+def test_q3_topk_and_broadcast(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 10
+    assert "BroadcastHashJoin" in plan  # customer dim broadcast
+
+
+def test_q5_join_pipeline_single_shuffle(spark):
+    plan = plan_of(spark, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4  # all dims broadcast
+    # lineitem flows through the join pipeline into the final agg with
+    # exactly one hash shuffle (the groupBy)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_broadcast_join_no_fact_shuffle_before_agg(spark):
+    plan = plan_of(spark, "join_broadcast_part_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_global_topk_avoids_total_sort(spark):
+    plan = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_parse_pipeline_stays_jvm_side(spark):
+    """The reference's per-record Python maps must have become pure
+    Catalyst expressions: no Python eval nodes anywhere."""
+    for name in ("hr_parse_contract", "hr_alerts_tumbling", "hello_annotate"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "embedding_cosine_topk")
+    # query set broadcast: corpus side is never shuffled for the join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # exactly one shuffle: the per-query window ranking
+    assert plan.count("Exchange hashpartitioning") == 1
