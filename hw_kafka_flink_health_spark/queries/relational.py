@@ -221,6 +221,23 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: all customers, their big orders where present."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return big.join(cust, big.o_custkey == cust.c_custkey, "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
     "join_full_outer",
     oracle="""
     SELECT coalesce(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
@@ -550,6 +567,97 @@ def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _setop_inputs(spark, sf_dir)
     return a.subtract(b)
+
+
+@register("setops_union_all", oracle=f"{_SEGMENT_SET} UNION ALL {_BIG_SPENDER_SET}")
+def setops_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (no dedup shuffle — pure concatenation of partitions)."""
+    a, b = _setop_inputs(spark, sf_dir)
+    return a.union(b)
+
+
+@register(
+    "unpivot_linestatus",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f,
+               round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_o
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'F' AS l_linestatus, qty_f AS sum_qty FROM p
+    UNION ALL
+    SELECT l_returnflag, 'O' AS l_linestatus, qty_o AS sum_qty FROM p
+    """,
+)
+def unpivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): wide pivot result back to long form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'F', F, 'O', O) AS (l_linestatus, sum_qty)",
+    )
+
+
+@register(
+    "scalar_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(embedding[1]::DOUBLE, 4) AS first_val,
+           round(list_max(embedding::DOUBLE[]), 4) AS max_val,
+           round(list_min(embedding::DOUBLE[]), 4) AS min_val,
+           round(list_sum(embedding::DOUBLE[]), 4) AS sum_val,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar sampler: higher-order functions over array<float>
+    (size/element_at/array_max/aggregate/filter — all codegen'd)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(F.array_max(arr), 4).alias("max_val"),
+        F.round(F.array_min(arr), 4).alias("min_val"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 4).alias("sum_val"),
+        F.size(F.filter(arr, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+    SELECT event_id,
+           2 AS n_keys,
+           round(value * 2, 4) AS doubled,
+           event_type AS type_from_map
+    FROM events
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar sampler: create_map/map_keys/element_at. The oracle
+    states the expected VALUES directly (DuckDB's map cells don't hash
+    comparably) — the Spark side must really round-trip through a map."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("double_value"), (F.col("value") * 2).cast("string"),
+        F.lit("type"), F.col("event_type"),
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.round(F.element_at(m, "double_value").cast("double"), 4).alias("doubled"),
+        F.element_at(m, "type").alias("type_from_map"),
+    )
 
 
 @register(
