@@ -152,6 +152,41 @@ def simhash63(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return bit_sums.select(F.col("doc"), sim.alias("simhash"))
 
 
+def winnowing_fingerprint(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    kgram: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (rolling hash over char k-grams).
+
+    The MOSS scheme: hash every k-char gram (rolling window via substring
+    + xxhash64 — all codegen'd), then keep the minimum hash of each
+    `window` consecutive grams; the distinct minima are the fingerprint
+    set. Guarantees any shared substring of length >= kgram+window-1
+    yields a shared fingerprint — the standard near-dup/plagiarism sketch.
+
+    Returns (doc, fingerprints array<long>, n_fingerprints).
+    """
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (kgram - 1), F.lit(0))),
+        lambda i: F.xxhash64(c.substr(i, F.lit(kgram))),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(0))),
+        lambda j: F.array_min(F.slice(grams, j, window)),
+    )
+    fp = F.array_distinct(wins)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        fp.alias("fingerprints"),
+        F.size(fp).cast("long").alias("n_fingerprints"),
+    )
+
+
 def simhash_band_candidates(fps: DataFrame, band_bits: int = 16) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any of the 4 16-bit simhash
     bands (detects pairs within Hamming distance 3 of each other with

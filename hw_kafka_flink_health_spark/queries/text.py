@@ -121,6 +121,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash63(docs, "text", "doc_id")
 
 
+@register("doc_winnowing_fingerprint")  # xxhash64-based: rows-only by design
+def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling char k-gram hash) fingerprint sets per doc —
+    the MOSS near-dup sketch; hash-engine-specific, so no value oracle."""
+    from hw_kafka_flink_health_spark.operators.dedup import winnowing_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprint(docs, "text", "doc_id").select(
+        "doc", "n_fingerprints", F.element_at("fingerprints", 1).alias("first_fp")
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle="""

@@ -76,6 +76,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_ann_ivf")  # approximate/seeded (kmeans): rows-only
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-index ANN: kmeans inverted lists, n_probe=2 of 10 —
+    the partition-pruned scale path (recall asserted in tests)."""
+    from hw_kafka_flink_health_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 @register("embedding_ann_lsh")  # approximate/seeded: rows-only by design
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-projection LSH (seeded; candidates differ

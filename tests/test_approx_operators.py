@@ -1,0 +1,104 @@
+"""Property tests for the approximate operators (no value oracle by
+design): ANN recall vs exact brute force, sketch determinism, and the
+near-dup detection property on planted duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash63,
+    winnowing_fingerprint,
+)
+from hw_kafka_flink_health_spark.operators.similarity import cosine_topk, ivf_topk
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact_neighbors(spark, k=5):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk(emb, q, k=k).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return by_q
+
+
+def test_ivf_recall_vs_exact(spark):
+    exact = _exact_neighbors(spark)
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    approx = ivf_topk(emb, q, k=5, n_clusters=10, n_probe=2).collect()
+    got: dict[int, set[int]] = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[qid] & got.get(qid, set())) for qid in exact)
+    total = sum(len(v) for v in exact.values())
+    # 2-of-10 probes on near-orthogonal vectors: expect meaningful recall
+    assert hits / total >= 0.4, f"IVF recall {hits}/{total}"
+
+
+def test_ivf_self_excluded_and_k_respected(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    rows = ivf_topk(emb, q, k=5).collect()
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_simhash_deterministic_and_neardup_property(spark):
+    docs = load_table(spark, SF, "documents")
+    a = {r.doc: r.simhash for r in simhash63(docs, "text", "doc_id").collect()}
+    b = {r.doc: r.simhash for r in simhash63(docs, "text", "doc_id").collect()}
+    assert a == b  # bit-for-bit deterministic across runs
+    assert all(v >= 0 for v in a.values())  # 63-bit: non-negative longs
+
+    # planted near-duplicate: one word changed -> small hamming distance;
+    # unrelated doc -> large
+    base = docs.orderBy("doc_id").limit(1).collect()[0]
+    text = base.text
+    mutated = "spark " + " ".join(text.split(" ")[1:])
+    planted = spark.createDataFrame(
+        [(1, text), (2, mutated), (3, "completely different words entirely unrelated content here")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc: r.simhash for r in simhash63(planted, "text", "doc_id").collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+def test_winnowing_guarantee_on_shared_substring(spark):
+    """Winnowing guarantee: docs sharing a long substring share >= 1
+    fingerprint; it is also deterministic."""
+    shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix words here " + shared),
+            (2, shared + " and a different suffix entirely"),
+            (3, "zzz qqq xxx completely disjoint corpus with other chars"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc: set(r.fingerprints) for r in winnowing_fingerprint(df, "text", "doc_id").collect()}
+    assert out[1] & out[2]  # shared substring -> shared fingerprint
+    assert not (out[1] & out[3]) or len(out[1] & out[3]) < len(out[1] & out[2])
+    again = {r.doc: set(r.fingerprints) for r in winnowing_fingerprint(df, "text", "doc_id").collect()}
+    assert out == again
+
+
+def test_minhash_lsh_finds_planted_duplicate(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    base = docs.orderBy("doc_id").limit(1).collect()[0]
+    near = base.text + " extra"
+    planted = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(999999, near)], ["doc_id", "text"])
+    )
+    pairs = minhash_lsh_pairs(
+        planted, "text", "doc_id", jaccard_distance_threshold=0.5
+    ).collect()
+    assert any(
+        {r.doc1, r.doc2} == {base.doc_id, 999999} for r in pairs
+    ), f"planted near-dup not found in {len(pairs)} pairs"
