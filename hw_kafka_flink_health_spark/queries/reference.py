@@ -248,6 +248,59 @@ def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hr_new_peaks",
+    oracle="""
+    WITH t AS (
+        SELECT user_id,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS event_time,
+               CAST(floor(value) AS INTEGER) AS heart_rate_bpm,
+               event_id,
+               max(CAST(floor(value) AS INTEGER)) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM events
+    )
+    SELECT user_id AS patient_id, event_time, heart_rate_bpm
+    FROM t WHERE prev_max IS NULL OR heart_rate_bpm > prev_max
+    """,
+)
+def hr_new_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operator (running-max
+    'new peak' monitor, operators/stateful.py) — pure window expression."""
+    from hw_kafka_flink_health_spark.operators.stateful import new_peaks_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("patient_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("event_time"),
+        F.floor("value").cast("int").alias("heart_rate_bpm"),
+        "event_id",
+    )
+    return new_peaks_batch(ev, tiebreak_cols=["event_id"])
+
+
+@register(
+    "udaf_grouped_zscore",
+    oracle="""
+    SELECT event_id, event_type, value,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+    FROM events
+    """,
+)
+def udaf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF escape hatch: per-group z-score via applyInPandas grouped-map
+    (Arrow-batched). The oracle states the same math as window SQL —
+    proving the pandas path agrees with the declarative one."""
+    from hw_kafka_flink_health_spark.operators.stateful import grouped_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    out = grouped_zscore(ev)
+    return out.select(
+        "event_id", "event_type", "value", F.round("zscore", 4).alias("zscore")
+    )
+
+
+@register(
     "parse_props_json",
     oracle="""
     SELECT event_id,

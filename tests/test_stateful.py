@@ -1,0 +1,68 @@
+"""Custom stateful streaming operator (applyInPandasWithState) vs its
+batch twin, and the grouped-map escape hatch."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hw_kafka_flink_health_spark.functions.parsing import parse_events_df
+from hw_kafka_flink_health_spark.operators.stateful import (
+    grouped_zscore,
+    new_peak_stream,
+    new_peaks_batch,
+)
+
+
+def test_new_peak_stream_matches_batch_twin(spark, tmp_path):
+    events = [
+        {"patient_id": "p001", "timestamp": "2025-11-19T07:00:00+00:00", "heart_rate_bpm": 80},
+        {"patient_id": "p001", "timestamp": "2025-11-19T07:00:10+00:00", "heart_rate_bpm": 75},
+        {"patient_id": "p001", "timestamp": "2025-11-19T07:00:20+00:00", "heart_rate_bpm": 95},  # peak
+        {"patient_id": "p001", "timestamp": "2025-11-19T07:00:30+00:00", "heart_rate_bpm": 95},  # not strict
+        {"patient_id": "p002", "timestamp": "2025-11-19T07:00:05+00:00", "heart_rate_bpm": 60},
+        {"patient_id": "p002", "timestamp": "2025-11-19T07:00:15+00:00", "heart_rate_bpm": 61},  # peak
+    ]
+    src = tmp_path / "peaks"
+    os.makedirs(src)
+    # two micro-batches to exercise cross-batch state
+    with open(src / "b0.json", "w") as f:
+        for e in events[:3]:
+            f.write(json.dumps({"raw": json.dumps(e)}) + "\n")
+    with open(src / "b1.json", "w") as f:
+        for e in events[3:]:
+            f.write(json.dumps({"raw": json.dumps(e)}) + "\n")
+    t0 = os.stat(src / "b0.json").st_mtime
+    os.utime(src / "b0.json", (t0 - 60, t0 - 60))
+
+    reader = (
+        spark.readStream.schema("raw string").option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    peaks = new_peak_stream(parse_events_df(reader).select("patient_id", "event_time", "heart_rate_bpm"))
+    q = peaks.writeStream.outputMode("append").format("memory").queryName("peaks_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.patient_id, r.event_time, r.heart_rate_bpm)
+        for r in spark.sql("SELECT * FROM peaks_stream").collect()
+    }
+
+    raw_batch = spark.createDataFrame([(json.dumps(e),) for e in events], ["raw"])
+    expected = {
+        (r.patient_id, r.event_time, r.heart_rate_bpm)
+        for r in new_peaks_batch(
+            parse_events_df(raw_batch).select("patient_id", "event_time", "heart_rate_bpm")
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) == 4  # 80, 95 for p001; 60, 61 for p002
+
+
+def test_grouped_zscore_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "b", 10.0)],
+        ["event_id", "event_type", "value"],
+    )
+    rows = {r.event_id: r.zscore for r in grouped_zscore(df).collect()}
+    assert abs(rows[1] + 1.0) < 1e-9 and abs(rows[2]) < 1e-9 and abs(rows[3] - 1.0) < 1e-9
+    assert rows[4] == 0.0  # singleton group: std undefined -> 0
