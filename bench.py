@@ -26,6 +26,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "join_broadcast_part_revenue",
     "join_asof",
     "window_topk_per_group",
