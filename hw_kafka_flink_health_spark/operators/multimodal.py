@@ -94,6 +94,92 @@ def extract_features(
     return assets.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id long, modality string, width int, height int, payload binary"
+)
+
+
+def resize_images(
+    assets: DataFrame,
+    *,
+    target_w: int = 64,
+    target_h: int = 64,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stage: mapInPandas, one Arrow batch at a time.
+
+    With no real codec in this environment, the resample is a
+    deterministic byte-stride downsample of the payload (same shape of
+    work as a real resize: decode -> resample -> re-encode); inject
+    `decoder` when codecs exist. The Spark-side plumbing — schema,
+    batch iteration, binary columns in Arrow — is the real thing.
+    """
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(assets.sparkSession)
+    n_out = target_w * target_h // 64  # fake pixel budget in bytes
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf[payload_col]:
+                if p is None or len(p) == 0:
+                    outs.append(b"")
+                else:
+                    step = max(1, len(p) // n_out)
+                    outs.append(bytes(p[::step][:n_out]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": outs,
+                }
+            )
+
+    return assets.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx int, frame_payload binary"
+
+
+def sample_frames(
+    assets: DataFrame,
+    *,
+    n_frames: int = 4,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling stage (video modality): 1 input row -> n output rows.
+
+    Demonstrates the expanding mapInPandas shape (a flat-map, which
+    grouped-map applyInPandas can't do without a synthetic key). Frames
+    are deterministic equal-stride payload slices standing in for real
+    keyframe extraction.
+    """
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(assets.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf[payload_col]):
+                if p is None or len(p) == 0:
+                    continue
+                chunk = max(1, len(p) // n_frames)
+                for i in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(bytes(p[i * chunk : (i + 1) * chunk]))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return assets.filter(F.col("modality") == "video").mapInPandas(op, schema=FRAME_SCHEMA)
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque payloads.
 
