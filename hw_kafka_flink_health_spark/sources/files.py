@@ -32,6 +32,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     would lose precision above 2^53 ns (~1970+104 days), so epoch-nanos
     MUST stay integral until the final cast.
     """
+    # Defend against caller sessions (e.g. the driver's) missing the
+    # engine's correctness confs — both are runtime-settable:
+    # * nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark 4
+    #   otherwise rejects at scan time;
+    # * UTC session TZ: epoch-millis math (unix_millis over NTZ casts)
+    #   must agree with UTC-naive oracle engines.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
