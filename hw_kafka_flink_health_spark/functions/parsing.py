@@ -58,11 +58,15 @@ def parsed_event_cols(raw: Column) -> list[Column]:
     nulls, which `valid_filter` drops — the None contract.
 
     ISO8601 nuance: the producer emits `+00:00` offsets
-    (src/kafka_producer.py:25) while the README shows `Z`; `to_timestamp`
-    with session TZ UTC accepts both.
+    (src/kafka_producer.py:25) while the README shows `Z`; timestamp
+    parsing with session TZ UTC accepts both. `try_to_timestamp` (not
+    `to_timestamp`) is load-bearing: under Spark 4's default ANSI mode a
+    malformed timestamp string would THROW and kill the job — try_ yields
+    null, which the validity filter drops, i.e. the reference's
+    None-on-bad-timestamp contract (found by Hypothesis fuzzing).
     """
     parsed = F.from_json(raw, HEART_RATE_EVENT_SCHEMA)
-    ts = F.to_timestamp(parsed["timestamp"])
+    ts = F.try_to_timestamp(parsed["timestamp"])
     return [
         parsed["patient_id"].alias("patient_id"),
         parsed["heart_rate_bpm"].alias("heart_rate_bpm"),

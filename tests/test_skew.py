@@ -1,0 +1,55 @@
+"""Salted aggregation == plain aggregation, on a deliberately skewed key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.operators.skew import salted_agg
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows land on key 'hot'
+    return spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 100).cast("string")))
+        .alias("key"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_exact(spark, skewed):
+    plain = {
+        r.key: (r.n, r.total, r.mn, r.mx, round(r.mean, 9))
+        for r in skewed.groupBy("key")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.avg("v").alias("mean"),
+        )
+        .collect()
+    }
+    salted = {
+        r.key: (r.n, r.total, r.mn, r.mx, round(r.mean, 9))
+        for r in salted_agg(
+            skewed,
+            ["key"],
+            {
+                "n": ("count", "v"),
+                "total": ("sum", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+                "mean": ("avg", "v"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_algebraic(spark, skewed):
+    with pytest.raises(ValueError):
+        salted_agg(skewed, ["key"], {"m": ("median", "v")})
