@@ -754,6 +754,64 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_subquery_ratio",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries (uncorrelated, in projection and predicate) —
+    Catalyst plans them as one-row broadcast joins, no driver round-trip."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           round(avg(value), 4) AS mean
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py) must equal the
+    plain GROUP BY — the oracle hash-checks the skew-mitigation path.
+
+    Caveat the salting trades on: per-salt partial sums add in a
+    different order than a direct sum, so float totals are only equal
+    after rounding — which is also true of any repartitioning at scale.
+    """
+    from hw_kafka_flink_health_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.select("event_type", "value"),
+        ["event_type"],
+        {"n": ("count", "value"), "total": ("sum", "value"), "mean": ("avg", "value")},
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 2).alias("total"),
+        F.round("mean", 4).alias("mean"),
+    )
+
+
+@register(
     "scalar_string_math",
     oracle="""
     SELECT p_partkey,
