@@ -281,3 +281,59 @@ def test_session_window_streaming(spark, tmp_path):
     }
     assert rows[("p001", 1763535600000)] == 2
     assert rows[("p001", 1763535900000)] == 1
+
+
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """Stream-static join: enrich streaming events with a static dim."""
+    from hw_kafka_flink_health_spark.streaming.sinks import enrich_with_static
+
+    src = tmp_path / "enrich"
+    _write_events_json(
+        str(src / "b0.json"),
+        [
+            _ev("p001", "2025-11-19T07:00:05+00:00", 80),
+            _ev("p003", "2025-11-19T07:00:06+00:00", 90),
+        ],
+    )
+    dim = spark.createDataFrame(
+        [("p001", "ward-A"), ("p002", "ward-B")], ["patient_id", "ward"]
+    )
+    reader = spark.readStream.schema("raw string").json(str(src))
+    enriched = enrich_with_static(parse_events_df(reader), dim, on="patient_id")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.patient_id: r.ward for r in spark.sql("SELECT * FROM enriched_stream").collect()}
+    assert rows == {"p001": "ward-A", "p003": None}
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch exactly-once file sink: batch-addressed directories."""
+    from hw_kafka_flink_health_spark.streaming.sinks import foreach_batch_parquet
+
+    src = tmp_path / "fb_src"
+    _write_events_json(
+        str(src / "b0.json"), [_ev("p001", "2025-11-19T07:00:05+00:00", 80)]
+    )
+    _write_events_json(
+        str(src / "b1.json"), [_ev("p002", "2025-11-19T07:00:06+00:00", 90)]
+    )
+    t0 = os.stat(src / "b0.json").st_mtime
+    os.utime(src / "b0.json", (t0 - 60, t0 - 60))
+    reader = (
+        spark.readStream.schema("raw string").option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    out_dir = str(tmp_path / "fb_out")
+    q = foreach_batch_parquet(
+        parse_events_df(reader), out_dir, str(tmp_path / "fb_ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 2
+    assert set(back.select("batch_id").distinct().toPandas()["batch_id"]) == {0, 1}
