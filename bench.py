@@ -41,6 +41,54 @@ HEADLINE = [
 ]
 
 
+def bench_streaming(spark) -> float:
+    """Wall time to push every event at this SF through the full streaming
+    alert pipeline (parse -> watermark -> window agg -> classify) as real
+    micro-batches. The reference's producer-bound baseline is ~10 ev/s;
+    this measures engine-bound throughput on the same workload shape.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from hw_kafka_flink_health_spark.streaming.health_pipeline import build_streaming_job
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        raw = ev.select(
+            F.to_json(
+                F.struct(
+                    F.format_string("p%03d", F.col("user_id")).alias("patient_id"),
+                    F.concat(
+                        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+                        F.lit("+00:00"),
+                    ).alias("timestamp"),
+                    F.floor("value").cast("int").alias("heart_rate_bpm"),
+                )
+            ).alias("raw")
+        )
+        src = f"{work}/src"
+        raw.coalesce(8).write.mode("overwrite").json(src)
+
+        t0 = time.perf_counter()
+        reader = spark.readStream.schema("raw string").json(src)
+        q = (
+            build_streaming_job(reader, as_json=False)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     from hw_kafka_flink_health_spark.queries import QUERIES
     from hw_kafka_flink_health_spark.session import get_spark
@@ -55,6 +103,7 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    timings["streaming_alert_pipeline"] = bench_streaming(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
