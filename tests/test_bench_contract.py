@@ -1,0 +1,30 @@
+"""bench.py driver contract: exactly one JSON line on stdout with the
+required keys, runnable against any SF dir."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_single_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd="/tmp",  # must work from any cwd, like the driver
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"expected ONE line, got {len(lines)}: {lines[:3]}"
+    doc = json.loads(lines[0])
+    assert doc["unit"] == "sec" and isinstance(doc["value"], (int, float))
+    assert doc["sf"] == 0.001
+    assert doc["queries"] and all(isinstance(v, (int, float)) for v in doc["queries"].values())
+    assert abs(sum(doc["queries"].values()) - doc["value"]) < 0.01
