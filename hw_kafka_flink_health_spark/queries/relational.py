@@ -792,7 +792,7 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
     """,
 )
 def scalar_subquery_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,7 +804,7 @@ def scalar_subquery_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
         """
     )
 

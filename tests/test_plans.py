@@ -76,3 +76,41 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # exactly one shuffle: the per-query window ranking
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q4_exists_becomes_semi_join_with_pushdown(spark):
+    plan = plan_of(spark, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    assert "GreaterThan(l_quantity,45" in plan  # pushed to the lineitem scan
+
+
+def test_q19_disjunction_pushes_per_side_filters(spark):
+    plan = plan_of(spark, "q19_disjunctive_predicates")
+    assert "BroadcastHashJoin" in plan  # part broadcasts, equi key extracted
+    # Catalyst derives a pushable brand filter for the part scan from the
+    # OR-of-ANDs; a plan where the part scan reads everything is a regression
+    assert "Brand#12" in plan.split("BroadcastHashJoin")[-1] or "In(p_brand" in plan
+
+
+def test_q22_not_exists_becomes_anti_join(spark):
+    plan = plan_of(spark, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+
+
+def test_q15_max_is_broadcast_not_global_window(spark):
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "Window" not in plan  # the max must not be a single-partition window
+
+
+def test_q17_per_part_avg_broadcasts_back(spark):
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_catalog_never_plans_cartesian_product(spark):
+    """No query in the catalog may degenerate into CartesianProduct —
+    the one plan shape that cannot survive any scale-up. (1-row broadcast
+    nested loops from scalar subqueries are fine and excluded by name.)"""
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
