@@ -1,0 +1,81 @@
+"""Storage-layout operators: bucketing and partitioned writes.
+
+The two heaviest levers at 100 TB are not in any single query — they're in
+how tables are laid down once so that every later query skips work:
+
+* **Bucketing** pre-shuffles a table by its join/agg key at write time.
+  Two tables bucketed by the same key into the same bucket count join
+  with ZERO Exchange — the shuffle was paid once, at ingest, instead of
+  per-query. This is the batch analog of the reference's keyed streams
+  (`src/flink_job.py:104-108` keys by patient so windows never reshuffle).
+* **Partitioned writes** (`partitionBy`) turn low-cardinality predicates
+  into directory pruning: a filter on the partition column never opens
+  the other partitions' files (shows as `PartitionFilters` in the scan).
+
+Both are plain writer options — no custom machinery — but the plan
+guarantees they buy are asserted in `tests/test_storage.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    key: str | list[str],
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist `df` as a parquet table bucketed (and bucket-sorted) by `key`.
+
+    Bucket count is a contract between tables: co-located joins require
+    equal counts on both sides. Pick it once per subject area from target
+    file size (total size / buckets ≈ 128-512 MB each), not per table.
+    Sorting within buckets additionally lets the join skip its Sort step
+    (plan shows SortMergeJoin whose children have neither Exchange nor
+    Sort).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet hive-style partitioned by `partition_cols`.
+
+    Partition columns must be low-cardinality (otherwise: small-file
+    explosion — at 100 TB a date or date+coarse-category key is right,
+    a user_id is wrong). Readers get directory-level pruning for free.
+    """
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def cluster_for_joins(
+    spark: SparkSession,
+    df: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    table_left: str,
+    table_right: str,
+    *,
+    buckets: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Bucket both join sides by the join key and return the re-read
+    (co-located) tables; joining them produces an exchange-free plan."""
+    keys = [on] if isinstance(on, str) else list(on)
+    write_bucketed(df, table_left, buckets=buckets, key=keys)
+    write_bucketed(other, table_right, buckets=buckets, key=keys)
+    return spark.table(table_left), spark.table(table_right)
