@@ -908,3 +908,29 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
         F.expr("o_orderdate + INTERVAL 30 DAY").alias("due_date"),
     )
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family analytic functions (ntile / percent_rank /
+    cume_dist) — one window spec, one shuffle on the partition key; the
+    tie-break on c_custkey makes every engine's ordering identical."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    )

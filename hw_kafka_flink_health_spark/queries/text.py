@@ -7,7 +7,7 @@ ID, quality scoring, token counting, fingerprinting, multimodal plumbing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.functions.text import (
@@ -247,3 +247,76 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake decoder (real codecs are absent in this container)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(documents_as_assets(docs))
+
+
+@register(
+    "text_word_frequency",
+    oracle="""
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) t WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 50
+    """,
+)
+def text_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency: explode (the generate/unnest operator) ->
+    count -> deterministic top-50. explode expands JVM-side inside
+    whole-stage codegen; the groupBy map-side-combines before the one
+    shuffle, so hot words don't hotspot a reducer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tokens WHERE term <> ''
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term AS dterm, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, round(tf * ln((n.n + 1.0) / (df + 1.0)), 4) AS tfidf
+    FROM tf, dfreq, n WHERE tf.term = dfreq.dterm
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic keyword extractor as
+    three aggregations and a per-doc ranking window. The corpus size is a
+    1-row broadcast (never a collect); document frequency re-aggregates
+    the tf table (already distinct per doc-term, so count(*) == distinct
+    docs). Ranking happens on the ROUNDED score in both engines so FP
+    jitter cannot flip the top-3 cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

@@ -98,3 +98,30 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id", F.round("distance", 4).alias("distance"), "rank"
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, pos, round(avg(v), 4) + 0.0 AS centroid_v FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) t GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the IVF coarse-quantizer building
+    block) as posexplode + one (label, dim)-keyed aggregation. Emitted as
+    (label, pos, value) rows rather than re-assembled arrays so the
+    oracle hash covers every component. Scale: the shuffle key is
+    (label, dim) — cardinality labels x dims, orders of magnitude smaller
+    than the input, and map-side combine does most of the summing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .withColumn("pos", (F.col("pos") + 1).cast("bigint"))  # 1-based like SQL
+        .groupBy("label", "pos")
+        # + 0.0 canonicalizes IEEE -0.0 to 0.0 (repr-based hash compare)
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_v"))
+    )
