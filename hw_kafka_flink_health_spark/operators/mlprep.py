@@ -1,0 +1,84 @@
+"""Training-data preparation operators: deterministic splits, stratified
+sampling, text normalization.
+
+These are the pipeline steps between raw corpus tables and a training
+run. The design constraints at 100 TB:
+
+* **Determinism without state.** Split assignment must be a pure function
+  of the row (content-hash bucket), never a random() draw — so backfills,
+  retries, and incremental reruns assign every document to the same split
+  forever, with no membership table to join against.
+* **Portability.** The bucket hash is md5-based (first 8 hex chars as an
+  int), which every engine renders identically — the same expression runs
+  in DuckDB/Trino for audits. xxhash64 would be faster but is
+  Spark-specific; md5 here costs one pass over a short string.
+* **No shuffle.** Split + sample are narrow (per-row / per-partition);
+  only downstream consumers shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, buckets: int = 10, salt: str = "") -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets) from a key.
+
+    DuckDB/ANSI twin:
+    ``CAST(concat('0x', substr(md5(concat(key, salt)), 1, 8)) AS BIGINT) % buckets``.
+    The 8-hex-char prefix (32 bits) keeps the value inside BIGINT range in
+    every engine; bias from the modulo is < 2^-25 for bucket counts under
+    a few hundred.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return (h.cast("bigint") % buckets).cast("bigint")
+
+
+def train_valid_test_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    train: int = 8,
+    valid: int = 1,
+    buckets: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Tag each row 'train' / 'valid' / 'test' by hash bucket of its id.
+
+    `train` and `valid` are bucket counts out of `buckets` (remainder is
+    test). Salting lets different experiments draw independent splits
+    from the same corpus without correlation between them.
+    """
+    b = hash_bucket(id_col, buckets, salt)
+    split = (
+        F.when(b < train, "train")
+        .when(b < train + valid, "valid")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (`sampleBy`): rebalance a corpus by
+    language/source/quality tier in one narrow pass. Seeded => the same
+    sample on every run; still engine-specific RNG, so correctness checks
+    are statistical (per-stratum rate), not value-hash."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def normalize_text_expr(col: Column | str) -> Column:
+    """Canonical text-normalization for dedup/fingerprinting: lowercase,
+    strip non-alphanumerics, collapse runs of whitespace, trim. Pure
+    Catalyst expressions (whole-stage codegen; no Python in the path).
+
+    DuckDB twin:
+    ``trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'),
+    ' +', ' ', 'g'))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))

@@ -1,0 +1,73 @@
+"""Training-data prep contracts: split determinism + ratios, stratified
+sample rates, normalization idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.operators.mlprep import (
+    normalize_text_expr,
+    train_valid_test_split,
+)
+from hw_kafka_flink_health_spark.queries import QUERIES
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+from tests.conftest import SF_DIR
+
+
+def test_split_ratios_and_determinism(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    tagged = train_valid_test_split(docs, "doc_id")
+    counts = dict(
+        tagged.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.7
+    assert 0.03 < counts["valid"] / total < 0.2
+    assert 0.03 < counts["test"] / total < 0.2
+    # pure function of the id: two runs agree row-for-row
+    a = {r["doc_id"]: r["split"] for r in tagged.select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_valid_test_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    assert a == b
+
+
+def test_split_salt_decorrelates(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r["doc_id"]: r["split"] for r in
+         train_valid_test_split(docs, "doc_id").select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         train_valid_test_split(docs, "doc_id", salt="exp2").select("doc_id", "split").collect()}
+    assert a != b  # a different salt draws a different split
+
+
+def test_stratified_sample_rates(spark):
+    sampled = QUERIES["mlprep_stratified_sample"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    base = dict(docs.groupBy("lang").count().rdd.map(lambda r: (r["lang"], r["count"])).collect())
+    got = dict(sampled.groupBy("lang").count().rdd.map(lambda r: (r["lang"], r["count"])).collect())
+    en_rate = got.get("en", 0) / base["en"]
+    assert 0.1 < en_rate < 0.45  # target 0.25
+    for lng, n in base.items():
+        if lng != "en" and n >= 20:
+            assert got.get(lng, 0) / n > 0.7  # target 0.9
+
+
+def test_normalize_idempotent_and_clean(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    once = docs.select(
+        "doc_id", normalize_text_expr("text").alias("norm")
+    )
+    twice = once.select("doc_id", normalize_text_expr("norm").alias("norm2"))
+    bad = (
+        once.join(twice, "doc_id")
+        .filter(
+            (F.col("norm") != F.col("norm2"))
+            | F.col("norm").rlike("[^a-z0-9 ]")
+            | F.col("norm").rlike("  ")
+        )
+        .count()
+    )
+    assert bad == 0

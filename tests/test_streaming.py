@@ -337,3 +337,56 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == 2
     assert set(back.select("batch_id").distinct().toPandas()["batch_id"]) == {0, 1}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file-source streams joined on key + time interval; state is
+    watermark-bounded, result matches the batch twin on the same rows."""
+    from hw_kafka_flink_health_spark.streaming.joins import interval_join
+
+    import json as _json
+
+    def write_rows(d, rows):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    clicks = [
+        {"user_id": 1, "click_id": 10, "click_ts": "2024-01-01T10:00:00"},
+        {"user_id": 1, "click_id": 11, "click_ts": "2024-01-01T11:00:00"},
+        {"user_id": 2, "click_id": 12, "click_ts": "2024-01-01T10:00:00"},
+    ]
+    purchases = [
+        {"user_id": 1, "purchase_id": 20, "purchase_ts": "2024-01-01T10:10:00"},  # <- click 10
+        {"user_id": 1, "purchase_id": 21, "purchase_ts": "2024-01-01T12:00:00"},  # too late for both
+        {"user_id": 2, "purchase_id": 22, "purchase_ts": "2024-01-01T10:25:00"},  # <- click 12
+        {"user_id": 3, "purchase_id": 23, "purchase_ts": "2024-01-01T10:10:00"},  # no click
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    write_rows(cdir, clicks)
+    write_rows(pdir, purchases)
+
+    cs = spark.readStream.schema(
+        "user_id long, click_id long, click_ts timestamp"
+    ).json(cdir)
+    ps = spark.readStream.schema(
+        "user_id long, purchase_id long, purchase_ts timestamp"
+    ).json(pdir)
+    joined = interval_join(
+        ps, cs, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        upper="30 minutes", watermark="1 minute",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+    assert got == {(20, 10), (22, 12)}
