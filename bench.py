@@ -20,16 +20,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Representative coverage: scan+agg, join chains, windows (time + analytic),
-# as-of, dedup (exact + jaccard), similarity, text, sessionization.
+# Representative coverage: scan+agg, join chains (incl. semi/outer/interval),
+# windows (time + analytic), as-of, dedup (exact + jaccard), similarity,
+# text/TF-IDF, sessionization, hash-split.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_priority_exists",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q13_order_count_distribution",
     "q18_large_orders",
+    "q19_disjunctive_predicates",
     "join_broadcast_part_revenue",
     "join_asof",
+    "interval_join_attribution",
     "window_topk_per_group",
     "hr_alerts_tumbling",
     "hr_alerts_sliding",
@@ -37,7 +42,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "embedding_cosine_topk",
+    "embedding_label_centroids",
     "text_quality",
+    "text_tfidf_top_terms",
+    "mlprep_hash_split",
 ]
 
 
