@@ -29,6 +29,7 @@ HEADLINE = [
     "q4_priority_exists",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q13_order_count_distribution",
     "q18_large_orders",
     "q19_disjunctive_predicates",
@@ -41,6 +42,7 @@ HEADLINE = [
     "session_windows",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "embedding_cosine_topk",
     "embedding_label_centroids",
     "text_quality",

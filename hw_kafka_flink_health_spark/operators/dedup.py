@@ -280,3 +280,65 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("doc1") < F.col("doc2"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster ids for near-dup pairs: each node gets the MIN node id
+    reachable in its component — the canonical-representative step that
+    turns pairwise dedup output into keep/drop decisions.
+
+    Min-label propagation: labels start as the node id; each round every
+    node takes the min of its own and its neighbors' labels, until a round
+    changes nothing (diameter-bounded, <= max_iterations). Each round is
+    ONE shuffle (edge join + min-agg on the same key); `localCheckpoint`
+    truncates the lineage so round N's plan doesn't replay rounds 1..N-1
+    — the standard Spark posture for iterative algorithms (GraphX CC is
+    this same loop). Near-dup clusters are tiny in practice (dup groups,
+    not a social graph), so convergence is 2-3 rounds; a 100 TB run keeps
+    every round a single hash-partitioned self-join on node id.
+
+    Returns (node, cluster_id). Nodes appearing only on one side of a pair
+    are still labeled (edges are symmetrized).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

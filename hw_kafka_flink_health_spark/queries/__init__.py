@@ -6,6 +6,7 @@ from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     relational,
     text,
     tpch,
+    tpch2,
     vectors,
 )
 from hw_kafka_flink_health_spark.queries._registry import ORACLES, QUERIES

@@ -972,3 +972,48 @@ def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower="0 seconds",
         upper="30 minutes",
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_week AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT cohort_week,
+           (date_diff('day', cohort_week, week) / 7)::BIGINT AS week_offset,
+           count(DISTINCT active.user_id)::BIGINT AS active_users
+    FROM active JOIN first_week USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over `events`: users bucketed by the week
+    of their first event, then distinct-active counts per (cohort, week
+    offset) — the canonical product-analytics rollup. Two aggregations
+    shuffle on user_id back-to-back (min-ts and distinct-week reuse the
+    same hash partitioning), then a broadcast-size join re-keys into the
+    tiny (cohort, offset) grid. Monday-aligned date_trunc('week') matches
+    across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first_week = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("timestamp_ntz").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("timestamp_ntz").alias("week")
+    ).distinct()
+    return (
+        active.join(first_week, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -320,3 +320,48 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), e AS (
+        SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t
+    ), p AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               count(*) AS common, any_value(a.n) AS n1, any_value(b.n) AS n2
+        FROM e a JOIN e b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.2
+    ), edges AS (
+        SELECT doc1 AS u, doc2 AS v FROM p
+        UNION SELECT doc2, doc1 FROM p
+    ), reach AS (
+        SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u AS node, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    )
+    SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the >= 0.2 Jaccard near-dup pairs: the
+    keep/drop step of a dedup pipeline — every doc in a dup group gets the
+    group's min doc_id as its canonical representative. Spark side is
+    min-label propagation (one shuffle per round, lineage-checkpointed);
+    the oracle is a recursive CTE computing min reachable id, so the
+    iterative dataflow is value-checked against a declarative fixpoint."""
+    from hw_kafka_flink_health_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return connected_components(pairs).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
