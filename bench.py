@@ -48,6 +48,8 @@ HEADLINE = [
     "text_quality",
     "text_tfidf_top_terms",
     "mlprep_hash_split",
+    "chunk_documents",
+    "timeseries_gapfill",
 ]
 
 
@@ -109,8 +111,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = QUERIES[name](spark, SF_DIR)
+        # time construction + execution: iterative operators (connected
+        # components) do eager work while the DataFrame is being built
         t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     timings["streaming_alert_pipeline"] = bench_streaming(spark)

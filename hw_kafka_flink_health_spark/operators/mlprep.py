@@ -70,6 +70,45 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def int8_quantize_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 quantization (min/max affine, 256 levels) with
+    reconstruction audit — the compression step before shipping vectors
+    to an ANN index or a feature store (4x smaller than float32).
+
+    Emits per vector: `mn` / `scale` (the dequantization params),
+    `code_sum` (exact integer checksum of all codes — a strong equality
+    witness without comparing arrays), and `max_abs_err`, which is
+    bounded by scale/2 by construction.
+
+    All higher-order-function expressions in double precision — codegen'd,
+    narrow, zero shuffle; rounding is ``floor(x + 0.5)`` (portable —
+    engine round() half-way tie rules differ). Degenerate constant
+    vectors (scale 0) would yield null codes; the caller filters them
+    (can't happen for real embeddings).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = df.withColumn("_v", v)
+    mn = F.array_min(F.col("_v"))
+    scale = (F.array_max(F.col("_v")) - mn) / F.lit(255.0)
+    df = df.withColumn("_mn", mn).withColumn("_scale", scale)
+    code = lambda x: F.floor((x - F.col("_mn")) / F.col("_scale") + F.lit(0.5))  # noqa: E731
+    codes = F.transform(F.col("_v"), code)
+    err = F.transform(
+        F.col("_v"),
+        lambda x: F.abs(x - (F.col("_mn") + code(x) * F.col("_scale"))),
+    )
+    return df.select(
+        id_col,
+        F.round(F.col("_mn"), 6).alias("mn"),
+        F.round(F.col("_scale"), 8).alias("scale"),
+        F.aggregate(codes, F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint"))
+        .alias("code_sum"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+    )
+
+
 def normalize_text_expr(col: Column | str) -> Column:
     """Canonical text-normalization for dedup/fingerprinting: lowercase,
     strip non-alphanumerics, collapse runs of whitespace, trim. Pure

@@ -5,6 +5,7 @@ from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     reference,
     relational,
     text,
+    timeseries,
     tpch,
     tpch2,
     vectors,

@@ -81,6 +81,178 @@ def text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", normalize_text_expr("text").alias("norm_text"))
 
 
+@register(
+    "chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           i AS chunk_id,
+           substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT)
+             AS chunk_len
+    FROM documents,
+         LATERAL unnest(generate_series(0,
+           CAST(greatest(1, ceil((length(text) - 50) / 150.0)) AS BIGINT) - 1))
+           AS t(i)
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 200-char chunks with 50-char overlap
+    (stride 150), one row per chunk. Pure Catalyst sequence/posexplode/
+    substring — value-hashed against DuckDB generate_series."""
+    from hw_kafka_flink_health_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_size=200, overlap=50)
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum - 1) / 512.0) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (
+        SELECT doc_id, lang,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ) tok
+    ) c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing to a 512-token budget, sharded by
+    language (per-shard packing = the parallel scale path; a global pack
+    would serialize on one sort partition)."""
+    from hw_kafka_flink_health_spark.operators.chunking import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    packed = pack_greedy(
+        docs, "doc_id", tokens, budget=512, partition_col="lang"
+    )
+    return packed.select(
+        "doc_id", "lang", F.col("_tokens").alias("n_tokens"), "pack_id"
+    )
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+    SELECT doc_id, redacted,
+           CAST((length(redacted) - length(replace(redacted, '[PII]', ''))) / 5
+                AS BIGINT) AS n_redacted
+    FROM (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+               text || CASE
+                 WHEN doc_id % 3 = 0 THEN ' reach me at user'
+                      || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 WHEN doc_id % 3 = 1 THEN ' call 555-867-5309 or ssn 123-45-6789'
+                 ELSE '' END,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\\d{3}[-.]\\d{3}[-.]\\d{4}', '[PII]', 'g'),
+               '\\d{3}-\\d{2}-\\d{4}', '[PII]', 'g') AS redacted
+      FROM documents
+    ) r
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before corpus export: emails, phone numbers, and
+    SSN-shaped strings replaced with a [PII] sentinel. Deterministic
+    synthetic PII is injected per doc_id so the redaction paths are
+    actually exercised (the corpus itself is lorem text); both engines
+    build and scrub identical strings."""
+    from hw_kafka_flink_health_spark.operators.chunking import redact_pii_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(" call 555-867-5309 or ssn 123-45-6789"))
+        .otherwise(F.lit("")),
+    )
+    redacted = redact_pii_expr(injected)
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        (
+            (F.length(redacted) - F.length(F.replace(redacted, F.lit("[PII]"), F.lit(""))))
+            / 5
+        )
+        .cast("bigint")
+        .alias("n_redacted"),
+    )
+
+
+@register(
+    "mlprep_split_drift",
+    oracle="""
+    WITH c AS (
+      SELECT split, lang, CAST(count(*) AS DOUBLE) AS n_sl
+      FROM (
+        SELECT lang,
+               CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT lang,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10 AS b
+          FROM documents
+        ) h
+      ) s GROUP BY split, lang
+    ), w AS (
+      SELECT split, lang, n_sl,
+             sum(n_sl) OVER (PARTITION BY split) AS n_s,
+             sum(n_sl) OVER (PARTITION BY lang) AS n_l,
+             sum(n_sl) OVER () AS n
+      FROM c
+    )
+    SELECT split,
+           CAST(sum(n_sl) AS BIGINT) AS n_docs,
+           round(sum((n_sl / n_s) * ln((n_sl / n_s) / (n_l / n))), 6) AS kl_vs_corpus
+    FROM w GROUP BY split
+    """,
+)
+def mlprep_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: KL divergence of each split's language
+    mix against the whole corpus — the leakage/skew check run before
+    training (a hash split should show KL near 0). One scan, one
+    (split, lang) shuffle; the window sums run on the tiny aggregate."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        train_valid_test_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_sl"))
+    )
+    n_s = F.sum("n_sl").over(Window.partitionBy("split"))
+    n_l = F.sum("n_sl").over(Window.partitionBy("lang"))
+    n = F.sum("n_sl").over(Window.partitionBy())
+    w = c.select(
+        "split",
+        "n_sl",
+        (F.col("n_sl") / n_s).alias("p"),
+        ((n_l / n)).alias("q"),
+    )
+    return w.groupBy("split").agg(
+        F.sum("n_sl").cast("bigint").alias("n_docs"),
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "kl_vs_corpus"
+        ),
+    )
+
+
 @register("mlprep_stratified_sample")  # seeded engine RNG: rows-only
 def mlprep_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalancing sample: downsample the dominant language,

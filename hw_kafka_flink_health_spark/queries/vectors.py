@@ -101,6 +101,40 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), s AS (
+      SELECT vec_id, ve,
+             list_min(ve) AS mn,
+             (list_max(ve) - list_min(ve)) / 255.0 AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           round(mn, 6) AS mn,
+           round(scale, 8) AS scale,
+           CAST(list_sum(list_transform(ve,
+             x -> CAST(floor((x - mn) / scale + 0.5) AS BIGINT))) AS BIGINT)
+             AS code_sum,
+           round(list_max(list_transform(ve,
+             x -> abs(x - (mn + floor((x - mn) / scale + 0.5) * scale)))), 6)
+             AS max_abs_err
+    FROM s
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 min/max quantization audit per vector: dequant params, exact
+    integer checksum over all codes, and max reconstruction error (bounded
+    by scale/2). The compression pass before an ANN index ships — narrow,
+    no shuffle, value-hashed against DuckDB's list lambdas."""
+    from hw_kafka_flink_health_spark.operators.mlprep import int8_quantize_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quantize_stats(emb, "vec_id", "embedding")
+
+
+@register(
     "embedding_label_centroids",
     oracle="""
     SELECT label, pos, round(avg(v), 4) + 0.0 AS centroid_v FROM (
