@@ -96,3 +96,59 @@ def top_k_per_group(
         df.withColumn(rank_alias, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_alias) <= k)
     )
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Batch MERGE INTO semantics: rows from `updates` win on key match,
+    unmatched base rows pass through (whole-row upsert; deletes are a
+    pre-filter on `updates`'s side).
+
+    Shape: one left-anti join (base minus updated keys) + union — the
+    anti join shuffles only the key columns of the probe side and
+    broadcasts when `updates` is small. This is the foreachBatch sink's
+    batch twin, and the layout-preserving path at 100 TB: with both
+    sides bucketed by the key (operators/storage.py) the anti join is
+    exchange-free, which is how an incremental corpus refresh avoids
+    rewriting unrelated partitions.
+    """
+    if base.columns != updates.columns:
+        raise ValueError("merge_upsert requires identical schemas")
+    keep = base.join(updates.select(*key_cols), key_cols, "left_anti")
+    return keep.unionByName(updates)
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Clip `value_col` to per-group exact [lo, hi] percentiles — the
+    outlier-trim pass before aggregate features feed a model (sensor
+    glitches in a health stream, crawler junk in a corpus).
+
+    Exact `percentile` (not approx) so results are engine-checkable; the
+    per-group percentiles are one aggregation (sort-based, spillable),
+    broadcast back onto the rows. At 100 TB swap in percentile_approx
+    and the plan shape is unchanged while the percentile pass becomes a
+    streaming sketch merge.
+    """
+    pcts = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo)).alias("_p_lo"),
+        F.percentile(value_col, F.lit(hi)).alias("_p_hi"),
+    )
+    return (
+        df.join(F.broadcast(pcts), group_col)
+        .withColumn(
+            f"{value_col}_clipped",
+            F.least(F.greatest(F.col(value_col), F.col("_p_lo")), F.col("_p_hi")),
+        )
+        .withColumn(
+            "was_clipped",
+            (F.col(value_col) != F.col(f"{value_col}_clipped")).cast("int"),
+        )
+    )

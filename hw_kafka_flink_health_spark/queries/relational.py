@@ -1017,3 +1017,74 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 1.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT * FROM upd
+    UNION ALL
+    SELECT o.* FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a batch operator: a 10% update batch (restated
+    status + exact price restatement) upserted into `orders` — anti join keeps
+    untouched rows, updates win on key collision. The incremental-refresh
+    primitive for any continuously-rebuilt corpus table."""
+    from hw_kafka_flink_health_spark.operators.relational import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return merge_upsert(orders, updates, ["o_orderkey"])
+
+
+@register(
+    "winsorize_events",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p_lo,
+             quantile_cont(value, 0.99) AS p_hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < p.p_lo OR e.value > p.p_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(avg(least(greatest(e.value, p.p_lo), p.p_hi)), 4)
+             AS clipped_mean,
+           round(avg(e.value), 4) AS raw_mean
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization audit: exact p01/p99 clip bounds, clip
+    counts, and the mean shift — the outlier-trim pass before windowed
+    features feed a model. Exact percentiles so both engines agree;
+    the percentile table is broadcast back onto the fact rows."""
+    from hw_kafka_flink_health_spark.operators.relational import winsorize
+
+    events = load_table(spark, sf_dir, "events")
+    w = winsorize(events, "event_type", "value", lo=0.01, hi=0.99)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("was_clipped").cast("bigint").alias("n_clipped"),
+        F.round(F.avg("value_clipped"), 4).alias("clipped_mean"),
+        F.round(F.avg("value"), 4).alias("raw_mean"),
+    )

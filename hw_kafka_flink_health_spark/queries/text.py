@@ -223,6 +223,58 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           round(1 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+             AS rep_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word 3-grams
+    per document (high ratio => boilerplate / degenerate text, dropped
+    before training). The gram list is built with higher-order functions
+    per row — narrow, codegen'd, no explode/shuffle; the n-gram count per
+    doc is bounded by token count so memory is O(doc length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    n_grams = F.size(F.col("grams")).cast("bigint")
+    n_distinct = F.size(F.array_distinct(F.col("grams"))).cast("bigint")
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct"),
+            F.round(
+                F.lit(1) - n_distinct / n_grams.cast("double"), 6
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+@register(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS asset_id,
