@@ -79,3 +79,40 @@ def cluster_for_joins(
     write_bucketed(df, table_left, buckets=buckets, key=keys)
     write_bucketed(other, table_right, buckets=buckets, key=keys)
     return spark.table(table_left), spark.table(table_right)
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    target_file_mb: int = 128,
+) -> int:
+    """Compact a directory of small parquet files into ~target-sized ones.
+
+    The small-file problem is the dominant tax on long-lived 100 TB
+    tables fed by streaming/incremental writers: every micro-batch
+    leaves files, and a 10k-file directory costs more in driver-side
+    planning + per-file open overhead than the scan itself. Compaction =
+    read once, coalesce to ceil(bytes / target), write once.
+
+    `coalesce` (not `repartition`): no shuffle — each output task reads
+    a few input files whole. Returns the chosen output file count.
+    Production notes for the real cluster: run per hive-partition so
+    compaction parallelizes and commits atomically per partition
+    (write to temp dir + rename), and skip partitions already compacted
+    (file count == ceil(bytes/target)).
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(src_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst_dir)
+    return n_out

@@ -1088,3 +1088,92 @@ def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value_clipped"), 4).alias("clipped_mean"),
         F.round(F.avg("value"), 4).alias("raw_mean"),
     )
+
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_s,
+           CAST(max({c}) AS VARCHAR) AS max_s
+    FROM lineitem
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_lineitem", oracle=_PROFILE_ORACLE)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling audit (null count, distinct count, min/max per
+    column) — the observability pass a pipeline runs on every new data
+    drop before trusting it. ONE scan computes every per-column aggregate
+    (count/distinct/min/max for all profiled columns in a single
+    Aggregate), then the 1-row result is unpivoted driver-free via
+    stack(); the DuckDB twin is the naive per-column UNION ALL, so the
+    hash check also proves the fused single-pass form is equivalent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_s, max_s)"
+    )
+
+
+@register(
+    "histogram_totalprice",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20.0)), 19)
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order value: bounds from a
+    broadcast 1-row min/max agg, bucket assignment as portable floor
+    arithmetic (identical FP ops in both engines; no width_bucket
+    dependency). Two scans of a single column, one tiny shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(19)
+    ).cast("bigint")
+    return (
+        orders.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

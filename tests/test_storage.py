@@ -79,3 +79,19 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     # pruning must not change the answer
     expected = events.filter(F.col("event_type") == "click").count()
     assert back.count() == expected
+
+
+def test_compact_small_files(spark, tmp_path):
+    from hw_kafka_flink_health_spark.operators.storage import compact_small_files
+
+    events = load_table(spark, SF_DIR, "events")
+    frag = str(tmp_path / "fragmented")
+    events.repartition(40).write.parquet(frag)  # simulate micro-batch litter
+    import glob
+
+    assert len(glob.glob(f"{frag}/*.parquet")) == 40
+    out = str(tmp_path / "compacted")
+    n_out = compact_small_files(spark, frag, out, target_file_mb=128)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n_out == 1  # sf0.001 events << 128 MB
+    assert spark.read.parquet(out).count() == events.count()
