@@ -28,6 +28,15 @@ def main() -> None:
     p.add_argument("--slide", default=None)
     p.add_argument("--watermark", default="5 seconds")
     p.add_argument("--alert-files", default=None, help="optional JSON file sink dir (S5)")
+    p.add_argument(
+        "--demo",
+        type=int,
+        default=None,
+        metavar="SECONDS",
+        help="broker-less demo: synthetic rate-source events in, alerts to "
+        "console (+ --alert-files) for SECONDS, then clean stop",
+    )
+    p.add_argument("--rate", type=int, default=10, help="demo events/second")
     args = p.parse_args()
 
     from hw_kafka_flink_health_spark.session import get_spark
@@ -35,6 +44,41 @@ def main() -> None:
     from hw_kafka_flink_health_spark.streaming.health_pipeline import build_streaming_job
 
     spark = get_spark(app_name="HeartRateAlertsJob")
+    if args.demo is not None:
+        from hw_kafka_flink_health_spark.sources.rate import (
+            synthetic_heart_rate_raw_stream,
+        )
+
+        raw = synthetic_heart_rate_raw_stream(spark, rows_per_second=args.rate)
+        alerts = build_streaming_job(
+            raw,
+            watermark=args.watermark,
+            window_duration=args.window,
+            slide_duration=args.slide,
+            as_json=False,
+        )
+        sinks = [
+            alerts.writeStream.outputMode("append")
+            .format("console")
+            .option("truncate", "false")
+            .start()
+        ]
+        if args.alert_files:
+            sinks.append(
+                alerts.writeStream.outputMode("append")
+                .format("json")
+                .option("path", args.alert_files)
+                .option("checkpointLocation", args.checkpoint + "_files")
+                .start()
+            )
+        import time
+
+        time.sleep(args.demo)
+        for q in sinks:
+            q.stop()
+        spark.stop()
+        return
+
     raw = read_kafka_stream(spark, topic=args.input, bootstrap=args.bootstrap)
     alerts = build_streaming_job(
         raw,

@@ -390,3 +390,33 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssjoin").collect()
     }
     assert got == {(20, 10), (22, 12)}
+
+
+def test_health_job_demo_cli_runs():
+    """The flagship job's broker-less demo mode (`python -m ... --demo`)
+    must run end-to-end from the CLI — the `flink run` parity check a
+    reference user would try first."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hw_kafka_flink_health_spark.streaming.health_job",
+            "--demo",
+            "8",
+            "--rate",
+            "50",
+            "--window",
+            "5 seconds",
+            "--watermark",
+            "2 seconds",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Batch: " in proc.stdout  # console sink ticked
