@@ -420,3 +420,36 @@ def test_health_job_demo_cli_runs():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Batch: " in proc.stdout  # console sink ticked
+
+
+def test_foreach_batch_upsert_latest_state(spark, tmp_path):
+    """Keyed-upsert sink: micro-batches MERGE into a parquet table;
+    after three batches the table holds exactly the latest row per key."""
+    from hw_kafka_flink_health_spark.streaming.sinks import foreach_batch_upsert
+
+    src = tmp_path / "up_src"
+    batches = [
+        [_ev("p001", "2025-11-19T07:00:01+00:00", 70), _ev("p002", "2025-11-19T07:00:01+00:00", 80)],
+        [_ev("p001", "2025-11-19T07:00:02+00:00", 120)],
+        [_ev("p003", "2025-11-19T07:00:03+00:00", 45)],
+    ]
+    for i, rows in enumerate(batches):
+        path = src / f"b{i}.json"
+        _write_events_json(str(path), rows)
+        t = os.stat(path).st_mtime
+        os.utime(path, (t - 60 + i, t - 60 + i))  # stable file order
+    reader = (
+        spark.readStream.schema("raw string").option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    parsed = parse_events_df(reader).select("patient_id", "heart_rate_bpm")
+    table = str(tmp_path / "latest_vitals")
+    q = foreach_batch_upsert(
+        parsed, table, str(tmp_path / "up_ckpt"), key_cols=["patient_id"]
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["patient_id"]: r["heart_rate_bpm"]
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {"p001": 120, "p002": 80, "p003": 45}
