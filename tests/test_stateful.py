@@ -66,3 +66,29 @@ def test_grouped_zscore_properties(spark):
     rows = {r.event_id: r.zscore for r in grouped_zscore(df).collect()}
     assert abs(rows[1] + 1.0) < 1e-9 and abs(rows[2]) < 1e-9 and abs(rows[3] - 1.0) < 1e-9
     assert rows[4] == 0.0  # singleton group: std undefined -> 0
+
+
+def test_udtf_matches_native_explode(spark):
+    """The UDTF escape hatch must agree with the native Catalyst path
+    (explode(from_json(...))) on the same input — proving the hatch is a
+    semantics-preserving fallback, not a divergent dialect."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.functions.udtf_hatch import register_udtfs
+    from hw_kafka_flink_health_spark.sources.files import load_table, register_views
+
+    from tests.conftest import SF_DIR
+
+    register_udtfs(spark)
+    register_views(spark, SF_DIR)
+    via_udtf = spark.sql(
+        "SELECT e.event_id, p.k, p.v FROM events e, LATERAL props_kv(e.props) p"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    native = ev.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,string>")).alias("k", "v"),
+    )
+    assert via_udtf.count() == native.count() > 0
+    assert via_udtf.exceptAll(native).count() == 0
+    assert native.exceptAll(via_udtf).count() == 0
