@@ -108,3 +108,146 @@ def new_peaks_batch(
         .filter(F.col("__prev_max").isNull() | (F.col(value_col) > F.col("__prev_max")))
         .select(key_col, ts_col, value_col)
     )
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("patient_id", T.StringType()),
+        T.StructField("event_time", T.LongType()),
+        T.StructField("heart_rate_bpm", T.IntegerType()),
+        T.StructField("ewma_bpm", T.DoubleType()),
+    ]
+)
+
+
+EWMA_STATE_SCHEMA = T.StructType([T.StructField("ewma", T.DoubleType())])
+
+
+def ewma_stream(parsed: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-patient exponentially-weighted moving average of heart rate —
+    a smoothing monitor whose recursion (ewma_t = a*x_t + (1-a)*ewma_{t-1})
+    needs true per-key running state, not a window frame. GroupState
+    holds one double per key and survives micro-batches; at scale state
+    lives in the per-partition StateStore exactly like the built-in
+    windowed aggregations (RocksDB provider in production).
+
+    Batch twin for correctness: `ewma_batch` computes the same recursion
+    as a per-key array fold — see tests/test_stateful.py.
+    """
+    ship_package(parsed.sparkSession)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        prev = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("event_time").iterrows():
+                bpm = float(row["heart_rate_bpm"])
+                prev = bpm if prev is None else alpha * bpm + (1 - alpha) * prev
+                out.append((key[0], int(row["event_time"]), int(bpm), prev))
+        if prev is not None:
+            state.update((prev,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["patient_id", "event_time", "heart_rate_bpm", "ewma_bpm"]
+            )
+
+    return parsed.groupBy("patient_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def ewma_stream_tws(parsed: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """`ewma_stream` on transformWithStateInPandas (Spark 4's arbitrary-
+    state successor API with timers/TTL). Requires google.protobuf in the
+    Python env — absent here, so this path is import-gated; the
+    applyInPandasWithState form above is the tested default. Kept because
+    on a real cluster TWS is where new stateful operators should land.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package"
+        ) from e
+
+    ship_package(parsed.sparkSession)
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.state = handle.getValueState("ewma", EWMA_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self.state.get()[0] if self.state.exists() else None
+            out = []
+            for pdf in rows:
+                for _, row in pdf.sort_values("event_time").iterrows():
+                    bpm = float(row["heart_rate_bpm"])
+                    prev = bpm if prev is None else alpha * bpm + (1 - alpha) * prev
+                    out.append((key[0], int(row["event_time"]), int(bpm), prev))
+            if prev is not None:
+                self.state.update((prev,))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["patient_id", "event_time", "heart_rate_bpm", "ewma_bpm"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return parsed.groupBy("patient_id").transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def ewma_batch(parsed: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Deterministic batch twin of `ewma_stream`: per-key event-time sort
+    + aggregate-fold over the collected series (keys are small: one
+    patient's readings), exploded back to rows. Same recursion, no state
+    store — used to pin the streaming operator's output in tests."""
+    rows = (
+        parsed.select("patient_id", "event_time", "heart_rate_bpm")
+        .groupBy("patient_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("event_time", "heart_rate_bpm"))
+            ).alias("series")
+        )
+    )
+    # fold the recursion as a running transform over the sorted series
+    ewmas = F.aggregate(
+        F.col("series"),
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0, x["heart_rate_bpm"].cast("double")
+                ).otherwise(
+                    F.lit(alpha) * x["heart_rate_bpm"]
+                    + F.lit(1 - alpha) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    return (
+        rows.withColumn("ewma", ewmas)
+        .select(
+            "patient_id",
+            F.posexplode(F.arrays_zip("series", "ewma")).alias("_i", "z"),
+        )
+        .select(
+            "patient_id",
+            F.col("z.series.event_time").alias("event_time"),
+            F.col("z.series.heart_rate_bpm").alias("heart_rate_bpm"),
+            F.col("z.ewma").alias("ewma_bpm"),
+        )
+    )

@@ -209,3 +209,56 @@ def rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         n7.cast("bigint").alias("n_7d"),
         F.round(F.max("value").over(w), 4).alias("max_7d"),
     )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER w AS rn,
+             first_value(value) OVER w AS x1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), o AS (
+      SELECT user_id, ts, value, rn, x1,
+             sum(value * power(1.25, rn)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM r
+    )
+    SELECT user_id, epoch_ms(ts) AS ts_ms,
+           floor((power(0.8, rn - 1) * x1
+                  + 0.2 * power(0.8, rn) * (s - x1 * 1.25)) * 1000.0 + 0.5)
+             / 1000.0 AS ewma_value
+    FROM o
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha 0.2) of `value` per user at every event, closed form:
+    e_n = b^(n-1)x_1 + a*b^n*(S_n - u_1) with u_i = x_i*b^(-i) — the
+    recursion as THREE window passes sharing one shuffle (row_number,
+    first_value, running sum), no state, no Python. The streaming
+    recursion itself lives in operators/stateful.py:ewma_stream (state
+    store) whose batch fold twin is pinned in tests; this query proves
+    the window-algebra form against the oracle. b^(-i) grows
+    exponentially — fine for per-key series up to ~1e3 rows (here ~70);
+    longer series need the fold or stateful form.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn = F.row_number().over(w)
+    x1 = F.first("value").over(w)
+    s = F.sum(F.col("value") * F.pow(F.lit(1.25), rn)).over(frame)
+    ewma = (
+        F.pow(F.lit(0.8), rn - 1) * x1
+        + F.lit(0.2) * F.pow(F.lit(0.8), rn) * (s - x1 * F.lit(1.25))
+    )
+    return ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        (F.floor(ewma * 1000.0 + 0.5) / 1000.0).alias("ewma_value"),
+    )

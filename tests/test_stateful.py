@@ -92,3 +92,78 @@ def test_udtf_matches_native_explode(spark):
     assert via_udtf.count() == native.count() > 0
     assert via_udtf.exceptAll(native).count() == 0
     assert native.exceptAll(via_udtf).count() == 0
+
+
+def test_ewma_stream_matches_batch_twin(spark, tmp_path):
+    """transformWithStateInPandas EWMA: ValueState must carry the running
+    average across micro-batches; output equals the non-recursive batch
+    fold on the same events."""
+    from hw_kafka_flink_health_spark.operators.stateful import ewma_batch, ewma_stream
+
+    events = [
+        {"patient_id": "p001", "timestamp": "2025-11-19T07:00:00+00:00", "heart_rate_bpm": 80},
+        {"patient_id": "p001", "timestamp": "2025-11-19T07:00:10+00:00", "heart_rate_bpm": 100},
+        {"patient_id": "p002", "timestamp": "2025-11-19T07:00:05+00:00", "heart_rate_bpm": 60},
+        {"patient_id": "p001", "timestamp": "2025-11-19T07:00:20+00:00", "heart_rate_bpm": 90},
+        {"patient_id": "p002", "timestamp": "2025-11-19T07:00:15+00:00", "heart_rate_bpm": 66},
+    ]
+    src = tmp_path / "ewma"
+    os.makedirs(src)
+    with open(src / "b0.json", "w") as f:
+        for e in events[:3]:
+            f.write(json.dumps({"raw": json.dumps(e)}) + "\n")
+    with open(src / "b1.json", "w") as f:
+        for e in events[3:]:
+            f.write(json.dumps({"raw": json.dumps(e)}) + "\n")
+    t0 = os.stat(src / "b0.json").st_mtime
+    os.utime(src / "b0.json", (t0 - 60, t0 - 60))
+
+    reader = (
+        spark.readStream.schema("raw string").option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    parsed = parse_events_df(reader).select("patient_id", "event_time", "heart_rate_bpm")
+    q = (
+        ewma_stream(parsed)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_stream_t")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.patient_id, r.event_time, r.heart_rate_bpm, round(r.ewma_bpm, 9))
+        for r in spark.sql("SELECT * FROM ewma_stream_t").collect()
+    }
+
+    raw_batch = spark.createDataFrame([(json.dumps(e),) for e in events], ["raw"])
+    expected = {
+        (r.patient_id, r.event_time, r.heart_rate_bpm, round(r.ewma_bpm, 9))
+        for r in ewma_batch(
+            parse_events_df(raw_batch).select("patient_id", "event_time", "heart_rate_bpm")
+        ).collect()
+    }
+    assert got == expected
+    # spot-check the recursion: p001 = 80, .2*100+.8*80=84, .2*90+.8*84=85.2
+    p1 = sorted(v for v in got if v[0] == "p001")
+    assert [round(x[3], 4) for x in p1] == [80.0, 84.0, 85.2]
+
+
+def test_ewma_tws_gated_on_protobuf(spark):
+    """The transformWithStateInPandas variant either runs (protobuf
+    present) or raises the documented NotImplementedError — never a
+    silent wrong path."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.stateful import ewma_stream_tws
+
+    parsed = spark.createDataFrame(
+        [("p001", 1000, 80)], "patient_id string, event_time long, heart_rate_bpm int"
+    )
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            ewma_stream_tws(parsed)
+    else:
+        pytest.skip("protobuf present; TWS covered by streaming envs")
