@@ -50,6 +50,16 @@ HEADLINE = [
     "mlprep_hash_split",
     "chunk_documents",
     "timeseries_gapfill",
+    "sessionize_events",
+    "rolling_window_features",
+    "events_ewma",
+    "winsorize_events",
+    "snapshot_diff_orders",
+    "merge_upsert_orders",
+    "profile_lineitem",
+    "text_repetition",
+    "pii_redaction",
+    "embedding_int8_quantize",
 ]
 
 
