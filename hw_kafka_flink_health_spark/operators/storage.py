@@ -81,6 +81,42 @@ def cluster_for_joins(
     return spark.table(table_left), spark.table(table_right)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    *,
+    sort_cols: str | list[str],
+    mode: str = "overwrite",
+    target_partitions: int | None = None,
+    writer_options: dict | None = None,
+) -> None:
+    """Write parquet clustered on `sort_cols` for row-group data skipping.
+
+    `repartitionByRange` gives disjoint per-file key ranges (a range
+    shuffle paid once at write), then `sortWithinPartitions` orders rows
+    inside each file so every parquet row group carries tight min/max
+    stats on the sort columns. A later scan with a predicate on those
+    columns skips whole files (via footer stats) and whole row groups
+    (via parquet predicate pushdown) — the third storage lever next to
+    bucketing (join locality) and hive partitioning (directory pruning),
+    and the right one for HIGH-cardinality range-queried columns
+    (timestamps, prices) where partitionBy would explode into small
+    files. `tests/test_storage.py` proves the clustering from the
+    written footers: with this layout a point/range predicate overlaps
+    ~1 row group; on the unsorted layout it overlaps nearly all.
+    """
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    out = df
+    if target_partitions is not None:
+        out = out.repartitionByRange(target_partitions, *cols)
+    else:
+        out = out.repartitionByRange(*cols)
+    writer = out.sortWithinPartitions(*cols).write.mode(mode)
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(path)
+
+
 def compact_small_files(
     spark,
     src_dir: str,

@@ -975,6 +975,47 @@ def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_outer_attribution",
+    oracle="""
+    SELECT p.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def interval_join_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join: every purchase survives, attributed to
+    the click(s) up to 30 min before it or null-padded when organic. The
+    streaming twin (streaming/joins.py how="left_outer") emits the null
+    row once the watermark clears the interval bound; this batch form is
+    what the oracle hashes. Plan: same hash-partitionable equi join as
+    the inner variant — outer-ness changes emission, not partitioning."""
+    from hw_kafka_flink_health_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+        how="left_outer",
+    )
+
+
+@register(
     "cohort_retention",
     oracle="""
     WITH first_week AS (

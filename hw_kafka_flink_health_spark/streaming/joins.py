@@ -35,19 +35,34 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str = "10 minutes",
     watermark: str = "30 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join; columns from both sides survive (key once).
+    """Interval join; columns from both sides survive (key once).
 
     `lower`/`upper` are INTERVAL strings relative to the right side's
     timestamp. Streaming inputs are watermarked on their own timestamp;
     batch inputs pass through unchanged.
+
+    `how` may be "inner" or "left_outer". Streaming left-outer emits the
+    null-padded row for an unmatched left event only once the watermark
+    has passed the interval's upper bound (the row provably cannot match
+    anymore) — both watermarks plus the time-range condition are what
+    make that eviction decision possible, per Spark's outer-join
+    requirement for stream-stream joins.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported interval-join type: {how!r}")
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
-    lkey = lw[on]
+    # Rename the right key BEFORE joining: when both sides derive from the
+    # same scan (the common self-join case), lw[on]/rw[on] carry identical
+    # expression ids and drop(rw[on]) can silently remove the LEFT key —
+    # keeping the null-padded right one under outer joins. A distinct name
+    # makes resolution unambiguous for any lineage.
+    rw = rw.withColumnRenamed(on, "__rkey")
     cond = (
-        (lkey == rw[on])
+        (lw[on] == rw["__rkey"])
         & (lw[left_ts] >= rw[right_ts] + F.expr(f"INTERVAL {lower}"))
         & (lw[left_ts] <= rw[right_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, "inner").drop(rw[on])
+    return lw.join(rw, cond, how).drop("__rkey")

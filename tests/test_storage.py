@@ -81,6 +81,68 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert back.count() == expected
 
 
+def test_sorted_write_clusters_row_groups(spark, tmp_path):
+    """write_sorted must produce row groups with tight, near-disjoint
+    min/max stats on the sort column — the footer property parquet data
+    skipping runs on — while a hash-shuffled layout of the SAME rows
+    leaves almost every row group overlapping any given range predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hw_kafka_flink_health_spark.operators.storage import write_sorted
+
+    events = load_table(spark, SF_DIR, "events")
+    small = {"parquet.block.size": 16 * 1024}  # force many row groups
+
+    clustered = str(tmp_path / "clustered")
+    write_sorted(
+        events, clustered, sort_cols="value", target_partitions=8,
+        writer_options=small,
+    )
+    scattered = str(tmp_path / "scattered")
+    w = events.repartition(8).write.mode("overwrite")
+    w.option("parquet.block.size", small["parquet.block.size"]).parquet(scattered)
+
+    def ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            sch = md.schema.to_arrow_schema()
+            idx = sch.get_field_index("value")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    rs, rc = ranges(scattered), ranges(clustered)
+    assert len(rc) >= 4, "expected several row groups; shrink block size"
+
+    lo = min(mn for mn, _ in rc)
+    hi = max(mx for _, mx in rc)
+    probe_lo = lo + (hi - lo) * 0.40
+    probe_hi = lo + (hi - lo) * 0.45  # a 5%-wide range predicate
+
+    def overlapping(rgs):
+        return sum(1 for mn, mx in rgs if mx >= probe_lo and mn <= probe_hi)
+
+    # clustered: the predicate touches a small contiguous run of groups
+    assert overlapping(rc) <= max(2, len(rc) // 4), (rc, probe_lo, probe_hi)
+    # scattered: value is uncorrelated with position -> ~every group overlaps
+    assert overlapping(rs) >= len(rs) * 0.9
+
+    # and the layout change must not change answers; the predicate reaches
+    # the scan as a pushed filter
+    back = spark.read.parquet(clustered).filter(
+        (F.col("value") >= probe_lo) & (F.col("value") <= probe_hi)
+    )
+    assert "PushedFilters" in physical(back)
+    expected = events.filter(
+        (F.col("value") >= probe_lo) & (F.col("value") <= probe_hi)
+    ).count()
+    assert back.count() == expected
+
+
 def test_compact_small_files(spark, tmp_path):
     from hw_kafka_flink_health_spark.operators.storage import compact_small_files
 

@@ -392,6 +392,111 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == {(20, 10), (22, 12)}
 
 
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """Left-outer interval join: matches emit immediately; unmatched
+    purchases emit null-padded ONLY after the watermark clears their
+    match window (proving state is evicted, not held forever). A far-
+    future row on both streams advances the watermark to force the
+    flush; that row's own window is still open, so it stays pending."""
+    from hw_kafka_flink_health_spark.streaming.joins import interval_join
+
+    import json as _json
+
+    def write_rows(d, fname, rows):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    clicks = [
+        {"user_id": 1, "click_id": 10, "click_ts": "2024-01-01T10:00:00"},
+        {"user_id": 2, "click_id": 12, "click_ts": "2024-01-01T10:00:00"},
+    ]
+    purchases = [
+        {"user_id": 1, "purchase_id": 20, "purchase_ts": "2024-01-01T10:10:00"},  # <- click 10
+        {"user_id": 1, "purchase_id": 21, "purchase_ts": "2024-01-01T12:00:00"},  # too late: organic
+        {"user_id": 3, "purchase_id": 23, "purchase_ts": "2024-01-01T10:10:00"},  # no click: organic
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    write_rows(cdir, "part-0.json", clicks)
+    write_rows(pdir, "part-0.json", purchases)
+
+    cs = spark.readStream.schema(
+        "user_id long, click_id long, click_ts timestamp"
+    ).json(cdir)
+    ps = spark.readStream.schema(
+        "user_id long, purchase_id long, purchase_ts timestamp"
+    ).json(pdir)
+    joined = interval_join(
+        ps, cs, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        upper="30 minutes", watermark="1 minute", how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_outer")
+        .start()
+    )
+    q.processAllAvailable()
+    # watermark pushers: far-future activity on both streams
+    write_rows(cdir, "part-1.json",
+               [{"user_id": 9, "click_id": 90, "click_ts": "2024-01-01T15:00:00"}])
+    write_rows(pdir, "part-1.json",
+               [{"user_id": 9, "purchase_id": 99, "purchase_ts": "2024-01-01T15:00:00"}])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_outer").collect()
+    }
+    assert (20, 10) in got
+    assert (21, None) in got and (23, None) in got  # organic, null-padded
+    assert (99, 90) in got or all(p != 99 for p, _ in got)  # pusher row: matched or pending
+
+
+def test_streaming_checkpoint_restart_resumes(spark, tmp_path):
+    """Kill-and-restart recovery: a restarted query with the same
+    checkpoint processes ONLY data that arrived while it was down —
+    nothing is reprocessed (no duplicates) and nothing is lost. This is
+    the reference's `enable_checkpointing(5000)` guarantee
+    (src/flink_job.py:58) in Structured Streaming form."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(fname, ids):
+        with open(os.path.join(src, fname), "w") as f:
+            for i in ids:
+                f.write(json.dumps({"event_id": i, "v": i * 10}) + "\n")
+
+    def start_query():
+        reader = spark.readStream.schema("event_id long, v long").json(src)
+
+        def sink(df, batch_id):
+            df.write.mode("append").parquet(out)
+
+        return (
+            reader.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_batch("a.json", range(10))
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()  # crash/redeploy
+
+    write_batch("b.json", range(10, 15))  # arrives while the query is down
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+
+    back = spark.read.parquet(out).toPandas()
+    assert len(back) == 15  # 10 + 5, each exactly once
+    assert sorted(back["event_id"]) == list(range(15))
+
+
 def test_health_job_demo_cli_runs():
     """The flagship job's broker-less demo mode (`python -m ... --demo`)
     must run end-to-end from the CLI — the `flink run` parity check a
