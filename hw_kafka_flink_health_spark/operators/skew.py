@@ -71,3 +71,32 @@ def salted_agg(
         ]
     )
     return phase2.select(*group_cols, *[expr.alias(out) for out, expr in finals.items()])
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi join for a skewed big side.
+
+    AQE's skew-join splitting covers most batch cases; this is the
+    explicit form for when it can't run — streaming micro-batch joins,
+    or a key whose skew is known a priori. The big side gets a
+    deterministic salt in [0, n_salts); the dim side is replicated
+    n_salts times (explode over a literal range), so every (key, salt)
+    bucket finds its match and the hot key's rows spread over n_salts
+    reducers. Replication costs n_salts x |dim| shuffle rows — use for a
+    dim too big to broadcast but far smaller than the fact. Result is
+    EXACTLY the plain join (verified in tests).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("__salt", salt.cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return b.join(d, [*keys, "__salt"], how).drop("__salt")

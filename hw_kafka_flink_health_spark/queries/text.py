@@ -148,6 +148,75 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_url_extraction",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN ' see https://docs.example.org/guide/'
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN ' via http://data.example.net/d?id='
+                           || CAST(doc_id AS VARCHAR)
+                           || ' and https://www.example.com/home'
+               ELSE '' END AS t
+      FROM documents
+    ), urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\\s]+')) AS url
+      FROM injected
+    )
+    SELECT regexp_extract(url, 'https?://([^/\\s?]+)', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls GROUP BY 1
+    """,
+)
+def text_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL / domain extraction over the corpus — the provenance census a
+    crawl pipeline runs before per-domain filtering or rate-capping.
+    regexp_extract_all builds the per-doc URL list JVM-side, explode +
+    one (domain) agg does the census; deterministic synthetic URLs are
+    injected per doc_id (the corpus is lorem text) so the extraction
+    paths are exercised identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" see https://docs.example.org/guide/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" via http://data.example.net/d?id="),
+                F.col("doc_id").cast("string"),
+                F.lit(" and https://www.example.com/home"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(injected, F.lit(r"https?://[^\s]+"), 0)
+            ).alias("url"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_extract("url", r"https?://([^/\s?]+)", 1).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+@register(
     "text_lang_id",
     oracle="""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

@@ -81,3 +81,36 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7 (csv variant)."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time, the normal life of a long-lived
+    ingest dir). mergeSchema unions the per-file schemas; rows from files
+    predating a column read as null there. Off by default in Spark
+    because it footer-scans every file — at 100 TB turn it on only for
+    evolving landing zones, then compact to the current schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV read with the reference's parse-don't-crash contract
+    (`parse_event` -> None, SURVEY §2.A P1) applied to files: malformed
+    rows land in `corrupt_col` (PERMISSIVE) or are dropped
+    (DROPMALFORMED) instead of failing the 100 TB job at hour nine.
+    Always takes an explicit schema — inference is a full extra pass."""
+    reader = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", mode)
+    )
+    if mode == "PERMISSIVE":
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.csv(path)

@@ -53,3 +53,33 @@ def test_salted_agg_exact(spark, skewed):
 def test_salted_agg_rejects_non_algebraic(spark, skewed):
     with pytest.raises(ValueError):
         salted_agg(skewed, ["key"], {"m": ("median", "v")})
+
+
+def test_salted_join_exact(spark, skewed):
+    from hw_kafka_flink_health_spark.operators.skew import salted_join
+
+    # k50..k99 are missing from dim so left-outer actually exercises nulls
+    dim = spark.range(50).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 2).alias("attr"),
+    ).union(spark.sql("SELECT 'hot' AS key, -1 AS attr"))
+
+    plain = sorted(
+        (r.key, r.v, r.attr)
+        for r in skewed.join(dim, "key", "inner").collect()
+    )
+    salted = sorted(
+        (r.key, r.v, r.attr)
+        for r in salted_join(skewed, dim, "key", n_salts=8).collect()
+    )
+    assert plain == salted
+    # left-outer parity too: unmatched big-side keys survive null-padded
+    plain_lo = sorted(
+        (r.key, r.v, r.attr)
+        for r in skewed.join(dim, "key", "left_outer").collect()
+    )
+    salted_lo = sorted(
+        (r.key, r.v, r.attr)
+        for r in salted_join(skewed, dim, "key", n_salts=8, how="left_outer").collect()
+    )
+    assert plain_lo == salted_lo

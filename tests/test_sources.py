@@ -1,0 +1,61 @@
+"""File-source robustness: schema evolution across parquet batches and
+malformed-row tolerance on CSV — the parse-don't-crash contract of the
+reference's `parse_event` (None on bad input) applied at the file layer."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.sources.files import (
+    read_csv_robust,
+    read_parquet_evolved,
+)
+
+
+def test_merge_schema_unions_evolving_batches(spark, tmp_path):
+    path = str(tmp_path / "landing")
+    v1 = spark.range(5).select(
+        F.col("id").alias("event_id"), (F.col("id") * 10.0).alias("value")
+    )
+    v1.write.mode("append").parquet(path)
+    # a later deploy starts writing an extra column
+    v2 = spark.range(5, 8).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 10.0).alias("value"),
+        F.lit("eu-west").alias("region"),
+    )
+    v2.write.mode("append").parquet(path)
+
+    back = read_parquet_evolved(spark, path)
+    assert set(back.columns) == {"event_id", "value", "region"}
+    rows = {r.event_id: r.region for r in back.collect()}
+    assert len(rows) == 8
+    assert rows[0] is None and rows[7] == "eu-west"  # old rows null-padded
+
+
+def test_csv_permissive_captures_malformed(spark, tmp_path):
+    src = str(tmp_path / "csv")
+    os.makedirs(src)
+    with open(os.path.join(src, "part-0.csv"), "w") as f:
+        f.write("event_id,value\n")
+        f.write("1,10.5\n")
+        f.write("2,not-a-number\n")  # malformed: value fails the schema
+        f.write("3,30.0\n")
+
+    schema = "event_id long, value double, _corrupt_record string"
+    back = read_csv_robust(spark, src, schema).cache()
+    try:
+        good = back.filter(F.col("_corrupt_record").isNull())
+        bad = back.filter(F.col("_corrupt_record").isNotNull())
+        assert sorted(r.event_id for r in good.collect()) == [1, 3]
+        assert bad.count() == 1
+        assert "not-a-number" in bad.collect()[0]._corrupt_record
+    finally:
+        back.unpersist()
+
+    dropped = read_csv_robust(
+        spark, src, "event_id long, value double", mode="DROPMALFORMED"
+    )
+    assert sorted(r.event_id for r in dropped.collect()) == [1, 3]
