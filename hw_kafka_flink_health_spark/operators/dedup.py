@@ -333,24 +333,26 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # The convergence flag is computed IN the update select (a label
+        # only changes when a neighbor offers a smaller one), so the
+        # did-anything-change probe is a filter on the checkpointed
+        # result — not the extra labels-vs-new-labels join per round the
+        # naive form pays.
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
                     "cluster_id"
                 ),
+                (
+                    F.col("nbr_min").isNotNull()
+                    & (F.col("nbr_min") < F.col("cluster_id"))
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("node", "cluster_id")
+        if stepped.filter(F.col("__changed")).limit(1).count() == 0:
             break
     return labels
