@@ -975,6 +975,41 @@ def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join (operators/skew.py): the fact side salted,
+    the dim side replicated n_salts ways — the hot-key spreading AQE
+    can't provide on streaming/non-adaptive paths. The oracle is the
+    PLAIN join + agg, so the value-hash proves salting is semantically
+    invisible."""
+    from hw_kafka_flink_health_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    return (
+        salted_join(li, orders, "l_orderkey", n_salts=4)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
     "interval_join_outer_attribution",
     oracle="""
     SELECT p.user_id, c.event_id AS click_id, c.ts AS click_ts,

@@ -51,6 +51,50 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), r AS (
+      SELECT fp, doc_id, n_chars,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY fp) AS n_copies
+      FROM f
+    )
+    SELECT fp, doc_id AS keep_id, CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: within each exact-content
+    group keep the LONGEST document (tie: lowest doc_id) rather than the
+    arbitrary min-id — the policy a real corpus dedup applies when copies
+    differ by truncation. One shuffle on the fingerprint; the window and
+    the group count share its partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("fp")
+    return (
+        docs.select(
+            "doc_id", "n_chars", fingerprint_expr("text").alias("fp")
+        )
+        .select(
+            "fp",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("n_copies"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("fp", F.col("doc_id").alias("keep_id"), "n_copies")
+    )
+
+
+@register(
     "dedup_exact_by_source",
     oracle="""
     SELECT source,
