@@ -60,6 +60,10 @@ HEADLINE = [
     "text_repetition",
     "pii_redaction",
     "embedding_int8_quantize",
+    "text_url_extraction",
+    "dedup_keep_best",
+    "skew_salted_join",
+    "interval_join_outer_attribution",
 ]
 
 
