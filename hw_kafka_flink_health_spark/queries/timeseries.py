@@ -262,3 +262,66 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         (F.floor(ewma * 1000.0 + 0.5) / 1000.0).alias("ewma_value"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN m USING (event_type)
+    ), s AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad,
+             any_value(med) AS med
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(s.med), 4) AS med,
+           round(any_value(s.mad), 4) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN s USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly census per event type: median absolute deviation
+    (MAD) with the 1.4826 normal-consistency constant — the outlier
+    detector that, unlike z-scores, is not itself dragged by the
+    outliers it hunts. Exact interpolated percentiles (Spark
+    `percentile` == DuckDB `quantile_cont`) so both engines agree; two
+    tiny per-type aggregate tables broadcast back onto the fact rows, so
+    the events table is scanned twice and shuffled never. At 100 TB
+    swap `percentile` for `approx_percentile` and keep the shape."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
