@@ -263,3 +263,84 @@ def lsh_ann_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rank_round: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched NumPy matmul (mapInPandas).
+
+    Same contract as `cosine_topk` (exact, self-matches excluded,
+    round+id-tiebreak ranking) but the per-pair math runs as ONE BLAS
+    `C @ Q.T` per Arrow batch instead of a per-row higher-order-function
+    fold — the documented "vectorized pandas UDF beats per-element
+    expression eval" path, and the one to prefer when dims x pairs gets
+    large. Each batch emits only its LOCAL top-k candidates per query
+    (k x n_queries rows per batch, a massive shuffle reduction at 100 TB
+    corpus scale); a final window pass picks the global top-k from the
+    per-batch winners, which is exact because a global winner is
+    necessarily a winner within its own batch.
+
+    The query set is collected to the driver and shipped in the closure
+    (bounded: it is the SMALL side by construction — same assumption the
+    broadcast in `cosine_topk` makes). Parity with the expression path
+    is pinned in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    qmat = np.array([r.qv for r in qrows], dtype=np.float64)  # (q, d)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))  # (q,)
+
+    out_schema = (
+        f"query_id long, neighbor_id long, cosine double"
+    )
+
+    def batches(it):
+        for pdf in it:
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["__vec"]), dtype=np.float64)  # (n, d)
+            if len(ids) == 0:
+                continue
+            cnorm = np.sqrt((c * c).sum(axis=1))
+            sims = (c @ qmat.T) / np.outer(cnorm, qnorm)  # (n, q)
+            sims[np.isnan(sims)] = -2.0
+            # mask self-matches, then local top-k per query
+            for j in range(len(qids)):
+                col = sims[:, j]
+                mask = ids != qids[j]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(k, len(cand_idx))
+                # argpartition: O(n) local selection, then exact ordering
+                part = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(take, qids[j], dtype=np.int64),
+                        "neighbor_id": ids[part],
+                        "cosine": col[part],
+                    }
+                )
+
+    local = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), rank_round).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

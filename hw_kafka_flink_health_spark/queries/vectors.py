@@ -76,6 +76,42 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_cosine_topk_arrow",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 20
+    ), c AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ), r AS (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        FROM c
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-UDF tier of exact cosine top-k: one BLAS matmul
+    per Arrow batch (mapInPandas), per-batch local top-k so only
+    k x n_queries candidate rows ever shuffle. Same oracle as the
+    expression path — the two tiers are interchangeable, pick by
+    dims x pairs (parity pinned in tests/test_approx_operators.py)."""
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk_arrow(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 @register("embedding_ann_ivf")  # approximate/seeded (kmeans): rows-only
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-index ANN: kmeans inverted lists, n_probe=2 of 10 —

@@ -49,6 +49,30 @@ def test_ivf_self_excluded_and_k_respected(spark):
     assert all(1 <= r.rank <= 5 for r in rows)
 
 
+def test_arrow_cosine_matches_expression_path(spark):
+    """The NumPy/Arrow matmul path must reproduce the Catalyst HOF path
+    exactly: same neighbor sets, same ranks, cosines equal to 1e-9 (both
+    compute the same double-precision quantity; only summation order may
+    differ)."""
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_topk_arrow
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    expr_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    arrow_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_arrow(emb, q, k=5).collect()
+    }
+    assert expr_rows.keys() == arrow_rows.keys()
+    for key, (nid, cos) in expr_rows.items():
+        anid, acos = arrow_rows[key]
+        assert anid == nid, (key, nid, anid)
+        assert abs(acos - cos) < 1e-9
+
+
 def test_simhash_deterministic_and_neardup_property(spark):
     docs = load_table(spark, SF, "documents")
     a = {r.doc: r.simhash for r in simhash63(docs, "text", "doc_id").collect()}

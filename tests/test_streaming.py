@@ -497,6 +497,38 @@ def test_streaming_checkpoint_restart_resumes(spark, tmp_path):
     assert sorted(back["event_id"]) == list(range(15))
 
 
+def test_trigger_available_now_backfills_and_stops(spark, tmp_path):
+    """Backfill mode: trigger(availableNow) processes everything present
+    in rate-limited micro-batches (maxFilesPerTrigger splits the work)
+    and then terminates on its own — the catch-up-then-stop pattern for
+    replaying a 100 TB landing zone through the streaming pipeline
+    without running a 24/7 query."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(4):
+        with open(os.path.join(src, f"f{i}.json"), "w") as f:
+            for j in range(5):
+                f.write(json.dumps({"event_id": i * 5 + j, "v": j}) + "\n")
+
+    batches: list[int] = []
+
+    def sink(df, batch_id):
+        batches.append(df.count())
+
+    q = (
+        spark.readStream.schema("event_id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)  # availableNow => terminates by itself
+    assert not q.isActive
+    assert sum(batches) == 20
+    assert len(batches) == 4  # one micro-batch per file, rate-limited
+
+
 def test_health_job_demo_cli_runs():
     """The flagship job's broker-less demo mode (`python -m ... --demo`)
     must run end-to-end from the CLI — the `flink run` parity check a
