@@ -497,6 +497,40 @@ def test_streaming_checkpoint_restart_resumes(spark, tmp_path):
     assert sorted(back["event_id"]) == list(range(15))
 
 
+def test_update_mode_emits_open_windows_append_holds_them(spark, tmp_path):
+    """Output-mode semantics, pinned: with no watermark-closing sentinel,
+    UPDATE mode emits the still-open window's running aggregate after the
+    first batch, while APPEND emits nothing until the watermark passes
+    the window end. This is the Flink-incremental-fire vs
+    Spark-append-on-close distinction SURVEY §7 flags as watch-list #4."""
+    events = [
+        _ev("p001", "2025-11-19T07:00:05+00:00", 110),
+        _ev("p001", "2025-11-19T07:00:30+00:00", 120),
+    ]
+    src = tmp_path / "upd_src"
+    _write_events_json(str(src / "batch0.json"), events)
+
+    def run(mode, name):
+        reader = spark.readStream.schema("raw string").json(str(src))
+        alerts = build_streaming_job(reader, as_json=False)
+        q = (
+            alerts.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    upd = run("update", "upd_mode")
+    app = run("append", "app_mode")
+    assert len(app) == 0  # window not closed by any watermark advance
+    assert len(upd) == 1  # running aggregate emitted immediately
+    assert upd[0].patient_id == "p001" and upd[0].avg_hr == 115.0
+    assert upd[0].alert_type == "tachycardia"
+
+
 def test_trigger_available_now_backfills_and_stops(spark, tmp_path):
     """Backfill mode: trigger(availableNow) processes everything present
     in rate-limited micro-batches (maxFilesPerTrigger splits the work)
