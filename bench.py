@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_keep_best",
     "skew_salted_join",
     "interval_join_outer_attribution",
+    "embedding_cosine_topk_arrow",
+    "events_anomaly_mad",
 ]
 
 
