@@ -159,7 +159,11 @@ def ivf_topk(
     )
     km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cluster")
     model = km.fit(feat)
-    assigned = model.transform(feat).select(id_col, vec_col, "cluster")
+    # corpus-side norms staged once per row (see cosine_topk): candidate
+    # scoring below then pays one fold per pair, not three
+    assigned = model.transform(feat).select(
+        id_col, vec_col, "cluster", norm_expr(F.col(vec_col)).alias("__cnorm")
+    )
 
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
@@ -167,7 +171,11 @@ def ivf_topk(
     cdf = corpus.sparkSession.createDataFrame(centroids, ["cluster", "centroid"])
 
     # route queries to n_probe nearest centroids (tiny broadcast join)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm_expr(F.col(vec_col)).alias("__qnorm"),
+    )
     routed = (
         q.crossJoin(F.broadcast(cdf))
         .withColumn("__csim", cosine_expr(F.col("__qvec"), F.col("centroid")))
@@ -180,7 +188,7 @@ def ivf_topk(
             ),
         )
         .filter(F.col("__crank") <= n_probe)
-        .select("query_id", "__qvec", "cluster")
+        .select("query_id", "__qvec", "__qnorm", "cluster")
     )
 
     # brute-force only within probed inverted lists
@@ -190,8 +198,11 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("__sim"), 6).desc(), F.col(id_col).asc()
     )
+    sim = dot_expr(F.col(vec_col), F.col("__qvec")) / (
+        F.col("__cnorm") * F.col("__qnorm")
+    )
     return (
-        cand.withColumn("__sim", cosine_expr(F.col(vec_col), F.col("__qvec")))
+        cand.withColumn("__sim", sim)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
