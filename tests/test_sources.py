@@ -59,3 +59,34 @@ def test_csv_permissive_captures_malformed(spark, tmp_path):
         spark, src, "event_id long, value double", mode="DROPMALFORMED"
     )
     assert sorted(r.event_id for r in dropped.collect()) == [1, 3]
+
+
+def test_sqlrun_cli_executes_sql(tmp_path):
+    """`python -m hw_kafka_flink_health_spark.sqlrun` runs ad-hoc SQL over
+    the registered views and prints JSON lines — the engine's front door
+    for a user's own queries."""
+    import json as _json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hw_kafka_flink_health_spark.sqlrun",
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY 1 ORDER BY 1",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/tmp",  # must work from any cwd
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [_json.loads(line) for line in proc.stdout.strip().splitlines()]
+    flags = {r["l_returnflag"] for r in rows}
+    assert flags == {"A", "N", "R"}
+    assert all(r["n"] > 0 for r in rows)
