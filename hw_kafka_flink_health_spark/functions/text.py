@@ -4,6 +4,8 @@ Everything here is a Catalyst expression over built-in functions — no
 Python in the hot path. These power the text-analysis queries (language
 ID, quality scoring, token counting, fingerprinting) that a training-data
 pipeline runs over billions of documents.
+
+Extension surface (SURVEY §2.C): text analysis mandated beyond the reference's scalar set (SURVEY §2.A: only parse/classify scalars).
 """
 
 from __future__ import annotations

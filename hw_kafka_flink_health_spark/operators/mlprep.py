@@ -14,6 +14,8 @@ run. The design constraints at 100 TB:
   Spark-specific; md5 here costs one pass over a short string.
 * **No shuffle.** Split + sample are narrow (per-row / per-partition);
   only downstream consumers shuffle.
+
+Extension surface (SURVEY §2.C): driver-mandated training-data ops with no counterpart in the reference's 393 LoC (SURVEY §2.B).
 """
 
 from __future__ import annotations

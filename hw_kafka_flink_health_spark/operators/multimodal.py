@@ -11,6 +11,8 @@ a decoder is injected; `fake_decode` is the deterministic stand-in used by
 tests — it exercises the REAL Spark plumbing (schema, partitioning, UDF
 signature, Arrow batch shape) with a fake pixel-stats computation derived
 from the payload bytes.
+
+Extension surface (SURVEY §2.C): driver-mandated multimodal columns; the reference is text/JSON-only (SURVEY §1.2).
 """
 
 from __future__ import annotations

@@ -12,6 +12,8 @@ Two tiers, as a 100 TB design requires:
 
 All math is done in DOUBLE regardless of the stored float32 — both for
 numeric stability and for bit-parity with oracle engines.
+
+Extension surface (SURVEY §2.C): driver-mandated similarity search; the reference has no joins or vector ops (SURVEY §2.B).
 """
 
 from __future__ import annotations

@@ -9,6 +9,8 @@ of one stuck one.
 Only algebraic aggregates decompose this way (sum/count/min/max/avg via
 sum+count); the API takes an explicit spec to keep that constraint
 visible.
+
+Extension surface (SURVEY §2.C): 100 TB skew posture; the reference runs at parallelism=1 (src/flink_job.py:56) and never shuffles.
 """
 
 from __future__ import annotations

@@ -1,4 +1,6 @@
-"""Embedding similarity-search queries over the embeddings table."""
+"""Embedding similarity-search queries over the embeddings table.
+Extension surface (SURVEY §2.C): embedding similarity mandated beyond the reference (SURVEY §2.B: no vector ops).
+"""
 
 from __future__ import annotations
 

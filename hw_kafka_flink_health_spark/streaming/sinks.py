@@ -4,6 +4,8 @@
 checkpoint gives at-least-once batch replay, and writing each micro-batch
 to a deterministic batchId-derived directory makes the replay idempotent
 (re-running batch N overwrites batch N's own output, never duplicates).
+
+Sink extension: keyed-upsert materialization beyond the reference's append-only Kafka/file sinks (SURVEY §2.A S3-S5).
 """
 
 from __future__ import annotations
