@@ -1,6 +1,7 @@
 """Assembled query catalog: importing the submodules populates the registry."""
 
 from hw_kafka_flink_health_spark.queries import (  # noqa: F401
+    analytics,
     mlprep,
     reference,
     relational,

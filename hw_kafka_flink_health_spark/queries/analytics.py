@@ -1,0 +1,302 @@
+"""Behavioral / warehouse analytics queries: funnel conversion, SCD2
+interval builds, hypertable-style rollups from partials, per-group trend
+regression, and blocked record linkage.
+
+Extension surface (SURVEY.md §2.C): none of these exist in the reference
+(`/root/reference/` has no joins/windows beyond the streaming vitals
+window, SURVEY.md §2.B) — they are the driver-mandated large-pipeline
+operators, expressed as pure Catalyst plans with the shuffle budget
+called out per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ), w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM w1
+    ), w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM w2
+    )
+    SELECT user_id,
+           epoch_ms(min(t_view)) AS view_ms,
+           epoch_ms(min(t_click)) AS click_ms,
+           epoch_ms(min(t_purchase)) AS purchase_ms,
+           CAST(floor((epoch_ms(min(t_click)) - epoch_ms(min(t_view))) / 1000.0)
+                AS BIGINT) AS view_to_click_s,
+           CAST(floor((epoch_ms(min(t_purchase)) - epoch_ms(min(t_click))) / 1000.0)
+                AS BIGINT) AS click_to_purchase_s
+    FROM w3 GROUP BY user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel per user: first 'view', first 'click' at-or-after
+    that view, first 'purchase' at-or-after that click (NULL = stage never
+    reached). Three whole-partition window passes share ONE exchange on
+    user_id, and the final per-user collapse reuses the same partitioning —
+    no second shuffle, no self-joins. At 100 TB this stays a single
+    hash-exchange of the events table; the alternative 3-way self-join
+    would shuffle it three times."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts = F.col("ts")
+    df = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", ts)).over(w)
+    )
+    df = df.withColumn(
+        "t_click",
+        F.min(
+            F.when((F.col("event_type") == "click") & (ts >= F.col("t_view")), ts)
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (ts >= F.col("t_click")), ts
+            )
+        ).over(w),
+    )
+    ms = lambda c: F.unix_millis(F.min(c).cast("timestamp"))  # noqa: E731
+    return df.groupBy("user_id").agg(
+        ms("t_view").alias("view_ms"),
+        ms("t_click").alias("click_ms"),
+        ms("t_purchase").alias("purchase_ms"),
+        F.floor((ms("t_click") - ms("t_view")) / 1000.0)
+        .cast("bigint")
+        .alias("view_to_click_s"),
+        F.floor((ms("t_purchase") - ms("t_click")) / 1000.0)
+        .cast("bigint")
+        .alias("click_to_purchase_s"),
+    )
+
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS changed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts, event_id FROM marked WHERE changed = 1
+    )
+    SELECT user_id, event_type AS state,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(lead(ts) OVER w2) AS valid_to_ms,
+           CAST(CASE WHEN lead(ts) OVER w2 IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change log: collapse
+    each user's consecutive same-`event_type` runs into [valid_from,
+    valid_to) intervals, open-ended on the current state. lag() marks run
+    starts, lead() on the filtered run-starts closes the intervals — both
+    windows and the filter ride one exchange+sort on user_id. This is how a
+    point-in-time dimension table is rebuilt from CDC history at scale (the
+    as-of join in operators/relational.py then serves lookups against it)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    )
+    runs = ev.withColumn("changed", changed).filter("changed")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lead_ts = F.lead("ts").over(w2)
+    return runs.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("valid_from_ms"),
+        F.unix_millis(lead_ts.cast("timestamp")).alias("valid_to_ms"),
+        F.when(lead_ts.isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
+    )
+
+
+@register(
+    "rollup_hour_day",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             count(*) AS n,
+             sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_micro
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT event_type, date_trunc('day', bucket_ts) AS bucket_ts,
+             sum(n) AS n, sum(sum_micro) AS sum_micro
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, event_type, epoch_ms(bucket_ts) AS bucket_ms,
+           CAST(n AS BIGINT) AS n, sum_micro / 1000000.0 AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS grain, event_type, epoch_ms(bucket_ts) AS bucket_ms,
+           CAST(n AS BIGINT) AS n, sum_micro / 1000000.0 AS sum_value
+    FROM daily
+    """,
+)
+def rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly rollup from raw
+    events, then the DAILY rollup computed from the HOURLY PARTIALS — the
+    fact table is scanned and shuffled exactly once; the day grain
+    re-aggregates the already-tiny hourly table. This partial-reuse shape
+    is what makes multi-granularity rollups viable at 100 TB (never
+    re-scan raw data per grain). Sums are exact integer micro-units so
+    both grains and both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).alias("sum_micro"),
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "bucket_ts").alias("bucket_ts")
+    ).agg(F.sum("n").alias("n"), F.sum("sum_micro").alias("sum_micro"))
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "event_type",
+            F.unix_millis(F.col("bucket_ts").cast("timestamp")).alias("bucket_ms"),
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("sum_micro") / 1000000.0).alias("sum_value"),
+        )
+
+    return shape(hourly, "hour").unionAll(shape(daily, "day"))
+
+
+@register(
+    "regr_user_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(epoch_ms(date_trunc('day', ts)) / 86400000 AS BIGINT) AS xi,
+             CAST(floor(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+                        / count(*)) AS BIGINT) AS yi
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx,
+             CAST(sum(xi * yi) AS BIGINT) AS sxy
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n_days,
+           round((n_days * sxy - sx * sy)
+                 / CAST(nullif(n_days * sxx - sx * sx, 0) AS DOUBLE)
+                 / 1000000.0, 6) AS slope_per_day
+    FROM s
+    """,
+)
+def regr_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of `value` over time, least squares in closed
+    form over daily averages. Every sum is integer (micro-unit y, epoch-day
+    x), so the slope is derived from IDENTICAL integers in both engines —
+    no floating-summation-order jitter to round away. Two aggregations,
+    both tiny after the first; the events table shuffles once on
+    (user_id, day). At 100 TB the daily pre-aggregation is the point:
+    the regression runs on n_users x n_days rows, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint"))
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("yi")
+    ).select(
+        "user_id",
+        (F.unix_millis(F.col("day_ts").cast("timestamp")) / 86400000)
+        .cast("bigint")
+        .alias("xi"),
+        "yi",
+    )
+    s = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("xi").cast("bigint").alias("sx"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / F.nullif(den, F.lit(0)).cast("double")
+    return s.select(
+        "user_id",
+        "n_days",
+        F.round(slope / 1000000.0, 6).alias("slope_per_day"),
+    )
+
+
+@register(
+    "linkage_part_names",
+    oracle="""
+    WITH names AS (
+      SELECT split_part(p_name, ' ', 2) AS block_key, p_name,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.block_key, a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+    FROM names a JOIN names b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def linkage_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution over part names: block on the
+    noun (second token), compare only within blocks, keep pairs with edit
+    distance <= 3. The crucial scale move: DEDUPLICATE to distinct names
+    first, so Levenshtein runs once per distinct pair and each match
+    carries its pair multiplicity (cnt_a * cnt_b) instead of exploding row
+    pairs — at 100 TB the name dictionary is millions while rows are
+    trillions. Blocking turns the quadratic all-pairs comparison into
+    per-block quadratics on small distinct-name sets."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(
+        F.split(F.col("p_name"), " ").getItem(1).alias("block_key"), "p_name"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.block_key").alias("block_key"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("bigint").alias("dist"),
+            (F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("n_pairs"),
+        )
+    )
