@@ -159,12 +159,15 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: hourly rollup from raw
-    events, then the DAILY rollup computed from the HOURLY PARTIALS — the
-    fact table is scanned and shuffled exactly once; the day grain
-    re-aggregates the already-tiny hourly table. This partial-reuse shape
-    is what makes multi-granularity rollups viable at 100 TB (never
-    re-scan raw data per grain). Sums are exact integer micro-units so
-    both grains and both engines agree bit-for-bit."""
+    events, then the DAILY rollup computed from the HOURLY PARTIALS. The
+    two union branches share an identical exchange subtree, which AQE
+    reuses at runtime (ReusedExchange — plan-asserted in
+    tests/test_plans.py), so the fact table is physically scanned and
+    shuffled once and the day grain re-aggregates the already-tiny hourly
+    table. This partial-reuse shape is what makes multi-granularity
+    rollups viable at 100 TB (never re-scan raw data per grain). Sums are
+    exact integer micro-units so both grains and both engines agree
+    bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")

@@ -126,3 +126,39 @@ def test_jaccard_postings_no_inferred_generate_filter(spark):
     assert "DataFilters: [(size" not in plan, plan[:2000]
     # the documents scan must carry no data filters at all
     assert "DataFilters: []" in plan
+
+
+def test_funnel_single_exchange(spark):
+    """The three stage-time window passes plus the per-user collapse must
+    all ride ONE hash exchange on user_id — a second shuffle of the fact
+    table is a regression (the naive 3-way self-join shape)."""
+    plan = plan_of(spark, "funnel_conversion")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_rollup_reuses_hourly_exchange_at_runtime(spark):
+    """The day grain must re-aggregate the hourly partials, not re-scan
+    raw events. The two union branches share an identical exchange
+    subtree; AQE must stitch them at runtime (ReusedExchange), so events
+    is physically scanned once. Asserted on the FINAL adaptive plan —
+    the static plan legitimately prints the subtree twice."""
+    df = QUERIES["rollup_hour_day"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan[:3000]
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """lag run-detection, the filter, and the lead interval close are all
+    partitioned by user_id; Catalyst must reuse the exchange+sort."""
+    plan = plan_of(spark, "scd2_user_state")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_linkage_joins_deduped_names_not_rows(spark):
+    """The Levenshtein self-join must run over the grouped distinct-name
+    relation (aggregate below the join on both sides), never raw part rows."""
+    plan = plan_of(spark, "linkage_part_names")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
