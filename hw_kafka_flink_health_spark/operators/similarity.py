@@ -300,10 +300,10 @@ def cosine_topk_arrow(
     per-batch winners, which is exact because a global winner is
     necessarily a winner within its own batch.
 
-    The query set is collected to the driver and shipped in the closure
-    (bounded: it is the SMALL side by construction — same assumption the
-    broadcast in `cosine_topk` makes). Parity with the expression path
-    is pinned in tests.
+    The query set ships to executors as a Spark broadcast variable (one
+    torrent transfer per executor, off the per-task closure path; bounded
+    by the same small-side assumption the broadcast join in `cosine_topk`
+    makes). Parity with the expression path is pinned in tests.
     """
     import numpy as np
     import pandas as pd
@@ -311,15 +311,25 @@ def cosine_topk_arrow(
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
-    qids = np.array([r.qid for r in qrows], dtype=np.int64)
-    qmat = np.array([r.qv for r in qrows], dtype=np.float64)  # (q, d)
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))  # (q,)
+    qids_l = np.array([r.qid for r in qrows], dtype=np.int64)
+    qmat_l = np.array([r.qv for r in qrows], dtype=np.float64)  # (q, d)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids_l, qmat_l))
 
     out_schema = (
         f"query_id long, neighbor_id long, cosine double"
     )
+    # Local selection must be consistent with the GLOBAL ranking, which
+    # orders by round(cosine, rank_round): keep every candidate whose
+    # rounded sim ties the local k-th kept value (minus one rounding
+    # quantum of margin, covering half-up-vs-half-even disagreements
+    # between np.round and Spark's round at exact midpoints). A dropped
+    # candidate then has >= k batch-mates strictly above it after
+    # rounding, so it can never win globally on the id tie-break.
+    quantum = 10.0 ** (-rank_round)
 
     def batches(it):
+        qids, qmat = bq.value
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1))  # (q,)
         for pdf in it:
             ids = pdf["__id"].to_numpy(dtype=np.int64)
             c = np.array(list(pdf["__vec"]), dtype=np.float64)  # (n, d)
@@ -336,13 +346,16 @@ def cosine_topk_arrow(
                 if len(cand_idx) == 0:
                     continue
                 take = min(k, len(cand_idx))
-                # argpartition: O(n) local selection, then exact ordering
-                part = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+                rounded = np.round(col[cand_idx], rank_round)
+                # argpartition: O(n) local selection on the ROUNDED sims,
+                # then widen to every rounded near-tie of the k-th value
+                kth = np.partition(-rounded, take - 1)[take - 1]
+                keep = cand_idx[rounded >= (-kth) - quantum * 1.5]
                 yield pd.DataFrame(
                     {
-                        "query_id": np.full(take, qids[j], dtype=np.int64),
-                        "neighbor_id": ids[part],
-                        "cosine": col[part],
+                        "query_id": np.full(len(keep), qids[j], dtype=np.int64),
+                        "neighbor_id": ids[keep],
+                        "cosine": col[keep],
                     }
                 )
 

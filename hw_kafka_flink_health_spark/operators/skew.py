@@ -93,8 +93,19 @@ def salted_join(
     bucket finds its match and the hot key's rows spread over n_salts
     reducers. Replication costs n_salts x |dim| shuffle rows — use for a
     dim too big to broadcast but far smaller than the fact. Result is
-    EXACTLY the plain join (verified in tests).
+    EXACTLY the plain join (verified in tests) — but only for join types
+    where the replicated dim side never surfaces unmatched: a right/full
+    outer would emit each unmatched dim row n_salts times, so those are
+    rejected (mirrors interval_join's whitelist).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports only big-side-preserving join types "
+            f"{sorted(allowed)}; got {how!r} (the replicated dim side would "
+            f"duplicate unmatched rows)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("__salt", salt.cast("int"))

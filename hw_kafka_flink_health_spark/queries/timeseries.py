@@ -108,14 +108,14 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     oracle="""
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM g
     )
@@ -145,8 +145,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = ev.withColumn("is_new", is_new).withColumn(
         "session_no",
         F.sum("is_new").over(
+            # event_id tie-break matches the lag window above: a ROWS
+            # frame over a ts-only order is nondeterministic for rows
+            # sharing a timestamp, and both engines must walk the same
+            # order for session boundaries to line up.
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

@@ -42,7 +42,14 @@ def main(argv: list[str] | None = None) -> int:
     register_views(spark, args.sf_dir)
     df = spark.sql(sql)
     if args.explain:
-        print(df._jdf.queryExecution().explainString("formatted"))
+        # py4j can't resolve the Scala ExplainMode overload from a bare
+        # string; PythonSQLUtils.explainString is the supported bridge
+        # (same incantation as scripts/dump_plans.py).
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
         return 0
     out = df.limit(args.limit).toJSON().collect()
     for line in out:

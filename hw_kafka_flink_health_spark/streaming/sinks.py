@@ -48,30 +48,58 @@ def foreach_batch_upsert(
     vitals), built on operators.relational.merge_upsert.
 
     Replay-safe: merging the same batch twice is a no-op (same keys get
-    the same rows). The swap is write-staging-then-rename — atomic on a
-    local/HDFS-style fs; on a real deployment back this with a table
-    format's transactional commit instead. At scale the base table would
-    be bucketed by the key so the anti join inside merge never shuffles
-    the big side (operators/storage.py).
+    the same rows). Crash-safe swap: only atomic renames move the live
+    table pointer — the old table is renamed aside before staging is
+    renamed in, so every crash point leaves either the old table or the
+    new one readable; a leftover staging dir from a crash mid-swap is
+    recovered (renamed in) on the next batch instead of silently
+    re-initializing from one micro-batch. On a real deployment back this
+    with a table format's transactional commit instead. At scale the base
+    table would be bucketed by the key so the anti join inside merge never
+    shuffles the big side (operators/storage.py).
     """
     import os
     import shutil
 
     from hw_kafka_flink_health_spark.operators.relational import merge_upsert
 
+    staging = table_dir + ".staging"
+    retired = table_dir + ".retired"
+
+    def recover() -> None:
+        # Crash states: (a) staging + table both present -> swap never
+        # started, staging may be a partial write: discard it. (b) staging
+        # present, table missing -> crash mid-swap after the old table was
+        # retired (or on the legacy rmtree path): the staging write had
+        # completed (swap only starts after a successful write), so
+        # promote it. (c) retired left behind after a completed swap:
+        # drop it.
+        if os.path.isdir(staging):
+            committed = os.path.isfile(os.path.join(staging, "_SUCCESS"))
+            if os.path.isdir(table_dir) or not committed:
+                shutil.rmtree(staging)
+            else:
+                os.rename(staging, table_dir)
+        if os.path.isdir(retired):
+            shutil.rmtree(retired)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        recover()
         batch_df = batch_df.dropDuplicates(key_cols)
         if os.path.isdir(table_dir):
             base = spark.read.parquet(table_dir)
             merged = merge_upsert(base, batch_df.select(*base.columns), key_cols)
         else:
             merged = batch_df
-        staging = table_dir + ".staging"
         merged.write.mode("overwrite").parquet(staging)
+        # Swap with renames only (rename is atomic; rmtree is not): the
+        # table dir is never in a half-deleted state.
         if os.path.isdir(table_dir):
-            shutil.rmtree(table_dir)
+            os.rename(table_dir, retired)
         os.rename(staging, table_dir)
+        if os.path.isdir(retired):
+            shutil.rmtree(retired)
 
     return (
         df.writeStream.foreachBatch(write_batch)

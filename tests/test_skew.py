@@ -83,3 +83,14 @@ def test_salted_join_exact(spark, skewed):
         for r in salted_join(skewed, dim, "key", n_salts=8, how="left_outer").collect()
     )
     assert plain_lo == salted_lo
+
+
+def test_salted_join_rejects_dim_preserving_types(spark, skewed):
+    """right/full outer would emit each unmatched dim row n_salts times;
+    salted_join must refuse rather than silently duplicate (ADVICE r1)."""
+    from hw_kafka_flink_health_spark.operators.skew import salted_join
+
+    dim = spark.sql("SELECT 'hot' AS key, -1 AS attr")
+    for how in ("right", "full", "full_outer", "right_outer", "cross"):
+        with pytest.raises(ValueError, match="big-side-preserving"):
+            salted_join(skewed, dim, "key", how=how)

@@ -90,3 +90,32 @@ def test_sqlrun_cli_executes_sql(tmp_path):
     flags = {r["l_returnflag"] for r in rows}
     assert flags == {"A", "N", "R"}
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_sqlrun_cli_explain(tmp_path):
+    """--explain prints the formatted physical plan (regression: the
+    ExplainMode overload isn't py4j-reachable from a bare string —
+    ADVICE r1)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hw_kafka_flink_health_spark.sqlrun",
+            "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 10",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--explain",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/tmp",
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "== Physical Plan ==" in proc.stdout
+    # pushdown is visible in the formatted plan from the CLI, too
+    assert "PushedFilters" in proc.stdout

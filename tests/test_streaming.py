@@ -624,3 +624,40 @@ def test_foreach_batch_upsert_latest_state(spark, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert got == {"p001": 120, "p002": 80, "p003": 45}
+
+
+def test_foreach_batch_upsert_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash-recovery for the upsert sink's swap (ADVICE r1): a committed
+    staging dir left behind with the table dir missing (crash between
+    rename-aside and rename-in) must be promoted on the next batch, not
+    discarded — accumulated history survives the crash."""
+    from hw_kafka_flink_health_spark.streaming.sinks import foreach_batch_upsert
+
+    table = str(tmp_path / "latest_vitals")
+    # Simulate the crash state: history lives only in .staging (committed
+    # write: Spark's parquet writer leaves a _SUCCESS marker), no table.
+    spark.createDataFrame(
+        [("p001", 70), ("p002", 80)], "patient_id string, heart_rate_bpm int"
+    ).coalesce(1).write.parquet(table + ".staging")
+    assert os.path.isfile(os.path.join(table + ".staging", "_SUCCESS"))
+    assert not os.path.isdir(table)
+
+    src = tmp_path / "up_crash_src"
+    _write_events_json(
+        str(src / "b0.json"), [_ev("p003", "2025-11-19T07:00:03+00:00", 45)]
+    )
+    reader = spark.readStream.schema("raw string").json(str(src))
+    parsed = parse_events_df(reader).select("patient_id", "heart_rate_bpm")
+    q = foreach_batch_upsert(
+        parsed, table, str(tmp_path / "up_crash_ckpt"), key_cols=["patient_id"]
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["patient_id"]: r["heart_rate_bpm"]
+        for r in spark.read.parquet(table).collect()
+    }
+    # p001/p002 recovered from the orphaned staging, p003 merged on top
+    assert got == {"p001": 70, "p002": 80, "p003": 45}
+    assert not os.path.isdir(table + ".staging")
+    assert not os.path.isdir(table + ".retired")
