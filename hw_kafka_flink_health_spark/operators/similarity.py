@@ -320,11 +320,15 @@ def cosine_topk_arrow(
     )
     # Local selection must be consistent with the GLOBAL ranking, which
     # orders by round(cosine, rank_round): keep every candidate whose
-    # rounded sim ties the local k-th kept value (minus one rounding
-    # quantum of margin, covering half-up-vs-half-even disagreements
-    # between np.round and Spark's round at exact midpoints). A dropped
-    # candidate then has >= k batch-mates strictly above it after
-    # rounding, so it can never win globally on the id tie-break.
+    # rounded sim is within 1.5 quanta of the local k-th kept value. The
+    # margin is deliberately 1.5x the quantum, not 1.0x: np.round
+    # (half-even) and Spark's round (half-up) can disagree by a full
+    # quantum at exact midpoints on EACH of the two values being compared
+    # (the candidate and the k-th), and the remaining 0.5 quantum is
+    # float-representation slack — do not "simplify" this to 1.0. A
+    # dropped candidate then has >= k batch-mates strictly above it after
+    # Spark-side rounding, so it can never win globally on the id
+    # tie-break.
     quantum = 10.0 ** (-rank_round)
 
     def batches(it):

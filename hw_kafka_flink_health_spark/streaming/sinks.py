@@ -65,17 +65,26 @@ def foreach_batch_upsert(
 
     staging = table_dir + ".staging"
     retired = table_dir + ".retired"
+    # Our own commit sentinel, written after the staging parquet write
+    # returns and before the swap starts. Spark's _SUCCESS marker is NOT
+    # used: it's optional (mapreduce.fileoutputcommitter.marksuccessfuljobs
+    # can be false on a deployment), and recovery must not silently discard
+    # a fully-written staging dir just because a config turned the marker
+    # off (ADVICE r2).
+    sentinel = "_COMMITTED"
 
     def recover() -> None:
         # Crash states: (a) staging + table both present -> swap never
         # started, staging may be a partial write: discard it. (b) staging
-        # present, table missing -> crash mid-swap after the old table was
-        # retired (or on the legacy rmtree path): the staging write had
-        # completed (swap only starts after a successful write), so
-        # promote it. (c) retired left behind after a completed swap:
-        # drop it.
+        # present (with sentinel), table missing -> crash mid-swap after
+        # the old table was retired: the staging write had completed (the
+        # sentinel is written only after the write returns, and the swap
+        # only starts after the sentinel), so promote it. A sentinel-less
+        # staging with no table can only be a first-ever batch that
+        # crashed mid-write — no history to lose, discard. (c) retired
+        # left behind after a completed swap: drop it.
         if os.path.isdir(staging):
-            committed = os.path.isfile(os.path.join(staging, "_SUCCESS"))
+            committed = os.path.isfile(os.path.join(staging, sentinel))
             if os.path.isdir(table_dir) or not committed:
                 shutil.rmtree(staging)
             else:
@@ -93,6 +102,10 @@ def foreach_batch_upsert(
         else:
             merged = batch_df
         merged.write.mode("overwrite").parquet(staging)
+        # Commit point: sentinel lands only after the write returned, so
+        # recover() can trust it regardless of _SUCCESS-marker config.
+        with open(os.path.join(staging, sentinel), "w"):
+            pass
         # Swap with renames only (rename is atomic; rmtree is not): the
         # table dir is never in a half-deleted state.
         if os.path.isdir(table_dir):

@@ -73,6 +73,60 @@ def test_arrow_cosine_matches_expression_path(spark):
         assert abs(acos - cos) < 1e-9
 
 
+def test_arrow_cosine_near_tie_across_batches(spark):
+    """Crafted near-ties exercising the arrow tier's rounded-tie widening
+    (ADVICE r1 fix; ADVICE r2 asked for a test that actually hits it).
+
+    Four candidates all round to cosine 0.500000 at rank_round=6 but
+    differ in raw value; with Arrow batches capped at 3 rows the raw
+    top-2 of batch 1 would be ids 10 and 11, silently dropping id 5 —
+    whose ROUNDED value ties the batch's k-th and whose smaller id makes
+    it the global rank-2 winner. Id 4 (also rounding to 0.500000) sits in
+    batch 2, so the global rank-1 winner crosses a batch boundary. Parity
+    with the expression path proves the widened local selection is
+    consistent with the global round()+id ranking.
+    """
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_topk_arrow
+
+    def vec(c):
+        return [c, float((1.0 - c * c) ** 0.5)]
+
+    # (vec_id, cosine-vs-query): ids 4,5,10,11 all round to 0.500000
+    corpus_rows = [
+        (10, vec(0.5000004)),
+        (11, vec(0.5000001)),
+        (5, vec(0.4999996)),
+        (4, vec(0.4999997)),
+        (30, vec(0.1)),
+        (31, vec(0.05)),
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        arrow = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk_arrow(corpus, queries, k=2).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    expr = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(corpus, queries, k=2).collect()
+    }
+    # global ranking: rounded ties broken by id asc -> 4 then 5; ids 10/11
+    # (raw-higher!) lose the tie-break and must NOT appear.
+    assert arrow == {(1, 1): 4, (1, 2): 5}
+    assert arrow == expr
+
+
 def test_simhash_deterministic_and_neardup_property(spark):
     docs = load_table(spark, SF, "documents")
     a = {r.doc: r.simhash for r in simhash63(docs, "text", "doc_id").collect()}

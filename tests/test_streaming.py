@@ -634,12 +634,20 @@ def test_foreach_batch_upsert_recovers_mid_swap_crash(spark, tmp_path):
     from hw_kafka_flink_health_spark.streaming.sinks import foreach_batch_upsert
 
     table = str(tmp_path / "latest_vitals")
-    # Simulate the crash state: history lives only in .staging (committed
-    # write: Spark's parquet writer leaves a _SUCCESS marker), no table.
+    # Simulate the crash state: history lives only in .staging, committed
+    # (the sink's own _COMMITTED sentinel — written after the staging write
+    # returns), no table. Spark's optional _SUCCESS marker is deliberately
+    # REMOVED to model a deployment with
+    # mapreduce.fileoutputcommitter.marksuccessfuljobs=false (ADVICE r2):
+    # recovery must promote on the sink's sentinel alone.
     spark.createDataFrame(
         [("p001", 70), ("p002", 80)], "patient_id string, heart_rate_bpm int"
     ).coalesce(1).write.parquet(table + ".staging")
-    assert os.path.isfile(os.path.join(table + ".staging", "_SUCCESS"))
+    success = os.path.join(table + ".staging", "_SUCCESS")
+    if os.path.isfile(success):
+        os.remove(success)
+    with open(os.path.join(table + ".staging", "_COMMITTED"), "w"):
+        pass
     assert not os.path.isdir(table)
 
     src = tmp_path / "up_crash_src"
