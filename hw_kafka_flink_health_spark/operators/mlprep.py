@@ -62,14 +62,46 @@ def train_valid_test_split(
     return df.withColumn("split", split)
 
 
+def hash_unit(col: Column | str, salt: str = "") -> Column:
+    """Deterministic, engine-portable uniform draw in [0, 1) from a key:
+    the first 8 hex chars of md5(key||salt) as a 32-bit integer, divided
+    by 2^32. DuckDB twin:
+    ``CAST(concat('0x', substr(md5(concat(key, salt)), 1, 8)) AS BIGINT)
+    / 4294967296.0``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(4294967296.0)
+
+
 def stratified_sample(
-    df: DataFrame, strata_col: str, fractions: dict, seed: int
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    *,
+    id_col: str,
+    default: float = 1.0,
+    salt: str = "strat",
 ) -> DataFrame:
-    """Per-stratum Bernoulli sampling (`sampleBy`): rebalance a corpus by
-    language/source/quality tier in one narrow pass. Seeded => the same
-    sample on every run; still engine-specific RNG, so correctness checks
-    are statistical (per-stratum rate), not value-hash."""
-    return df.sampleBy(strata_col, fractions, seed)
+    """Per-stratum Bernoulli sampling by hash threshold: keep a row iff
+    its deterministic per-id uniform draw (`hash_unit`) is below the
+    fraction for its stratum. Rebalances a corpus by language/source/
+    quality tier in one narrow pass — no shuffle, no RNG.
+
+    Unlike `sampleBy`'s seeded engine RNG, membership is a pure function
+    of (id, salt): backfills and reruns keep exactly the same rows, the
+    same expression runs in DuckDB/Trino for a value-level audit, and
+    different experiments decorrelate via `salt`. Strata absent from
+    `fractions` keep rows at `default` rate — so no driver-side pass to
+    enumerate strata is ever needed.
+    """
+    u = hash_unit(id_col, salt)
+    frac = None
+    for stratum, f in fractions.items():
+        cond = F.col(strata_col) == stratum
+        frac = F.when(cond, float(f)) if frac is None else frac.when(cond, float(f))
+    frac = frac.otherwise(float(default)) if frac is not None else F.lit(float(default))
+    return df.filter(u < frac)
 
 
 def int8_quantize_stats(

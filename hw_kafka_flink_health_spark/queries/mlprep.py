@@ -253,13 +253,27 @@ def mlprep_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mlprep_stratified_sample")  # seeded engine RNG: rows-only
+@register(
+    "mlprep_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'strat')),
+                  1, 8)) AS BIGINT) / 4294967296.0 AS u
+      FROM documents
+    ) t
+    WHERE u < CASE WHEN lang = 'en' THEN 0.25 ELSE 0.9 END
+    """,
+)
 def mlprep_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-rebalancing sample: downsample the dominant language,
-    keep the rest. Statistical contract asserted in tests/test_mlprep.py."""
+    """Language-rebalancing sample: downsample the dominant language (en
+    to 25%), keep the rest at 90%. Hash-threshold Bernoulli per stratum —
+    membership is a pure function of doc_id, so the EXACT kept set is
+    value-hashed against the DuckDB twin (was `sampleBy` rows-only until
+    round 3); strata outside the dict fall back to the default rate, so
+    no driver-side strata enumeration happens."""
     docs = load_table(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    fractions = {lng: (0.25 if lng == "en" else 0.9) for lng in langs}
-    return stratified_sample(docs, "lang", fractions, seed=42).select(
-        "doc_id", "lang", "source"
-    )
+    return stratified_sample(
+        docs, "lang", {"en": 0.25}, id_col="doc_id", default=0.9
+    ).select("doc_id", "lang", "source")

@@ -43,6 +43,23 @@ def test_split_salt_decorrelates(spark):
     assert a != b  # a different salt draws a different split
 
 
+def test_stratified_sample_deterministic_and_salt_decorrelates(spark):
+    """Hash-threshold sampling is a pure function of (id, salt): two runs
+    keep exactly the same rows; a different salt draws a different set."""
+    from hw_kafka_flink_health_spark.operators.mlprep import stratified_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = lambda salt: {  # noqa: E731
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "lang", {"en": 0.25}, id_col="doc_id", default=0.9, salt=salt
+        ).select("doc_id").collect()
+    }
+    a, b = kept("strat"), kept("strat")
+    assert a == b
+    assert a != kept("strat2")
+
+
 def test_stratified_sample_rates(spark):
     sampled = QUERIES["mlprep_stratified_sample"](spark, SF_DIR)
     docs = load_table(spark, SF_DIR, "documents")
