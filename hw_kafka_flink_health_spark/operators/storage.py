@@ -18,6 +18,8 @@ guarantees they buy are asserted in `tests/test_storage.py`.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -61,6 +63,75 @@ def write_partitioned(
     """
     cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
     df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def materialize_partitioned(
+    spark: SparkSession,
+    build: Callable[[], DataFrame],
+    path: str,
+    *,
+    partition_cols: str | list[str],
+) -> DataFrame:
+    """Write-once partitioned materialization: build + `partitionBy` write
+    the first time, plain read every time after (`_SUCCESS`-gated, so a
+    crashed half-write rebuilds).
+
+    This is the ingest-time half of dynamic partition pruning: DPP can
+    only skip directories that exist, so the fact table must be laid down
+    partitioned by the pruning key once. At 100 TB the write is the
+    (one-off) cost of every later query scanning 1/N of the table; the
+    demo queries use a /tmp cache keyed by scale factor so correctness
+    runs and bench runs pay it once per machine.
+    """
+    import os
+
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").partitionBy(*cols).parquet(path)
+    return spark.read.parquet(path)
+
+
+def runtime_bloom_session(
+    spark: SparkSession,
+    *,
+    application_side_threshold: str = "0",
+    creation_side_threshold: str = "100MB",
+    disable_broadcast: bool = True,
+) -> SparkSession:
+    """Clone the session with runtime bloom-filter injection active for
+    shuffle joins (`InjectRuntimeFilter`): the selective small side
+    builds a bloom filter that is pushed into the big side's scan filter
+    (`might_contain(...)` in the plan), discarding non-matching rows
+    BEFORE the shuffle instead of after the join.
+
+    Why a cloned session (`newSession`): the returned DataFrame optimizes
+    lazily under whatever conf is live at execution time, so setting
+    session-global conf here would leak plan changes into every other
+    query in the process. The clone shares the SparkContext (no new JVM)
+    but owns its conf.
+
+    Why the thresholds move: Spark's defaults only inject when the
+    probe-side scan exceeds 10 GB and the join is not broadcastable —
+    exactly the 100 TB posture, where the filtered dim is still tens of
+    GB and the fact shuffle dominates. At demo scale (sf0.01/sf0.1) the
+    dim would broadcast and the scan is MBs, so the rule never fires; the
+    lowered thresholds (+ broadcast off) reproduce on test data the same
+    physical plan the defaults produce on the cluster. Production keeps
+    the defaults.
+    """
+    s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )
+    if disable_broadcast:
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return s
 
 
 def cluster_for_joins(

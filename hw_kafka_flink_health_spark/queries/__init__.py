@@ -5,6 +5,7 @@ from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     mlprep,
     reference,
     relational,
+    runtime_filters,
     text,
     timeseries,
     tpch,

@@ -162,3 +162,27 @@ def test_linkage_joins_deduped_names_not_rows(spark):
     plan = plan_of(spark, "linkage_part_names")
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_fact_scan_is_pruned(spark):
+    """The partitioned fact's scan must carry a dynamicpruningexpression
+    in its PartitionFilters: the month list comes from the dim filter AT
+    RUNTIME, so only the matching ship_month directories are read. A
+    static PartitionFilters (or none) means DPP regressed and the 7-year
+    fact is scanned for a 3-month query."""
+    plan = plan_of(spark, "dpp_partitioned_revenue")
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    # the dynamic filter sits in the PARTITION filters of the fact scan
+    m = re.search(r"PartitionFilters: \[[^\]]*dynamicpruning", plan)
+    assert m, plan[:3000]
+
+
+def test_bloom_runtime_filter_reaches_fact_scan(spark):
+    """InjectRuntimeFilter must plant a might_contain(bloom) predicate on
+    the lineitem side BELOW the shuffle join: non-joining fact rows are
+    discarded before the exchange, shrinking the 100 TB bottleneck by the
+    dim filter's selectivity."""
+    plan = plan_of(spark, "bloom_filtered_join_revenue")
+    assert "might_contain" in plan, plan[:3000]
+    # shuffle join posture (the regime where the bloom filter pays)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
