@@ -303,3 +303,97 @@ def linkage_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("n_pairs"),
         )
     )
+
+
+@register(
+    "autocorr_user_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(epoch_ms(date_trunc('day', ts)) / 86400000 AS BIGINT) AS xi,
+             CAST(floor(sum(CAST(floor(value * 1000.0) AS BIGINT)) / count(*))
+                  AS BIGINT) AS yi
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), pairs AS (
+      SELECT user_id,
+             lag(yi) OVER (PARTITION BY user_id ORDER BY xi) AS a,
+             yi AS b
+      FROM daily
+    ), p AS (SELECT * FROM pairs WHERE a IS NOT NULL),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(a * a) AS BIGINT) AS saa,
+             CAST(sum(b * b) AS BIGINT) AS sbb,
+             CAST(sum(a * b) AS BIGINT) AS sab
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n_pairs,
+           round((n_pairs * sab - sa * sb) /
+                 nullif(sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE) *
+                             CAST(n_pairs * sbb - sb * sb AS DOUBLE)), 0),
+                 6) AS autocorr_lag1
+    FROM s
+    """,
+)
+def autocorr_user_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of the daily average value — the
+    "is yesterday predictive of today" screen run per entity before
+    fitting anything heavier (pairs with `regr_user_trend`'s slope).
+
+    Same exact-integer discipline as the regression: daily averages are
+    floored MILLI-units (not micro — the sum of squares of a micro-unit
+    daily level would overflow BIGINT at ~30 days x (1e9)^2), consecutive
+    days pair via a lag window ordered by epoch-day, and Pearson r over
+    the (prev, curr) pairs is assembled from six integer sums that both
+    engines compute bit-for-bit; only the final quotient is floating,
+    rounded to 6 places. Scale shape: one (user_id, day) shuffle over raw
+    events, then the lag window and the closed-form sums run on the tiny
+    n_users x n_days daily relation (second exchange is negligible); a
+    constant series has zero variance -> NULL autocorr via nullif, in
+    both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("value") * 1000.0).cast("bigint"))
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("yi")
+        )
+        .select(
+            "user_id",
+            (F.unix_millis(F.col("day_ts").cast("timestamp")) / 86400000)
+            .cast("bigint")
+            .alias("xi"),
+            "yi",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("xi")
+    pairs = daily.select(
+        "user_id",
+        F.lag("yi").over(w).alias("a"),
+        F.col("yi").alias("b"),
+    ).filter(F.col("a").isNotNull())
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+    )
+    num = F.col("n_pairs") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        (F.col("n_pairs") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+        * (F.col("n_pairs") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    )
+    return s.select(
+        "user_id",
+        "n_pairs",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("autocorr_lag1"),
+    )

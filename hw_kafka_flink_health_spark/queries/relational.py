@@ -548,6 +548,35 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_union")  # sketch bytes are library-specific: rows-only
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the operation `approx_count_
+    distinct` can't do: per-month HLL sketches of the customer key that
+    UNION into coarser grains without touching raw data again. This is
+    the pre-aggregation contract at 100 TB: materialize small per-
+    partition sketches once, answer "distinct users this quarter/year/
+    all-time" by merging kilobytes. DataSketches HLL (hll_sketch_agg /
+    hll_union_agg, Spark 3.5+) is deterministic for a given input but
+    its estimate is library-internal, so the driver check is rows-only;
+    the |approx - exact| error bound is pinned against exact
+    countDistinct in tests/test_approx_operators.py.
+
+    Output: one row per order month plus one 'total' row whose estimate
+    comes from unioning the monthly sketches (never re-scanning orders).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("grain")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    per_month = monthly.select(
+        "grain", F.hll_sketch_estimate("sk").cast("bigint").alias("approx_custs")
+    )
+    total = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_custs")
+    ).select(F.lit("total").alias("grain"), "approx_custs")
+    return per_month.unionAll(total)
+
+
 @register(
     "window_topk_per_group",
     oracle="""

@@ -180,3 +180,27 @@ def test_minhash_lsh_finds_planted_duplicate(spark):
     assert any(
         {r.doc1, r.doc2} == {base.doc_id, 999999} for r in pairs
     ), f"planted near-dup not found in {len(pairs)} pairs"
+
+
+def test_hll_union_error_bound(spark):
+    """DataSketches HLL per-month sketches, unioned to a total: every
+    estimate must sit within 5% of the exact distinct count (default
+    lgK=12 -> rsd ~1.6%; 5% is ~3 sigma). The union estimate comes only
+    from merging monthly sketches — this asserts merge correctness, not
+    just per-group accuracy."""
+    from hw_kafka_flink_health_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["grain"]: r["approx_custs"] for r in QUERIES["agg_hll_union"](spark, sf).collect()}
+    orders = load_table(spark, sf, "orders")
+    exact_m = {
+        r["grain"]: r["n"]
+        for r in orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("grain")
+        ).agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    exact_m["total"] = orders.select("o_custkey").distinct().count()
+    assert set(got) == set(exact_m)
+    for grain, exact in exact_m.items():
+        approx = got[grain]
+        assert abs(approx - exact) <= max(2, 0.05 * exact), (grain, approx, exact)
