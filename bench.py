@@ -66,6 +66,14 @@ HEADLINE = [
     "interval_join_outer_attribution",
     "embedding_cosine_topk_arrow",
     "events_anomaly_mad",
+    # analytics pack (tracked since r3)
+    "funnel_conversion",
+    "scd2_user_state",
+    "rollup_hour_day",
+    "autocorr_user_lag1",
+    # runtime-filtered joins (tracked since r3)
+    "dpp_partitioned_revenue",
+    "bloom_filtered_join_revenue",
 ]
 
 
@@ -143,6 +151,14 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").agg(
         F.sum("l_quantity")
     ).write.format("noop").mode("overwrite").save()
+    # Warm the DPP demo's partitioned-lineitem cache: the partitionBy write
+    # is ingest-time layout cost (paid once per machine), not query time —
+    # dpp_partitioned_revenue's timing should measure the pruned scan.
+    from hw_kafka_flink_health_spark.queries.runtime_filters import (
+        lineitem_by_ship_month,
+    )
+
+    lineitem_by_ship_month(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
