@@ -143,6 +143,84 @@ def test_sorted_write_clusters_row_groups(spark, tmp_path):
     assert back.count() == expected
 
 
+def test_zordered_write_skips_on_both_columns(spark, tmp_path):
+    """Z-order layout must give row-group skipping on BOTH clustered
+    columns, where a linear sort on one column gives skipping on that
+    column only — proven from the written parquet footers, the stats
+    data skipping actually runs on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hw_kafka_flink_health_spark.operators.storage import (
+        write_sorted,
+        write_zordered,
+    )
+
+    # sf0.01 for enough rows to split into many 16 KB row groups
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    small = {"parquet.block.size": 16 * 1024}
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(
+        events, zpath, cluster_cols=["value", "user_id"],
+        target_partitions=4, writer_options=small,
+    )
+    lpath = str(tmp_path / "linear")
+    write_sorted(
+        events, lpath, sort_cols="value", target_partitions=4,
+        writer_options=small,
+    )
+
+    def ranges(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    # 10%-of-rows probe slabs (quantile-based so column skew can't park
+    # the probe in an empty region)
+    v_lo, v_hi = events.approxQuantile("value", [0.40, 0.50], 0.001)
+    u_lo, u_hi = events.approxQuantile("user_id", [0.40, 0.50], 0.001)
+
+    def overlapping(rgs, lo, hi):
+        return sum(1 for mn, mx in rgs if mx >= lo and mn <= hi)
+
+    zv, zu = ranges(zpath, "value"), ranges(zpath, "user_id")
+    lv, lu = ranges(lpath, "value"), ranges(lpath, "user_id")
+    n = len(zv)
+    assert n >= 8, "expected many row groups; shrink block size"
+
+    # z-order: each dimension's slab overlaps ~a tile-column, a minority
+    assert overlapping(zv, v_lo, v_hi) <= 0.5 * n, (n, overlapping(zv, v_lo, v_hi))
+    assert overlapping(zu, u_lo, u_hi) <= 0.5 * n, (n, overlapping(zu, u_lo, u_hi))
+    # linear-on-value: value skips at least as hard as z-order does...
+    assert overlapping(lv, v_lo, v_hi) <= overlapping(zv, v_lo, v_hi) + 1
+    # ...but user_id is uncorrelated with position -> ~every group overlaps
+    assert overlapping(lu, u_lo, u_hi) >= 0.9 * len(lu)
+
+    # layout must not change answers; the predicate reaches the scan pushed
+    back = spark.read.parquet(zpath).filter(
+        (F.col("user_id") >= u_lo) & (F.col("user_id") <= u_hi)
+    )
+    assert "PushedFilters" in physical(back)
+    expected = events.filter(
+        (F.col("user_id") >= u_lo) & (F.col("user_id") <= u_hi)
+    ).count()
+    assert back.count() == expected
+
+
+def test_zorder_expr_rejects_long_overflow(spark):
+    from hw_kafka_flink_health_spark.operators.storage import zorder_expr
+
+    with pytest.raises(ValueError):
+        zorder_expr(["a", "b", "c", "d"], {c: [0.5] for c in "abcd"}, bits=16)
+
+
 def test_compact_small_files(spark, tmp_path):
     from hw_kafka_flink_health_spark.operators.storage import compact_small_files
 

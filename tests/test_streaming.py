@@ -593,6 +593,80 @@ def test_health_job_demo_cli_runs():
     assert "Batch: " in proc.stdout  # console sink ticked
 
 
+def test_state_store_scales_to_100k_keys_and_evicts(spark, tmp_path):
+    """State-scale probe: the alert pipeline at realistic key cardinality.
+
+    The reference's demo has 5 patients; a ward network has ~10^5. The
+    windowed agg's state is keyed on (key, window), so state rows must
+    track active keys x open windows EXACTLY — and drop to ~zero once
+    the watermark closes those windows. Both facts are read from the
+    engine's own stateOperators metrics, not inferred from output.
+
+    100 000 keys x 2 open 1-min windows = 200 000 state rows; a later
+    sentinel advances the watermark past both windows, which must emit
+    all 200 000 results (append mode) and evict all 200 000 state rows.
+    At cluster scale the same state is hash-partitioned across executors
+    (numShufflePartitions state stores); nothing here is per-key driver
+    work, so key cardinality only moves memory, not plan shape.
+    """
+    n_keys = 100_000
+    src = tmp_path / "stress_src"
+    os.makedirs(src)
+
+    # JVM-side synthesis: 2 events per key in consecutive 1-min windows
+    def gen(ts: str):
+        return spark.range(n_keys).select(
+            F.to_json(
+                F.struct(
+                    F.concat(F.lit("p"), F.col("id")).alias("patient_id"),
+                    F.lit(ts).alias("timestamp"),
+                    (F.lit(60) + F.col("id") % 40).alias("heart_rate_bpm"),
+                )
+            ).alias("raw")
+        )
+    early = gen("2025-11-19T07:00:30+00:00").union(gen("2025-11-19T07:01:30+00:00"))
+    early.coalesce(1).write.json(str(src / "a_early"))
+    # sentinel two batches later: watermark -> 07:09:55, both windows close
+    spark.createDataFrame(
+        [(json.dumps(_ev("sentinel", "2025-11-19T07:10:00+00:00", 75)),)], ["raw"]
+    ).write.json(str(src / "b_late"))
+
+    reader = (
+        spark.readStream.schema("raw string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .json(str(src))
+    )
+    alerts = build_streaming_job(reader, as_json=False)
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stress_alerts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    finally:
+        q.stop()
+
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    # state peaked at exactly keys x open windows
+    assert max(totals) == 2 * n_keys, totals
+    # watermark eviction reclaimed every closed window's state row
+    assert removed >= 2 * n_keys, (removed, totals)
+    # end state holds only the sentinel's still-open window
+    assert totals[-1] <= 2, totals
+    # append mode emitted every closed window exactly once
+    emitted = spark.sql(
+        "SELECT count(*) AS c, count(DISTINCT patient_id, window_start) AS d "
+        "FROM stress_alerts"
+    ).first()
+    assert emitted.c == emitted.d == 2 * n_keys
+
+
 def test_foreach_batch_upsert_latest_state(spark, tmp_path):
     """Keyed-upsert sink: micro-batches MERGE into a parquet table;
     after three batches the table holds exactly the latest row per key."""
