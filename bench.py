@@ -74,6 +74,11 @@ HEADLINE = [
     # runtime-filtered joins (tracked since r3)
     "dpp_partitioned_revenue",
     "bloom_filtered_join_revenue",
+    # incremental/statistics pack (tracked since r3)
+    "incremental_rollup",
+    "exact_quantiles",
+    "heavy_hitter_tokens",
+    "median_value_by_type",
 ]
 
 

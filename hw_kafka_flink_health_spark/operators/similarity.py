@@ -33,7 +33,9 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # try_divide: zero-norm vectors have no defined cosine -> NULL,
+    # not an ANSI DIVIDE_BY_ZERO error
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def cosine_topk(
@@ -69,14 +71,20 @@ def cosine_topk(
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col(id_col) != F.col("query_id")
     )
-    sim = dot_expr(F.col(vec_col), F.col("__qvec")) / (
-        F.col("__cnorm") * F.col("__qnorm")
+    # try_divide: a zero-norm (all-zero) corpus or query vector has no
+    # defined cosine — it becomes NULL and is filtered below, instead of
+    # an ANSI DIVIDE_BY_ZERO kill. The arrow tier excludes NaN the same
+    # way, so the tiers stay row-for-row parity on degenerate inputs.
+    sim = F.try_divide(
+        dot_expr(F.col(vec_col), F.col("__qvec")),
+        F.col("__cnorm") * F.col("__qnorm"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("__sim"), rank_round).desc(), F.col(id_col).asc()
     )
     return (
         joined.withColumn("__sim", sim)
+        .filter(F.col("__sim").isNotNull())
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
@@ -114,8 +122,8 @@ def neardup_pairs_blocked(
         F.col(vec_col).alias("__v2"),
         norm_expr(F.col(vec_col)).alias("__n2"),
     )
-    sim = dot_expr(F.col("__v1"), F.col("__v2")) / (
-        F.col("__n1") * F.col("__n2")
+    sim = F.try_divide(
+        dot_expr(F.col("__v1"), F.col("__v2")), F.col("__n1") * F.col("__n2")
     )
     return (
         a.join(b, "__blk")
@@ -200,8 +208,9 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("__sim"), 6).desc(), F.col(id_col).asc()
     )
-    sim = dot_expr(F.col(vec_col), F.col("__qvec")) / (
-        F.col("__cnorm") * F.col("__qnorm")
+    sim = F.try_divide(
+        dot_expr(F.col(vec_col), F.col("__qvec")),
+        F.col("__cnorm") * F.col("__qnorm"),
     )
     return (
         cand.withColumn("__sim", sim)
@@ -238,7 +247,7 @@ def lsh_ann_topk(
     def prep(df: DataFrame, idn: str) -> DataFrame:
         arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
-        unit = F.transform(arr, lambda x: x / norm)
+        unit = F.transform(arr, lambda x: F.try_divide(x, norm))
         return df.select(
             F.col(id_col).alias(idn), array_to_vector(unit).alias("features")
         )
@@ -340,12 +349,13 @@ def cosine_topk_arrow(
             if len(ids) == 0:
                 continue
             cnorm = np.sqrt((c * c).sum(axis=1))
-            sims = (c @ qmat.T) / np.outer(cnorm, qnorm)  # (n, q)
-            sims[np.isnan(sims)] = -2.0
-            # mask self-matches, then local top-k per query
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (c @ qmat.T) / np.outer(cnorm, qnorm)  # (n, q)
+            # mask self-matches AND zero-norm (NaN cosine) candidates —
+            # the same exclusion the expression tier's try_divide+filter does
             for j in range(len(qids)):
                 col = sims[:, j]
-                mask = ids != qids[j]
+                mask = (ids != qids[j]) & ~np.isnan(col)
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue

@@ -2,10 +2,12 @@
 
 from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     analytics,
+    incremental,
     mlprep,
     reference,
     relational,
     runtime_filters,
+    stats,
     text,
     timeseries,
     tpch,

@@ -1,0 +1,105 @@
+"""Incremental-maintenance queries: split-vs-full rollup equality and
+exact distributed quantiles without a global sort.
+
+Extension surface (SURVEY.md §2.C): the reference recomputes its batch
+analysis from scratch each run (`/root/reference/src/spark_batch_analysis.py`);
+these queries pin the machinery a 100 TB deployment uses instead —
+algebraic partial merges for refresh, and rank selection by histogram
+refinement for quantiles over data that must never be globally sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.operators.incremental import (
+    daily_partials,
+    finalize_rollup,
+    merge_partials,
+)
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           event_type AS key,
+           count(*)::BIGINT AS cnt,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           (sum(CAST(round(value * 100) AS BIGINT))::BIGINT * 10) // count(*) AS avg_milli
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup maintained INCREMENTALLY: the events table is split
+    into three disjoint ingest slices (by a hash of event_id — an
+    adversarial split: every day's data arrives across different
+    "loads"), each slice becomes algebraic partials on its own, and the
+    partials are merged + finalized. The oracle is the ONE-SHOT
+    aggregate over everything — equality proves the partial/merge/
+    finalize algebra loses nothing, which is what lets a 100 TB rollup
+    refresh touch only the new partition instead of all history.
+
+    Plan shape: three partition-local partial aggregates (map-side
+    combine each), one union, one hash re-aggregate on (day, key) —
+    merge input is one row per key-day per slice, so the final shuffle
+    is proportional to key cardinality, not event count.
+
+    Output stays in EXACT integer units (cents; avg as milli-units via
+    integer division): the partials are integer-exact, so the oracle
+    comparison is boundary-proof — no round(double) can disagree across
+    engines. `finalize_rollup` offers the human-facing float view.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    slices = [
+        daily_partials(ev.filter(F.abs(F.hash("event_id")) % 3 == i))
+        for i in range(3)
+    ]
+    merged = merge_partials(*slices)
+    return merged.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.expr("(sum_cents * 10) div cnt").alias("avg_milli"),
+    )
+
+
+@register(
+    "exact_quantiles",
+    oracle="""
+    SELECT CAST(q AS DOUBLE) AS q, val FROM (
+      SELECT 0.25 AS q, quantile_disc(value, 0.25) AS val FROM events
+      UNION ALL
+      SELECT 0.50, quantile_disc(value, 0.50) FROM events
+      UNION ALL
+      SELECT 0.99, quantile_disc(value, 0.99) FROM events
+    ) t
+    """,
+)
+def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p99 of events.value with no global sort.
+
+    `approx_percentile` trades error for speed; sorting 100 TB to take
+    three ranks is absurd. This is rank selection by histogram
+    refinement (`operators/quantiles.py:exact_quantiles`): one scan
+    builds a fixed-width bucket histogram (map-side combined, ~4k rows
+    shuffled regardless of input size), the driver locates each target
+    rank's bucket from the bounded cumulative histogram, and a second
+    scan sorts ONLY the rows inside those buckets (a ~1/4000 sliver)
+    to pick the exact ranked values. Same discrete-quantile semantics
+    as DuckDB's quantile_disc: lower interpolation, value at row
+    floor((n-1) * q) of the ascending order.
+    """
+    from hw_kafka_flink_health_spark.operators.quantiles import exact_quantiles as eq
+
+    ev = load_table(spark, sf_dir, "events")
+    return eq(ev, "value", [0.25, 0.50, 0.99])

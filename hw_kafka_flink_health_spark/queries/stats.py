@@ -1,0 +1,157 @@
+"""Statistics & reshaping queries: exact heavy hitters, PIVOT, exact
+per-group medians, deterministic weighted sampling.
+
+Extension surface (SURVEY.md §2.C): none of these exist in the reference
+(its only aggregation is a toy alert count, SURVEY.md §2.B) — they are the
+frequency/report/sampling layer a 100 TB corpus pipeline runs daily, each
+expressed as a pure Catalyst plan with the shuffle budget called out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.operators.frequency import heavy_hitters
+from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+    SELECT key, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS key FROM documents)
+    WHERE key <> ''
+    GROUP BY key
+    HAVING count(*) >= 100
+    ORDER BY cnt DESC, key
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens occurring >= 100 times corpus-wide, with EXACT counts, via
+    the two-phase candidate prune (`operators/frequency.py`): local
+    partial counts discard the singleton long tail before any global
+    per-key row exists, then only surviving candidates are recounted
+    exactly. At token scale (billions distinct, ~all rare) this shuffles
+    orders of magnitude fewer rows than the oracle's one-shot HAVING —
+    same answer, pinned here by the value hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", threshold=100)
+
+
+@register(
+    "pivot_daily_event_type",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           count(*) FILTER (event_type = 'view')::BIGINT AS view,
+           count(*) FILTER (event_type = 'click')::BIGINT AS click,
+           count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+           count(*) FILTER (event_type = 'error')::BIGINT AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_daily_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide reshaping with the PIVOT operator: daily counts per
+    event type as COLUMNS. The pivot values are DECLARED (four known
+    types; 'signup' deliberately excluded and pruned), which keeps this
+    a single pass: declared-value pivot compiles into one aggregate with
+    conditional partials — the same plan the oracle's FILTER aggregates
+    produce — with NO distinct-values pre-query and no second shuffle.
+    (An undeclared pivot runs a distinct scan first to learn the columns
+    — never do that at 100 TB.) Counts coalesce to 0 so absent
+    (day, type) combos match the FILTER-count semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "error"]
+    wide = (
+        ev.groupBy(F.to_date("ts").cast("timestamp").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+@register(
+    "median_value_by_type",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 4) AS median_value,
+           count(*)::BIGINT AS cnt
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median without percentile_approx: rank rows within
+    each group (one hash exchange on event_type shared by both window
+    passes), keep the middle one or two, average them — DuckDB
+    `median`'s interpolating semantics for even counts. Group count
+    rides the same window, so the whole query is ONE shuffle. At 100 TB
+    groupwise exact medians this way beat a global sort by the usual
+    partition-parallel margin; for thousands of groups the rank windows
+    parallelize per group."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wo = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    wall = Window.partitionBy("event_type")
+    ranked = (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.ceil((F.col("cnt") + 1) / 2))
+    )
+    return mid.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("median_value"),
+        F.max("cnt").cast("long").alias("cnt"),
+    )
+
+
+@register(
+    "mlprep_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'ws1')), 1, 8)) AS BIGINT)
+                / 4294967296.0) / n_chars AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, round(es_key, 6) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+)
+def mlprep_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: the
+    Efraimidis–Spirakis reservoir as a QUERY. Each row draws its uniform
+    u from the portable md5 hash of its id (`hash_unit` — same
+    expression DuckDB runs, so membership is reproducible everywhere
+    forever) and gets key ln(u)/w; the top-n keys ARE a weighted sample
+    without replacement. n_chars is the weight: longer docs
+    proportionally likelier. One pass, then a top-n (TakeOrderedAndProject
+    — per-partition heaps, no global sort); no state, no membership
+    table, retry-safe — the same properties the deterministic hash split
+    guarantees, extended to weighted draws."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    key = F.log(hash_unit(F.col("doc_id"), salt="ws1")) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(key, 6).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )

@@ -127,6 +127,29 @@ def test_arrow_cosine_near_tie_across_batches(spark):
     assert arrow == expr
 
 
+def test_zero_norm_vectors_excluded_in_both_tiers(spark):
+    """An all-zero embedding has no defined cosine: under ANSI mode the
+    naive division kills the whole job (DIVIDE_BY_ZERO). Both tiers must
+    instead EXCLUDE zero-norm candidates (try_divide -> NULL -> filtered
+    in the expr tier; NaN mask in the arrow tier) and still agree."""
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_topk_arrow
+
+    rows = [(0, [0.0, 0.0, 0.0])] + [
+        (i, [float(i), 1.0, 0.5 * i]) for i in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 1)
+    for fn in (cosine_topk, cosine_topk_arrow):
+        got = fn(df, q, k=10).collect()
+        ids = {r.neighbor_id for r in got}
+        assert 0 not in ids, fn.__name__
+        assert ids == {2, 3, 4, 5, 6, 7}, (fn.__name__, ids)
+    # and a zero-norm QUERY yields no rows rather than an error
+    zq = df.filter(F.col("vec_id") == 0)
+    for fn in (cosine_topk, cosine_topk_arrow):
+        assert fn(df, zq, k=3).count() == 0, fn.__name__
+
+
 def test_simhash_deterministic_and_neardup_property(spark):
     docs = load_table(spark, SF, "documents")
     a = {r.doc: r.simhash for r in simhash63(docs, "text", "doc_id").collect()}

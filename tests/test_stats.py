@@ -1,0 +1,64 @@
+"""Heavy-hitter guarantees: exact membership/counts vs one-shot groupBy
+truth, no false negatives under adversarial key spreading, and the
+candidate bound's partition parameter never changes the answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.operators.frequency import heavy_hitters
+
+
+def _truth(df, threshold):
+    return {
+        (r.key, r.cnt)
+        for r in (
+            df.groupBy(F.col("v").alias("key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .filter(F.col("cnt") >= threshold)
+            .collect()
+        )
+    }
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """Planted skew + singleton tail: exactly the >=threshold keys, exact
+    counts, straddling keys on both sides of the threshold."""
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 50
+        + [("edge",)] * 40  # exactly threshold
+        + [("cold",)] * 39  # one below
+        + [(f"single_{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, ["v"]).repartition(16)
+    got = {
+        (r.key, r.cnt)
+        for r in heavy_hitters(df, "v", threshold=40).collect()
+    }
+    assert got == _truth(df, 40)
+    assert ("edge", 40) in got and not any(k == "cold" for k, _ in got)
+
+
+def test_heavy_hitters_no_false_negative_when_spread_thin(spark):
+    """Adversarial placement: a heavy key diluted evenly across many
+    partitions must still surface (the threshold/P bound guarantees at
+    least one partition sees >= threshold//P)."""
+    # 64 occurrences of 'thin' spread over 32 partitions = 2 per partition;
+    # threshold 64 with P=32 gives local bound 2 — exactly at the bound
+    thin = spark.range(64).select(F.lit("thin").alias("v")).repartition(32)
+    noise = spark.range(5000).select(F.concat(F.lit("n"), F.col("id")).alias("v"))
+    df = thin.unionByName(noise)
+    got = heavy_hitters(df, "v", threshold=64, partitions=32).collect()
+    assert [(r.key, r.cnt) for r in got] == [("thin", 64)]
+
+
+def test_heavy_hitters_partitions_param_only_changes_cost(spark):
+    """Raising the bound divisor admits more candidates but never changes
+    the answer; lowering it below the actual partition count is ignored
+    (it would break the no-false-negative guarantee)."""
+    rows = [("a",)] * 100 + [("b",)] * 10 + [(f"s{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["v"]).repartition(8)
+    for p in (1, 4, 64, 10_000):
+        got = {(r.key, r.cnt) for r in heavy_hitters(df, "v", threshold=10, partitions=p).collect()}
+        assert got == _truth(df, 10), p
