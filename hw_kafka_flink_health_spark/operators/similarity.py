@@ -384,3 +384,203 @@ def cosine_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _lloyd(X, k: int, iters: int, rng):
+    """Plain deterministic Lloyd's k-means on a (bounded) training sample.
+
+    Runs on the driver over at most `pq_train`'s sample_size rows — PQ
+    codebooks are trained on a sample in every production system (FAISS
+    does exactly this); the full corpus never leaves the executors.
+    """
+    import numpy as np
+
+    n = X.shape[0]
+    k = min(k, n)
+    C = X[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c drops ||x||^2
+        d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    codebook_size: int = 256,
+    sample_size: int = 2000,
+    iters: int = 10,
+    salt: str = "pq",
+):
+    """Train product-quantization codebooks: split dims into `m` subspaces,
+    k-means each on a DETERMINISTIC bounded sample (hash_unit-ordered, so
+    retrains reproduce bit-identically — no random() draw).
+
+    Returns (codebooks ndarray (m, k*, d/m), dim) for `pq_encode`/`pq_topk`.
+    Vectors are unit-normalized before training so PQ distances rank like
+    cosine; zero vectors are excluded (no defined direction).
+    """
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
+
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"), hash_unit(F.col(id_col), salt).alias("u")
+        )
+        .orderBy("u", "v")
+        .limit(sample_size)  # bounded: training sample only, never the corpus
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    X = X[norms > 0] / norms[norms > 0][:, None]
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    import hashlib
+
+    # stable seed: python's str hash() is process-salted, md5 is not
+    rng = np.random.RandomState(
+        int(hashlib.md5(salt.encode()).hexdigest()[:8], 16) % (2**31)
+    )
+    codebooks = np.stack(
+        [_lloyd(X[:, j * ds : (j + 1) * ds], codebook_size, iters, rng) for j in range(m)]
+    )
+    return codebooks, d
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as `m` one-byte centroid ids (the PQ
+    codes): a 64-dim float64 row becomes m=4 bytes — the ~128x memory
+    squeeze that makes billion-vector ANN fit a cluster's RAM. One
+    Arrow-batched pass, argmin per subspace via BLAS; write the result
+    once and search it forever (`pq_topk` takes this as its index).
+    """
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    m = len(codebooks)
+    ds = codebooks.shape[2]
+
+    def encode(it):
+        cb = bc.value
+        for pdf in it:
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf["__vec"]), dtype=np.float64)
+            if len(ids) == 0:
+                continue
+            norms = np.sqrt((X * X).sum(axis=1))
+            keep = norms > 0
+            X = X[keep] / norms[keep][:, None]
+            ids = ids[keep]
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * ds : (j + 1) * ds]
+                d2 = -2.0 * (sub @ cb[j].T) + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": ids, "codes": list(codes)})
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(encode, schema="vec_id long, codes array<int>")
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes: each query builds an (m x k*) lookup table of exact
+    query-subvector-to-centroid squared distances, and every corpus
+    vector's approximate distance is m TABLE LOOKUPS summed — no float
+    math per pair, which is why PQ scans are memory-bandwidth-bound and
+    fast even on CPUs. For unit vectors approx_cosine = 1 - d2/2.
+
+    Same fan-in shape as `cosine_topk_arrow`: per-batch local top-k (k
+    rows per query per batch survive), then a global window. Returns
+    (query_id, neighbor_id, approx_cosine, rank) — approximate by
+    construction, so it registers rows-only with a recall property test
+    (`tests/test_approx_operators.py`), the same posture as IVF/LSH.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.array([r.qv for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qids, Q = qids[qn > 0], Q[qn > 0] / qn[qn > 0][:, None]
+    m = len(codebooks)
+    ds = codebooks.shape[2]
+    # LUT[q, j, c] = ||Q[q, sub_j] - codebook[j][c]||^2  (exact, query side)
+    lut = np.stack(
+        [
+            ((Q[:, j * ds : (j + 1) * ds][:, None, :] - codebooks[j][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    bc = codes_df.sparkSession.sparkContext.broadcast((qids, lut))
+
+    def score(it):
+        ids_q, tables = bc.value
+        for pdf in it:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            for qi in range(len(ids_q)):
+                # ADC: gather per-subspace LUT entries and sum
+                d2 = tables[qi][np.arange(codes.shape[1])[None, :], codes].sum(axis=1)
+                sim = 1.0 - d2 / 2.0
+                mask = ids != ids_q[qi]
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                take = min(k, len(cand))
+                top = cand[np.argpartition(-sim[cand], take - 1)[:take]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(top), ids_q[qi], dtype=np.int64),
+                        "neighbor_id": ids[top],
+                        "approx_cosine": sim[top],
+                    }
+                )
+
+    local = codes_df.mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("approx_cosine", 6).alias("approx_cosine"), "rank")
+    )

@@ -127,6 +127,26 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_ann_pq")  # approximate/trained (kmeans codebooks): rows-only
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: deterministic sample-trained codebooks,
+    one-pass byte encoding (m=8 bytes per 64-dim vector, the ~64x memory
+    squeeze), ADC table-lookup scoring (`operators/similarity.py:pq_topk`).
+    Approximate by construction -> rows-only; recall vs exact brute force
+    is asserted in tests/test_approx_operators.py."""
+    from hw_kafka_flink_health_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    codebooks, _ = pq_train(emb, m=8, codebook_size=256, sample_size=1000)
+    codes = pq_encode(emb, codebooks)
+    return pq_topk(codes, queries, codebooks, k=5)
+
+
 @register("embedding_ann_lsh")  # approximate/seeded: rows-only by design
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-projection LSH (seeded; candidates differ

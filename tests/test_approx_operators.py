@@ -49,6 +49,38 @@ def test_ivf_self_excluded_and_k_respected(spark):
     assert all(1 <= r.rank <= 5 for r in rows)
 
 
+def test_pq_recall_vs_exact_and_determinism(spark):
+    """PQ ADC search: recall against exact brute force must be meaningful
+    (byte codes lose information by design, but near neighbors survive),
+    the index must be byte-deterministic across retrains (hash-ordered
+    sample + seeded k-means), and self-matches/k bounds hold."""
+    from hw_kafka_flink_health_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    exact = _exact_neighbors(spark, k=5)
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+
+    cb1, d = pq_train(emb, m=8, codebook_size=256, sample_size=1000)
+    cb2, _ = pq_train(emb, m=8, codebook_size=256, sample_size=1000)
+    assert (cb1 == cb2).all(), "codebook training must be deterministic"
+    assert cb1.shape[0] * cb1.shape[2] == d
+
+    codes = pq_encode(emb, cb1)
+    rows = pq_topk(codes, q, cb1, k=5).collect()
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    assert all(1 <= r.rank <= 5 for r in rows)
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[qid] & got.get(qid, set())) for qid in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.4, f"PQ recall {hits}/{total}"
+
+
 def test_arrow_cosine_matches_expression_path(spark):
     """The NumPy/Arrow matmul path must reproduce the Catalyst HOF path
     exactly: same neighbor sets, same ranks, cosines equal to 1e-9 (both

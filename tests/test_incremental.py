@@ -88,3 +88,29 @@ def test_exact_quantiles_rejects_all_null(spark):
     df = spark.createDataFrame([(None,), (None,)], "v double")
     with pytest.raises(ValueError):
         exact_quantiles(df, "v", [0.5])
+
+
+def test_exact_quantiles_property_random_distributions(spark):
+    """Adversarial shapes a fixed-width histogram hates: heavy skew, point
+    masses, negatives, tiny n, few buckets (forcing multi-rank buckets) —
+    every quantile must equal the rank-selected element of the sorted
+    list."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [rng.expovariate(0.01) for _ in range(997)],          # heavy right skew
+        [rng.gauss(0, 1) for _ in range(500)] + [5.0] * 400,  # point mass
+        [-1e9, 0.0, 1e9] * 7,                                 # extreme spread, ties
+        [float(rng.randint(0, 3)) for _ in range(311)],       # few distinct
+        [3.14],                                               # n == 1
+    ]
+    qs = [0.0, 0.1, 0.5, 0.9, 0.95, 1.0]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(5)
+        got = {r.q: r.val for r in exact_quantiles(df, "v", qs, n_buckets=8).collect()}
+        svals = sorted(vals)
+        for q in qs:
+            expect = svals[math.floor((len(vals) - 1) * q)]
+            assert got[q] == expect, (q, got[q], expect, len(vals))
