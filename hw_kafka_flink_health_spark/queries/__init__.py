@@ -2,6 +2,7 @@
 
 from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     analytics,
+    graph,
     incremental,
     mlprep,
     reference,

@@ -186,3 +186,99 @@ def test_bloom_runtime_filter_reaches_fact_scan(spark):
     assert "might_contain" in plan, plan[:3000]
     # shuffle join posture (the regime where the bloom filter pays)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
+
+
+def test_cbo_stats_flip_join_strategy(spark):
+    """Cost-based optimization wiring: catalog COLUMN statistics must
+    reach join planning. The build side is a FILTERED dim whose file
+    size exceeds the broadcast threshold: without stats Spark cannot
+    know the filter keeps only ~1/25 of rows, so it plans a shuffle
+    join; after ANALYZE .. FOR COLUMNS the CBO's filter-selectivity
+    estimate shrinks the side below the threshold and the same query
+    broadcasts. This post-filter-cardinality call is exactly the
+    decision a 1000-executor cluster gets wrong without stats — file
+    size is a useless proxy once predicates apply."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.sources.files import load_table
+
+    db = f"cbo_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        load_table(spark, SF, "supplier").write.saveAsTable(f"{db}.supplier_t")
+        load_table(spark, SF, "lineitem").write.saveAsTable(f"{db}.lineitem_t")
+
+        def q(sess):
+            dim = sess.table(f"{db}.supplier_t").filter(F.col("s_nationkey") == 3)
+            return (
+                sess.table(f"{db}.lineitem_t")
+                .join(dim, F.col("l_suppkey") == F.col("s_suppkey"))
+                .groupBy("s_name")
+                .agg(F.sum("l_quantity").alias("qty"))
+            )
+
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.cbo.enabled", "true")
+        # threshold below the dim's FILE size but above its post-filter size
+        import glob
+        import os
+
+        loc = (
+            spark.sql(f"DESCRIBE EXTENDED {db}.supplier_t")
+            .filter("col_name = 'Location'")
+            .first()[1]
+        )
+        dim_bytes = sum(
+            os.path.getsize(f) for f in glob.glob(loc.replace("file:", "") + "/*.parquet")
+        )
+        sess.conf.set("spark.sql.autoBroadcastJoinThreshold", str(max(1024, dim_bytes // 2)))
+
+        before = q(sess)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in before, before[:2000]
+
+        sess.sql(
+            f"ANALYZE TABLE {db}.supplier_t COMPUTE STATISTICS FOR COLUMNS s_nationkey"
+        )
+        after = q(sess)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in after, after[:2000]
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """AQE skew-join handling, proven on the FINAL adaptive plan: a join
+    whose shuffle has one hot key (90% of rows) must get its skewed
+    partition split at runtime (`skew=true` on the join node). This is
+    the safety net under every non-salted join in the catalog — the
+    salted-join operator is for known-hot keys, AQE catches the ones
+    nobody predicted. Thresholds are scaled down to make a test-sized
+    shuffle exhibit the cluster-sized trigger; production keeps
+    defaults."""
+    from pyspark.sql import functions as F
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    sess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    sess.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+
+    fact = sess.range(300_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = sess.range(1_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    # the filter references BOTH sides so it cannot push below the join
+    # (which would de-skew the fact); no downstream distribution
+    # requirement, so OptimizeSkewedJoin is free to split. collect() runs
+    # THIS DataFrame's queryExecution, finalizing its adaptive plan.
+    j = fact.join(dim, "k").filter(((F.col("payload") + F.col("v")) % 30000) == 0)
+    rows = j.collect()
+    assert len(rows) > 0
+    final = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final, final[:3000]
