@@ -1297,3 +1297,39 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(event_type, 'error') AS k, count(*)::BIGINT AS n_a
+      FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ), b AS (
+      SELECT nullif(event_type, 'error') AS k, count(*)::BIGINT AS n_b
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the semantics ETL needs when
+    'unknown' is a real group. Catalyst plans `<=>` as a hash-partitionable
+    equi join (EqualNullSafe key), NOT a theta join: same shuffle shape,
+    same broadcast eligibility, no NestedLoop regression — which is why
+    this is safe at 100 TB where a null-bucket theta join would not be."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    a = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"].alias("k"), "n_a", "n_b")

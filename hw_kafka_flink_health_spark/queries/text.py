@@ -545,3 +545,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
     )
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'ingest')), 1, 8))
+                  AS BIGINT) % 10 AS b
+      FROM documents
+    ), hist AS (
+      -- history = earlier buckets, plus re-deliveries: every 5th new doc
+      -- was already crawled once (same bytes, earlier delivery)
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM d WHERE b < 8 OR (b >= 8 AND doc_id % 5 = 0)
+    ), newb AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM d WHERE b >= 8
+    )
+    SELECT n.doc_id, n.fp,
+           CASE WHEN h.fp IS NOT NULL THEN 'dup' ELSE 'new' END AS status
+    FROM newb n LEFT JOIN hist h ON n.fp = h.fp
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup of a NEW batch against corpus HISTORY — the
+    operation a 100 TB pipeline runs on every delivery, where re-scanning
+    history per batch is impossible. History is represented by its
+    fingerprint INDEX only (distinct md5 of normalized text — write-once,
+    tiny next to the corpus, and bucketable by fp so the ingest join
+    co-locates); the new batch left-joins the index and each doc comes
+    out tagged 'dup' or 'new'. The history/new split here is the
+    portable md5 hash bucket of doc_id (deterministic, oracle-twinned),
+    with every 5th new doc also present in history — a re-delivered
+    crawl — so both branches carry rows; production splits by arrival
+    time."""
+    from hw_kafka_flink_health_spark.operators.dedup import fingerprint_expr
+    from hw_kafka_flink_health_spark.operators.mlprep import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 10, salt="ingest")
+    redelivered = (b >= 8) & (F.col("doc_id") % 5 == 0)
+    hist_index = (
+        docs.filter((b < 8) | redelivered)
+        .select(fingerprint_expr("text").alias("fp"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    new_batch = docs.filter(b >= 8).select(
+        "doc_id", fingerprint_expr("text").alias("fp")
+    )
+    return new_batch.join(hist_index, "fp", "left").select(
+        "doc_id",
+        "fp",
+        F.when(F.col("__hit").isNotNull(), "dup").otherwise("new").alias("status"),
+    )

@@ -33,6 +33,15 @@ def test_merge_schema_unions_evolving_batches(spark, tmp_path):
     rows = {r.event_id: r.region for r in back.collect()}
     assert len(rows) == 8
     assert rows[0] is None and rows[7] == "eu-west"  # old rows null-padded
+    # predicate on the EVOLVED column still reaches the scan as a pushed
+    # filter (files predating the column prune via missing-column nulls)
+    plan = (
+        back.filter(F.col("region") == "eu-west")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "region" in plan.split("PushedFilters")[1][:80]
 
 
 def test_csv_permissive_captures_malformed(spark, tmp_path):
@@ -119,3 +128,4 @@ def test_sqlrun_cli_explain(tmp_path):
     assert "== Physical Plan ==" in proc.stdout
     # pushdown is visible in the formatted plan from the CLI, too
     assert "PushedFilters" in proc.stdout
+
