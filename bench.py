@@ -79,6 +79,11 @@ HEADLINE = [
     "exact_quantiles",
     "heavy_hitter_tokens",
     "median_value_by_type",
+    # LLM-pipeline + range-join pack (tracked since r3b)
+    "text_decontaminate",
+    "text_remove_repeated_spans",
+    "mlprep_domain_mix",
+    "join_interval_binned",
 ]
 
 

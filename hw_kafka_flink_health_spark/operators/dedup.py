@@ -356,3 +356,53 @@ def connected_components(
         if stepped.filter(F.col("__changed")).limit(1).count() == 0:
             break
     return labels
+
+
+def word_ngrams_expr(text: Column | str, n: int) -> Column:
+    """Distinct word n-grams of normalized text, built JVM-side.
+
+    ``split`` on collapsed whitespace, then ``transform(sequence(1, len-n+1))``
+    assembles each n-gram with ``slice`` + ``concat_ws`` — no explode until the
+    caller asks for one, no Python in the loop. Documents shorter than ``n``
+    tokens yield an empty array (the ``when`` guard matters: Spark's
+    ``sequence(1, 0)`` counts DOWN, it is not empty)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.array_distinct(
+        F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def decontaminate_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: which corpus docs share an n-gram with the
+    eval set (the GPT-3/PaLM-style 13-gram overlap check, parameterized n).
+
+    Returns one row per contaminated corpus doc: (id_col, n_hit_grams) where
+    n_hit_grams counts DISTINCT shared n-grams. Scale shape: the benchmark
+    gram set is tiny relative to the corpus, so it is broadcast — the corpus
+    grams are generated map-side, filtered by the broadcast hash join
+    in-place, and only the surviving (doc, gram) pairs shuffle once for the
+    per-doc count. The corpus is never self-joined and never sorted."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams_expr(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams_expr(text_col, n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )

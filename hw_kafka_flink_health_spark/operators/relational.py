@@ -152,3 +152,46 @@ def winsorize(
             (F.col(value_col) != F.col(f"{value_col}_clipped")).cast("int"),
         )
     )
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval-containment join (start <= point <= end) WITHOUT an equi key,
+    kept hash-partitionable by binning — the range-join trick Spark's planner
+    does not do for you (a bare theta join plans as BroadcastNestedLoopJoin,
+    which is quadratic work at scale).
+
+    Each interval is exploded to every fixed-width bin it overlaps
+    (``sequence(floor(start/w), floor(end/w))`` — at most
+    ``len/w + 2`` rows per interval); each point maps to exactly ONE bin,
+    so after the equi join on the bin plus the exact containment filter,
+    every qualifying (point, interval) pair appears exactly once — no
+    dedup pass needed. Pick ``bin_width`` near the typical interval length:
+    replication factor stays ~2 while the join is an ordinary shuffled hash
+    join that AQE can size and skew-split. Columns must be numeric
+    (cast dates to day numbers first)."""
+    w = F.lit(bin_width)
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w)
+            )
+        ),
+    )
+    pt = points.withColumn("__bin", F.floor(F.col(point_col) / w))
+    return (
+        pt.join(iv, "__bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bin")
+    )

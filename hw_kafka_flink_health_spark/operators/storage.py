@@ -309,3 +309,89 @@ def compact_small_files(
     df = spark.read.parquet(src_dir)
     df.coalesce(n_out).write.mode("overwrite").parquet(dst_dir)
     return n_out
+
+
+def write_bloom_filtered(
+    df,
+    path: str,
+    cols: list[str],
+    *,
+    expected_ndv: int = 100_000,
+) -> None:
+    """Write parquet with file-level bloom-filter indexes on ``cols``.
+
+    Blooms answer point-lookup predicates (``k = ?``, ``k IN (...)``) on
+    HIGH-cardinality columns where min/max row-group stats cannot prune
+    (a uniformly distributed key spans every row group's min/max range).
+    At 100 TB this is the difference between opening every row group and
+    skipping all but the ones that might contain the key — the standard
+    companion to z-ordering for needle-in-haystack reads. Size the
+    ``expected_ndv`` per column near the true distinct count: too low
+    inflates the false-positive rate, too high wastes footer bytes.
+    Note parquet-mr omits the bloom for column chunks that stay fully
+    dictionary-encoded (the dictionary is already an exact membership
+    filter) — so only high-cardinality columns actually pay/benefit.
+    pyarrow 16 cannot read bloom metadata back, so the test pins the
+    bytes-on-disk delta plus read equivalence (Spark's reader consumes
+    the blooms transparently)."""
+    w = df.write.mode("overwrite")
+    for c in cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+    w.parquet(path)
+
+
+def build_file_manifest(path: str, col: str) -> list[tuple[str, object, object]]:
+    """Per-FILE (min, max) stats manifest for ``col``, read from parquet
+    footers only — the Delta/Iceberg data-skipping index, hand-rolled.
+
+    Returns [(file_path, min, max)] with one row per data file; footers
+    are a few KB each so this never touches row data. At 100 TB the
+    manifest is not rebuilt per query like this demo does — it is itself
+    a table, appended at write time per committed file and read with a
+    predicate — but the pruning contract below is identical."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, object, object]] = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None  # a stat-less row group poisons the file
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((f, lo, hi))
+    return out
+
+
+def read_file_pruned(
+    spark,
+    path: str,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Range scan that opens ONLY the files whose [min,max] for ``col``
+    overlaps [lo, hi], per the footer manifest — file-level skipping on
+    top of the row-group skipping Spark already does, and the reason
+    sorted/z-ordered layouts pay off: on a `write_sorted` table the
+    overlap set is O(selectivity), on a random layout it is every file.
+    Files with missing stats are conservatively kept. The residual
+    filter stays on the scan, so correctness never depends on the
+    manifest being right."""
+    keep = [
+        f
+        for f, mn, mx in build_file_manifest(path, col)
+        if mn is None or mx is None or (mx >= lo and mn <= hi)
+    ]
+    c = F.col(col)
+    if not keep:
+        return spark.read.parquet(path).filter(c >= lo).filter(c <= hi).limit(0)
+    return spark.read.parquet(*keep).filter((c >= lo) & (c <= hi))

@@ -277,3 +277,53 @@ def mlprep_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", {"en": 0.25}, id_col="doc_id", default=0.9
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "mlprep_domain_mix",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ), r AS (
+      SELECT source, n,
+             least(1.0, 0.5 * sum(n) OVER () / count(*) OVER () / n) AS keep_rate
+      FROM c
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), 'mix')), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.keep_rate
+    """,
+)
+def mlprep_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample over-represented sources so
+    the output targets an EQUAL token share per source at half the corpus
+    size (budget = 0.5 * total / n_sources per source, capped at
+    availability). The per-source keep rates are window functions over the
+    20-row source-count aggregate — no driver collect — broadcast back
+    onto the corpus, and membership is the portable md5 unit draw, so the
+    sample is deterministic and exactly reproducible in any engine. This
+    is the mixture-rebalancing pass an LLM pipeline runs after dedup to
+    hit a target domain composition."""
+    from pyspark.sql import Window
+
+    from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy()
+    rates = counts.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5)
+            * F.sum("n").over(w)
+            / F.count(F.lit(1)).over(w)
+            / F.col("n"),
+        ).alias("keep_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_unit("doc_id", "mix") < F.col("keep_rate"))
+        .select("doc_id", "source")
+    )

@@ -1333,3 +1333,53 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
     )
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"].alias("k"), "n_a", "n_b")
+
+
+@register(
+    "join_interval_binned",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_shipped_in_window
+    FROM orders JOIN lineitem
+      ON l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 7 DAY
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate BETWEEN TIMESTAMP '1995-06-01' AND TIMESTAMP '1995-06-30'
+    GROUP BY o_orderkey
+    """,
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval-containment join (no equi key): lineitems shipping
+    inside each urgent June-1995 order's 8-day window. Naively this is a
+    BroadcastNestedLoopJoin; ``binned_interval_join`` turns it into an
+    equi join on a day-bin key (plan-asserted NLJ-free in
+    tests/test_plans.py). Dates become day numbers via datediff so the
+    binning is integer arithmetic."""
+    from hw_kafka_flink_health_spark.operators.relational import binned_interval_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_orderdate").between("1995-06-01", "1995-06-30")
+        )
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("start_day"),
+            (F.datediff(F.col("o_orderdate").cast("date"), epoch) + 7).alias("end_day"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_day")
+    )
+    pairs = binned_interval_join(
+        li,
+        orders,
+        point_col="ship_day",
+        start_col="start_day",
+        end_col="end_day",
+        bin_width=8,
+    )
+    return pairs.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipped_in_window")
+    )

@@ -601,3 +601,104 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         F.when(F.col("__hit").isNotNull(), "dup").otherwise("new").alias("status"),
     )
+
+
+@register(
+    "text_decontaminate",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'bench')), 1, 8))
+                  AS BIGINT) % 20 = 0 AS is_bench
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, is_bench,
+             array_to_string(t[u.i : u.i + 4], ' ') AS gram
+      FROM d, unnest(generate_series(1, len(t) - 4)) AS u(i)
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM (SELECT doc_id, gram FROM g WHERE NOT is_bench) c
+    JOIN (SELECT DISTINCT gram FROM g WHERE is_bench) b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap check,
+    n=5 here so the synthetic corpus's short docs still collide): a
+    deterministic ~5% md5-bucket of documents plays the eval set; every
+    corpus doc sharing a 5-gram with it is flagged with its distinct-hit
+    count. The eval gram set broadcasts; the corpus shuffles once
+    (the per-doc count) — no self-join, no sort."""
+    from hw_kafka_flink_health_spark.operators.dedup import decontaminate_hits
+    from hw_kafka_flink_health_spark.operators.mlprep import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = hash_bucket("doc_id", 20, "bench") == 0
+    hits = decontaminate_hits(
+        docs.filter(~is_bench), docs.filter(is_bench), n=5
+    )
+    return hits.select("doc_id", F.col("n_hit_grams").cast("long"))
+
+
+@register(
+    "text_remove_repeated_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), s AS (
+      SELECT doc_id, u.i AS seg_idx,
+             array_to_string(t[(u.i - 1) * 10 + 1 : least(u.i * 10, len(t))], ' ') AS seg
+      FROM d, unnest(generate_series(1, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(i)
+    ), k AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM s
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM k WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def text_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span removal: segment each doc into 10-token
+    spans, keep only the globally FIRST occurrence of every span (ties
+    broken by (doc_id, position) so both engines agree bit-for-bit), and
+    reassemble the surviving spans in document order. One shuffle on the
+    span text for the first-occurrence window, one on doc_id to
+    reassemble; the segmenting itself is transform/slice JVM-side, and
+    at 100 TB the window key would be md5(span) — same plan, bounded
+    key width."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    nseg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    segs = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), nseg),
+                    lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * 10 + 1, 10)),
+                )
+            ).alias("pos", "seg"),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("seg_idx"), "seg")
+    )
+    first = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    kept = segs.withColumn("rn", F.row_number().over(first)).filter(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.seg,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )

@@ -259,3 +259,27 @@ def test_hll_union_error_bound(spark):
     for grain, exact in exact_m.items():
         approx = got[grain]
         assert abs(approx - exact) <= max(2, 0.05 * exact), (grain, approx, exact)
+
+
+def test_decontaminate_hits_planted_overlap(spark):
+    """Planted contamination: doc sharing a 5-gram with the benchmark is
+    flagged with the exact distinct-gram hit count; clean docs are not."""
+    from hw_kafka_flink_health_spark.operators.dedup import decontaminate_hits
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains 'quick brown fox jumps over' + 'brown fox jumps over the'
+            (1, "a quick brown fox jumps over the fence"),
+            (2, "completely different words in this one here"),
+            (3, "short doc"),  # < n tokens: no grams at all
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in decontaminate_hits(corpus, bench, n=5).collect()
+    }
+    assert rows == {1: 2}

@@ -282,3 +282,25 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
     assert len(rows) > 0
     final = j._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in final, final[:3000]
+
+
+def test_binned_interval_join_avoids_nested_loop(spark):
+    """The pure range-condition join (no equi key) MUST NOT plan as
+    BroadcastNestedLoopJoin — binned_interval_join manufactures a day-bin
+    equi key so Catalyst plans an ordinary equi join it can shuffle,
+    broadcast, or skew-split. The naive theta form is quadratic at scale."""
+    plan = plan_of(spark, "join_interval_binned")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), plan[:3000]
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The eval-set gram list is the provably small side: it must ship as
+    a broadcast so corpus grams are filtered map-side without shuffling
+    the corpus for the join."""
+    plan = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan[:3000]

@@ -235,3 +235,63 @@ def test_compact_small_files(spark, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     assert len(files) == n_out == 1  # sf0.001 events << 128 MB
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_bloom_filtered_write_adds_index_bytes_and_reads_back(spark, tmp_path):
+    """Bloom-indexed write: the option must actually reach the parquet
+    writer (observable as index bytes on disk — a 100k-NDV bloom is
+    ~128KB per file per column) and the data must read back identically.
+
+    The fixture needs genuinely high cardinality: parquet-mr SKIPS the
+    bloom when a column chunk stays fully dictionary-encoded (the
+    dictionary is already an exact membership filter), so a small
+    dict-encodable fixture would write zero bloom bytes — which is also
+    why the operator targets high-cardinality keys in production."""
+    import glob
+    import os
+
+    from hw_kafka_flink_health_spark.operators.storage import write_bloom_filtered
+
+    df = spark.range(100_000).selectExpr(
+        "id AS k", "cast(id * 7919 % 1000 AS long) AS payload"
+    ).coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.write.mode("overwrite").parquet(plain)
+    write_bloom_filtered(df, bloomed, ["k"], expected_ndv=100_000)
+
+    size = lambda d: sum(os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet"))
+    delta = size(bloomed) - size(plain)
+    assert delta > 60_000, f"bloom index bytes missing (delta={delta})"
+
+    got = spark.read.parquet(bloomed)
+    assert got.count() == df.count()
+    assert got.filter(F.col("k") == 54_321).count() == 1
+    assert got.filter(F.col("k") == 1_000_000).count() == 0
+
+
+def test_manifest_file_pruning_reads_fewer_files_same_answer(spark, tmp_path):
+    """Footer-manifest file skipping: on a range-clustered table a narrow
+    range predicate must open a strict subset of files (file-level
+    pruning, the Delta/Iceberg trick) and return exactly the rows the
+    full scan returns."""
+    from hw_kafka_flink_health_spark.operators.storage import (
+        read_file_pruned,
+        write_sorted,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "sorted_orders")
+    write_sorted(orders, path, sort_cols="o_totalprice", target_partitions=8)
+
+    lo, hi = 1000.0, 5000.0
+    pruned = read_file_pruned(spark, path, "o_totalprice", lo, hi)
+    full = spark.read.parquet(path).filter(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    )
+    n_all = len(spark.read.parquet(path).inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_all == 8
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    assert sorted(r[0] for r in pruned.select("o_orderkey").collect()) == sorted(
+        r[0] for r in full.select("o_orderkey").collect()
+    )
