@@ -358,16 +358,24 @@ def connected_components(
     return labels
 
 
-def word_ngrams_expr(text: Column | str, n: int) -> Column:
-    """Distinct word n-grams of normalized text, built JVM-side.
-
-    ``split`` on collapsed whitespace, then ``transform(sequence(1, len-n+1))``
-    assembles each n-gram with ``slice`` + ``concat_ws`` — no explode until the
-    caller asks for one, no Python in the loop. Documents shorter than ``n``
-    tokens yield an empty array (the ``when`` guard matters: Spark's
-    ``sequence(1, 0)`` counts DOWN, it is not empty)."""
+def norm_tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokens of lower/collapsed text (the shared normalizer)."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+
+
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-grams from an ALREADY-STAGED token-array column.
+
+    ``transform(sequence(1, len-n+1))`` assembles each n-gram with
+    ``slice`` + ``concat_ws`` — no explode until the caller asks for one,
+    no Python in the loop. The token array must be a staged column, not an
+    inline ``split(...)`` expression: common-subexpression elimination does
+    not reach inside lambda bodies, so an inline split re-tokenizes the
+    document once PER GRAM (same pathology the jaccard postings plan test
+    pins; measured ~5x there). Documents shorter than ``n`` tokens yield an
+    empty array (the ``when`` guard matters: Spark's ``sequence(1, 0)``
+    counts DOWN, it is not empty)."""
     m = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
@@ -395,11 +403,14 @@ def decontaminate_hits(
     in-place, and only the surviving (doc, gram) pairs shuffle once for the
     per-doc count. The corpus is never self-joined and never sorted."""
     bench_grams = (
-        benchmark.select(F.explode(word_ngrams_expr(text_col, n)).alias("gram"))
+        benchmark.select(norm_tokens_expr(text_col).alias("__toks"))
+        .select(F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("gram"))
         .distinct()
     )
     corpus_grams = corpus.select(
-        F.col(id_col), F.explode(word_ngrams_expr(text_col, n)).alias("gram")
+        F.col(id_col), norm_tokens_expr(text_col).alias("__toks")
+    ).select(
+        F.col(id_col), F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("gram")
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram")

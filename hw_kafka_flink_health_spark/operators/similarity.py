@@ -584,3 +584,56 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("approx_cosine", 6).alias("approx_cosine"), "rank")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 10,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering the embedding space, then pruning near-identical
+    pairs WITHIN each cluster only.
+
+    The cluster assignment is the blocker that makes this sub-quadratic:
+    pairwise cosine is computed per cluster (sum of per-cluster squares
+    via ``neardup_pairs_blocked``), never across the corpus. The keep
+    rule is the greedy min-id representative: a vector is dropped iff it
+    is within ``threshold`` cosine of ANY lower-id vector in its cluster
+    — one anti-joinable drop set, no iteration. Returns
+    (id_col, cluster, keep) for every input vector.
+
+    At 100 TB: train the quantizer on a bounded sample, write the corpus
+    partitioned by cluster id (same layout IVF wants), and the pair pass
+    becomes per-partition work with no global shuffle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="features", predictionCol="cluster"
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cluster")
+    pairs = neardup_pairs_blocked(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster",
+        threshold=threshold,
+    )
+    drops = pairs.select(F.col("id2").alias(id_col)).distinct().withColumn(
+        "__drop", F.lit(True)
+    )
+    return assigned.join(drops, id_col, "left").select(
+        id_col, "cluster", F.col("__drop").isNull().alias("keep")
+    )

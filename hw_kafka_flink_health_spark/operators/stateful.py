@@ -251,3 +251,85 @@ def ewma_batch(parsed: DataFrame, alpha: float = 0.2) -> DataFrame:
             F.col("z.ewma").alias("ewma_bpm"),
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("patient_id", T.StringType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("avg_bpm", T.DoubleType()),
+    ]
+)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_bpm", T.DoubleType()),
+    ]
+)
+
+
+def session_timeout_stream(parsed: DataFrame, *, gap_seconds: int = 30) -> DataFrame:
+    """Custom gap-session operator with EVENT-TIME TIMEOUT: a key's
+    session closes (and emits exactly one summary row) when the watermark
+    passes its last event + gap — i.e. the stream itself proves no more
+    in-gap events can arrive. This is the timeout half of the GroupState
+    API that `new_peak_stream` (NoTimeout) doesn't exercise, and the
+    applyInPandasWithState twin of the built-in ``session_window`` agg
+    (which `streaming/health_pipeline.py` uses): use the built-in when a
+    plain aggregate per session suffices; use this shape when the
+    per-session logic grows arbitrary (trajectories, model calls).
+
+    Input must carry an `event_ts` watermark column (parse_events_df) —
+    the caller sets `withWatermark` BEFORE grouping; state is O(open
+    sessions) and every timed-out key removes its state, so the store
+    cannot grow unboundedly."""
+    ship_package(parsed.sparkSession)
+
+    gap_ms = gap_seconds * 1000
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_ms, last_ms, n, sum_bpm = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start_ms, last_ms, n, sum_bpm / n)],
+                columns=[
+                    "patient_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "avg_bpm",
+                ],
+            )
+            return
+        start_ms, last_ms, n, sum_bpm = (
+            state.get if state.exists else (None, None, 0, 0.0)
+        )
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("event_time").iterrows():
+                ts = int(row["event_time"])
+                if start_ms is None:
+                    start_ms = ts
+                # events arriving within the gap extend the session; a
+                # larger in-batch jump would normally split — kept simple
+                # here (split logic is per-session code, the point of the
+                # escape hatch) because the timeout handles the close
+                last_ms = max(last_ms or ts, ts)
+                n += 1
+                sum_bpm += float(row["heart_rate_bpm"])
+        state.update((start_ms, last_ms, n, sum_bpm))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        return
+        yield  # pragma: no cover — make fn a generator in the no-emit path
+
+    return parsed.groupBy("patient_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

@@ -673,13 +673,16 @@ def text_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassemble; the segmenting itself is transform/slice JVM-side, and
     at 100 TB the window key would be md5(span) — same plan, bounded
     key width."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
-    )
+    # stage the token array BEFORE the lambda: an inline split would be
+    # re-evaluated per segment (CSE does not reach into lambda bodies)
+    toks = F.col("__toks")
     nseg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
     segs = (
-        docs.select(
+        docs.select("doc_id", norm_tokens_expr("text").alias("__toks"))
+        .select(
             "doc_id",
             F.posexplode(
                 F.transform(
@@ -702,3 +705,18 @@ def text_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
+
+
+@register("text_bpe_token_counts")  # iterative training: rows-only by design
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 40-merge BPE tokenizer ON the corpus (one aggregation per
+    merge round over the distinct-word table, one argmax row collected
+    per round) and encode every document with it. Rows-only: the
+    training loop is iterative and not SQL-expressible; determinism and
+    algorithmic correctness are pinned by the local-reference parity
+    test in tests/test_bpe.py."""
+    from hw_kafka_flink_health_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=40)
+    return bpe_encode(docs, merges)

@@ -217,3 +217,18 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + 0.0 canonicalizes IEEE -0.0 to 0.0 (repr-based hash compare)
         .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_v"))
     )
+
+
+@register("embedding_semdedup")  # kmeans assignment is engine-specific: rows-only
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pass over the embeddings table: cluster, prune
+    within-cluster near-identical vectors (cosine > 0.99), flag
+    survivors. Rows-only by design (k-means is seeded-engine-specific);
+    the planted-duplicate pruning guarantee is pinned in
+    tests/test_approx_operators.py."""
+    from hw_kafka_flink_health_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_clusters=8, threshold=0.99).select(
+        "vec_id", F.col("cluster").cast("long"), "keep"
+    )

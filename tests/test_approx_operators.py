@@ -283,3 +283,25 @@ def test_decontaminate_hits_planted_overlap(spark):
         for r in decontaminate_hits(corpus, bench, n=5).collect()
     }
     assert rows == {1: 2}
+
+
+def test_semdedup_prunes_planted_near_duplicates(spark):
+    """SemDeDup guarantee: an exact duplicate of a lower-id vector is
+    dropped (same cluster by construction — identical point), while
+    well-separated vectors all survive."""
+    from hw_kafka_flink_health_spark.operators.similarity import semdedup
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+        (10, [1.0, 0.001, 0.0, 0.0]),  # near-dup of 1
+        (11, [0.0, 0.0, 0.0, 1.001]),  # near-dup of 4
+    ]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["keep"] for r in semdedup(
+        df, n_clusters=4, threshold=0.99, seed=7
+    ).collect()}
+    assert got[10] is False and got[11] is False
+    assert all(got[i] for i in (1, 2, 3, 4))

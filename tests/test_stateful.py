@@ -167,3 +167,56 @@ def test_ewma_tws_gated_on_protobuf(spark):
             ewma_stream_tws(parsed)
     else:
         pytest.skip("protobuf present; TWS covered by streaming envs")
+
+
+def test_session_timeout_stream_closes_sessions_via_watermark(spark, tmp_path):
+    """EventTimeTimeout sessions: a key's session row is emitted exactly
+    when the watermark passes last_event + gap. Batch 1's far-future
+    event advances the watermark, which must close (and emit) both
+    batch-0 sessions while the future key's own session stays open."""
+    from hw_kafka_flink_health_spark.operators.stateful import session_timeout_stream
+
+    events_b0 = [
+        {"patient_id": "p001", "timestamp": "2025-11-19T07:00:00+00:00", "heart_rate_bpm": 80},
+        {"patient_id": "p001", "timestamp": "2025-11-19T07:00:10+00:00", "heart_rate_bpm": 90},
+        {"patient_id": "p002", "timestamp": "2025-11-19T07:00:05+00:00", "heart_rate_bpm": 60},
+    ]
+    events_b1 = [
+        {"patient_id": "p003", "timestamp": "2025-11-19T07:05:00+00:00", "heart_rate_bpm": 70},
+    ]
+    src = tmp_path / "sessions"
+    os.makedirs(src)
+    with open(src / "b0.json", "w") as f:
+        for e in events_b0:
+            f.write(json.dumps({"raw": json.dumps(e)}) + "\n")
+    with open(src / "b1.json", "w") as f:
+        for e in events_b1:
+            f.write(json.dumps({"raw": json.dumps(e)}) + "\n")
+    t0 = os.stat(src / "b0.json").st_mtime
+    os.utime(src / "b0.json", (t0 - 60, t0 - 60))
+
+    reader = (
+        spark.readStream.schema("raw string").option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    parsed = parse_events_df(reader).withWatermark("event_ts", "5 seconds")
+    sessions = session_timeout_stream(
+        parsed.select("patient_id", "event_time", "event_ts", "heart_rate_bpm"),
+        gap_seconds=30,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.patient_id: (r.session_start, r.session_end, r.n_events, r.avg_bpm)
+        for r in spark.sql("SELECT * FROM session_stream").collect()
+    }
+    base = 1763535600000  # 2025-11-19T07:00:00Z
+    assert got == {
+        "p001": (base, base + 10_000, 2, 85.0),
+        "p002": (base + 5_000, base + 5_000, 1, 60.0),
+    }
