@@ -84,6 +84,10 @@ HEADLINE = [
     "text_remove_repeated_spans",
     "mlprep_domain_mix",
     "join_interval_binned",
+    # integration + audit pack (tracked since r3c)
+    "pipeline_pretrain_corpus",
+    "privacy_k_anonymity",
+    "graph_degree_histogram",
 ]
 
 

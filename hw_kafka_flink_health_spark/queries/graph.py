@@ -110,3 +110,40 @@ def graph_pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+@register(
+    "graph_degree_histogram",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src
+    )
+    SELECT out_deg, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY out_deg
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the purchase graph (same edge
+    derivation as PageRank): the first thing to compute before ANY graph
+    workload at scale, because the histogram's tail dictates the
+    partitioning strategy (a power-law hub means salting / AQE skew
+    handling on the join key). Two hash aggs — degree, then histogram —
+    each with map-side partials."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("out_deg"))
+    return deg.groupBy("out_deg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

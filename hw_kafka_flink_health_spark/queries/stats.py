@@ -155,3 +155,82 @@ def mlprep_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
         .limit(50)
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, epoch_ms(hr) AS hour_ms, value_band, group_size, n_users,
+           CASE WHEN group_size < 5 THEN 1 ELSE 0 END AS below_k
+    FROM g
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over quasi-identifiers (event_type, hour,
+    coarse value band): every equivalence class with fewer than k=5 rows
+    is a re-identification risk the release pipeline must suppress or
+    generalize. One hash aggregation on the quasi-identifier tuple —
+    the privacy twin of the quality audits, and the check a training
+    corpus with user-derived rows runs before export."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return g.select(
+        "event_type",
+        F.unix_millis(F.col("hr")).alias("hour_ms"),
+        "value_band",
+        "group_size",
+        "n_users",
+        F.when(F.col("group_size") < 5, 1).otherwise(0).alias("below_k"),
+    )
+
+
+@register(
+    "histogram_equidepth_totalprice",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_equidepth_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 buckets of equal row count) — the
+    boundary source CBO range stats and range-partitioners use, vs the
+    equi-width histogram elsewhere in the catalog. ntile needs a total
+    order: the o_orderkey tie-break makes bucket assignment exact and
+    engine-portable at boundary duplicates. Scale note: a global ntile
+    is a single-partition sort — fine for stats tables, and the approx
+    path (approx_percentile boundaries) keeps the same output shape when
+    the input is the raw 100 TB fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_totalprice",
+        F.ntile(8)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

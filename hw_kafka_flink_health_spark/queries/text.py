@@ -720,3 +720,115 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=40)
     return bpe_encode(docs, merges)
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'bench')), 1, 8))
+                  AS BIGINT) % 20 = 0 AS is_bench,
+             row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ), qual AS (
+      SELECT doc_id, source, text FROM fp
+      WHERE rn = 1 AND NOT is_bench
+        AND len(string_split(text, ' ')) >= 5
+        AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' ')) > 0.3
+    ), btoks AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+      WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'bench')), 1, 8))
+                 AS BIGINT) % 20 = 0
+    ), bgrams AS (
+      SELECT DISTINCT array_to_string(t[u.i : u.i + 4], ' ') AS gram
+      FROM btoks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+    ), ctoks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM qual
+    ), cont AS (
+      SELECT DISTINCT g.doc_id
+      FROM (
+        SELECT DISTINCT doc_id, array_to_string(t[u.i : u.i + 4], ' ') AS gram
+        FROM ctoks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+      ) g JOIN bgrams USING (gram)
+    ), clean AS (
+      SELECT q.doc_id, q.source FROM qual q
+      ANTI JOIN cont c ON q.doc_id = c.doc_id
+    ), cnt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM clean GROUP BY source
+    ), r AS (
+      SELECT source, least(1.0, 0.5 * sum(n) OVER () / count(*) OVER () / n) AS keep_rate
+      FROM cnt
+    )
+    SELECT c.doc_id, c.source
+    FROM clean c JOIN r USING (source)
+    WHERE CAST(concat('0x', substr(md5(concat(CAST(c.doc_id AS VARCHAR), 'mix')), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.keep_rate
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining corpus-selection pipeline as ONE declarative
+    DAG: exact dedup (first-copy survivor) -> quality gate -> benchmark
+    decontamination -> domain-mixture resampling, value-hash-oracled end
+    to end. This is the integration query — each stage is its own oracled
+    operator elsewhere; here Catalyst fuses them, and the oracle proves
+    the COMPOSITION (stage ordering, survivor interactions) not just the
+    parts. Shuffle audit: dedup window (1 exchange on fp), gram join
+    (broadcast), per-source counts on a 20-row aggregate, final rate join
+    (broadcast) — the corpus body is shuffled once."""
+    from pyspark.sql import Window as W
+
+    from hw_kafka_flink_health_spark.operators.dedup import (
+        decontaminate_hits,
+        fingerprint_expr,
+    )
+    from hw_kafka_flink_health_spark.operators.mlprep import hash_bucket, hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = hash_bucket("doc_id", 20, "bench") == 0
+
+    # stage 1+2: first-copy-per-fingerprint survivors, quality-gated,
+    # eval docs excluded from the corpus
+    rn = F.row_number().over(
+        W.partitionBy(fingerprint_expr("text")).orderBy("doc_id")
+    )
+    raw_toks = F.split(F.col("text"), " ")
+    qual = (
+        docs.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & ~is_bench)
+        .filter(
+            (F.size(raw_toks) >= 5)
+            & (
+                F.size(F.array_distinct(raw_toks)).cast("double")
+                / F.size(raw_toks)
+                > 0.3
+            )
+        )
+        .select("doc_id", "source", "text")
+    )
+
+    # stage 3: drop anything sharing a 5-gram with the eval set
+    hits = decontaminate_hits(qual, docs.filter(is_bench), n=5)
+    clean = qual.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+    # stage 4: deterministic mixture rebalance toward equal source shares
+    counts = clean.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.partitionBy()
+    rates = counts.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5) * F.sum("n").over(w) / F.count(F.lit(1)).over(w) / F.col("n"),
+        ).alias("keep_rate"),
+    )
+    return (
+        clean.join(F.broadcast(rates), "source")
+        .filter(hash_unit("doc_id", "mix") < F.col("keep_rate"))
+        .select("doc_id", "source")
+    )

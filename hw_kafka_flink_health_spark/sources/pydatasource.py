@@ -21,13 +21,16 @@ from __future__ import annotations
 
 import hashlib
 import json
+from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 PATIENTS = [f"p{i:03d}" for i in range(1, 6)]
@@ -123,3 +126,116 @@ class HeartRateDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _StreamReader(self.options)
+
+
+class _PushdownBatchReader(_BatchReader):
+    """Batch reader WITH filter pushdown (Spark 4.1 ``pushFilters``):
+    range/point predicates on ``event_id`` shrink the GENERATED id range
+    — the source never materializes pruned rows, the Python-source analog
+    of parquet predicate pushdown. Unsupported filters are returned to
+    Spark, which applies them post-scan, so pushdown is only ever an
+    optimization, never a correctness dependency. Requires
+    ``spark.sql.python.filterPushdown.enabled=true`` (Spark refuses to
+    silently ignore an implemented pushFilters otherwise)."""
+
+    def __init__(self, options) -> None:
+        super().__init__(options)
+        self.lo = 0
+        self.hi = self.rows  # exclusive
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col != "event_id":
+                yield f  # not ours — Spark evaluates it post-scan
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            else:
+                yield f
+
+    def read(self, partition):
+        base = max(self.lo, 0)
+        for eid in range(base + partition.value, self.hi, self.num_partitions):
+            yield _event(eid, self.start_ms)
+
+
+class _DirWriter(DataSourceWriter):
+    """Write side of the API: each task writes its partition to a private
+    ``part-<uuid>`` file and reports it in a WriterCommitMessage; only
+    ``commit`` (driver, after ALL tasks succeed) publishes a manifest
+    naming the parts. Readers that honor the manifest see an atomic
+    all-or-nothing dataset; ``abort`` removes the orphan parts. Same
+    two-phase contract as Hadoop output committers."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("path option is required")
+
+    def write(self, rows):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return SimpleCommitMessage(part=part, count=n)
+
+    def commit(self, messages):
+        import os
+
+        manifest = {
+            "parts": sorted(os.path.basename(m.part) for m in messages),
+            "rows": sum(m.count for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.part):
+                os.remove(m.part)
+
+
+@dataclass
+class SimpleCommitMessage(WriterCommitMessage):
+    part: str
+    count: int
+
+
+class HeartRatePushdownDataSource(HeartRateDataSource):
+    """Variant registered as ``heart_rate_pushdown``: same data, plus
+    reader filter pushdown and a manifest-committing writer."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "heart_rate_pushdown"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _PushdownBatchReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _DirWriter(self.options)

@@ -206,3 +206,99 @@ def test_python_datasource_streaming_microbatches(spark, tmp_path):
         assert ids == list(range(100))
     finally:
         q.stop()
+
+
+def test_python_datasource_filter_pushdown_prunes_generation(spark):
+    """pushFilters: a range predicate on event_id must shrink the
+    GENERATED range (scan output == filtered count without a post-scan
+    filter doing the work), and non-pushable predicates still apply."""
+    from hw_kafka_flink_health_spark.sources.pydatasource import (
+        HeartRatePushdownDataSource,
+        _PushdownBatchReader,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(HeartRatePushdownDataSource)
+    df = (
+        spark.read.format("heart_rate_pushdown")
+        .option("rows", "1000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    got = df.filter("event_id >= 900 AND event_id < 950").collect()
+    assert sorted(r["event_id"] for r in got) == list(range(900, 950))
+    # residual (non-pushable) predicate still correct
+    n_p1 = df.filter("event_id < 100 AND patient_id = 'p001'").count()
+    assert 0 < n_p1 < 100
+
+    # white-box: the reader records the pushed range and yields only it
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    r = _PushdownBatchReader({"rows": "1000", "numPartitions": "4"})
+    rest = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("event_id",), 900), LessThan(("event_id",), 950)]
+        )
+    )
+    assert rest == []
+    assert (r.lo, r.hi) == (900, 950)
+    ids = sorted(e[0] for p in r.partitions() for e in r.read(p))
+    assert ids == list(range(900, 950))
+
+
+def test_python_datasource_writer_commits_manifest_atomically(spark, tmp_path):
+    """DataSourceWriter two-phase commit: parts land per task, the
+    manifest is driver-published only after all tasks succeed, and the
+    manifest's row count equals what was written."""
+    import glob
+    import json as _json
+
+    from hw_kafka_flink_health_spark.sources.pydatasource import (
+        HeartRatePushdownDataSource,
+    )
+
+    spark.dataSource.register(HeartRatePushdownDataSource)
+    out = str(tmp_path / "ds_out")
+    df = spark.range(200).selectExpr("id", "id * 2 AS v").repartition(3)
+    df.write.format("heart_rate_pushdown").option("path", out).mode("append").save()
+
+    manifest = _json.load(open(f"{out}/_MANIFEST.json"))
+    parts = sorted(glob.glob(f"{out}/part-*.jsonl"))
+    assert manifest["rows"] == 200
+    assert sorted(manifest["parts"]) == [p.split("/")[-1] for p in parts]
+    rows = [
+        _json.loads(line) for p in parts for line in open(p)
+    ]
+    assert len(rows) == 200
+    assert sorted(r["id"] for r in rows) == list(range(200))
+
+
+def test_hidden_metadata_column_row_provenance(spark, tmp_path):
+    """Row-level provenance via the hidden `_metadata` struct: per-file
+    row counts from `_metadata.file_path` must agree with inputFiles()
+    and with each file's own footer row count — the debugging tool for
+    'which ingest file produced this bad row' at scale."""
+    import pyarrow.parquet as pq
+
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "prov")
+    events.repartition(4).write.parquet(path)
+
+    df = spark.read.parquet(path)
+    per_file = {
+        r["f"]: r["n"]
+        for r in df.select(F.col("_metadata.file_path").alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # _metadata.file_path says file:/x; inputFiles() says file:///x —
+    # same URI, different normal form
+    strip = lambda u: "/" + u.split(":", 1)[1].lstrip("/")
+    assert len(per_file) == 4
+    assert {strip(f) for f in per_file} == {strip(f) for f in df.inputFiles()}
+    for f, n in per_file.items():
+        assert pq.ParquetFile(strip(f)).metadata.num_rows == n
