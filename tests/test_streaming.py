@@ -743,3 +743,51 @@ def test_foreach_batch_upsert_recovers_mid_swap_crash(spark, tmp_path):
     assert got == {"p001": 70, "p002": 80, "p003": 45}
     assert not os.path.isdir(table + ".staging")
     assert not os.path.isdir(table + ".retired")
+
+
+def test_python_datasource_feeds_reference_alert_pipeline(spark, tmp_path):
+    """End-to-end composition: the Spark 4 Python DataSource streams the
+    producer wire format into the SAME parse -> watermark -> window ->
+    classify pipeline the Kafka source feeds — proving the source is a
+    drop-in for S1 without a broker. The generator's bpm range (55..95)
+    brackets both alert thresholds, so windows must classify into more
+    than one category."""
+    from hw_kafka_flink_health_spark.functions.parsing import parse_events_df
+    from hw_kafka_flink_health_spark.sources.pydatasource import HeartRateDataSource
+    from hw_kafka_flink_health_spark.streaming.health_pipeline import windowed_vitals
+    from hw_kafka_flink_health_spark.functions.classify import classify_expr
+
+    spark.dataSource.register(HeartRateDataSource)
+    raw = (
+        spark.readStream.format("heart_rate_synthetic")
+        .option("rowsPerBatch", "400")
+        .load()
+    )
+    vitals = windowed_vitals(
+        parse_events_df(raw), watermark="5 seconds"
+    ).withColumn("status", classify_expr("avg_hr"))
+    q = (
+        vitals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("pyds_alerts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT patient_id, window_start, status FROM pyds_alerts"
+            ).collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(0.5)
+        assert len(rows) >= 5, len(rows)
+        assert {r.patient_id for r in rows} <= {f"p{i:03d}" for i in range(1, 6)}
+        assert {r.status for r in rows} <= {"normal", "tachycardia", "bradycardia"}
+    finally:
+        q.stop()
