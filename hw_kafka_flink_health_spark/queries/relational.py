@@ -1383,3 +1383,45 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_shipped_in_window")
     )
+
+
+@register(
+    "interval_join_full_attribution",
+    oracle="""
+    SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def interval_join_full_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-outer interval join: every purchase (attributed or organic)
+    AND every click (converting or abandoned) survives — the complete
+    attribution ledger both marketing sides reconcile against. The key
+    column is coalesced across sides so right-unmatched rows keep their
+    key. Same hash-partitionable equi join; streaming twin evicts both
+    sides' state on the watermark."""
+    from hw_kafka_flink_health_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+        how="full_outer",
+    )

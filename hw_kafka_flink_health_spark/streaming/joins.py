@@ -43,14 +43,14 @@ def interval_join(
     timestamp. Streaming inputs are watermarked on their own timestamp;
     batch inputs pass through unchanged.
 
-    `how` may be "inner" or "left_outer". Streaming left-outer emits the
-    null-padded row for an unmatched left event only once the watermark
-    has passed the interval's upper bound (the row provably cannot match
-    anymore) — both watermarks plus the time-range condition are what
-    make that eviction decision possible, per Spark's outer-join
-    requirement for stream-stream joins.
+    `how` may be "inner", "left_outer", "right_outer", or "full_outer".
+    Streaming outer variants emit the null-padded row for an unmatched
+    event only once the watermark has passed the interval's bound (the
+    row provably cannot match anymore) — both watermarks plus the
+    time-range condition are what make that eviction decision possible,
+    per Spark's outer-join requirement for stream-stream joins.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unsupported interval-join type: {how!r}")
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
@@ -65,4 +65,9 @@ def interval_join(
         & (lw[left_ts] >= rw[right_ts] + F.expr(f"INTERVAL {lower}"))
         & (lw[left_ts] <= rw[right_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return lw.join(rw, cond, how).drop("__rkey")
+    joined = lw.join(rw, cond, how)
+    if how in ("right_outer", "full_outer"):
+        # the left key is null on right-unmatched rows: surface ONE key
+        # column that is non-null wherever a key exists
+        joined = joined.withColumn(on, F.coalesce(lw[on], rw["__rkey"]))
+    return joined.drop("__rkey")

@@ -791,3 +791,62 @@ def test_python_datasource_feeds_reference_alert_pipeline(spark, tmp_path):
         assert {r.status for r in rows} <= {"normal", "tachycardia", "bradycardia"}
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_full_outer(spark, tmp_path):
+    """FULL-outer interval join: unmatched rows from BOTH sides emit
+    null-padded after the watermark clears their windows — the abandoned
+    click (user 2) must surface with a non-null coalesced key, alongside
+    the organic purchases."""
+    from hw_kafka_flink_health_spark.streaming.joins import interval_join
+
+    import json as _json
+
+    def write_rows(d, fname, rows):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    clicks = [
+        {"user_id": 1, "click_id": 10, "click_ts": "2024-01-01T10:00:00"},
+        {"user_id": 2, "click_id": 12, "click_ts": "2024-01-01T10:00:00"},  # abandoned
+    ]
+    purchases = [
+        {"user_id": 1, "purchase_id": 20, "purchase_ts": "2024-01-01T10:10:00"},
+        {"user_id": 3, "purchase_id": 23, "purchase_ts": "2024-01-01T10:10:00"},  # organic
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    write_rows(cdir, "part-0.json", clicks)
+    write_rows(pdir, "part-0.json", purchases)
+
+    cs = spark.readStream.schema(
+        "user_id long, click_id long, click_ts timestamp"
+    ).json(cdir)
+    ps = spark.readStream.schema(
+        "user_id long, purchase_id long, purchase_ts timestamp"
+    ).json(pdir)
+    joined = interval_join(
+        ps, cs, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        upper="30 minutes", watermark="1 minute", how="full_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_full")
+        .start()
+    )
+    q.processAllAvailable()
+    write_rows(cdir, "part-1.json",
+               [{"user_id": 9, "click_id": 90, "click_ts": "2024-01-01T15:00:00"}])
+    write_rows(pdir, "part-1.json",
+               [{"user_id": 9, "purchase_id": 99, "purchase_ts": "2024-01-01T15:00:00"}])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_full").collect()
+    }
+    assert (1, 20, 10) in got
+    assert (3, 23, None) in got  # organic purchase, left side preserved
+    assert (2, None, 12) in got  # abandoned click, RIGHT side preserved w/ key
