@@ -239,3 +239,59 @@ class HeartRatePushdownDataSource(HeartRateDataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _DirWriter(self.options)
+
+
+class _ManifestPartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class _ManifestReader(DataSourceReader):
+    """Reads ONLY the part files named by ``_MANIFEST.json`` — the read
+    side of `_DirWriter`'s two-phase commit. Orphan part files (from a
+    crashed/aborted write that never published a manifest entry) are
+    invisible, so readers always observe an atomic snapshot; one input
+    partition per committed part keeps the read parallel."""
+
+    def __init__(self, options, field_names: list[str]) -> None:
+        import os
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("path option is required")
+        self.field_names = field_names
+        with open(os.path.join(self.path, "_MANIFEST.json")) as f:
+            self.manifest = json.load(f)
+
+    def partitions(self):
+        import os
+
+        return [
+            _ManifestPartition(os.path.join(self.path, p))
+            for p in self.manifest["parts"]
+        ]
+
+    def read(self, partition):
+        # project by the USER-SUPPLIED schema's field names, not record
+        # order — JSONL rows owe no column order to anyone
+        with open(partition.path) as f:
+            for line in f:
+                rec = json.loads(line)
+                yield tuple(rec.get(n) for n in self.field_names)
+
+
+class ManifestJsonlDataSource(DataSource):
+    """``manifest_jsonl``: atomic JSONL directory format. Writing goes
+    through `_DirWriter` (parts + driver-committed manifest); reading
+    trusts the manifest only. The user supplies the schema (JSONL is
+    untyped): ``spark.read.format("manifest_jsonl").schema(...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _ManifestReader(self.options, [f.name for f in schema.fields])
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _DirWriter(self.options)

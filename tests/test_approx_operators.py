@@ -305,3 +305,75 @@ def test_semdedup_prunes_planted_near_duplicates(spark):
     ).collect()}
     assert got[10] is False and got[11] is False
     assert all(got[i] for i in (1, 2, 3, 4))
+
+
+def test_ngrams_from_tokens_matches_python_sliding_window(spark):
+    """Property: the transform/slice/concat_ws gram builder equals the
+    obvious Python sliding window (distinct) for edge shapes — empty
+    text, sub-n docs, exact-n docs, heavy repetition."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.dedup import (
+        ngrams_from_tokens,
+        norm_tokens_expr,
+    )
+
+    texts = [
+        "",
+        "one",
+        "a b",
+        "a b c",
+        "a b c d",
+        "x x x x x x",
+        "The  QUICK   brown fox",
+        " lead and trail  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: r["g"]
+        for r in df.select(
+            "i",
+            ngrams_from_tokens(norm_tokens_expr("text"), 3).alias("g"),
+        ).collect()
+    }
+
+    def py_grams(t, n=3):
+        toks = " ".join(t.lower().split()).split(" ")
+        out, seen = [], set()
+        for j in range(len(toks) - n + 1):
+            g = " ".join(toks[j : j + n])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_grams(t), (i, t, got[i])
+
+
+def test_binned_interval_join_negative_coordinates(spark):
+    """floor-division binning is correct across zero (pre-epoch days):
+    pairs match iff containment holds, each exactly once."""
+    from hw_kafka_flink_health_spark.operators.relational import binned_interval_join
+
+    points = spark.createDataFrame([(-10,), (-1,), (0,), (3,), (12,)], ["p"])
+    intervals = spark.createDataFrame(
+        [(1, -12, -9), (2, -2, 1), (3, 2, 20)], ["iv", "lo", "hi"]
+    )
+    got = sorted(
+        (r["iv"], r["p"])
+        for r in binned_interval_join(
+            points, intervals, point_col="p", start_col="lo", end_col="hi", bin_width=5
+        ).collect()
+    )
+    assert got == [(1, -10), (2, -1), (2, 0), (3, 3), (3, 12)]
+
+
+def test_decontaminate_empty_benchmark_flags_nothing(spark):
+    from hw_kafka_flink_health_spark.operators.dedup import decontaminate_hits
+
+    corpus = spark.createDataFrame(
+        [(1, "some words repeated here some words repeated")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate_hits(corpus, bench, n=3).count() == 0

@@ -302,3 +302,35 @@ def test_hidden_metadata_column_row_provenance(spark, tmp_path):
     assert {strip(f) for f in per_file} == {strip(f) for f in df.inputFiles()}
     for f, n in per_file.items():
         assert pq.ParquetFile(strip(f)).metadata.num_rows == n
+
+
+def test_manifest_jsonl_roundtrip_ignores_orphan_parts(spark, tmp_path):
+    """manifest_jsonl round trip: write via the two-phase-commit writer,
+    then plant an ORPHAN part file (a crashed write that never got a
+    manifest entry) — the reader must see exactly the committed rows,
+    proving reads are atomic snapshots, and must project by the supplied
+    schema regardless of JSON field order."""
+    from hw_kafka_flink_health_spark.sources.pydatasource import (
+        ManifestJsonlDataSource,
+    )
+
+    spark.dataSource.register(ManifestJsonlDataSource)
+    out = str(tmp_path / "atomic")
+    df = spark.range(100).selectExpr("id", "id * 3 AS v").repartition(2)
+    df.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    # orphan from a "crashed" writer: present on disk, absent from manifest
+    with open(f"{out}/part-deadbeef.jsonl", "w") as f:
+        f.write('{"id": 999999, "v": -1}\n')
+
+    back = (
+        spark.read.format("manifest_jsonl")
+        .schema("v long, id long")  # reversed order on purpose
+        .option("path", out)
+        .load()
+    )
+    rows = back.collect()
+    assert len(rows) == 100
+    assert all(r["v"] == r["id"] * 3 for r in rows)
+    assert back.rdd.getNumPartitions() == 2  # one per committed part
+    assert not [r for r in rows if r["id"] == 999999]  # orphan invisible
