@@ -832,3 +832,68 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_unit("doc_id", "mix") < F.col("keep_rate"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "corpus_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len(string_split(text, ' ')) AS n_toks,
+             CASE WHEN len(string_split(text, ' ')) >= 5
+                   AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+                       / len(string_split(text, ' ')) > 0.3
+                  THEN 1 ELSE 0 END AS quality_ok
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(quality_ok), 4) AS quality_rate,
+           round(quantile_cont(n_toks, 0.5), 2) AS p50_tokens,
+           round(quantile_cont(n_toks, 0.9), 2) AS p90_tokens
+    FROM t
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health report: size, exact-dup rate, language/source
+    mix, token volume, quality rate, and token-length percentiles — in
+    ONE aggregation pass (every metric is an agg expression over the
+    same projected scan; the three count-distincts share the Expand).
+    This is the daily dashboard number-source for a training-data
+    pipeline, and the query to run before/after every dedup or filter
+    change."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        fingerprint_expr("text").alias("fp"),
+        F.size(toks).alias("n_toks"),
+        F.when(
+            (F.size(toks) >= 5)
+            & (
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+                > 0.3
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_unique_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("quality_ok"), 4).alias("quality_rate"),
+        F.round(F.percentile("n_toks", F.lit(0.5)), 2).alias("p50_tokens"),
+        F.round(F.percentile("n_toks", F.lit(0.9)), 2).alias("p90_tokens"),
+    )

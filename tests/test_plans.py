@@ -304,3 +304,22 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     the corpus for the join."""
     plan = plan_of(spark, "text_decontaminate")
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing: a 200-partition shuffle over KBs of data
+    must be read back as a handful of coalesced partitions — the runtime
+    right-sizing that makes one static shuffle.partitions setting safe
+    across 6 orders of magnitude of data size."""
+    from pyspark.sql import functions as F
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    sess.conf.set("spark.sql.shuffle.partitions", "200")
+
+    df = sess.range(10_000).groupBy((F.col("id") % 7).alias("k")).count()
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final and "coalesced" in final, final[:2000]
+    assert df.rdd.getNumPartitions() < 200
