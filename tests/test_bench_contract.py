@@ -28,3 +28,24 @@ def test_bench_emits_single_json_line():
     assert doc["sf"] == 0.001
     assert doc["queries"] and all(isinstance(v, (int, float)) for v in doc["queries"].values())
     assert abs(sum(doc["queries"].values()) - doc["value"]) < 0.01
+
+
+def test_all_query_columns_are_aliased_stable_names(spark):
+    """Driver-contract safeguard: the correctness gate hash-compares
+    columns BY NAME between Spark and the DuckDB oracle, so a forgotten
+    alias (a column named like `round(avg(x), 2)` or `count(1)`) breaks
+    the match even when values agree. Every registry query must emit
+    plain identifier column names. Schema-only: nothing executes."""
+    import re
+
+    from hw_kafka_flink_health_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    offenders = {}
+    for name in sorted(QUERIES):
+        cols = QUERIES[name](spark, SF_DIR).columns
+        bad = [c for c in cols if not ident.match(c)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
