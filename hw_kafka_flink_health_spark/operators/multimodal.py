@@ -197,3 +197,130 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime_type"),
     )
+
+
+# --- raw_rgb: a codec-FREE image format, so one modality's compute is
+# fully real in this container (numpy only). payload = 8-byte header
+# (big-endian uint32 width, height) + row-major uint8 RGB bytes.
+
+RAW_RGB_RESIZE_SCHEMA = (
+    "asset_id long, width int, height int, mean_r double, mean_g double, "
+    "mean_b double, payload binary"
+)
+
+
+def encode_raw_rgb(arr) -> bytes:
+    """(h, w, 3) uint8 array -> raw_rgb payload bytes."""
+    import struct
+
+    h, w = arr.shape[0], arr.shape[1]
+    return struct.pack(">II", w, h) + arr.astype("uint8").tobytes()
+
+
+def decode_raw_rgb(payload: bytes):
+    """raw_rgb payload -> (h, w, 3) uint8 numpy array."""
+    import struct
+
+    import numpy as np
+
+    w, h = struct.unpack(">II", payload[:8])
+    return np.frombuffer(payload[8:8 + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+def resize_raw_rgb(
+    assets: DataFrame,
+    *,
+    target_w: int = 32,
+    target_h: int = 32,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize + channel statistics over the raw_rgb format:
+    numpy nearest-neighbor via index-grid fancy indexing (the O(out_pixels)
+    resample a real pipeline runs before feature extraction), per Arrow
+    batch. No codec library involved — this is the proof that the
+    mapInPandas multimodal path carries real pixel work end to end; the
+    injectable-decoder gate remains only for COMPRESSED formats
+    (jpeg/png/wav), whose codecs this container lacks."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(assets.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, p in zip(pdf["asset_id"], pdf[payload_col]):
+                img = decode_raw_rgb(bytes(p))
+                h, w = img.shape[0], img.shape[1]
+                ys = (np.arange(target_h) * h // target_h).astype(np.int64)
+                xs = (np.arange(target_w) * w // target_w).astype(np.int64)
+                small = img[ys][:, xs]
+                means = small.reshape(-1, 3).mean(axis=0)
+                out.append(
+                    (
+                        aid,
+                        target_w,
+                        target_h,
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                        encode_raw_rgb(small),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "payload",
+                ],
+            )
+
+    return assets.mapInPandas(op, schema=RAW_RGB_RESIZE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, n_samples long, rms double, zero_crossing_rate double, "
+    "peak double"
+)
+
+
+def audio_features_pcm16(
+    assets: DataFrame,
+    *,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio features over raw little-endian PCM16 payloads: RMS
+    level, zero-crossing rate, and normalized peak — the standard
+    silence/clipping screens a speech-data pipeline runs before
+    transcription. numpy over Arrow batches, codec-free (PCM needs no
+    decoder), so the audio modality's compute is as real as raw_rgb's."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(assets.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, p in zip(pdf["asset_id"], pdf[payload_col]):
+                x = np.frombuffer(bytes(p), dtype="<i2").astype(np.float64) / 32768.0
+                n = x.size
+                if n == 0:
+                    out.append((aid, 0, 0.0, 0.0, 0.0))
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+                out.append((aid, n, rms, zcr, float(np.abs(x).max())))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "n_samples", "rms", "zero_crossing_rate", "peak"],
+            )
+
+    return assets.mapInPandas(op, schema=AUDIO_FEATURE_SCHEMA)

@@ -897,3 +897,52 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_toks", F.lit(0.5)), 2).alias("p50_tokens"),
         F.round(F.percentile("n_toks", F.lit(0.9)), 2).alias("p90_tokens"),
     )
+
+
+@register("multimodal_raw_rgb_resize")  # binary pixel math: rows-only by design
+def multimodal_raw_rgb_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-computation multimodal path: deterministic 16x16 raw_rgb
+    images synthesized per doc (md5-seeded pixels, generated
+    executor-side in the same Arrow pass shape a thumbnail service uses),
+    then ACTUALLY resized to 8x8 with numpy nearest-neighbor and reduced
+    to channel means. Rows-only (binary payloads don't hash-compare in
+    SQL); the pixel math itself is pinned exactly in
+    tests/test_multimodal.py::test_raw_rgb_resize_is_real_pixel_math."""
+    import hashlib
+
+    import pandas as pd_
+
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        encode_raw_rgb,
+        resize_raw_rgb,
+    )
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                seed = hashlib.md5(f"img:{did}".encode()).digest()
+                px = np.frombuffer(
+                    (seed * (16 * 16 * 3 // len(seed) + 1))[: 16 * 16 * 3],
+                    dtype=np.uint8,
+                ).reshape(16, 16, 3)
+                rows.append((int(did), encode_raw_rgb(px)))
+            yield pd_.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(gen, "asset_id long, payload binary")
+    return resize_raw_rgb(assets, target_w=8, target_h=8).select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )

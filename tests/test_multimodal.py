@@ -69,3 +69,62 @@ def test_real_decoder_slot_is_explicitly_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"xx"]))
+
+
+def test_raw_rgb_resize_is_real_pixel_math(spark):
+    """The raw_rgb path does REAL computation: nearest-neighbor resize of
+    a known gradient image must equal the numpy reference exactly, and
+    the channel means must match to float precision — no fakes anywhere
+    in this modality."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        decode_raw_rgb,
+        encode_raw_rgb,
+        resize_raw_rgb,
+    )
+
+    h, w = 16, 24
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = np.arange(w, dtype=np.uint8)[None, :] * 10  # R: x-gradient
+    img[..., 1] = np.arange(h, dtype=np.uint8)[:, None] * 12  # G: y-gradient
+    img[..., 2] = 7
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(encode_raw_rgb(img)))], "asset_id long, payload binary"
+    )
+    got = resize_raw_rgb(assets, target_w=8, target_h=4).collect()[0]
+
+    ys = (np.arange(4) * h // 4).astype(np.int64)
+    xs = (np.arange(8) * w // 8).astype(np.int64)
+    expect = img[ys][:, xs]
+    back = decode_raw_rgb(bytes(got["payload"]))
+    assert back.shape == (4, 8, 3)
+    assert (back == expect).all()
+    means = expect.reshape(-1, 3).mean(axis=0)
+    assert abs(got["mean_r"] - means[0]) < 1e-9
+    assert abs(got["mean_g"] - means[1]) < 1e-9
+    assert abs(got["mean_b"] - means[2]) < 1e-9
+
+
+def test_audio_features_pcm16_exact_on_known_signal(spark):
+    """PCM16 features are real math: a pure sine at fs/100 has RMS
+    1/sqrt(2) of its amplitude, ZCR ~= 2 crossings per period, and peak
+    equal to the amplitude — all verified to numeric precision."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.operators.multimodal import audio_features_pcm16
+
+    fs, freq, amp = 8000, 80, 0.5
+    t = np.arange(fs) / fs
+    x = (amp * np.sin(2 * np.pi * freq * t) * 32768).astype("<i2")
+    assets = spark.createDataFrame(
+        [(1, bytearray(x.tobytes()))], "asset_id long, payload binary"
+    )
+    got = audio_features_pcm16(assets).collect()[0]
+    xf = x.astype(np.float64) / 32768.0
+    assert got["n_samples"] == fs
+    assert abs(got["rms"] - float(np.sqrt(np.mean(xf * xf)))) < 1e-12
+    # 80 Hz over 1 s -> 160 sign changes -> ZCR ~ 160/7999
+    assert abs(got["zero_crossing_rate"] - 160 / (fs - 1)) < 1e-3
+    assert abs(got["peak"] - np.abs(xf).max()) < 1e-12
