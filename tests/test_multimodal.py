@@ -128,3 +128,30 @@ def test_audio_features_pcm16_exact_on_known_signal(spark):
     # 80 Hz over 1 s -> 160 sign changes -> ZCR ~ 160/7999
     assert abs(got["zero_crossing_rate"] - 160 / (fs - 1)) < 1e-3
     assert abs(got["peak"] - np.abs(xf).max()) < 1e-12
+
+
+def test_video_frame_stats_real_motion_signal(spark):
+    """Raw-video stats are real math: a 3-frame clip (black, black,
+    all-100s) must report zero motion on the static transition and
+    exactly 100.0 mean-absolute-delta on the cut, with exact per-frame
+    channel means."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.operators.multimodal import video_frame_stats_raw
+
+    w = h = 4
+    black = np.zeros((h, w, 3), dtype=np.uint8)
+    bright = np.full((h, w, 3), 100, dtype=np.uint8)
+    clip = black.tobytes() + black.tobytes() + bright.tobytes()
+    assets = spark.createDataFrame(
+        [(7, bytearray(clip))], "asset_id long, payload binary"
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in video_frame_stats_raw(assets, frame_w=w, frame_h=h).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["motion"] == 0.0 and rows[1]["motion"] == 0.0
+    assert rows[2]["motion"] == 100.0
+    assert rows[2]["mean_r"] == rows[2]["mean_g"] == rows[2]["mean_b"] == 100.0
+    assert rows[0]["mean_r"] == 0.0
