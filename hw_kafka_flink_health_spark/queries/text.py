@@ -946,3 +946,52 @@ def multimodal_raw_rgb_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     )
+
+
+@register(
+    "quality_logistic_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_toks,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             n_chars::DOUBLE / len(string_split(text, ' ')) AS avg_tok_len
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-3.0 + 0.01 * n_toks + 4.0 * distinct_ratio
+                                    - 0.2 * avg_tok_len))), 4) AS quality_score,
+           CAST(CASE WHEN 1.0 / (1.0 + exp(-(-3.0 + 0.01 * n_toks
+                                             + 4.0 * distinct_ratio
+                                             - 0.2 * avg_tok_len))) > 0.5
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM f
+    """,
+)
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference as columnar math: a (fixed-weight) logistic
+    quality classifier evaluated entirely inside Catalyst — features
+    (token count, vocabulary ratio, average token length) and the
+    sigmoid all whole-stage-codegen expressions, no UDF, no model
+    server. This is how a trained linear/logistic filter actually ships
+    at 100 TB: export the weights, score as a column. The weights here
+    are documented constants so the oracle can hash-check the math; a
+    real deployment swaps them per training run (same plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_toks
+    avg_tok_len = F.col("n_chars").cast("double") / n_toks
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.01) * n_toks
+        + F.lit(4.0) * distinct_ratio
+        - F.lit(0.2) * avg_tok_len
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        F.when(score > 0.5, 1).otherwise(0).cast("long").alias("keep"),
+    )
