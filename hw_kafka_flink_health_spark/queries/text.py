@@ -995,3 +995,75 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 4).alias("quality_score"),
         F.when(score > 0.5, 1).otherwise(0).cast("long").alias("keep"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ), uc AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+    ), v AS (
+      SELECT CAST(count(DISTINCT w1) AS BIGINT) AS vocab FROM uc
+    )
+    SELECT g.doc_id,
+           round(avg(ln((bc.c2 + 1.0) / (uc.c1 + v.vocab))), 4) AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bg g
+    JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+    JOIN uc ON g.w1 = uc.w1
+    CROSS JOIN v
+    GROUP BY g.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus-LM quality score, fully relational: train a
+    bigram model ON the corpus (two hash aggs), then score every doc's
+    average add-one-smoothed log P(w2|w1) by joining its bigrams back to
+    the count tables. Low scores flag gibberish / boilerplate the way a
+    perplexity filter does, with zero Python in the loop. Scale: the two
+    count tables partition on the same bigram/unigram keys as the probe
+    side (co-partitioned joins), and the vocab scalar broadcasts; at
+    100 TB the model tables are the compact side — exactly the shape a
+    real LM filter materializes once and reuses per delivery."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", norm_tokens_expr("text").alias("__t"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("pos", "p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uc.agg(F.countDistinct("w1").alias("vocab"))
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))),
+                4,
+            ).alias("avg_logprob"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )
