@@ -88,6 +88,9 @@ HEADLINE = [
     "pipeline_pretrain_corpus",
     "privacy_k_anonymity",
     "graph_degree_histogram",
+    # LM scoring pack (tracked since r3d)
+    "quality_logistic_score",
+    "text_bigram_logprob",
 ]
 
 

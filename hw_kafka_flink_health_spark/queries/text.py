@@ -1013,15 +1013,18 @@ def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
     ), v AS (
       SELECT CAST(count(DISTINCT w1) AS BIGINT) AS vocab FROM uc
+    ), model AS (
+      SELECT bc.w1, bc.w2, ln((bc.c2 + 1.0) / (uc.c1 + v.vocab)) AS lp
+      FROM bc JOIN uc ON bc.w1 = uc.w1 CROSS JOIN v
+    ), doc_bg AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+      FROM bg GROUP BY doc_id, w1, w2
     )
-    SELECT g.doc_id,
-           round(avg(ln((bc.c2 + 1.0) / (uc.c1 + v.vocab))), 4) AS avg_logprob,
-           CAST(count(*) AS BIGINT) AS n_bigrams
-    FROM bg g
-    JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
-    JOIN uc ON g.w1 = uc.w1
-    CROSS JOIN v
-    GROUP BY g.doc_id
+    SELECT d.doc_id,
+           round(sum(d.n * m.lp) / sum(d.n), 4) AS avg_logprob,
+           CAST(sum(d.n) AS BIGINT) AS n_bigrams
+    FROM doc_bg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+    GROUP BY d.doc_id
     """,
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,16 +1057,29 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = uc.agg(F.countDistinct("w1").alias("vocab"))
-    return (
-        bg.join(bc, ["w1", "w2"])
-        .join(uc, "w1")
+    # score each DISTINCT bigram type once (model table), probe with the
+    # per-doc bigram COUNTS: both sides shrink by their repetition factor
+    # before the join, and the occurrence-weighted mean equals the plain
+    # mean over occurrences
+    model = (
+        bc.join(uc, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab"))).alias(
+                "lp"
+            ),
+        )
+    )
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        doc_bg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.avg(F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vocab")))),
-                4,
+                F.sum(F.col("n") * F.col("lp")) / F.sum("n"), 4
             ).alias("avg_logprob"),
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("n").cast("long").alias("n_bigrams"),
         )
     )

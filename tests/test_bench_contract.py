@@ -49,3 +49,14 @@ def test_all_query_columns_are_aliased_stable_names(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_headline_names_resolve_in_registry():
+    """Static guard: every bench headline name must be a registered
+    query (a typo here would only surface in the driver's bench run)."""
+    import bench
+
+    from hw_kafka_flink_health_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
