@@ -1425,3 +1425,36 @@ def interval_join_full_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         upper="30 minutes",
         how="full_outer",
     )
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_as_int,
+           CASE WHEN CAST(floor(value) AS BIGINT) - 5 = 0 THEN NULL
+                ELSE CAST(floor(value * 100) AS BIGINT)
+                     // (CAST(floor(value) AS BIGINT) - 5) END AS safe_div,
+           TRY_CAST(substr(event_type, 1, 1) AS BIGINT) AS bad_cast_null
+    FROM events
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safety sampler: Spark 4 runs with ANSI semantics
+    ON, where a bare cast/divide THROWS on bad input and kills the job at
+    row 3 billion — the try_* family (try_cast, try_divide) yields NULL
+    instead, which is the only operationally sane contract for dirty
+    data at scale (the same discovery the Hypothesis fuzzer made for
+    try_to_timestamp in the parse contract). Exercises: string->int
+    try_cast on JSON-extracted values, integer try_divide with an
+    engineered zero divisor, and a guaranteed-failing cast."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = F.floor(F.col("value")).cast("long")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_as_int"),
+        F.try_divide(
+            F.floor(F.col("value") * 100).cast("long"), fv - F.lit(5)
+        ).cast("bigint").alias("safe_div"),
+        F.substring("event_type", 1, 1).try_cast("bigint").alias("bad_cast_null"),
+    )

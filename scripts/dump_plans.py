@@ -39,6 +39,8 @@ SHOWCASE = {
     "text_decontaminate": "benchmark gram set broadcast; corpus grams filtered map-side, one shuffle for the per-doc count",
     "pipeline_pretrain_corpus": "dedup -> quality -> decontaminate -> mixture as ONE fused DAG; corpus body shuffled once",
     "mlprep_domain_mix": "per-source keep rates from a 20-row aggregate broadcast back; corpus filter is map-side",
+    "quality_logistic_score": "model inference as columnar math: features + sigmoid in one WholeStageCodegen span over the scan",
+    "text_bigram_logprob": "LM scoring: compact model table joins once; probe is per-doc bigram COUNTS, not occurrences",
 }
 
 
@@ -79,6 +81,33 @@ allocates ~64 MB of reader buffer per column per task — 32 concurrent
 tasks OOM'd a 1 GB heap before any operator ran. For high-dim embedding
 scans set columnarReaderBatchSize to 512 (or give executors headroom):
 the reader batch is rows x dims x 8 bytes regardless of row count.
+
+## ANN tier bench (scripts/bench_ann.py, sf0.1 embeddings: 5k vectors x 64 dims, k=5, 16 queries)
+
+| tier | wall (s) | recall@5 vs exact |
+|---|---|---|
+| exact brute-force cosine | 2.7 | 1.000 |
+| LSH (4 tables) | 3.7 | 0.975 |
+| PQ (m=8, 256 centroids, ADC) | 3.5 | 0.325 |
+| IVF (16 lists, probe 4) | 7.6 | 0.613 |
+
+**Reading**: at demo scale every approximate tier LOSES to exact brute
+force on wall time — the index build/train overhead (k-means for IVF/PQ,
+hash banding for LSH) is amortized over far too few corpus vectors, and
+recall is strictly worse. This is the honest tier-choice rule the
+numbers encode: **exact cosine is the right plan until the corpus is
+orders of magnitude past the index overhead** (roughly: train cost ~
+O(sample x iters), probe cost ~ corpus/n_lists per query — the
+crossover needs corpus >> n_lists x train_sample). The approximate
+tiers exist for the 100 TB posture where the exact scan per query is
+the thing that cannot run: IVF bounds the scan to probed lists (and
+becomes partition pruning when the corpus is written clustered by list),
+PQ additionally shrinks the resident corpus ~32x (64 float32 dims -> 8
+bytes), LSH needs no trained model at all. Recall at this dimensionality:
+LSH ~0.98 (cheap win), IVF 0.61 at probe=4/16 (tunable linearly in
+probes), PQ 0.33 (ADC quantization error dominates at 64 dims — PQ is
+the memory tier, not the recall tier; production pairs it with an exact
+re-rank of the top ~10k codes).
 """
 
 
