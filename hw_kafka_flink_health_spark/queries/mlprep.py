@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.mlprep import (
@@ -326,4 +326,96 @@ def mlprep_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "source")
         .filter(hash_unit("doc_id", "mix") < F.col("keep_rate"))
         .select("doc_id", "source")
+    )
+
+
+@register(
+    "mlprep_split_leakage",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 < 8 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 < 9 THEN 'valid' ELSE 'test' END AS split
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, split,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM s
+    ), g AS (
+      SELECT DISTINCT doc_id, split, array_to_string(t[u.i : u.i + 4], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+    )
+    SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_leaked_grams
+    FROM (SELECT doc_id, gram FROM g WHERE split = 'test') e
+    JOIN (SELECT DISTINCT gram FROM g WHERE split = 'train') tr USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def mlprep_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: which TEST-split documents share a 5-gram
+    with the TRAIN split — the held-out-set integrity check run after
+    every re-split (same machinery as benchmark decontamination, aimed
+    at the pipeline's own splits; with synthetic same-distribution text
+    the expected answer is 'lots', and the audit quantifies it). Train
+    gram set broadcasts; test docs shuffle once for the count."""
+    from hw_kafka_flink_health_spark.operators.dedup import decontaminate_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = train_valid_test_split(docs, "doc_id")
+    hits = decontaminate_hits(
+        split.filter(F.col("split") == "test"),
+        split.filter(F.col("split") == "train"),
+        n=5,
+    )
+    return hits.select(
+        "doc_id", F.col("n_hit_grams").cast("long").alias("n_leaked_grams")
+    )
+
+
+@register(
+    "mlprep_negative_pairs",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR)) AS ring
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, ring,
+             lead(doc_id, 1) OVER (ORDER BY ring, doc_id) AS neg1,
+             lead(doc_id, 2) OVER (ORDER BY ring, doc_id) AS neg2,
+             first_value(doc_id) OVER (ORDER BY ring, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS wrap1
+      FROM r
+    )
+    SELECT doc_id, source,
+           coalesce(neg1, wrap1) AS neg1,
+           coalesce(neg2, wrap1) AS neg2
+    FROM w
+    """,
+)
+def mlprep_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: order
+    docs on an md5 ring (content-independent, so neighbors are random
+    yet reproducible) and pair each doc with the next two ring
+    neighbors, wrapping at the end. O(n) window pass — no self-join, no
+    RNG — which is what makes the sample auditable and re-creatable at
+    100 TB. (The single-partition window is the demo form; at scale the
+    ring sorts within range partitions and only the partition seams need
+    a second pass.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("ring")
+    )
+    w = Window.orderBy("ring", "doc_id")
+    wall = Window.orderBy("ring", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first = F.first("doc_id").over(wall)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.lead("doc_id", 1).over(w), first).alias("neg1"),
+        F.coalesce(F.lead("doc_id", 2).over(w), first).alias("neg2"),
     )
