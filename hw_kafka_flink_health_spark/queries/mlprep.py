@@ -419,3 +419,124 @@ def mlprep_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lead("doc_id", 1).over(w), first).alias("neg1"),
         F.coalesce(F.lead("doc_id", 2).over(w), first).alias("neg2"),
     )
+
+
+@register(
+    "mlprep_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_toks,
+             CAST(ceil(n_toks / 64.0) AS BIGINT) AS bucket
+      FROM t
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS real_tokens,
+           CAST(max(n_toks) * count(*) AS BIGINT) AS padded_tokens,
+           round(1.0 - sum(n_toks)::DOUBLE / (max(n_toks) * count(*)), 4)
+             AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def mlprep_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing economics: bucket docs by 64-token
+    bands and report real vs padded token volume per bucket — the
+    number that decides between plain batching (pad to max), length
+    bucketing (this), and sequence packing (pack_sequences elsewhere in
+    the catalog). One agg; the waste column is the training-FLOPs tax
+    padding would cost."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(norm_tokens_expr("text"))
+    b = docs.select(
+        n_toks.alias("n_toks"),
+        F.ceil(n_toks / F.lit(64.0)).cast("long").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("real_tokens"),
+        (F.max("n_toks") * F.count(F.lit(1))).cast("long").alias("padded_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_toks").cast("double")
+            / (F.max("n_toks") * F.count(F.lit(1))),
+            4,
+        ).alias("padding_waste"),
+    )
+
+
+@register(
+    "mlprep_token_apportionment",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+                  AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ), q AS (
+      SELECT source, toks,
+             sum(toks) OVER () AS total,
+             (100000 * toks) // sum(toks) OVER () AS quota,
+             (100000 * toks) % sum(toks) OVER () AS rem
+      FROM s
+    ), r AS (
+      SELECT source, toks, quota,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             100000 - sum(quota) OVER () AS leftover
+      FROM q
+    )
+    SELECT source, CAST(toks AS BIGINT) AS toks,
+           CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS token_budget
+    FROM r
+    """,
+)
+def mlprep_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment: divide a 100k-token training budget
+    across sources proportionally with largest-remainder rounding, so
+    the integer quotas sum EXACTLY to the budget (floor everything, then
+    hand the leftover units to the largest remainders, ties broken by
+    source name). Pure integer arithmetic end to end — bit-identical in
+    any engine — and the planning companion to mlprep_domain_mix: mix
+    decides membership, this decides exact per-source token draws. All
+    windows run over the 20-row source aggregate."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(norm_tokens_expr("text"))).cast("long").alias("toks")
+    )
+    w = Window.partitionBy()
+    budget = F.lit(100000)
+    total = F.sum("toks").over(w)
+    # rem is exact long arithmetic; quota = (b*t - rem)/total divides
+    # EXACTLY, and IEEE division of exactly-representable ints returns the
+    # integer quotient bit-exactly below 2^53 — no floor(double) 1-ulp
+    # hazard at exact multiples
+    rem = (budget * F.col("toks")) % total
+    q = s.select(
+        "source",
+        "toks",
+        ((budget * F.col("toks") - rem) / total).cast("long").alias("quota"),
+        rem.alias("rem"),
+    )
+    r = q.select(
+        "source",
+        "toks",
+        "quota",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source"))).alias("rk"),
+        (budget - F.sum("quota").over(w)).alias("leftover"),
+    )
+    return r.select(
+        "source",
+        "toks",
+        (F.col("quota") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("token_budget"),
+    )
