@@ -397,3 +397,108 @@ def autocorr_user_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "rfm_user_profile",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), mx AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT user_id,
+           CAST(date_diff('day', last_ts, mx.now_ts) AS BIGINT) AS recency_days,
+           frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY date_diff('day', last_ts, mx.now_ts), user_id)
+                AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+             AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT)
+             AS m_quartile
+    FROM p CROSS JOIN mx
+    """,
+)
+def rfm_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) user profiling with exact
+    quartile assignment — the classic activity segmentation, money in
+    integer cents so sums are exact, and every ntile given a total order
+    (user_id tie-break) so quartiles are engine-portable. The global
+    ntiles are single-partition windows over the per-user AGGREGATE
+    (not the events) — fine at any scale where 'users' fits a stats
+    table; swap to percentile buckets when it doesn't."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    now_ts = ev.agg(F.max("ts").alias("now_ts"))
+    j = p.crossJoin(F.broadcast(now_ts)).withColumn(
+        "recency_days", F.datediff(F.col("now_ts"), F.col("last_ts")).cast("long")
+    )
+    return j.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+        .cast("long")
+        .alias("m_quartile"),
+    )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS part_bucket
+      FROM lineitem
+    )
+    SELECT a.part_bucket AS p1, b.part_bucket AS p2,
+           CAST(count(*) AS BIGINT) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.part_bucket < b.part_bucket
+    GROUP BY 1, 2
+    HAVING count(*) >= 20
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the a-priori first pass): support
+    counts for part-bucket pairs bought in the same order. The self-join
+    key is the ORDER, so pair blowup is bounded by per-order item count
+    squared (~7^2 here) — never corpus-quadratic; the HAVING threshold
+    prunes the long tail before it leaves the aggregation. Buckets keep
+    the demo's pair space dense; at 100 TB the same plan runs on raw
+    part keys with a frequency-capped prefilter (same trick as the
+    n-gram jaccard shingle cap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
+    ).distinct()
+    a = items.select("l_orderkey", F.col("part_bucket").alias("p1"))
+    b = items.select("l_orderkey", F.col("part_bucket").alias("p2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 20)
+    )
