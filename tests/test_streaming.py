@@ -850,3 +850,77 @@ def test_stream_stream_interval_join_full_outer(spark, tmp_path):
     assert (1, 20, 10) in got
     assert (3, 23, None) in got  # organic purchase, left side preserved
     assert (2, None, 12) in got  # abandoned click, RIGHT side preserved w/ key
+
+
+def test_state_data_source_reads_exact_open_window_state(spark, tmp_path):
+    """Spark 4 state data source: the checkpoint's state store, read as a
+    batch table, must contain EXACTLY the windows the watermark has not
+    yet closed, with per-window (sum, count, min, max) equal to the batch
+    recomputation over the same input — offline state inspection with
+    value-level fidelity, no running query involved."""
+    import json as _json
+
+    from hw_kafka_flink_health_spark.functions.parsing import parse_events_df
+    from hw_kafka_flink_health_spark.streaming.health_pipeline import windowed_vitals
+    from hw_kafka_flink_health_spark.streaming.state_tools import (
+        read_state,
+        read_state_metadata,
+        state_summary,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    events = [
+        {"patient_id": f"p{i % 3}",
+         "timestamp": f"2025-11-19T07:0{i % 6}:00+00:00",
+         "heart_rate_bpm": 70 + i}
+        for i in range(20)
+    ]
+    with open(f"{src}/b0.json", "w") as f:
+        for e in events:
+            f.write(_json.dumps({"raw": _json.dumps(e)}) + "\n")
+
+    reader = spark.readStream.schema("raw string").json(src)
+    vit = windowed_vitals(parse_events_df(reader), watermark="5 seconds")
+    q = (
+        vit.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_src_q")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # expected OPEN state: windows whose end > watermark (max ts - 5s),
+    # recomputed in batch from the same events
+    batch = spark.createDataFrame(
+        [(_json.dumps(e),) for e in events], ["raw"]
+    )
+    parsed = parse_events_df(batch)
+    wm_ms = parsed.agg(F.max("event_time")).collect()[0][0] - 5000
+    expect = {
+        (r["patient_id"], r["window_start"]): (
+            r["avg_hr"], r["min_hr"], r["max_hr"]
+        )
+        for r in windowed_vitals(parsed).collect()
+        if r["window_end"] > wm_ms
+    }
+
+    st = read_state(spark, ckpt).select(
+        F.col("key.patient_id").alias("patient_id"),
+        F.unix_millis(F.col("key.window.start")).alias("window_start"),
+        (F.col("value.sum") / F.col("value.count")).alias("avg_hr"),
+        F.col("value.min").alias("min_hr"),
+        F.col("value.max").alias("max_hr"),
+    )
+    got = {
+        (r["patient_id"], r["window_start"]): (r["avg_hr"], r["min_hr"], r["max_hr"])
+        for r in st.collect()
+    }
+    assert got == expect, (got, expect)
+
+    md = read_state_metadata(spark, ckpt)
+    assert md.filter(F.col("operatorName") == "stateStoreSave").count() == 1
+    summ = state_summary(spark, ckpt).collect()
+    assert summ[0]["state_rows"] == len(expect)
