@@ -20,7 +20,7 @@ Extension surface (SURVEY §2.C): driver-mandated training-data ops with no coun
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,6 +102,44 @@ def stratified_sample(
         frac = F.when(cond, float(f)) if frac is None else frac.when(cond, float(f))
     frac = frac.otherwise(float(default)) if frac is not None else F.lit(float(default))
     return df.filter(u < frac)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training export.
+
+    Every pretraining run needs the corpus in a random-but-reproducible
+    order, cut into N shard files. The scalable formulation avoids both a
+    global sort and Spark's sampled RangePartitioner (whose cut points are
+    non-deterministic across runs):
+
+    * ``draw`` — a portable uniform draw in [0,1) from md5(id||salt)
+      (`hash_unit`) defines the global permutation.
+    * ``shard = floor(draw * n_shards)`` — fixed uniform cut points on the
+      draw, so shards are contiguous slices of the permutation with
+      near-equal sizes (binomial deviation only), decided per-row with no
+      sampling pass.
+    * ``pos`` — rank of the draw within the shard (`row_number`, id
+      tie-break), i.e. the write order inside the shard file.
+
+    At 100 TB this is ``repartition(n_shards, shard)`` +
+    ``sortWithinPartitions(draw, id)`` — one shuffle, each task streams
+    one shard out in order; no stage ever materializes a global rank.
+    Re-running on a grown corpus re-derives the identical order for
+    unchanged rows (new rows interleave deterministically), which a
+    seeded `orderBy(rand())` cannot do.
+    """
+    draw = hash_unit(id_col, salt)
+    out = df.withColumn("draw", draw).withColumn(
+        "shard", F.least(F.floor(F.col("draw") * n_shards), F.lit(n_shards - 1)).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("draw"), F.col(id_col))
+    return out.withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
 
 
 def int8_quantize_stats(

@@ -540,3 +540,37 @@ def mlprep_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("token_budget"),
     )
+
+
+@register(
+    "mlprep_shuffle_shards",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'shuffle')), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS draw
+      FROM documents
+    ), s AS (
+      SELECT doc_id, draw,
+             least(CAST(floor(draw * 8) AS BIGINT), 7) AS shard
+      FROM d
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) - 1
+                AS BIGINT) AS pos,
+           round(draw, 8) AS draw
+    FROM s
+    """,
+)
+def mlprep_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle cut into 8 training shards:
+    the portable md5 unit draw defines the permutation, fixed uniform
+    cut points on the draw define the shards (no sampled range
+    partitioner), and pos is the write order inside each shard file.
+    Every (doc_id, shard, pos) triple is a pure function of the corpus —
+    the oracle replays the identical permutation in DuckDB."""
+    from hw_kafka_flink_health_spark.operators.mlprep import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, "doc_id", n_shards=8, salt="shuffle")
+    return out.select("doc_id", "shard", "pos", F.round("draw", 8).alias("draw"))

@@ -88,3 +88,26 @@ def test_normalize_idempotent_and_clean(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_shuffle_shards_partitions_the_permutation(spark):
+    """shard = contiguous slice of the draw-order permutation; pos dense
+    within shard; assignment is a pure function of the id (rerun-stable)."""
+    from hw_kafka_flink_health_spark.operators.mlprep import shuffle_shards
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = shuffle_shards(docs, "doc_id", n_shards=8).select("doc_id", "draw", "shard", "pos")
+    rows = a.collect()
+    assert {r["shard"] for r in rows} <= set(range(8))
+    for r in rows:  # fixed uniform cut points: shard is determined by draw alone
+        assert r["shard"] == min(int(r["draw"] * 8), 7)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["draw"], r["doc_id"]))
+    for shard, items in by_shard.items():
+        items.sort()
+        assert [p for p, _, _ in items] == list(range(len(items)))  # dense pos
+        draws = [d for _, d, _ in items]
+        assert draws == sorted(draws)  # pos follows the permutation order
+    b = shuffle_shards(docs, "doc_id", n_shards=8).select("doc_id", "shard", "pos").collect()
+    assert sorted(map(tuple, b)) == sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
