@@ -315,3 +315,54 @@ def parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 50)
+
+
+@register(
+    "hr_rollup_chained",
+    oracle="""
+    WITH fine AS (
+      SELECT user_id AS patient_id,
+             date_trunc('minute', CAST(ts AS TIMESTAMP)) AS w,
+             sum(value) AS sum_hr,
+             count(*) AS n_events,
+             min(value) AS min_hr,
+             max(value) AS max_hr
+      FROM events GROUP BY 1, 2
+    )
+    SELECT patient_id,
+           epoch_ms(to_timestamp(CAST(floor(epoch(w) / 300) AS BIGINT) * 300)) AS rollup_start,
+           epoch_ms(to_timestamp(CAST(floor(epoch(w) / 300) AS BIGINT) * 300 + 300)) AS rollup_end,
+           round(sum(sum_hr) / sum(n_events), 4) AS avg_hr,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           min(min_hr) AS min_hr,
+           max(max_hr) AS max_hr,
+           CAST(count(*) AS BIGINT) AS n_fine_windows
+    FROM fine GROUP BY 1, 2, 3
+    """,
+)
+def hr_rollup_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the CHAINED stateful rollup (1-min windows re-windowed
+    to 5-min inside one query): algebraic partials make the coarse avg
+    exact; the oracle rebuilds both grains arithmetically. The streaming
+    variant of this exact code path is pinned by
+    tests/test_streaming.py::test_chained_windowed_aggregations_single_query."""
+    from hw_kafka_flink_health_spark.streaming.health_pipeline import (
+        windowed_vitals_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("patient_id"),
+        F.col("ts").alias("event_ts"),
+        F.col("value").alias("heart_rate_bpm"),
+    )
+    out = windowed_vitals_rollup(ev)
+    return out.select(
+        "patient_id",
+        "rollup_start",
+        "rollup_end",
+        F.round("avg_hr", 4).alias("avg_hr"),
+        "n_events",
+        "min_hr",
+        "max_hr",
+        "n_fine_windows",
+    )

@@ -1083,3 +1083,156 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_bigrams"),
         )
     )
+
+
+@register(
+    "text_paragraph_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN concat('subscribe to our newsletter today for updates and exclusive offers right now ', text)
+                  ELSE text END AS txt
+      FROM documents
+    ), w AS (
+      SELECT doc_id, string_split(txt, ' ') AS ws FROM base
+    ), ex AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(ws[(i*12+1):(i*12+12)], ' ') AS para
+      FROM w, unnest(range(0, CAST(ceil(len(ws)/12.0) AS BIGINT))) AS t(i)
+    ), keep AS (
+      SELECT para, min({'doc_id': doc_id, 'chunk_idx': chunk_idx}) AS k FROM ex GROUP BY para
+    ), kd AS (
+      SELECT k.doc_id AS doc_id, k.chunk_idx AS chunk_idx, para FROM keep
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS total_paras FROM ex GROUP BY doc_id
+    ), kagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_paras,
+             md5(string_agg(para, chr(10) ORDER BY chunk_idx)) AS dedup_md5
+      FROM kd GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.total_paras,
+           CAST(coalesce(k.kept_paras, 0) AS BIGINT) AS kept_paras,
+           coalesce(k.dedup_md5, md5('')) AS dedup_md5
+    FROM tot t LEFT JOIN kagg k USING (doc_id)
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style EXACT paragraph dedup with document
+    reassembly: segment each doc into 12-word paragraphs, keep only the
+    globally-first occurrence of every distinct paragraph (min
+    (doc_id, chunk_idx)), and rebuild each document from its surviving
+    paragraphs. Deterministic boilerplate is prepended to every 5th doc
+    so cross-document duplicates actually exist.
+
+    Scale shape: the keeper per paragraph is a `min(struct(...))` AGGREGATE,
+    not a row_number window — partial (map-side) combine collapses even a
+    corpus-wide boilerplate paragraph's billions of copies before the
+    shuffle, so the hot paragraph that would stall a window sort is
+    skew-immune. One shuffle on paragraph hash + one on doc_id for the
+    reassembly; nothing is quadratic in duplicate count."""
+    chunk = 12
+    boiler = "subscribe to our newsletter today for updates and exclusive offers right now "
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(boiler), F.col("text"))).otherwise(
+        F.col("text")
+    )
+    ws = F.split(txt, " ")
+    nch = F.ceil(F.size(ws) / F.lit(float(chunk))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(ws, i * chunk + 1, F.lit(chunk)), " "),
+    )
+    ex = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "para"))
+    kept = (
+        ex.groupBy("para")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.chunk_idx").alias("chunk_idx"), "para")
+    )
+    tot = ex.groupBy("doc_id").agg(F.count("*").alias("total_paras"))
+    kagg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_paras"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            )
+        ).alias("dedup_md5"),
+    )
+    return tot.join(kagg, "doc_id", "left").select(
+        "doc_id",
+        "total_paras",
+        F.coalesce("kept_paras", F.lit(0)).cast("bigint").alias("kept_paras"),
+        F.coalesce("dedup_md5", F.md5(F.lit(""))).alias("dedup_md5"),
+    )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN concat(text, ' !!! ### >>> ...')
+                  ELSE text END AS txt
+      FROM documents
+    ), f AS (
+      SELECT doc_id, string_split(txt, ' ') AS ws FROM base
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS word_count,
+             round(list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+                   / len(ws), 4) AS mean_word_len,
+             CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                  AS BIGINT) AS stop_hits,
+             round(len(list_filter(ws, w -> regexp_matches(w, '^[a-z]+$')))
+                   / len(ws), 4) AS alpha_ratio
+      FROM f
+    )
+    SELECT doc_id, word_count, mean_word_len, stop_hits, alpha_ratio,
+           (word_count BETWEEN 5 AND 1000)
+           AND (mean_word_len BETWEEN 2 AND 12)
+           AND stop_hits >= 2
+           AND alpha_ratio > 0.8 AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    shape): word-count bounds, mean-word-length band, minimum stopword
+    hits, and alphabetic-word ratio — the standard first-pass pretraining
+    screen. Deterministic symbol junk is appended to every 7th doc so the
+    reject branch is exercised. Pure Catalyst higher-order functions on
+    the split array (one pass, no shuffle, no UDF); the same lambdas run
+    in DuckDB for the value-level audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" !!! ### >>> ..."))
+    ).otherwise(F.col("text"))
+    ws = F.split(txt, " ")
+    wc = F.size(ws).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    mwl = F.round(sum_len / wc, 4)
+    stop_hits = F.size(
+        F.filter(ws, lambda w: w.isin("the", "a", "of", "and", "to", "in"))
+    ).cast("bigint")
+    alpha = F.round(F.size(F.filter(ws, lambda w: w.rlike("^[a-z]+$"))) / wc, 4)
+    return docs.select(
+        "doc_id",
+        wc.alias("word_count"),
+        mwl.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        alpha.alias("alpha_ratio"),
+        (
+            wc.between(5, 1000)
+            & mwl.between(2, 12)
+            & (stop_hits >= 2)
+            & (alpha > 0.8)
+        ).alias("keep"),
+    )

@@ -232,3 +232,54 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, n_clusters=8, threshold=0.99).select(
         "vec_id", F.col("cluster").cast("long"), "keep"
     )
+
+
+@register(
+    "embedding_matryoshka_audit",
+    oracle="""
+    WITH r AS (
+      SELECT e.vec_id, t.k AS prefix_dim,
+             round(list_aggregate(list_transform(e.embedding[1:t.k]::DOUBLE[], x -> x*x), 'sum')
+                   / list_aggregate(list_transform(e.embedding::DOUBLE[], x -> x*x), 'sum'),
+                   9) AS ratio
+      FROM embeddings e, unnest([8, 16, 32]) AS t(k)
+    )
+    SELECT CAST(prefix_dim AS BIGINT) AS prefix_dim,
+           round(avg(ratio), 6) AS avg_retention,
+           round(min(ratio), 6) AS min_retention,
+           round(avg(CASE WHEN ratio >= 0.5 THEN 1.0 ELSE 0.0 END), 4) AS frac_half_energy
+    FROM r GROUP BY prefix_dim
+    """,
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit (Kusupati et al. 2022 shape): for each
+    candidate prefix dimension (8/16/32 of 64), what fraction of every
+    vector's squared norm survives truncation. This is the go/no-go check
+    before shipping truncated embeddings to a cheaper ANN tier. One corpus
+    scan; the per-(row, prefix) energy ratios are higher-order-function
+    sums (codegen, no UDF), rounded to 9 decimals before aggregation so
+    both engines aggregate identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, x: a + x * x
+    )
+    ex = emb.select(
+        "vec_id",
+        dv.alias("dv"),
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("prefix_dim"),
+    )
+    r = ex.select(
+        F.col("prefix_dim").cast("bigint").alias("prefix_dim"),
+        F.round(
+            sq_sum(F.slice(F.col("dv"), 1, F.col("prefix_dim").cast("int"))) / sq_sum(F.col("dv")),
+            9,
+        ).alias("ratio"),
+    )
+    return r.groupBy("prefix_dim").agg(
+        F.round(F.avg("ratio"), 6).alias("avg_retention"),
+        F.round(F.min("ratio"), 6).alias("min_retention"),
+        F.round(F.avg(F.when(F.col("ratio") >= 0.5, 1.0).otherwise(0.0)), 4).alias(
+            "frac_half_energy"
+        ),
+    )

@@ -106,3 +106,60 @@ def build_streaming_job(
     if as_json:
         return alerts.select(alert_json_expr())
     return alerts
+
+
+def windowed_vitals_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "event_ts",
+    key_col: str = "patient_id",
+    value_col: str = "heart_rate_bpm",
+    window_duration: str = DEFAULT_WINDOW,
+    rollup_duration: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """CHAINED stateful aggregation: fine windows rolled up to a coarse
+    grain inside ONE streaming query (Spark's multiple-stateful-operator
+    support: the second `window()` re-windows the first aggregation's
+    window struct; both operators share the watermark, each keeps its own
+    state store).
+
+    The fine aggregate carries (sum, count, min, max) partials so the
+    coarse grain is ALGEBRAICALLY exact — avg is re-derived from summed
+    partials, never an avg-of-avgs. Same DataFrame code is the batch twin:
+    the streaming test pins stream == batch equivalence.
+
+    Scale: the fine agg's state is (key x fine-window); the rollup's state
+    is (key x coarse-window) — both watermark-evicted. This is the shape
+    that replaces a second job re-reading the fine sink at 100 TB.
+    """
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    fine = df.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("window"), F.col(key_col)
+    ).agg(
+        F.sum(value_col).alias("sum_hr"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(value_col).alias("min_hr"),
+        F.max(value_col).alias("max_hr"),
+    )
+    coarse = fine.groupBy(
+        F.window(F.col("window"), rollup_duration).alias("rollup"), F.col(key_col)
+    ).agg(
+        (F.sum("sum_hr") / F.sum("n_events")).alias("avg_hr"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.min("min_hr").alias("min_hr"),
+        F.max("max_hr").alias("max_hr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fine_windows"),
+    )
+    return coarse.select(
+        F.col(key_col),
+        F.unix_millis(F.col("rollup.start").cast("timestamp")).alias("rollup_start"),
+        F.unix_millis(F.col("rollup.end").cast("timestamp")).alias("rollup_end"),
+        "avg_hr",
+        "n_events",
+        "min_hr",
+        "max_hr",
+        "n_fine_windows",
+    )

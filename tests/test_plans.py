@@ -323,3 +323,37 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final and "coalesced" in final, final[:2000]
     assert df.rdd.getNumPartitions() < 200
+
+
+def test_parquet_aggregate_pushdown_reads_footers_not_rows(spark):
+    """Scan-elision lever: MIN/MAX/COUNT over parquet can be answered from
+    row-group footer statistics alone (spark.sql.parquet.aggregatePushdown).
+    At 100 TB the difference is reading ~KB of footers vs the full column.
+    Asserts the plan carries PushedAggregation and the answers still match
+    a row-reading aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # aggregate pushdown exists only in the DSv2 scan path
+    sess.conf.set("spark.sql.sources.useV1SourceList", "")
+    df = sess.read.parquet(f"{SF}/lineitem.parquet")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)" in plan or "PushedAggregation: [COUNT" in plan, plan
+    assert "MIN(l_quantity)" in plan and "MAX(l_quantity)" in plan, plan
+    got = agg.collect()[0]
+    base = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert (got.n, got.mn, got.mx) == (base.n, base.mn, base.mx)

@@ -62,3 +62,25 @@ def test_heavy_hitters_partitions_param_only_changes_cost(spark):
     for p in (1, 4, 64, 10_000):
         got = {(r.key, r.cnt) for r in heavy_hitters(df, "v", threshold=10, partitions=p).collect()}
         assert got == _truth(df, 10), p
+
+
+def test_approx_percentile_within_rank_error_bound(spark):
+    """Sketch honesty check (companion to the HLL error-bound test):
+    percentile_approx with accuracy A guarantees rank error <= n/A. Verify
+    the approximate p50/p90/p99 of events.value each land within the value
+    range spanned by [rank - n/A, rank + n/A] of the exact sorted data."""
+    from tests.conftest import SF_DIR
+    from hw_kafka_flink_health_spark.sources.files import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    acc = 100
+    approx = events.select(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("a")
+    ).collect()[0]["a"]
+    exact = sorted(r["value"] for r in events.select("value").collect())
+    n = len(exact)
+    for p, got in zip([0.5, 0.9, 0.99], approx):
+        target = int(p * n)
+        lo = exact[max(0, target - (n // acc) - 1)]
+        hi = exact[min(n - 1, target + (n // acc) + 1)]
+        assert lo <= got <= hi, f"p{p}: {got} outside [{lo}, {hi}]"

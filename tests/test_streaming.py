@@ -924,3 +924,59 @@ def test_state_data_source_reads_exact_open_window_state(spark, tmp_path):
     assert md.filter(F.col("operatorName") == "stateStoreSave").count() == 1
     summ = state_summary(spark, ckpt).collect()
     assert summ[0]["state_rows"] == len(expect)
+
+
+def test_chained_windowed_aggregations_single_query(spark, tmp_path):
+    """Multiple stateful operators in ONE streaming query: 1-min window agg
+    re-windowed to a 5-min rollup. Append mode emits the rollup only after
+    the watermark passes its end, and values equal the batch twin exactly
+    (algebraic partials — no avg-of-avgs)."""
+    from hw_kafka_flink_health_spark.streaming.health_pipeline import (
+        windowed_vitals_rollup,
+    )
+
+    events = [
+        _ev("p001", "2025-11-19T07:00:05+00:00", 110),
+        _ev("p001", "2025-11-19T07:01:10+00:00", 80),   # 2nd fine window
+        _ev("p001", "2025-11-19T07:03:20+00:00", 95),   # 4th fine window
+        _ev("p002", "2025-11-19T07:02:00+00:00", 45),
+        # sentinel far ahead: watermark passes the 07:00-07:05 rollup
+        _ev("p099", "2025-11-19T07:20:00+00:00", 75),
+    ]
+    src = tmp_path / "chain_src"
+    _write_events_json(str(src / "batch0.json"), events)
+    reader = (
+        spark.readStream.schema("raw string").option("maxFilesPerTrigger", 1000).json(str(src))
+    )
+    out = windowed_vitals_rollup(parse_events_df(reader), watermark="5 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chained_rollup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    srows = {
+        (r.patient_id, r.rollup_start): r
+        for r in spark.sql("SELECT * FROM chained_rollup").collect()
+    }
+
+    raw_batch = spark.createDataFrame([(json.dumps(e),) for e in events], ["raw"])
+    brows = {
+        (r.patient_id, r.rollup_start): r
+        for r in windowed_vitals_rollup(parse_events_df(raw_batch)).collect()
+    }
+
+    # closed rollups for p001 and p002 emitted; sentinel's own stays open
+    p1 = srows[("p001", 1763535600000)]
+    assert (p1.avg_hr, p1.n_events, p1.min_hr, p1.max_hr, p1.n_fine_windows) == (
+        (110 + 80 + 95) / 3, 3, 80, 110, 3,
+    )
+    assert srows[("p002", 1763535600000)].n_events == 1
+    assert ("p099", 1763536800000) not in srows
+    for k, r in srows.items():  # stream == batch twin on every emitted row
+        b = brows[k]
+        assert (r.avg_hr, r.n_events, r.min_hr, r.max_hr, r.n_fine_windows) == (
+            b.avg_hr, b.n_events, b.min_hr, b.max_hr, b.n_fine_windows,
+        )
