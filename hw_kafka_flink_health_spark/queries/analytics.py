@@ -502,3 +502,56 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= 20)
     )
+
+
+@register(
+    "join_scd2_pointlookup",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS changed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts, event_id FROM marked WHERE changed = 1
+    ), dim AS (
+      SELECT user_id, event_type AS state,
+             epoch_ms(ts) AS valid_from_ms,
+             epoch_ms(lead(ts) OVER w2) AS valid_to_ms
+      FROM runs
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), probe AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT p.event_id, p.user_id, p.ts_ms, d.state
+    FROM probe p JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.valid_from_ms <= p.ts_ms
+     AND (d.valid_to_ms IS NULL OR p.ts_ms < d.valid_to_ms)
+    """,
+)
+def join_scd2_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 interval table:
+    every 10th event probes 'what state was this user in at time ts'.
+    The join is EQUI on user_id with the interval containment as a
+    residual range predicate — so it hash-partitions on the key (SMJ/SHJ
+    + AQE skew split), never a nested-loop: the per-user interval list is
+    what bounds the residual scan, the standard lakehouse temporal-join
+    shape. Exactly one interval matches each probe ([from, to) intervals
+    partition the timeline), which the oracle's row count proves."""
+    dim = scd2_user_state(spark, sf_dir).select(
+        F.col("user_id").alias("d_user_id"), "state", "valid_from_ms", "valid_to_ms"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    j = probe.join(
+        dim,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("valid_from_ms") <= F.col("ts_ms"))
+        & (F.col("valid_to_ms").isNull() | (F.col("ts_ms") < F.col("valid_to_ms"))),
+    )
+    return j.select("event_id", "user_id", "ts_ms", "state")

@@ -574,3 +574,47 @@ def mlprep_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = shuffle_shards(docs, "doc_id", n_shards=8, salt="shuffle")
     return out.select("doc_id", "shard", "pos", F.round("draw", 8).alias("draw"))
+
+
+@register(
+    "mlprep_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat(w, 'feat')), 1, 8)) AS BIGINT) % 1024 AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(concat(w, 'feat')), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, bucket
+    HAVING sum(sgn) <> 0
+    """,
+)
+def mlprep_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text vectorization (Weinberger et al. 2009): each
+    token hashes to one of 1024 buckets with a +/-1 sign from a second
+    hash bit (keeps the inner-product estimate unbiased); per-doc bucket
+    weights are the signed counts. The whole vocabulary-free featurizer
+    is two md5 expressions + one partial-aggregated groupBy — no fitted
+    dictionary to broadcast, which is the point at 100 TB. Zero-weight
+    collisions (a +1 and a -1 in the same bucket) are dropped in both
+    engines."""
+    from hw_kafka_flink_health_spark.operators.mlprep import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    sgn_hex = F.substring(F.md5(F.concat(F.col("w"), F.lit("feat"))), 9, 1)
+    sgn = F.when(F.conv(sgn_hex, 16, 10).cast("bigint") % 2 == 0, 1).otherwise(-1)
+    h = tok.select(
+        "doc_id",
+        hash_bucket("w", 1024, salt="feat").alias("bucket"),
+        sgn.alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

@@ -1458,3 +1458,56 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("safe_div"),
         F.substring("event_type", 1, 1).try_cast("bigint").alias("bad_cast_null"),
     )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+    WITH j AS (
+      SELECT '{"base": ' || props || ', "meta": {"t": "' || event_type ||
+             '", "v2": [' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) || ', ' ||
+             CAST(CAST(event_id % 10 AS BIGINT) AS VARCHAR) || ']}}' AS doc
+      FROM events
+    )
+    SELECT doc ->> '$.meta.t' AS event_class,
+           count(*) AS n,
+           CAST(sum(CAST(doc ->> '$.base.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(doc ->> '$.meta.v2[0]' AS BIGINT)) AS BIGINT) AS sum_v100,
+           CAST(sum(CAST(doc ->> '$.meta.v2[1]' AS BIGINT)) AS BIGINT) AS sum_d
+    FROM j GROUP BY 1
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type: nested JSON
+    (built deterministically around the events.props payload) is parsed
+    ONCE into a variant value (`parse_json`), then typed paths come out
+    with `variant_get` — the schema-on-read path that replaces per-field
+    get_json_object re-parsing. Variant's binary encoding makes repeated
+    path extraction O(paths), not O(paths x parse); at 100 TB the
+    shredded scan prunes untouched fields. Oracle: DuckDB's JSON `->>`
+    paths over the identical document."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"base": '),
+        F.col("props"),
+        F.lit(', "meta": {"t": "'),
+        F.col("event_type"),
+        F.lit('", "v2": ['),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit("]}}"),
+    )
+    v = ev.select(F.parse_json(doc).alias("v"))
+    t = v.select(
+        F.variant_get("v", "$.meta.t", "string").alias("event_class"),
+        F.variant_get("v", "$.base.k", "bigint").alias("k"),
+        F.variant_get("v", "$.meta.v2[0]", "bigint").alias("v100"),
+        F.variant_get("v", "$.meta.v2[1]", "bigint").alias("d"),
+    )
+    return t.groupBy("event_class").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.sum("v100").cast("bigint").alias("sum_v100"),
+        F.sum("d").cast("bigint").alias("sum_d"),
+    )

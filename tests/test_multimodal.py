@@ -155,3 +155,34 @@ def test_video_frame_stats_real_motion_signal(spark):
     assert rows[2]["motion"] == 100.0
     assert rows[2]["mean_r"] == rows[2]["mean_g"] == rows[2]["mean_b"] == 100.0
     assert rows[0]["mean_r"] == 0.0
+
+
+def test_raw_rgb_arrow_tier_parity(spark):
+    """mapInArrow tier == mapInPandas tier byte-for-byte: same resized
+    payload bytes, same channel means, over several images and batch
+    shapes (maxRecordsPerBatch=2 forces multiple Arrow batches)."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        encode_raw_rgb,
+        resize_raw_rgb,
+        resize_raw_rgb_arrow,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for aid, (h, w) in enumerate([(16, 24), (9, 13), (32, 8), (5, 5), (40, 40)]):
+        rows.append((aid, bytearray(encode_raw_rgb(rng.randint(0, 256, (h, w, 3), dtype=np.uint8)))))
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    assets = sess.createDataFrame(rows, "asset_id long, payload binary")
+
+    a = {r["asset_id"]: r for r in resize_raw_rgb(assets, target_w=8, target_h=4).collect()}
+    b = {r["asset_id"]: r for r in resize_raw_rgb_arrow(assets, target_w=8, target_h=4).collect()}
+    assert set(a) == set(b) == set(range(5))
+    for aid in a:
+        ra, rb = a[aid], b[aid]
+        assert bytes(ra["payload"]) == bytes(rb["payload"])
+        assert (ra["width"], ra["height"]) == (rb["width"], rb["height"])
+        for c in ("mean_r", "mean_g", "mean_b"):
+            assert ra[c] == rb[c]

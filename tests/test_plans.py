@@ -357,3 +357,12 @@ def test_parquet_aggregate_pushdown_reads_footers_not_rows(spark):
         .collect()[0]
     )
     assert (got.n, got.mn, got.mx) == (base.n, base.mn, base.mx)
+
+
+def test_scd2_pointlookup_is_equi_partitioned_not_nlj(spark):
+    """The temporal lookup must plan as a KEY-partitioned join (SMJ/SHJ on
+    user_id) with the interval containment as a residual condition — a
+    BroadcastNestedLoopJoin here would be quadratic at scale."""
+    plan = plan_of(spark, "join_scd2_pointlookup")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
