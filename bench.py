@@ -91,6 +91,11 @@ HEADLINE = [
     # LM scoring pack (tracked since r3d)
     "quality_logistic_score",
     "text_bigram_logprob",
+    # corpus-prep pack (tracked since r3e)
+    "text_paragraph_dedup",
+    "mlprep_shuffle_shards",
+    "mlprep_feature_hashing",
+    "events_variant_extract",
 ]
 
 

@@ -366,3 +366,34 @@ def test_scd2_pointlookup_is_equi_partitioned_not_nlj(spark):
     plan = plan_of(spark, "join_scd2_pointlookup")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """API-surface completeness: per-join strategy hints must reach the
+    planner — merge() forces SMJ, shuffle_hash() forces SHJ, broadcast()
+    forces BHJ on the same query. These are the manual overrides for when
+    stats mislead the optimizer at scale."""
+    from pyspark.sql import functions as F
+
+    fact = spark.read.parquet(f"{SF}/lineitem.parquet")
+    dim = spark.read.parquet(f"{SF}/orders.parquet")
+
+    def plan(hinted_dim):
+        j = fact.join(hinted_dim, fact.l_orderkey == hinted_dim.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "SortMergeJoin" in plan(dim.hint("merge"))
+    assert "ShuffledHashJoin" in plan(dim.hint("shuffle_hash"))
+    assert "BroadcastHashJoin" in plan(dim.hint("broadcast"))
+
+
+def test_paragraph_dedup_keeper_is_aggregate_not_window(spark):
+    """The global-first-occurrence keeper must be the skew-immune
+    min(struct) HashAggregate (map-side partials collapse hot boilerplate
+    paragraphs before the shuffle) — a row_number Window here would sort
+    every copy of the hottest paragraph in one task."""
+    plan = plan_of(spark, "text_paragraph_dedup")
+    assert "Window" not in plan, plan[:3000]
+    assert "HashAggregate" in plan or "SortAggregate" in plan

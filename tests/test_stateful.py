@@ -220,3 +220,37 @@ def test_session_timeout_stream_closes_sessions_via_watermark(spark, tmp_path):
         "p001": (base, base + 10_000, 2, 85.0),
         "p002": (base + 5_000, base + 5_000, 1, 60.0),
     }
+
+
+def test_scalar_pandas_udf_parity_with_native(spark):
+    """The scalar Arrow-vectorized UDF escape hatch (@pandas_udf): a
+    numpy log1p-scaled score must match the same expression in native
+    Catalyst functions exactly (both double math), across Arrow batch
+    boundaries. Completes the escape-hatch matrix: scalar pandas_udf /
+    grouped applyInPandas / mapInPandas / mapInArrow / UDTF."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    # lambda form: the module's `from __future__ import annotations` would
+    # stringify `pd.Series` hints beyond pandas_udf's resolver
+    score = pandas_udf(lambda v: np.log1p(v.abs()) * 2.0, "double")
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    df = sess.range(0, 1000).select(
+        (F.col("id") - 500).cast("double").alias("v")
+    )
+    got = df.select("v", score("v").alias("s"),
+                    (F.log1p(F.abs("v")) * 2.0).alias("expect")).collect()
+    assert len(got) == 1000
+    import math
+
+    for r in got:
+        # numpy's log1p and the JVM's StrictMath.log1p may differ in the
+        # last ulp — parity means "same math", not "same libm binary"
+        assert math.isclose(r["s"], r["expect"], rel_tol=1e-14, abs_tol=1e-14), (
+            r["v"], r["s"], r["expect"],
+        )
