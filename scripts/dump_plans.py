@@ -41,6 +41,11 @@ SHOWCASE = {
     "mlprep_domain_mix": "per-source keep rates from a 20-row aggregate broadcast back; corpus filter is map-side",
     "quality_logistic_score": "model inference as columnar math: features + sigmoid in one WholeStageCodegen span over the scan",
     "text_bigram_logprob": "LM scoring: compact model table joins once; probe is per-doc bigram COUNTS, not occurrences",
+    "text_paragraph_dedup": "paragraph dedup keeper is min(struct) HashAggregate with map-side partials — hot boilerplate paragraphs collapse before the shuffle, no Window sort",
+    "mlprep_shuffle_shards": "deterministic corpus shuffle: md5-draw permutation, fixed uniform shard cuts (no sampled RangePartitioner), one shuffle to shard-partitioned order",
+    "events_variant_extract": "VARIANT path: parse_json once, typed variant_get extractions + partial agg in one codegen span",
+    "mlprep_feature_hashing": "hashing-trick featurizer: two md5 expressions + one partially-aggregated groupBy, no fitted vocabulary anywhere",
+    "join_scd2_pointlookup": "temporal SCD2 lookup: equi join on user_id (hash-partitionable) with interval containment as residual — never a nested loop",
 }
 
 
