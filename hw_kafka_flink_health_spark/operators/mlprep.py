@@ -193,3 +193,35 @@ def normalize_text_expr(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
     return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int = 8,
+    salt: str = "shuffle",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize `shuffle_shards` as the physical training export: one
+    parquet file per shard, rows inside each file in permutation order.
+
+    `repartition(n_shards, shard)` + `sortWithinPartitions(draw, id)` is
+    the exact one-shuffle plan the operator's docstring promises: every
+    task streams one shard straight to disk in order. Hive-partitioning by
+    shard keeps the files addressable (`shard=3/part-*.parquet`) so a
+    trainer reads its shard with directory pruning and NO further sort —
+    the row order IS the global permutation restricted to the shard.
+    Determinism caveat at scale: `repartition(n, col)` places each shard
+    wholly in one task, so per-file contents are a pure function of the
+    data, not of cluster parallelism.
+    """
+    out = shuffle_shards(df, id_col, n_shards=n_shards, salt=salt)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("draw", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

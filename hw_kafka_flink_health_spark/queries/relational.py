@@ -1511,3 +1511,65 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v100").cast("bigint").alias("sum_v100"),
         F.sum("d").cast("bigint").alias("sum_d"),
     )
+
+
+@register(
+    "setops_except_all",
+    oracle=f"{_BIG_SPENDER_SET} EXCEPT ALL {_SEGMENT_SET}",
+)
+def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): multiplicities subtract instead of
+    collapsing — a customer with three big orders and one BUILDING row
+    keeps two copies. Spark's exceptAll plans as a count-tagged
+    aggregation + generate, one shuffle — never a per-row loop."""
+    a, b = _setop_inputs(spark, sf_dir)
+    return b.exceptAll(a)
+
+
+@register(
+    "setops_intersect_all",
+    oracle=f"{_BIG_SPENDER_SET} INTERSECT ALL {_SEGMENT_SET}",
+)
+def setops_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): keeps min(multiplicity) copies."""
+    a, b = _setop_inputs(spark, sf_dir)
+    return b.intersectAll(a)
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) o
+    WHERE c.c_mktsegment = 'MACHINERY'
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL-standard top-N-per-group): each
+    MACHINERY customer joins its own 2 priciest orders. Catalyst
+    DECORRELATES the lateral into a window rank over a single equi join —
+    the plan has no per-customer re-execution, so it scales like any
+    ranked join (one shuffle on the key), while the SQL stays the natural
+    per-row formulation. Oracle: DuckDB executes the identical LATERAL."""
+    from hw_kafka_flink_health_spark.sources.files import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             ) o
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """
+    )

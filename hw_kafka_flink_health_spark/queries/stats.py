@@ -234,3 +234,74 @@ def histogram_equidepth_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS edge,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+             ON l.l_orderkey = o.o_orderkey) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l ANTI JOIN part p
+             ON l.l_partkey = p.p_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l ANTI JOIN supplier s
+             ON l.l_suppkey = s.s_suppkey)
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o ANTI JOIN customer c
+             ON o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c ANTI JOIN nation n
+             ON c.c_nationkey = n.n_nationkey)
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n ANTI JOIN region r
+             ON n.n_regionkey = r.r_regionkey)
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the referential
+    gate run before any pipeline trusts its joins (an orphan silently
+    vanishes from every inner join downstream). Each edge is one LEFT ANTI
+    join (dims broadcast; the fact side streams map-side) plus a count;
+    the six audits union into one DAG so the driver triggers a single
+    job. At 100 TB each anti join is the same shape as the query it
+    protects — if the audit is too slow, so was the join."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for fact_name, fk, dim_name, pk in edges:
+        fact = load_table(spark, sf_dir, fact_name)
+        dim = load_table(spark, sf_dir, dim_name)
+        edge_label = f"{fact_name}->{dim_name}"
+        rows = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = fact.join(dim, F.col(fk) == F.col(pk), "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        one = (
+            rows.crossJoin(orphans)
+            .select(
+                F.lit(edge_label).alias("edge"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+            )
+        )
+        out = one if out is None else out.unionAll(one)
+    return out

@@ -111,3 +111,44 @@ def test_shuffle_shards_partitions_the_permutation(spark):
         assert draws == sorted(draws)  # pos follows the permutation order
     b = shuffle_shards(docs, "doc_id", n_shards=8).select("doc_id", "shard", "pos").collect()
     assert sorted(map(tuple, b)) == sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+
+
+def test_write_shuffled_shards_files_hold_permutation_order(spark, tmp_path):
+    """The physical export: each shard directory's rows, in FILE order,
+    must equal the shard's permutation order (pos 0..n-1) — i.e. a trainer
+    can stream the file without sorting. Verified via _metadata.file_path
+    + monotonically increasing row order within each file."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.mlprep import (
+        shuffle_shards,
+        write_shuffled_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(docs, out, "doc_id", n_shards=4)
+
+    back = spark.read.parquet(out)
+    # directory layout: one dir per shard, one file per shard
+    files = {
+        (r["shard"], r["f"])
+        for r in back.select("shard", F.col("_metadata.file_path").alias("f")).distinct().collect()
+    }
+    assert len({s for s, _ in files}) == 4
+    assert len(files) == 4  # exactly one file per shard
+
+    expect = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(docs, "doc_id", n_shards=4).collect()
+    }
+    got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.collect()}
+    assert got == expect
+
+    # file order == permutation order: read one shard's file with pandas
+    # (pyarrow preserves parquet row order) and check pos is 0..n-1
+    import pyarrow.parquet as pq
+
+    for shard, f in files:
+        t = pq.read_table(f.replace("file://", "")).to_pandas()
+        assert list(t["pos"]) == list(range(len(t))), f"shard {shard} file out of order"

@@ -397,3 +397,12 @@ def test_paragraph_dedup_keeper_is_aggregate_not_window(spark):
     plan = plan_of(spark, "text_paragraph_dedup")
     assert "Window" not in plan, plan[:3000]
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_lateral_topn_decorrelates_to_ranked_join(spark):
+    """The correlated LATERAL must decorrelate: one Window rank + one
+    equi join in the plan — no per-outer-row subquery re-execution, no
+    nested loop."""
+    plan = plan_of(spark, "join_lateral_topn")
+    assert "Window" in plan, plan[:2000]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:2000]

@@ -295,3 +295,45 @@ def test_manifest_file_pruning_reads_fewer_files_same_answer(spark, tmp_path):
     assert sorted(r[0] for r in pruned.select("o_orderkey").collect()) == sorted(
         r[0] for r in full.select("o_orderkey").collect()
     )
+
+
+def test_ivf_index_as_partitioned_table_prunes_probed_lists(spark, tmp_path):
+    """The IVF layout claim, proven on disk: the corpus written
+    partitionBy(cluster) IS the inverted-file index — probing n_probe
+    lists becomes directory pruning (PartitionFilters on the cluster
+    column; only the probed directories' files are opened)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    feat = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cluster").fit(feat)
+    assigned = model.transform(feat).select("vec_id", "embedding", "cluster")
+
+    out = str(tmp_path / "ivf_index")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(out)
+
+    probe = [2, 5]  # the lists a routed query would read
+    scan = spark.read.parquet(out).filter(F.col("cluster").isin(probe))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:120], plan
+    # files actually read (post-pruning): only the probed directories
+    opened = [
+        r["f"]
+        for r in scan.select(F.col("_metadata.file_path").alias("f")).distinct().collect()
+    ]
+    assert opened, "probe read no files"
+    assert all(any(f"cluster={c}/" in f for c in probe) for f in opened), opened
+    # pruned read returns exactly the probed lists' members
+    expect = {r["vec_id"] for r in assigned.filter(F.col("cluster").isin(probe)).collect()}
+    assert {r["vec_id"] for r in scan.collect()} == expect
