@@ -337,3 +337,62 @@ def test_ivf_index_as_partitioned_table_prunes_probed_lists(spark, tmp_path):
     # pruned read returns exactly the probed lists' members
     expect = {r["vec_id"] for r in assigned.filter(F.col("cluster").isin(probe)).collect()}
     assert {r["vec_id"] for r in scan.collect()} == expect
+
+
+
+def test_zstd_codec_shrinks_files_and_roundtrips(spark, tmp_path):
+    """Codec lever: zstd trades a little CPU for materially smaller files
+    than snappy (the default). At 100 TB the delta is tens of TB of
+    storage and shuffle-read bytes. Both layouts must read back
+    identically; zstd must actually be smaller on this redundant table."""
+    import os
+
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+
+    def write(codec, sub):
+        out = str(tmp_path / sub)
+        li.coalesce(1).write.mode("overwrite").option("compression", codec).parquet(out)
+        return out, sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
+    snappy_dir, snappy_bytes = write("snappy", "snappy")
+    zstd_dir, zstd_bytes = write("zstd", "zstd")
+    assert zstd_bytes < snappy_bytes, (snappy_bytes, zstd_bytes)
+    a = spark.read.parquet(snappy_dir)
+    b = spark.read.parquet(zstd_dir)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+
+
+def test_max_partition_bytes_controls_scan_task_count(spark, tmp_path):
+    """Scan-sizing lever: spark.sql.files.maxPartitionBytes decides how
+    many tasks read a file set. Halving it must increase scan parallelism
+    (more, smaller input splits) without changing results — the knob that
+    right-sizes 100 TB scans to executor memory."""
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "li")
+    load_table(spark, SF_DIR, "lineitem").coalesce(1).write.mode("overwrite").parquet(out)
+
+    def n_parts(mpb):
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        # openCostInBytes adds per-file padding to split math; pin it small
+        sess.conf.set("spark.sql.files.openCostInBytes", "0")
+        # otherwise minPartitionNum (= default parallelism) floors the
+        # split count and hides the knob under test
+        sess.conf.set("spark.sql.files.minPartitionNum", "1")
+        df = sess.read.parquet(out)
+        return df.rdd.getNumPartitions(), df.count()
+
+    coarse_parts, coarse_n = n_parts(128 * 1024 * 1024)
+    fine_parts, fine_n = n_parts(32 * 1024)
+    assert fine_n == coarse_n
+    assert fine_parts > coarse_parts, (coarse_parts, fine_parts)

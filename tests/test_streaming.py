@@ -980,3 +980,81 @@ def test_chained_windowed_aggregations_single_query(spark, tmp_path):
         assert (r.avg_hr, r.n_events, r.min_hr, r.max_hr, r.n_fine_windows) == (
             b.avg_hr, b.n_events, b.min_hr, b.max_hr, b.n_fine_windows,
         )
+
+
+def test_stream_stream_join_then_windowed_agg_chained(spark, tmp_path):
+    """The OTHER multi-stateful-operator chain: stream-stream interval
+    join followed by an event-time windowed aggregation in the SAME
+    query (join state + agg state, one watermark lineage). Append mode
+    emits a window's attribution counts only after the watermark closes
+    it; values match the batch twin of the identical code path."""
+    from hw_kafka_flink_health_spark.streaming.joins import interval_join
+
+    import json as _json
+
+    def write_rows(d, rows):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    clicks = [
+        {"user_id": 1, "click_id": 10, "click_ts": "2024-01-01T10:00:00"},
+        {"user_id": 2, "click_id": 12, "click_ts": "2024-01-01T10:00:30"},
+        {"user_id": 1, "click_id": 13, "click_ts": "2024-01-01T10:01:10"},
+        # watermark sentinel far ahead on both streams
+        {"user_id": 9, "click_id": 99, "click_ts": "2024-01-01T13:00:00"},
+    ]
+    purchases = [
+        {"user_id": 1, "purchase_id": 20, "purchase_ts": "2024-01-01T10:00:20"},  # <- click 10
+        {"user_id": 2, "purchase_id": 22, "purchase_ts": "2024-01-01T10:00:50"},  # <- click 12
+        {"user_id": 1, "purchase_id": 24, "purchase_ts": "2024-01-01T10:01:40"},  # <- clicks 10,13
+        {"user_id": 9, "purchase_id": 98, "purchase_ts": "2024-01-01T13:00:01"},
+    ]
+    cdir, pdir = str(tmp_path / "c2"), str(tmp_path / "p2")
+    write_rows(cdir, clicks)
+    write_rows(pdir, purchases)
+
+    def build(cs, ps):
+        joined = interval_join(
+            ps, cs, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+            upper="2 minutes", watermark="1 second",
+        )
+        return (
+            joined.groupBy(F.window("purchase_ts", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_attributed"))
+            .select(
+                F.unix_millis(F.col("w.start").cast("timestamp")).alias("ws"),
+                "n_attributed",
+            )
+        )
+
+    cs = spark.readStream.schema("user_id long, click_id long, click_ts timestamp").json(cdir)
+    ps = spark.readStream.schema(
+        "user_id long, purchase_id long, purchase_ts timestamp"
+    ).json(pdir)
+    q = (
+        build(cs, ps)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("join_then_agg")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    srows = {
+        (r["ws"], r["n_attributed"])
+        for r in spark.sql("SELECT * FROM join_then_agg").collect()
+    }
+
+    cb = spark.read.schema("user_id long, click_id long, click_ts timestamp").json(cdir)
+    pb = spark.read.schema("user_id long, purchase_id long, purchase_ts timestamp").json(pdir)
+    brows = {(r["ws"], r["n_attributed"]) for r in build(cb, pb).collect()}
+    # every closed window the stream emitted matches the batch twin;
+    # the two pre-sentinel windows must have closed
+    assert srows <= brows
+    closed = {ws for ws, _ in srows}
+    assert 1704103200000 in closed  # 10:00 window: purchases 20, 22
+    assert 1704103260000 in closed  # 10:01 window: purchase 24 (2 clicks)
+    assert dict(srows)[1704103200000] == 2
+    assert dict(srows)[1704103260000] == 2
