@@ -283,3 +283,73 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_half_energy"
         ),
     )
+
+
+@register(
+    "embedding_decontaminate",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS eval_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id >= 480
+    ), corpus AS (
+        SELECT e.vec_id,
+               CASE WHEN e.vec_id % 40 = 3 THEN list_transform(s.qe, x -> x * 0.5)
+                    ELSE e.embedding::DOUBLE[] END AS ce
+        FROM embeddings e JOIN q s ON s.eval_id = 480 + e.vec_id % 20
+        WHERE e.vec_id < 480
+    ), c AS (
+        SELECT corpus.vec_id, q.eval_id,
+               list_inner_product(ce, q.qe) /
+               (sqrt(list_inner_product(ce, ce)) * sqrt(list_inner_product(q.qe, q.qe))) AS sim
+        FROM corpus, q
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(max(sim), 4) AS max_sim
+    FROM c WHERE round(sim, 6) >= 0.95 GROUP BY vec_id
+    """,
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (the embedding-space sibling of
+    the n-gram `text_decontaminate`): flag every training vector whose
+    cosine to ANY eval-set vector clears 0.95 — near-duplicates of eval
+    items that inflate benchmark scores. The synthetic corpus has no real
+    eval overlap, so contamination is PLANTED deterministically in both
+    engines (every 40th vector becomes a scaled copy of its designated
+    eval vector — cosine exactly 1, scale-invariant), proving the flag
+    path end to end. Eval set (20 vectors) broadcast twice (plant +
+    scoring); the corpus is scanned once and never shuffled — the hit
+    aggregation rides map-side partials on vec_id. Threshold applied on
+    round(sim, 6) so both engines make identical borderline calls."""
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    evalset = emb.filter(F.col("vec_id") >= 480).select(
+        F.col("vec_id").alias("eval_id"), dv(F.col("embedding")).alias("qe")
+    )
+    plant_src = evalset.select(F.col("eval_id").alias("plant_id"), F.col("qe").alias("plant_vec"))
+    corpus = (
+        emb.filter(F.col("vec_id") < 480)
+        .join(F.broadcast(plant_src), F.col("plant_id") == 480 + F.col("vec_id") % 20)
+        .select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") % 40 == 3,
+                F.transform(F.col("plant_vec"), lambda x: x * 0.5),
+            )
+            .otherwise(dv(F.col("embedding")))
+            .alias("ce"),
+        )
+    )
+    pairs = corpus.crossJoin(F.broadcast(evalset)).withColumn(
+        "sim", cosine_expr(F.col("ce"), F.col("qe"))
+    )
+    return (
+        pairs.filter(F.round("sim", 6) >= 0.95)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.round(F.max("sim"), 4).alias("max_sim"),
+        )
+    )
