@@ -65,3 +65,22 @@ def synthetic_heart_rate_batch(
         F.unix_millis(F.lit(start_ts).cast("timestamp")) + F.col("id") * 100
     )
     return base.select(*_event_cols(F.col("id"), ts))
+
+
+def hello_payload_expr(id_col, ts_col):
+    """hello_kafka_producer.py message shape (reference
+    src/hello_kafka_producer.py:16-21): {"id": i, "message": "hello flink",
+    "timestamp": iso8601} as a JSON string column."""
+    return F.to_json(
+        F.struct(
+            id_col.alias("id"),
+            F.lit("hello flink").alias("message"),
+            F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").alias("timestamp"),
+        )
+    ).alias("raw")
+
+
+def hello_raw_stream(spark: SparkSession, rows_per_second: int = 5) -> DataFrame:
+    """Streaming hello-message producer body (rate-source cadence)."""
+    rows = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rows.select(hello_payload_expr(F.col("value"), F.col("timestamp")))

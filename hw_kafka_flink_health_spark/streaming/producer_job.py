@@ -20,14 +20,28 @@ def main() -> None:
     p.add_argument("--topic", default="heart_rate_events")
     p.add_argument("--rate", type=int, default=10, help="events per second")
     p.add_argument("--checkpoint", default="/tmp/ckpt/producer")
+    p.add_argument(
+        "--hello",
+        action="store_true",
+        help="emit hello_kafka_producer.py-shaped messages instead "
+        "(reference src/hello_kafka_producer.py:16-21; default topic hello_input)",
+    )
     args = p.parse_args()
 
     from hw_kafka_flink_health_spark.session import get_spark
     from hw_kafka_flink_health_spark.sources.kafka import write_kafka_stream
-    from hw_kafka_flink_health_spark.sources.rate import synthetic_heart_rate_raw_stream
+    from hw_kafka_flink_health_spark.sources.rate import (
+        hello_raw_stream,
+        synthetic_heart_rate_raw_stream,
+    )
 
     spark = get_spark(app_name="HeartRateProducer")
-    raw = synthetic_heart_rate_raw_stream(spark, rows_per_second=args.rate)
+    if args.hello:
+        if args.topic == "heart_rate_events":
+            args.topic = "hello_input"
+        raw = hello_raw_stream(spark, rows_per_second=args.rate)
+    else:
+        raw = synthetic_heart_rate_raw_stream(spark, rows_per_second=args.rate)
     write_kafka_stream(
         raw,
         topic=args.topic,

@@ -334,3 +334,25 @@ def test_manifest_jsonl_roundtrip_ignores_orphan_parts(spark, tmp_path):
     assert all(r["v"] == r["id"] * 3 for r in rows)
     assert back.rdd.getNumPartitions() == 2  # one per committed part
     assert not [r for r in rows if r["id"] == 999999]  # orphan invisible
+
+
+def test_hello_producer_payload_matches_reference_shape(spark):
+    """--hello producer payloads carry exactly the reference's keys and
+    values ({id, message: 'hello flink', timestamp: iso8601}) — cited:
+    reference src/hello_kafka_producer.py:16-21."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.sources.rate import hello_payload_expr
+
+    df = spark.range(3).select(
+        hello_payload_expr(
+            F.col("id"), F.lit("2025-11-19 07:00:00.123456").cast("timestamp")
+        )
+    )
+    rows = [json.loads(r["raw"]) for r in df.collect()]
+    assert [r["id"] for r in rows] == [0, 1, 2]
+    assert all(r["message"] == "hello flink" for r in rows)
+    assert all(r["timestamp"].startswith("2025-11-19T07:00:00.123456") for r in rows)
+    assert all(set(r) == {"id", "message", "timestamp"} for r in rows)
