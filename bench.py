@@ -96,6 +96,9 @@ HEADLINE = [
     "mlprep_shuffle_shards",
     "mlprep_feature_hashing",
     "events_variant_extract",
+    "hr_rollup_chained",
+    "join_lateral_topn",
+    "embedding_decontaminate",
 ]
 
 

@@ -417,3 +417,52 @@ def decontaminate_hits(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
+
+
+def minhash_incremental_candidates(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    jaccard_distance_threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Ingestion-time NEAR-dup detection: candidate pairs between a new
+    batch and the existing corpus only — the incremental sibling of
+    `minhash_lsh_pairs` (full-corpus) and `dedup_incremental_ingest`
+    (exact-fingerprint). The asymmetric approxSimilarityJoin probes the
+    new batch's band buckets against the history's: cost scales with
+    |batch| x bucket collision rate, NEVER |history|² — re-banding the
+    history is a narrow map over its text (at scale the banded history
+    is a persisted table partitioned by band hash and this becomes a
+    bucket-pruned join; model hashing is seed-pinned so signatures are
+    stable across runs).
+
+    Returns (new_doc, old_doc, jaccard_distance).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    def featurize(df):
+        sh = shingle_table(df, text_col, id_col, shingle_n).filter(F.size("sh") > 0)
+        tf = HashingTF(
+            inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
+        )
+        return tf.transform(sh)
+
+    hist_f = featurize(history)
+    batch_f = featurize(batch)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(hist_f)
+    pairs = model.approxSimilarityJoin(
+        batch_f, hist_f, jaccard_distance_threshold, distCol="jaccard_distance"
+    )
+    return pairs.select(
+        F.col("datasetA.doc").alias("new_doc"),
+        F.col("datasetB.doc").alias("old_doc"),
+        F.col("jaccard_distance"),
+    )

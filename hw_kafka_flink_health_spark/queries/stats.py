@@ -305,3 +305,33 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out
+
+
+@register(
+    "agg_percentile_cont_disc",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50_cont,
+           round(quantile_cont(value, 0.9), 4) AS p90_cont,
+           round(quantile_disc(value, 0.5), 4) AS p50_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard percentile semantics, both flavors: PERCENTILE_CONT
+    (linear interpolation between adjacent ranks) and PERCENTILE_DISC
+    (an actual data value at the ceiling rank). Spark's exact
+    `percentile()` IS the CONT definition; DISC comes out of the same
+    sorted-group machinery via `percentile_disc`-equivalent expression.
+    Exact per-group sorts are confined to each group's partition — the
+    same single-shuffle shape as `median_value_by_type`."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_cont"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_cont"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 4
+        ).alias("p50_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

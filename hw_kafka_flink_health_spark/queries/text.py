@@ -1236,3 +1236,29 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (alpha > 0.8)
         ).alias("keep"),
     )
+
+
+@register("dedup_incremental_neardup")  # LSH hash-seeded: rows-only by design
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup screen: a synthetic 'new batch' (every
+    50th doc, re-ingested with a trailing edit and a shifted id) is
+    probed against the remaining corpus via the asymmetric MinHash band
+    join — candidates are (new, old) only, cost scales with the batch,
+    not the history. Planted recall pinned by
+    tests/test_approx_operators.py::test_minhash_incremental_catches_planted_neardup_of_history."""
+    from hw_kafka_flink_health_spark.operators.dedup import (
+        minhash_incremental_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs  # full corpus: the batch re-delivers EDITED copies of it
+    batch = docs.filter(F.col("doc_id") % 50 == 7).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" minor appended revision")).alias("text"),
+    )
+    out = minhash_incremental_candidates(
+        history, batch, "text", "doc_id", jaccard_distance_threshold=0.6
+    )
+    return out.select(
+        "new_doc", "old_doc", F.round("jaccard_distance", 4).alias("jaccard_distance")
+    )

@@ -377,3 +377,31 @@ def test_decontaminate_empty_benchmark_flags_nothing(spark):
     )
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert decontaminate_hits(corpus, bench, n=3).count() == 0
+
+
+def test_minhash_incremental_catches_planted_neardup_of_history(spark):
+    """A new doc that is a lightly-edited copy of a HISTORY doc must
+    surface as a (new, old) candidate; an unrelated new doc must not pair
+    with it. Asymmetric join: only new-batch probes, never history x
+    history (verified by the output's side roles)."""
+    from hw_kafka_flink_health_spark.operators.dedup import (
+        minhash_incremental_candidates,
+    )
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    hist = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = hist.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    edited = base + " trailing edit tokens appended here"
+    batch = spark.createDataFrame(
+        [(100007, edited), (100008, "entirely unrelated fresh content words nothing shared")],
+        ["doc_id", "text"],
+    )
+    got = minhash_incremental_candidates(
+        hist, batch, "text", "doc_id", jaccard_distance_threshold=0.5
+    ).collect()
+    pairs = {(r["new_doc"], r["old_doc"]) for r in got}
+    assert (100007, 7) in pairs, pairs
+    # every candidate is new-batch on the left, history on the right
+    assert all(n >= 100000 and o < 100000 for n, o in pairs), pairs
+    assert not any(n == 100008 and o == 7 for n, o in pairs)
