@@ -555,3 +555,28 @@ def join_scd2_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_to_ms").isNull() | (F.col("ts_ms") < F.col("valid_to_ms"))),
     )
     return j.select("event_id", "user_id", "ts_ms", "state")
+
+
+@register("basket_frequent_itemsets")  # FPGrowth: rows-only (ml-internal tree order)
+def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemsets beyond pairs via FP-Growth (pyspark.ml): baskets
+    are each order's distinct part brands; minSupport filters the lattice
+    the a-priori pair pass (`basket_part_pairs`) only begins. The FP-tree
+    is built on a support-pruned item list, so the candidate explosion of
+    a-priori never materializes — the distributed lattice walk at 100 TB.
+    Pair-level results are cross-checked against the exact SQL pair pass
+    in tests/test_stats.py::test_fpgrowth_pairs_agree_with_exact_pair_pass."""
+    from pyspark.ml.fpm import FPGrowth
+
+    orders = load_table(spark, sf_dir, "lineitem").join(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    baskets = orders.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("p_brand")).alias("items")
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.02, minConfidence=0.1)
+    model = fp.fit(baskets)
+    return model.freqItemsets.select(
+        F.array_sort("items").alias("items"), F.col("freq").cast("bigint").alias("freq")
+    )

@@ -1573,3 +1573,41 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'MACHINERY'
         """
     )
+
+
+@register(
+    "events_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(sum(event_id % 97) AS BIGINT) AS sum_check
+    FROM events GROUP BY event_type
+    """,
+)
+def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's native `from_xml`: each event is
+    serialized to an XML record (deterministic string build), parsed back
+    with a typed schema, and aggregated — proving the XML path carries
+    values losslessly. The oracle computes the same aggregates straight
+    from the base table, so any parser drift (type coercion, whitespace,
+    escaping) breaks the hash. Parse + aggregate stay in one codegen
+    pass; no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<event><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><type>"),
+        F.col("event_type"),
+        F.lit("</type><cents>"),
+        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit("</cents></event>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "id BIGINT, type STRING, cents BIGINT").alias("x")
+    )
+    return parsed.groupBy(F.col("x.type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x.cents").cast("bigint").alias("sum_cents"),
+        F.sum(F.col("x.id") % 97).cast("bigint").alias("sum_check"),
+    )

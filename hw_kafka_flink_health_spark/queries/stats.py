@@ -335,3 +335,61 @@ def agg_percentile_cont_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p50_disc"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+@register(
+    "skew_key_report",
+    oracle="""
+    WITH kc AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), r AS (
+      SELECT key, c,
+             row_number() OVER (ORDER BY c DESC, key) AS rk,
+             sum(c) OVER () AS total,
+             count(*) OVER () AS n_keys,
+             max(c) OVER () AS max_c
+      FROM kc
+    )
+    SELECT CAST(any_value(total) AS BIGINT) AS n_rows,
+           CAST(any_value(n_keys) AS BIGINT) AS n_keys,
+           round(any_value(max_c) * 1.0 * any_value(n_keys) / any_value(total), 4)
+             AS top1_over_mean,
+           round(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) * 1.0 / any_value(total), 4)
+             AS top10_share
+    FROM r
+    """,
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the pre-flight check that decides
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (operators/skew.py): per-key counts, then hot-key share
+    metrics (top-1 count over the mean, top-10 share of all rows). One
+    hash agg over the fact; totals come from a second agg of the per-key
+    table and the top-10 via limit (TakeOrderedAndProject) — NO global
+    window anywhere, so the report scales to billions of distinct keys
+    (the per-key table never collapses to one task). A top1_over_mean
+    near 1 means uniform keys; orders of magnitude above 1 is the
+    salting trigger."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = kc.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    top10 = (
+        kc.orderBy(F.desc("c"), F.asc("key"))
+        .limit(10)
+        .agg(F.sum("c").cast("bigint").alias("top10_c"))
+    )
+    return totals.crossJoin(top10).select(
+        F.col("total").alias("n_rows"),
+        "n_keys",
+        F.round(F.col("max_c") * F.lit(1.0) * F.col("n_keys") / F.col("total"), 4).alias(
+            "top1_over_mean"
+        ),
+        F.round(F.col("top10_c") * 1.0 / F.col("total"), 4).alias("top10_share"),
+    )

@@ -329,3 +329,110 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             avg(value) AS mu,
+             stddev_samp(value) AS sd,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT e.event_id, e.event_type,
+             CAST(EXTRACT(hour FROM e.ts) AS BIGINT) AS hod,
+             round((e.value - p.mu) / p.sd, 4) AS season_z
+      FROM events e JOIN prof p
+        ON e.event_type = p.event_type AND EXTRACT(hour FROM e.ts) = p.hod
+      WHERE p.sd > 0 AND p.n >= 30
+    )
+    SELECT event_id, event_type, hod, season_z
+    FROM scored WHERE abs(season_z) >= 3
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: build an (event_type x
+    hour-of-day) seasonal profile (mean/stddev), then flag events 3+
+    sigma from THEIR OWN hour's baseline — the deseasonalized screen that
+    stops a nightly-low/daily-peak cycle from drowning real anomalies.
+    The profile is a tiny aggregate (types x 24 rows) broadcast back onto
+    the fact scan, so the fact table is read once and never shuffled;
+    thin cells (n < 30) are excluded from scoring rather than producing
+    noisy z-scores."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts")
+    prof = ev.groupBy(F.col("event_type").alias("p_type"), hod.alias("p_hod")).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scored = ev.join(
+        F.broadcast(prof),
+        (F.col("event_type") == F.col("p_type")) & (hod == F.col("p_hod")),
+    ).filter((F.col("sd") > 0) & (F.col("n") >= 30))
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        scored.select(
+            "event_id",
+            "event_type",
+            hod.cast("bigint").alias("hod"),
+            z.alias("season_z"),
+        )
+        .filter(F.abs(F.col("season_z")) >= 3)
+    )
+
+
+@register(
+    "session_windows_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN event_type = 'view' THEN 30000 ELSE 60000 END AS gap_ms,
+             event_id
+      FROM events
+    ), m AS (
+      SELECT user_id, ts_ms, gap_ms,
+             max(ts_ms + gap_ms) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_reach
+      FROM e
+    ), f AS (
+      SELECT user_id, ts_ms, gap_ms,
+             CASE WHEN prev_reach IS NULL OR ts_ms >= prev_reach THEN 1 ELSE 0 END AS new_sess
+      FROM m
+    ), g AS (
+      SELECT user_id, ts_ms, gap_ms,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM f
+    )
+    SELECT user_id,
+           CAST(min(ts_ms) AS BIGINT) AS session_start_ms,
+           CAST(max(ts_ms + gap_ms) AS BIGINT) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sess_id
+    """,
+)
+def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows with a DYNAMIC per-event gap ('view' events
+    keep sessions alive 30 s, everything else 60 s) — the
+    activity-dependent timeout real clickstream sessionization uses.
+    Spark's session_window merges events whose [ts, ts+gap) reaches
+    overlap; the oracle replays the same islands logic with a cumulative
+    reach-max window. Same one-shuffle shape as fixed-gap sessions; the
+    merge happens inside the aggregation operator."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "view", "30 seconds").otherwise("60 seconds")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start").cast("timestamp")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end").cast("timestamp")).alias("session_end_ms"),
+            "n_events",
+        )
+    )

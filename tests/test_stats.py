@@ -84,3 +84,43 @@ def test_approx_percentile_within_rank_error_bound(spark):
         lo = exact[max(0, target - (n // acc) - 1)]
         hi = exact[min(n - 1, target + (n // acc) + 1)]
         assert lo <= got <= hi, f"p{p}: {got} outside [{lo}, {hi}]"
+
+
+def test_fpgrowth_pairs_agree_with_exact_pair_pass(spark):
+    """FP-Growth's size-2 itemsets must carry exactly the frequencies an
+    exact pair-count computes (same baskets, same support floor) — the
+    approximate-looking ml operator is in fact exact, and this pins it."""
+    from tests.conftest import SF_DIR
+    from hw_kafka_flink_health_spark.queries import QUERIES
+
+    fi = QUERIES["basket_frequent_itemsets"](spark, SF_DIR).collect()
+    got_pairs = {
+        tuple(r["items"]): r["freq"] for r in fi if len(r["items"]) == 2
+    }
+    from hw_kafka_flink_health_spark.sources.files import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").join(
+        load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("p_brand")).alias("items")
+    )
+    n_baskets = baskets.count()
+    exploded = baskets.select(
+        "l_orderkey", F.explode("items").alias("b")
+    )
+    pairs = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), on="l_orderkey")
+        .filter(F.col("x.b") < F.col("y.b"))
+        .groupBy("x.b", "y.b")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 0.02 * n_baskets)
+        .collect()
+    )
+    expect_pairs = {(r["b"], r["y.b"] if "y.b" in r else r[1]): r["freq"] for r in pairs}
+    expect_pairs = {tuple(sorted(k)): v for k, v in expect_pairs.items()}
+    got_pairs = {tuple(sorted(k)): v for k, v in got_pairs.items()}
+    assert got_pairs == expect_pairs
+    assert len(got_pairs) > 0
