@@ -353,3 +353,62 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("sim"), 4).alias("max_sim"),
         )
     )
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 20
+    ), c AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+    ), r AS (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        FROM c
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining for contrastive training: for each anchor,
+    the top-5 most-similar vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives
+    are too easy; `mlprep_negative_pairs` is the cheap ring baseline).
+    Same broadcast + single-corpus-scan shape as `embedding_cosine_topk`
+    with the label-mismatch predicate applied before ranking, so the
+    filter prunes candidates ahead of the per-query top-k window."""
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        dv(F.col("embedding")).alias("qe"),
+    )
+    pairs = (
+        emb.select("vec_id", "label", dv(F.col("embedding")).alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("qlabel")))
+        .withColumn("sim", cosine_expr(F.col("ce"), F.col("qe")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("sim", 6).desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("sim", 4).alias("cosine"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+    )

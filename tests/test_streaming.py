@@ -1058,3 +1058,42 @@ def test_stream_stream_join_then_windowed_agg_chained(spark, tmp_path):
     assert 1704103260000 in closed  # 10:01 window: purchase 24 (2 clicks)
     assert dict(srows)[1704103200000] == 2
     assert dict(srows)[1704103260000] == 2
+
+
+def test_session_window_streaming_dynamic_gap(spark, tmp_path):
+    """Dynamic per-event gap on a real stream: high readings (>=100 bpm)
+    hold the session open 2 minutes, normal ones 30 seconds — so the
+    same 60 s silence splits a normal session but not an alerting one."""
+    src = tmp_path / "sessdyn"
+    _write_events_json(
+        str(src / "b0.json"),
+        [
+            _ev("p001", "2025-11-19T07:00:00+00:00", 110),  # high: 2-min reach
+            _ev("p001", "2025-11-19T07:01:00+00:00", 80),   # 60s later: SAME session
+            _ev("p002", "2025-11-19T07:00:00+00:00", 80),   # normal: 30s reach
+            _ev("p002", "2025-11-19T07:01:00+00:00", 82),   # 60s later: NEW session
+            _ev("p099", "2025-11-19T08:00:00+00:00", 75),   # watermark sentinel
+        ],
+    )
+    reader = spark.readStream.schema("raw string").json(str(src))
+    parsed = parse_events_df(reader).withWatermark("event_ts", "5 seconds")
+    gap = F.when(F.col("heart_rate_bpm") >= 100, "2 minutes").otherwise("30 seconds")
+    sess = (
+        parsed.groupBy(F.session_window("event_ts", gap), "patient_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "patient_id",
+            F.unix_millis(F.col("session_window.start").cast("timestamp")).alias("start_ms"),
+            "n",
+        )
+    )
+    q = sess.writeStream.outputMode("append").format("memory").queryName("sessdyn_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r.patient_id, r.start_ms): r.n
+        for r in spark.sql("SELECT * FROM sessdyn_stream").collect()
+    }
+    assert rows[("p001", 1763535600000)] == 2  # merged by the 2-min reach
+    assert rows[("p002", 1763535600000)] == 1  # split: 30s reach expired
+    assert rows[("p002", 1763535660000)] == 1
