@@ -393,3 +393,59 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("top10_c") * 1.0 / F.col("total"), 4).alias("top10_share"),
     )
+
+
+@register(
+    "agg_corr_covar_skew",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           -- DuckDB's skewness is the bias-corrected SAMPLE G1; Spark's is
+           -- the population g1 = G1*(n-2)/sqrt(n*(n-1)). kurtosis_pop matches
+           -- Spark's population excess kurtosis directly.
+           round(skewness(l_quantity) * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_qty,
+           round(kurtosis_pop(l_quantity), 6) AS kurt_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate + higher-moment statistical aggregates (corr, sample
+    covariance, skewness, excess kurtosis) per group — the full
+    profiling battery beyond agg_stats's second moments. All are
+    single-pass algebraic aggregates (partial moment sums merge
+    map-side), so the battery costs one shuffle like a count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+_FILTER_AGG_SQL = """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(count(*) FILTER (WHERE l_discount = 0) AS BIGINT) AS n_undiscounted,
+           round(sum(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS taxfree_revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_filter_clause", oracle=_FILTER_AGG_SQL)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard FILTER clause on aggregates — several differently-
+    conditioned aggregates in ONE grouped pass (the idiom that replaces
+    N self-joins or CASE pyramids). Catalyst compiles each FILTER into a
+    conditional partial aggregate, so the fact table is scanned and
+    shuffled once regardless of how many filtered metrics ride along.
+    The oracle is the IDENTICAL SQL text run by DuckDB."""
+    from hw_kafka_flink_health_spark.sources.files import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTER_AGG_SQL)
