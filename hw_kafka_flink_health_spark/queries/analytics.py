@@ -580,3 +580,78 @@ def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.freqItemsets.select(
         F.array_sort("items").alias("items"), F.col("freq").cast("bigint").alias("freq")
     )
+
+
+@register(
+    "revenue_growth_wow",
+    oracle="""
+    WITH wk AS (
+      SELECT o_orderpriority AS priority,
+             date_trunc('week', o_orderdate) AS week_start,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority,
+           epoch_ms(week_start) AS week_ms,
+           rev_cents,
+           round((rev_cents - lag(rev_cents) OVER w) * 100.0
+                 / lag(rev_cents) OVER w, 4) AS pct_change
+    FROM wk
+    WINDOW w AS (PARTITION BY priority ORDER BY week_start)
+    """,
+)
+def revenue_growth_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per order priority — the
+    period-over-period reporting pattern: aggregate to the period grain
+    FIRST (exact integer cents), then lag() on the small aggregate. The
+    window runs over (priorities x weeks) rows, never the fact table, so
+    the expensive pass is one hash agg. First week per priority yields
+    NULL pct_change (no prior period), in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("week", F.col("o_orderdate").cast("timestamp")).alias("week_start"),
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("rev_cents"))
+    w = Window.partitionBy("priority").orderBy("week_start")
+    prev = F.lag("rev_cents").over(w)
+    return wk.select(
+        "priority",
+        F.unix_millis(F.col("week_start")).alias("week_ms"),
+        "rev_cents",
+        F.round((F.col("rev_cents") - prev) * 100.0 / prev, 4).alias("pct_change"),
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users FROM firsts GROUP BY 1
+    )
+    SELECT epoch_ms(CAST(day AS TIMESTAMP)) AS day_ms,
+           new_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day WITHOUT a running COUNT(DISTINCT)
+    (which would need per-day set state): distinct-by-first-appearance —
+    min(day) per user, count firsts per day, prefix-sum the tiny daily
+    series. Two hash aggs over the fact; the running sum touches only
+    (n_days) rows. This reformulation is THE scalable cumulative-distinct
+    pattern (running HLL union is its approximate sibling)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.unix_millis(F.col("day").cast("timestamp")).alias("day_ms"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

@@ -449,3 +449,40 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_FILTER_AGG_SQL)
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+           coalesce(l_linestatus, '<all>') AS l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS grouping_level,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING provenance: grouping_id distinguishes a real
+    ('F','O') detail row from the per-flag subtotal and the grand total —
+    the disambiguation a reporting consumer needs when NULL is also a
+    legitimate data value. The rollup is one Expand + single hash agg;
+    grouping_id is free metadata from the Expand, not extra computation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_level"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "grouping_level",
+            "n",
+            "sum_qty",
+        )
+    )

@@ -1262,3 +1262,58 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "new_doc", "old_doc", F.round("jaccard_distance", 4).alias("jaccard_distance")
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), r AS (
+      SELECT w, c,
+             row_number() OVER (ORDER BY c DESC, w) AS rk,
+             sum(c) OVER () AS total
+      FROM tf
+    ), cum AS (
+      SELECT rk, c, total,
+             sum(c) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum_c
+      FROM r
+    )
+    SELECT vocab_size,
+           round(max(CASE WHEN rk <= vocab_size THEN cum_c ELSE 0 END) * 1.0
+                 / any_value(total), 6) AS token_coverage
+    FROM cum, unnest([10, 20, 40]) AS t(vocab_size)
+    WHERE rk <= vocab_size
+    GROUP BY vocab_size
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget planning curve: what fraction of all corpus
+    token OCCURRENCES is covered by the top-N vocabulary, for candidate
+    vocab sizes — the Zipf-curve readout that sizes a vocabulary before
+    training a tokenizer. One token-frequency agg over the corpus; each
+    candidate N takes its top-N tokens via orderBy+limit
+    (TakeOrderedAndProject — a per-partition heap + driver merge of N
+    rows, NEVER a global sort or single-task window, so the curve scales
+    to web-corpus vocabularies) and sums their counts against the total.
+    Ties broken by token text so both engines rank identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    total = tf.agg(F.sum("c").cast("bigint").alias("total"))
+    out = None
+    for n in (10, 20, 40):
+        top = tf.orderBy(F.desc("c"), F.asc("w")).limit(n).agg(
+            F.sum("c").cast("bigint").alias("cum_c")
+        )
+        one = top.crossJoin(total).select(
+            F.lit(n).cast("int").alias("vocab_size"),
+            F.round(F.col("cum_c") * 1.0 / F.col("total"), 6).alias("token_coverage"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
