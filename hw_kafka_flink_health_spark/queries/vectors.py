@@ -290,13 +290,13 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT vec_id AS eval_id, embedding::DOUBLE[] AS qe
-        FROM embeddings WHERE vec_id >= 480
+        FROM embeddings WHERE vec_id >= 480 AND vec_id < 500
     ), corpus AS (
         SELECT e.vec_id,
                CASE WHEN e.vec_id % 40 = 3 THEN list_transform(s.qe, x -> x * 0.5)
                     ELSE e.embedding::DOUBLE[] END AS ce
         FROM embeddings e JOIN q s ON s.eval_id = 480 + e.vec_id % 20
-        WHERE e.vec_id < 480
+        WHERE e.vec_id < 480 OR e.vec_id >= 500
     ), c AS (
         SELECT corpus.vec_id, q.eval_id,
                list_inner_product(ce, q.qe) /
@@ -313,7 +313,10 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC benchmark decontamination (the embedding-space sibling of
     the n-gram `text_decontaminate`): flag every training vector whose
     cosine to ANY eval-set vector clears 0.95 — near-duplicates of eval
-    items that inflate benchmark scores. The synthetic corpus has no real
+    items that inflate benchmark scores. The eval set is the FIXED window
+    vec_id in [480, 500) — 20 vectors at every SF (an eval benchmark does
+    not grow with the corpus); everything else is corpus. The synthetic
+    corpus has no real
     eval overlap, so contamination is PLANTED deterministically in both
     engines (every 40th vector becomes a scaled copy of its designated
     eval vector — cosine exactly 1, scale-invariant), proving the flag
@@ -325,12 +328,12 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    evalset = emb.filter(F.col("vec_id") >= 480).select(
+    evalset = emb.filter((F.col("vec_id") >= 480) & (F.col("vec_id") < 500)).select(
         F.col("vec_id").alias("eval_id"), dv(F.col("embedding")).alias("qe")
     )
     plant_src = evalset.select(F.col("eval_id").alias("plant_id"), F.col("qe").alias("plant_vec"))
     corpus = (
-        emb.filter(F.col("vec_id") < 480)
+        emb.filter((F.col("vec_id") < 480) | (F.col("vec_id") >= 500))
         .join(F.broadcast(plant_src), F.col("plant_id") == 480 + F.col("vec_id") % 20)
         .select(
             "vec_id",

@@ -46,6 +46,12 @@ SHOWCASE = {
     "events_variant_extract": "VARIANT path: parse_json once, typed variant_get extractions + partial agg in one codegen span",
     "mlprep_feature_hashing": "hashing-trick featurizer: two md5 expressions + one partially-aggregated groupBy, no fitted vocabulary anywhere",
     "join_scd2_pointlookup": "temporal SCD2 lookup: equi join on user_id (hash-partitionable) with interval containment as residual — never a nested loop",
+    "join_lateral_topn": "correlated LATERAL decorrelated to a window rank over one equi join — no per-outer-row re-execution",
+    "audit_referential_integrity": "six FK orphan audits as one DAG: anti joins with broadcast dims, fact side streams map-side",
+    "session_windows_dynamic_gap": "native session merge with per-event gap — same single-shuffle shape as fixed-gap sessions",
+    "embedding_hard_negatives": "label-mismatch filter pruned BEFORE the per-query top-k window; anchors broadcast, corpus scanned once",
+    "skew_key_report": "hot-key diagnosis with no global window: totals agg + TakeOrdered top-10, scales to billions of keys",
+    "text_vocab_coverage": "Zipf coverage via TakeOrderedAndProject per candidate N — per-partition heaps, never a global sort",
 }
 
 

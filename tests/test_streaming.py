@@ -1097,3 +1097,69 @@ def test_session_window_streaming_dynamic_gap(spark, tmp_path):
     assert rows[("p001", 1763535600000)] == 2  # merged by the 2-min reach
     assert rows[("p002", 1763535600000)] == 1  # split: 30s reach expired
     assert rows[("p002", 1763535660000)] == 1
+
+
+def test_streaming_corpus_ingest_incremental_dedup(spark, tmp_path):
+    """End-to-end streaming corpus ingest: each micro-batch of documents
+    is fingerprinted and checked against the accumulating fingerprint
+    INDEX inside foreachBatch — re-delivered content lands as 'dup' and
+    the survivors extend the index. Batch 1 re-delivers one of batch 0's
+    docs (different doc_id, same text) and adds a fresh one; the corpus
+    table must end with exactly the 3 distinct contents and the re-
+    delivery flagged."""
+    import json as _json
+
+    from hw_kafka_flink_health_spark.operators.dedup import fingerprint_expr
+
+    src = tmp_path / "docs_stream"
+    os.makedirs(src)
+    b0 = [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "delta epsilon zeta"},
+    ]
+    b1 = [
+        {"doc_id": 3, "text": "alpha beta gamma"},   # re-delivery of doc 1's content
+        {"doc_id": 4, "text": "eta theta iota"},
+    ]
+    with open(src / "b0.json", "w") as f:
+        for d in b0:
+            f.write(_json.dumps(d) + "\n")
+    with open(src / "b1.json", "w") as f:
+        for d in b1:
+            f.write(_json.dumps(d) + "\n")
+    t0 = os.stat(src / "b0.json").st_mtime
+    os.utime(src / "b0.json", (t0 - 60, t0 - 60))
+
+    index_dir = str(tmp_path / "fp_index")
+    corpus_dir = str(tmp_path / "corpus")
+    log = []
+
+    def ingest(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        fp = batch_df.withColumn("fp", fingerprint_expr("text"))
+        fp = fp.dropDuplicates(["fp"])  # in-batch dedup first
+        if os.path.isdir(index_dir):
+            hist = sess.read.parquet(index_dir).withColumn("__hit", F.lit(1))
+            tagged = fp.join(hist, "fp", "left")
+        else:
+            tagged = fp.withColumn("__hit", F.lit(None).cast("int"))
+        new = tagged.filter(F.col("__hit").isNull()).select("doc_id", "text", "fp")
+        dups = tagged.filter(F.col("__hit").isNotNull()).select("doc_id").collect()
+        log.extend((batch_id, r["doc_id"]) for r in dups)
+        new.select("doc_id", "text").write.mode("append").parquet(corpus_dir)
+        new.select("fp").write.mode("append").parquet(index_dir)
+
+    reader = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = reader.writeStream.foreachBatch(ingest).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    corpus = spark.read.parquet(corpus_dir).collect()
+    texts = sorted(r["text"] for r in corpus)
+    assert texts == ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+    assert {r["doc_id"] for r in corpus} == {1, 2, 4}
+    assert [d for _, d in log] == [3]  # exactly the re-delivery was flagged
