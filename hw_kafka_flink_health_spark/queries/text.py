@@ -1317,3 +1317,26 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out
+
+
+@register("multimodal_audio_spectrum")  # FFT over synthetic payloads: rows-only
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral screen over the audio modality: rFFT per clip (dominant
+    tone, centroid, band energy split) — real numpy DSP in mapInPandas.
+    The synthetic corpus supplies payload bytes (documents-as-assets);
+    exact frequency recovery on known sine payloads is pinned by
+    tests/test_multimodal.py::test_audio_spectrum_finds_planted_tones."""
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        audio_spectrum_pcm16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs).filter(F.col("modality") == "audio")
+    out = audio_spectrum_pcm16(assets)
+    return out.select(
+        "asset_id",
+        "n_samples",
+        F.round("dominant_hz", 2).alias("dominant_hz"),
+        F.round("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
+        F.round("band_low_frac", 4).alias("band_low_frac"),
+    )

@@ -186,3 +186,38 @@ def test_raw_rgb_arrow_tier_parity(spark):
         assert (ra["width"], ra["height"]) == (rb["width"], rb["height"])
         for c in ("mean_r", "mean_g", "mean_b"):
             assert ra[c] == rb[c]
+
+
+def test_audio_spectrum_finds_planted_tones(spark):
+    """REAL FFT: a pure 440 Hz sine must come back with dominant_hz 440
+    (bin-exact: 16000 Hz / 8000 samples = 2 Hz resolution), near-total
+    power in that bin, and low-band energy ~0; a 100 Hz hum clip lands in
+    the low band; a two-tone clip's centroid sits between its tones."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.operators.multimodal import audio_spectrum_pcm16
+
+    sr, n = 16000, 8000
+    t = np.arange(n) / sr
+
+    def pcm(x):
+        return bytearray((np.clip(x, -1, 1) * 32767).astype("<i2").tobytes())
+
+    a440 = 0.8 * np.sin(2 * np.pi * 440 * t)
+    hum = 0.5 * np.sin(2 * np.pi * 100 * t)
+    two = 0.5 * np.sin(2 * np.pi * 1000 * t) + 0.5 * np.sin(2 * np.pi * 5000 * t)
+    assets = spark.createDataFrame(
+        [(1, pcm(a440)), (2, pcm(hum)), (3, pcm(two))], "asset_id long, payload binary"
+    )
+    rows = {r["asset_id"]: r for r in audio_spectrum_pcm16(assets, sample_rate=sr).collect()}
+
+    assert rows[1]["dominant_hz"] == 440.0
+    assert rows[1]["dominant_power"] > 0.95
+    assert rows[1]["band_low_frac"] < 0.01 and rows[1]["band_mid_frac"] > 0.98
+
+    assert rows[2]["dominant_hz"] == 100.0
+    assert rows[2]["band_low_frac"] > 0.98
+
+    c = rows[3]["spectral_centroid_hz"]
+    assert 2800 < c < 3200  # equal-power tones at 1k/5k -> centroid ~3k
+    assert rows[3]["band_mid_frac"] > 0.45 and rows[3]["band_high_frac"] > 0.45
