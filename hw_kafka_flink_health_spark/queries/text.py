@@ -1340,3 +1340,73 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
         F.round("band_low_frac", 4).alias("band_low_frac"),
     )
+
+
+@register(
+    "text_url_canonicalize",
+    oracle="""
+    WITH injected AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example.COM/Path/Page?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+               || '&utm_campaign=y&ref=z#frag' AS url
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id,
+             'http://cdn.example.net/asset/' || CAST(doc_id AS VARCHAR) || '/'
+      FROM documents WHERE doc_id % 3 = 1
+    ), canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '#.*$', ''),
+                   '(utm_[a-z]+|ref|fbclid)=[^&]*&?', '', 'g'),
+                 '[?&]$', ''),
+               '/$', '') AS canonical
+      FROM injected
+    )
+    SELECT doc_id, canonical,
+           md5(canonical) AS url_key
+    FROM canon
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup: lowercase, strip fragments,
+    tracking parameters (utm_*/ref/fbclid), dangling separators, and
+    trailing slashes, then key on md5 of the canonical form — the
+    normalization that collapses the dozens of tracked variants of one
+    page BEFORE content dedup ever runs. Pure regexp_replace chain
+    (codegen, no UDF); deterministic injected URLs exercise every rule in
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example.COM/Path/Page?utm_source=x&id="),
+            F.col("doc_id").cast("string"),
+            F.lit("&utm_campaign=y&ref=z#frag"),
+        ).alias("url"),
+    )
+    b = docs.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://cdn.example.net/asset/"), F.col("doc_id").cast("string"), F.lit("/")
+        ).alias("url"),
+    )
+    injected = a.unionAll(b)
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*$", ""),
+                "(utm_[a-z]+|ref|fbclid)=[^&]*&?",
+                "",
+            ),
+            "[?&]$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return injected.select(
+        "doc_id", canonical.alias("canonical"), F.md5(canonical).alias("url_key")
+    )
