@@ -655,3 +655,52 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grp AS (
+      SELECT user_id, day,
+             CAST(day AS TIMESTAMP) - INTERVAL (
+               row_number() OVER (PARTITION BY user_id ORDER BY day)
+             ) DAY AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor,
+             CAST(count(*) AS BIGINT) AS streak_days,
+             min(day) AS streak_start,
+             max(day) AS streak_end
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(max(streak_days) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           epoch_ms(CAST(max(streak_end) AS TIMESTAMP)) AS last_active_ms
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (the classic
+    gaps-and-islands at daily grain): distinct active days, then the
+    rank-difference anchor (day - row_number days is constant within a
+    consecutive run), then per-anchor streak stats. Everything after the
+    distinct-day agg runs on (user x active-day) rows; the window and
+    both aggregations share one exchange on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.max("day").alias("streak_end"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.unix_millis(F.max("streak_end").cast("timestamp")).alias("last_active_ms"),
+    )
