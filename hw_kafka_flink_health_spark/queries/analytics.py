@@ -704,3 +704,57 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.unix_millis(F.max("streak_end").cast("timestamp")).alias("last_active_ms"),
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH share AS (
+      SELECT p.p_type AS part_type, l.l_suppkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT part_type, rev_cents,
+             sum(rev_cents) OVER (PARTITION BY part_type) AS total_cents,
+             count(*) OVER (PARTITION BY part_type) AS n_suppliers
+      FROM share
+    )
+    SELECT part_type,
+           CAST(any_value(n_suppliers) AS BIGINT) AS n_suppliers,
+           round(sum(power(rev_cents * 1.0 / total_cents, 2)), 6) AS hhi
+    FROM tot GROUP BY part_type
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk per part type: the Herfindahl-Hirschman
+    index over supplier revenue shares (1 = single-source, 1/n = evenly
+    spread) — the sourcing-risk screen a procurement analytics stack
+    runs. Two aggregations: (type, supplier) revenue in exact integer
+    cents off one fact scan, then shares and HHI; the share window and
+    final agg both ride the (type) partitioning of the SMALL aggregate
+    (types x suppliers rows), never the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    share = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("part_type"), "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("part_type")
+    tot = share.select(
+        "part_type",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("total_cents"),
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+    )
+    return tot.groupBy("part_type").agg(
+        F.any_value("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.round(F.sum(F.pow(F.col("rev_cents") * 1.0 / F.col("total_cents"), 2)), 6).alias(
+            "hhi"
+        ),
+    )

@@ -58,6 +58,26 @@ SHOWCASE = {
 # Measured evidence that is not a single query's plan: kept here so PLANS.md
 # regeneration never loses it.
 EPILOGUE = """
+## mapInPandas vs mapInArrow for binary payloads — measured (this container)
+
+`resize_raw_rgb` (pandas tier) vs `resize_raw_rgb_arrow` (arrow tier), warm
+noop-sink runs on local[8], identical pixel math:
+
+| shape | pandas | arrow |
+|---|---|---|
+| 2000 x 128x128 (~49 KB payloads), batch 64 | 0.52 s | 1.00 s |
+| 200 x 512x512 (~786 KB payloads), batch 16 | 0.50 s | 0.53 s |
+
+Honest read: for per-ROW decode work the pandas tier's bulk column
+conversion beats per-value Arrow access (`.as_py()` + list building), and
+the gap closes — but does not invert — as payloads grow and conversion
+amortizes. Choose mapInPandas for row-wise binary ops by default; mapInArrow
+earns its keep when the UDF can consume Arrow buffers COLUMN-wise without
+materializing Python objects per row (bulk `combine_chunks`/numpy views), or
+when pandas dtype coercion (object columns, nullable ints) is itself the bug
+risk. Parity between tiers is pinned byte-for-byte by
+tests/test_multimodal.py::test_raw_rgb_arrow_tier_parity.
+
 ## cosine tier choice — measured crossover (scripts/bench_cosine_tiers.py)
 
 Two exact-top-k tiers do the same job: `cosine_topk` (Catalyst HOF fold,
