@@ -356,3 +356,23 @@ def test_hello_producer_payload_matches_reference_shape(spark):
     assert all(r["message"] == "hello flink" for r in rows)
     assert all(r["timestamp"].startswith("2025-11-19T07:00:00.123456") for r in rows)
     assert all(set(r) == {"id", "message", "timestamp"} for r in rows)
+
+
+def test_union_by_name_tolerates_schema_drift(spark):
+    """unionByName(allowMissingColumns=True): two deliveries whose column
+    sets drifted (one added `quality`, one still lacks it) must union by
+    NAME (never silently by position) with nulls filling the gaps — the
+    companion to the mergeSchema read path for in-memory unions."""
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(1, "x", 0.9)], "doc_id long, text string, quality double"
+    )
+    b = spark.createDataFrame([(2, "y")], "doc_id long, text string")
+    # positional union would mis-place columns; by-name must not
+    u = a.unionByName(b, allowMissingColumns=True)
+    rows = {r["doc_id"]: r for r in u.collect()}
+    assert rows[1]["quality"] == 0.9 and rows[1]["text"] == "x"
+    assert rows[2]["quality"] is None and rows[2]["text"] == "y"
+    # column order follows the first relation; both rows share it
+    assert u.columns == ["doc_id", "text", "quality"]
