@@ -10,7 +10,7 @@ refinement for quantiles over data that must never be globally sorted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.incremental import (
@@ -103,3 +103,50 @@ def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return eq(ev, "value", [0.25, 0.50, 0.99])
+
+
+@register(
+    "cdc_apply_log",
+    oracle="""
+    WITH log AS (
+      SELECT user_id AS key, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             CAST(floor(value * 1000) AS BIGINT) AS payload
+      FROM events
+    ), latest AS (
+      SELECT key, op, payload,
+             row_number() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT key, payload, CAST(op AS VARCHAR) AS last_op
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture APPLY with deletes: replay an ordered change
+    log (insert/update/delete ops derived deterministically from the
+    events stream) into final table state — last writer per key wins, and
+    a trailing delete removes the key entirely (the semantics MERGE's
+    upsert-only path can't express). One window per key on (ts, event_id)
+    — the same single-exchange shape as SCD2; at scale the log is
+    partition-pruned to the replay horizon first."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+    )
+    log = ev.select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        op.alias("op"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("payload"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.filter(F.col("op") != "D").select(
+        "key", "payload", F.col("op").alias("last_op")
+    )

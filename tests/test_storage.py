@@ -396,3 +396,41 @@ def test_max_partition_bytes_controls_scan_task_count(spark, tmp_path):
     fine_parts, fine_n = n_parts(32 * 1024)
     assert fine_n == coarse_n
     assert fine_parts > coarse_parts, (coarse_parts, fine_parts)
+
+
+def test_export_reconciliation_manifest_matches_readback(spark, tmp_path):
+    """Export reconciliation: a per-partition manifest (row count + an
+    order-insensitive md5-prefix checksum) computed from the SOURCE
+    DataFrame must match the same manifest computed from the files read
+    back — the end-to-end proof that a partitioned export lost nothing.
+    The checksum is sum of the first 8 md5 hex chars per row: commutative
+    (order-free), cheap, and sensitive to any dropped/duplicated row."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    src = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    out = str(tmp_path / "export")
+    src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+
+    def manifest(df):
+        chk = F.conv(
+            F.substring(F.md5(F.concat_ws("|", "o_orderkey", "o_custkey")), 1, 8), 16, 10
+        ).cast("bigint")
+        return {
+            (r["o_orderpriority"]): (r["n"], r["checksum"])
+            for r in df.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(chk).cast("bigint").alias("checksum"),
+            )
+            .collect()
+        }
+
+    m_src = manifest(src)
+    m_back = manifest(spark.read.parquet(out))
+    assert m_src == m_back
+    assert len(m_src) == 5  # one entry per priority partition
