@@ -406,3 +406,28 @@ def test_lateral_topn_decorrelates_to_ranked_join(spark):
     plan = plan_of(spark, "join_lateral_topn")
     assert "Window" in plan, plan[:2000]
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_persist_reuses_computation_via_inmemory_scan(spark):
+    """Explicit cache: after persist(), downstream actions must read the
+    InMemoryTableScan instead of recomputing the aggregate subtree — the
+    lever for interactive reuse (iterative ops here use localCheckpoint,
+    which additionally truncates lineage)."""
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .persist()
+    )
+    try:
+        base.count()  # materialize
+        derived = base.filter(F.col("qty") > 0).select("l_returnflag")
+        plan = derived._jdf.queryExecution().executedPlan().toString()
+        # the cached node prints its ORIGIN subtree too, so asserting the
+        # absence of FileScan would be wrong; the InMemoryTableScan node at
+        # the read position is the reuse proof
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        base.unpersist()

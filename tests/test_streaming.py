@@ -1163,3 +1163,35 @@ def test_streaming_corpus_ingest_incremental_dedup(spark, tmp_path):
     assert texts == ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
     assert {r["doc_id"] for r in corpus} == {1, 2, 4}
     assert [d for _, d in log] == [3]  # exactly the re-delivery was flagged
+
+
+def test_complete_mode_reemits_full_aggregate_each_batch(spark, tmp_path):
+    """Output-mode matrix completion: COMPLETE mode re-emits the ENTIRE
+    aggregate after every micro-batch (no watermark needed), so the sink
+    always holds the current totals — including keys whose counts grew
+    across batches."""
+    src = tmp_path / "complete_src"
+    _write_events_json(str(src / "b0.json"), [
+        _ev("p001", "2025-11-19T07:00:00+00:00", 80),
+        _ev("p002", "2025-11-19T07:00:10+00:00", 90),
+    ])
+    _write_events_json(str(src / "b1.json"), [
+        _ev("p001", "2025-11-19T07:02:00+00:00", 85),
+    ])
+    t0 = os.stat(src / "b0.json").st_mtime
+    os.utime(src / "b0.json", (t0 - 60, t0 - 60))
+
+    reader = (
+        spark.readStream.schema("raw string").option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    counts = parse_events_df(reader).groupBy("patient_id").count()
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("complete_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["patient_id"]: r["count"] for r in spark.sql("SELECT * FROM complete_counts").collect()}
+    assert rows == {"p001": 2, "p002": 1}
