@@ -618,3 +618,39 @@ def mlprep_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("bigint").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+@register(
+    "mlprep_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'cap')), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept,
+           CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+    FROM ranked WHERE rk <= 15 GROUP BY source
+    """,
+)
+def mlprep_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the over-represented-domain guard a
+    corpus mix applies (no single crawl source may exceed N docs): keep
+    each source's first 15 documents in deterministic md5 order, a
+    seedless uniform draw reproducible in any engine. One window per
+    source; the rank order is a pure function of (doc_id, salt), so
+    reruns and backfills keep the identical cap set (contrast
+    mlprep_domain_mix, which rebalances by RATE rather than hard count).
+    Output is the per-source audit (kept count + id checksum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("cap")))
+    w = Window.partitionBy("source").orderBy(order_key, F.col("doc_id"))
+    ranked = docs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 15)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )

@@ -434,3 +434,47 @@ def test_export_reconciliation_manifest_matches_readback(spark, tmp_path):
     m_back = manifest(spark.read.parquet(out))
     assert m_src == m_back
     assert len(m_src) == 5  # one entry per priority partition
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """Ingestion semantics lever: partitionOverwriteMode=dynamic replaces
+    ONLY the partitions present in the incoming batch (the daily-reload
+    contract); static mode wipes the whole table first. Both behaviors
+    verified on the same layout."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    src = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    out = str(tmp_path / "dpo")
+    src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    full = spark.read.parquet(out).count()
+    one_priority = src.filter(F.col("o_orderpriority") == "1-URGENT")
+    n_urgent = one_priority.count()
+    assert 0 < n_urgent < full
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # the conf lives on the session the WRITING DataFrame belongs to
+    urgent_halved = (
+        load_table(sess, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 2 == 0))
+    )
+    n_halved = urgent_halved.count()
+    urgent_halved.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = sess.read.parquet(out)
+    assert back.count() == full - n_urgent + n_halved  # other partitions intact
+    assert back.filter(F.col("o_orderpriority") == "1-URGENT").count() == n_halved
+
+    # static (default) mode: the same overwrite wipes every partition
+    sess2 = spark.newSession()
+    sess2.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    static_df = (
+        load_table(sess2, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 2 == 0))
+    )
+    static_df.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    assert sess2.read.parquet(out).count() == n_halved
