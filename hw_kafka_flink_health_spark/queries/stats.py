@@ -486,3 +486,66 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "dq_expectations_report",
+    oracle="""
+    SELECT 'qty_in_range' AS rule,
+           CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS violations,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'flag_in_domain',
+           CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_before_2000',
+           CAST(count(*) FILTER (WHERE l_shipdate >= DATE '2000-01-01') AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_fraction',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract expectations: each named rule becomes a
+    FILTER-clause conditional count, so the WHOLE suite rides one scan
+    and one 1-row aggregate — adding a rule adds a counter, never a pass.
+    (The enforcement twin that diverts offending rows is
+    operators/audit.py:split_by_constraints; this is the monitoring
+    report a pipeline publishes every run.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        ("qty_in_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ("price_positive", F.col("l_extendedprice") <= 0),
+        ("flag_in_domain", ~F.col("l_returnflag").isin("A", "N", "R")),
+        ("ship_before_2000", F.col("l_shipdate") >= F.lit("2000-01-01").cast("date")),
+        ("discount_fraction", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+    ]
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"v_{name}")
+            for name, cond in rules
+        ],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack({n}, {args}) AS (rule, violations)".format(
+                n=len(rules),
+                args=", ".join(f"'{name}', v_{name}" for name, _ in rules),
+            )
+        ),
+        "n_rows",
+    )
+    return stacked.select("rule", "violations", "n_rows")
