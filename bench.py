@@ -99,6 +99,14 @@ HEADLINE = [
     "hr_rollup_chained",
     "join_lateral_topn",
     "embedding_decontaminate",
+    # analytics/quality pack (tracked since r3f)
+    "events_seasonal_anomaly",
+    "cdc_apply_log",
+    "user_activity_streaks",
+    "supplier_concentration_hhi",
+    "dq_expectations_report",
+    "session_windows_dynamic_gap",
+    "events_xml_roundtrip",
 ]
 
 

@@ -5,7 +5,7 @@ ops a feature pipeline needs."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.timeseries import (
@@ -435,4 +435,72 @@ def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis(F.col("sw.end").cast("timestamp")).alias("session_end_ms"),
             "n_events",
         )
+    )
+
+
+@register(
+    "events_level_shift",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS before_avg,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS after_avg,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS n_before,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n_after
+      FROM events
+    ), full_w AS (
+      SELECT user_id, ts, event_id,
+             round(abs(after_avg - before_avg), 4) AS shift
+      FROM w WHERE n_before = 5 AND n_after = 5
+    ), ranked AS (
+      SELECT user_id, epoch_ms(ts) AS shift_at_ms, shift,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY shift DESC, ts, event_id) AS rn
+      FROM full_w
+    )
+    SELECT user_id, shift_at_ms, shift FROM ranked WHERE rn = 1
+    """,
+)
+def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (changepoint) detection per user: at every event,
+    compare the trailing-5 average against the leading-5 average and
+    report the point of maximum jump — the window-algebra changepoint
+    screen (a CUSUM's recursive state can't be a window; this two-sided
+    contrast can). All four frames and the final argmax share ONE
+    exchange+sort on user_id; edge points without full windows are
+    excluded so the contrast is always 5-vs-5."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    base = Window.partitionBy("user_id").orderBy(*order)
+    before = base.rowsBetween(-5, -1)
+    after = base.rowsBetween(0, 4)
+    w = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.avg("value").over(before).alias("before_avg"),
+        F.avg("value").over(after).alias("after_avg"),
+        F.count(F.lit(1)).over(before).alias("n_before"),
+        F.count(F.lit(1)).over(after).alias("n_after"),
+    ).filter((F.col("n_before") == 5) & (F.col("n_after") == 5))
+    contrast = w.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.abs(F.col("after_avg") - F.col("before_avg")), 4).alias("shift"),
+    )
+    ranked = contrast.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("shift"), *order)
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("shift_at_ms"),
+        "shift",
     )

@@ -415,3 +415,37 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "embedding_label_meanpool",
+    oracle="""
+    WITH flat AS (
+      SELECT label, i AS dim, embedding[i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ), pooled AS (
+      SELECT label, dim, avg(v) AS mv FROM flat GROUP BY label, dim
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           round(sqrt(sum(mv * mv)), 6) AS pooled_norm,
+           CAST(count(*) AS BIGINT) AS n_dims
+    FROM pooled GROUP BY label
+    """,
+)
+def embedding_label_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled group embedding (the chunk->document pooling step of
+    every embedding pipeline), audited by its norm: posexplode to
+    (label, dim, value), average per (label, dim) — ONE hash agg with
+    map-side partials, the shape that pools billions of chunk vectors —
+    then fold the pooled vector's norm. The audit emits scalars (norm,
+    dims) rather than the raw vector so the cross-engine hash compares
+    rounded numbers, not array renderings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    ).withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+    pooled = flat.groupBy("label", "dim").agg(F.avg("v").alias("mv"))
+    return pooled.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.round(F.sqrt(F.sum(F.col("mv") * F.col("mv"))), 6).alias("pooled_norm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+    )
