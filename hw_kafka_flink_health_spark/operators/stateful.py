@@ -333,3 +333,44 @@ def session_timeout_stream(parsed: DataFrame, *, gap_seconds: int = 30) -> DataF
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
+
+
+def cogrouped_reconcile(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Cogrouped-map escape hatch (`groupBy().cogroup().applyInPandas`):
+    both sides of a key arrive as pandas frames in ONE Python call — the
+    shape for per-key reconciliation logic that a join cannot express
+    without exploding (e.g. order-dependent matching, per-key cutoffs).
+    Here: per-key counts and the value-sum delta between the two sides,
+    chosen so the result has an exact relational twin for the parity
+    test. One co-shuffle on the key; each task sees only its keys'
+    frames, so memory is bounded by the largest single key."""
+    import pandas as pd
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(left.sparkSession)
+
+    def reconcile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        k = l[key].iloc[0] if len(l) else r[key].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [int(k)],
+                "n_left": [int(len(l))],
+                "n_right": [int(len(r))],
+                "value_delta": [
+                    float((l["value"].sum() if len(l) else 0.0) - (r["value"].sum() if len(r) else 0.0))
+                ],
+            }
+        )
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(
+            reconcile, "user_id long, n_left long, n_right long, value_delta double"
+        )
+    )

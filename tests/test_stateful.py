@@ -254,3 +254,42 @@ def test_scalar_pandas_udf_parity_with_native(spark):
         assert math.isclose(r["s"], r["expect"], rel_tol=1e-14, abs_tol=1e-14), (
             r["v"], r["s"], r["expect"],
         )
+
+
+def test_cogrouped_reconcile_matches_relational_twin(spark):
+    """cogroup.applyInPandas parity: per-key counts and value-sum delta
+    from the cogrouped Python path must equal the full-outer-join
+    aggregate twin — including keys present on only ONE side (empty
+    frame handed to the UDF)."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.stateful import cogrouped_reconcile
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    left = ev.filter(F.col("user_id") % 7 != 0)          # some keys missing right
+    right = ev.filter(F.col("user_id") % 5 != 0).select(
+        "user_id", (F.col("value") * 0.5).alias("value")  # some keys missing left
+    )
+    got = {
+        r["user_id"]: (r["n_left"], r["n_right"], round(r["value_delta"], 6))
+        for r in cogrouped_reconcile(left, right).collect()
+    }
+    la = left.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("nl"), F.sum("value").alias("sl")
+    )
+    ra = right.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("nr"), F.sum("value").alias("sr")
+    )
+    twin = la.join(ra, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("nl", F.lit(0)).alias("nl"),
+        F.coalesce("nr", F.lit(0)).alias("nr"),
+        (F.coalesce("sl", F.lit(0.0)) - F.coalesce("sr", F.lit(0.0))).alias("delta"),
+    )
+    expect = {
+        r["user_id"]: (r["nl"], r["nr"], round(r["delta"], 6)) for r in twin.collect()
+    }
+    assert got == expect
+    assert any(v[0] == 0 for v in got.values()) and any(v[1] == 0 for v in got.values())

@@ -1195,3 +1195,65 @@ def test_complete_mode_reemits_full_aggregate_each_batch(spark, tmp_path):
     q.stop()
     rows = {r["patient_id"]: r["count"] for r in spark.sql("SELECT * FROM complete_counts").collect()}
     assert rows == {"p001": 2, "p002": 1}
+
+
+def test_streaming_restart_with_benign_code_change(spark, tmp_path):
+    """Upgrade semantics: a stopped query may restart FROM THE SAME
+    CHECKPOINT with changed stateless logic (here: a new filter and a
+    changed projection) — offsets resume, already-processed files are
+    not re-emitted, and only NEW data flows through the NEW code."""
+    src = tmp_path / "upgrade_src"
+    _write_events_json(str(src / "b0.json"), [
+        _ev("p001", "2025-11-19T07:00:00+00:00", 80),
+        _ev("p002", "2025-11-19T07:00:10+00:00", 120),
+    ])
+    ckpt = str(tmp_path / "upgrade_ckpt")
+    out1 = str(tmp_path / "out_v1")
+
+    def parsed_stream():
+        reader = (
+            spark.readStream.schema("raw string").option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        return parse_events_df(reader).select("patient_id", "heart_rate_bpm")
+
+    q1 = (
+        parsed_stream()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("json")
+        .option("path", out1)
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    v1 = spark.read.json(out1)
+    assert v1.count() == 2
+
+    # v2 code: keep only tachycardic readings, add a derived column
+    _write_events_json(str(src / "b1.json"), [
+        _ev("p003", "2025-11-19T07:01:00+00:00", 130),
+        _ev("p004", "2025-11-19T07:01:10+00:00", 70),
+    ])
+    # the file sink's _spark_metadata log is keyed by the checkpoint's
+    # batch ids, so the OUTPUT PATH must stay fixed across restarts; the
+    # benign change is the new filter + projection
+    v2_stream = (
+        parsed_stream()
+        .filter(F.col("heart_rate_bpm") > 100)
+        .withColumn("flagged", F.lit(True))
+    )
+    q2 = (
+        v2_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("json")
+        .option("path", out1)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    rows = {(r["patient_id"], r["heart_rate_bpm"]): r for r in spark.read.json(out1).collect()}
+    # batch 0's two rows stand as v1 wrote them (not re-emitted through
+    # the new filter); of batch 1, only p003 (130) passes the v2 filter
+    assert set(rows) == {("p001", 80), ("p002", 120), ("p003", 130)}
+    assert rows[("p003", 130)]["flagged"] is True
+    assert rows[("p001", 80)]["flagged"] is None  # v1-era row, no such field
