@@ -64,3 +64,79 @@ def test_split_by_constraints_partitions_rows_exactly(spark):
     }
     # conservation: every input row lands in exactly one side
     assert good.count() + bad.count() == df.count()
+
+
+def test_streaming_observe_reports_per_batch_metrics(spark, tmp_path):
+    """DataFrame.observe on a STREAMING query: per-micro-batch audit
+    metrics (row count, value sum, null count) arrive through the
+    StreamingQueryListener's observedMetrics — the zero-extra-pass
+    monitoring channel (no second aggregation query, no sink coupling).
+    Metric values must equal the batch's actual content."""
+    import json as _json
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    captured, done = [], threading.Event()
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            om = event.progress.observedMetrics.get("ingest_audit")
+            if om is not None:
+                captured.append((om["n"], om["bpm_sum"], om["n_null"]))
+                if len(captured) >= 2:
+                    done.set()
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            done.set()
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "observe_src"
+        os.makedirs(src)
+        rows0 = [{"patient_id": "p1", "bpm": 80}, {"patient_id": "p2", "bpm": 90}]
+        rows1 = [{"patient_id": "p3", "bpm": None}]
+        with open(src / "b0.json", "w") as f:
+            for r in rows0:
+                f.write(_json.dumps(r) + "\n")
+        with open(src / "b1.json", "w") as f:
+            for r in rows1:
+                f.write(_json.dumps(r) + "\n")
+        t0 = os.stat(src / "b0.json").st_mtime
+        os.utime(src / "b0.json", (t0 - 60, t0 - 60))
+
+        reader = (
+            spark.readStream.schema("patient_id string, bpm int")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        observed = reader.observe(
+            "ingest_audit",
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bpm").alias("bpm_sum"),
+            F.sum(F.when(F.col("bpm").isNull(), 1).otherwise(0)).alias("n_null"),
+        )
+        q = (
+            observed.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("observe_stream")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        done.wait(timeout=30)
+    finally:
+        spark.streams.removeListener(listener)
+
+    batches = sorted(captured)
+    assert (1, None, 1) in batches or (1, 0, 1) in batches  # the all-null batch
+    assert (2, 170, 0) in batches
