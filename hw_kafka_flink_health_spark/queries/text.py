@@ -1410,3 +1410,63 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return injected.select(
         "doc_id", canonical.alias("canonical"), F.md5(canonical).alias("url_key")
     )
+
+
+@register(
+    "dedup_cluster_report",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), e AS (
+        SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t
+    ), p AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               count(*) AS common, any_value(a.n) AS n1, any_value(b.n) AS n2
+        FROM e a JOIN e b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.2
+    ), edges AS (
+        SELECT doc1 AS u, doc2 AS v FROM p
+        UNION SELECT doc2, doc1 FROM p
+    ), reach AS (
+        SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u AS node, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ), clusters AS (
+        SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM clusters GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS removable_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup PLANNING report: near-dup cluster-size distribution and
+    how many documents a keep-one-per-cluster policy would remove — the
+    numbers that decide whether dedup is worth a full corpus rewrite.
+    Composition proof: jaccard pairs -> iterative connected components ->
+    two tiny aggregations, all value-hashed against DuckDB's recursive-
+    CTE fixpoint end to end (singleton docs carry no dedup cost and are
+    excluded, matching the CTE's edge-node universe)."""
+    from hw_kafka_flink_health_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    clusters = connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias("removable_docs"),
+    )

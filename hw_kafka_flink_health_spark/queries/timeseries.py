@@ -504,3 +504,44 @@ def events_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts").cast("timestamp")).alias("shift_at_ms"),
         "shift",
     )
+
+
+@register(
+    "events_inter_arrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_ms
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_ms) AS BIGINT) AS n_gaps,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+           round(avg(gap_ms), 4) AS avg_gap_ms,
+           round(stddev_samp(gap_ms), 4) AS sd_gap_ms
+    FROM gaps WHERE gap_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per user (burstiness fingerprint): lag
+    the event stream per key, aggregate the gap distribution — the
+    cadence stats that size streaming watermarks and session gaps
+    (sd >> avg means bursty traffic needs a dynamic gap, see
+    session_windows_dynamic_gap). One exchange on user_id shared by the
+    lag window and the aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_ms").cast("bigint").alias("n_gaps"),
+        F.min("gap_ms").cast("bigint").alias("min_gap_ms"),
+        F.max("gap_ms").cast("bigint").alias("max_gap_ms"),
+        F.round(F.avg("gap_ms"), 4).alias("avg_gap_ms"),
+        F.round(F.stddev_samp("gap_ms"), 4).alias("sd_gap_ms"),
+    )
