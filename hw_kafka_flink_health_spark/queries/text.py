@@ -1470,3 +1470,57 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         F.sum(F.col("cluster_size") - 1).cast("bigint").alias("removable_docs"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), e AS (
+      SELECT doc_id, unnest(sh) AS g FROM t
+    ), firsts AS (
+      SELECT g, min(doc_id) AS first_doc FROM e GROUP BY g
+    )
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE f.first_doc = e.doc_id) AS BIGINT) AS novel_grams,
+           round(count(*) FILTER (WHERE f.first_doc = e.doc_id) * 1.0 / count(*), 4)
+             AS novelty
+    FROM e JOIN firsts f ON e.g = f.g
+    GROUP BY e.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty per document: the fraction of a doc's
+    distinct trigrams appearing for the FIRST time in corpus order — the
+    saturation signal that tells a data pipeline when additional crawl
+    of a source stops adding information (novelty trending to 0). The
+    global first-occurrence is a min(doc_id) AGGREGATE per gram (map-side
+    partials — skew-immune like text_paragraph_dedup's keeper), joined
+    back to the gram postings; one shuffle on the gram hash, one on
+    doc_id."""
+    from hw_kafka_flink_health_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingle_table(docs, "text", "doc_id", 3)
+        .select("doc", F.explode("sh").alias("g"))
+        .withColumnRenamed("doc", "doc_id")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "g")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("novel_grams"),
+        F.round(
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("novelty"),
+    )
