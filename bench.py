@@ -1,8 +1,18 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints exactly ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines on stdout and nothing else:
+
+  line 1: the full record — {"metric", "value", "unit", "queries": {per-query
+          seconds}, "sf"} (compact separators; can grow unboundedly with the
+          headline set)
+  line 2 (LAST): a short, size-bounded summary — {"metric", "value", "unit",
+          "n_queries", "sf", "queries": {slowest few}, "detail": path} —
+          guaranteed to fit in a fixed-size log-tail capture. The driver's
+          round-3 capture clipped the head of the (then single) 76-query
+          line, making it unparseable; the bounded last line fixes that
+          permanently. The complete per-query map is also written to
+          BENCH_DETAIL.json next to this script.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect cost). Session startup and a warmup scan are excluded
@@ -107,6 +117,11 @@ HEADLINE = [
     "dq_expectations_report",
     "session_windows_dynamic_gap",
     "events_xml_roundtrip",
+    # round-4 pack: literal 10 s slide parity; cosine tiers at the
+    # above-crossover regime where arrow should win (PLANS.md epilogue)
+    "hr_alerts_sliding_10s",
+    "embedding_cosine_topk_wide",
+    "embedding_cosine_topk_arrow_wide",
 ]
 
 
@@ -162,7 +177,13 @@ def main() -> None:
     from hw_kafka_flink_health_spark.queries import QUERIES
     from hw_kafka_flink_health_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # stdout must carry ONLY the two JSON lines: silence every JVM log line
+    # (DAGScheduler job-cancel warnings etc. otherwise interleave with them).
+    spark.sparkContext.setLogLevel("ERROR")
     # warmup: touch every table's parquet footer and run one small codegen'd
     # agg over the largest fact table, so per-query timings measure engine
     # time rather than first-touch JIT / footer-read / page-cache costs.
@@ -208,17 +229,43 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_query_wall_time_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(full, f, separators=(",", ":"))
+            f.write("\n")
+    except OSError:
+        detail_path = "(unwritable)"
+    print(json.dumps(full, separators=(",", ":")))
+    # Bounded LAST line: slowest queries only, capped so the whole line stays
+    # well under any plausible tail-capture window regardless of catalog size.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = {
+        "metric": "headline_query_wall_time_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf_val,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    while len(line) > 1200 and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

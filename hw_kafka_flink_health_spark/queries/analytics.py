@@ -577,8 +577,12 @@ def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = FPGrowth(itemsCol="items", minSupport=0.02, minConfidence=0.1)
     model = fp.fit(baskets)
+    # Scalar-typed output: the external correctness driver canonicalizes via
+    # pandas sort/factorize, which cannot hash list cells — join the sorted
+    # itemset into a comma string (semantics unchanged, order canonical).
     return model.freqItemsets.select(
-        F.array_sort("items").alias("items"), F.col("freq").cast("bigint").alias("freq")
+        F.array_join(F.array_sort("items"), ",").alias("items"),
+        F.col("freq").cast("bigint").alias("freq"),
     )
 
 

@@ -22,12 +22,23 @@ def test_bench_emits_single_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
-    assert len(lines) == 1, f"expected ONE line, got {len(lines)}: {lines[:3]}"
+    assert len(lines) == 2, f"expected TWO lines, got {len(lines)}: {lines[:3]}"
+    # line 1: full record with the complete per-query map
     doc = json.loads(lines[0])
     assert doc["unit"] == "sec" and isinstance(doc["value"], (int, float))
     assert doc["sf"] == 0.001
     assert doc["queries"] and all(isinstance(v, (int, float)) for v in doc["queries"].values())
     assert abs(sum(doc["queries"].values()) - doc["value"]) < 0.01
+    # LAST line: size-bounded summary that survives a fixed-size tail capture
+    tail = json.loads(lines[-1])
+    assert len(lines[-1]) <= 1200, f"summary line too long: {len(lines[-1])}"
+    assert tail["value"] == doc["value"] and tail["unit"] == "sec"
+    assert tail["n_queries"] == len(doc["queries"])
+    assert set(tail["queries"]) <= set(doc["queries"])
+    # the complete map is persisted next to bench.py
+    with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    assert detail["queries"] == doc["queries"]
 
 
 def test_all_query_columns_are_aliased_stable_names(spark):

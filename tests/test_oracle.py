@@ -14,6 +14,23 @@ from hw_kafka_flink_health_spark.queries import ORACLES, QUERIES
 from tests.conftest import SF_DIR
 
 
+def assert_driver_scalar_schema(name: str, df) -> None:
+    """Catalog-wide lint: the external driver canonicalizes query output via
+    pandas sort_values/factorize, which cannot hash list/dict cells — every
+    registered query must emit only atomic-typed columns (r03's one red row,
+    basket_frequent_itemsets, was an array<string> output column)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns (driver canonicalizer would crash): {bad}"
+    )
+
+
 def canon(df: pd.DataFrame) -> list[tuple]:
     """Order-insensitive canonical form: sorted columns, stringified cells,
     sorted rows."""
@@ -35,7 +52,9 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(name, spark, duck):
-    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    sdf_spark = QUERIES[name](spark, SF_DIR)
+    assert_driver_scalar_schema(name, sdf_spark)
+    sdf = sdf_spark.toPandas()
     odf = duck.execute(ORACLES[name]).df()
     assert sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns)), (
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"
@@ -57,5 +76,6 @@ def test_oracle_match(name, spark, duck):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF_DIR)
+    assert_driver_scalar_schema(name, df)
     assert df.count() >= 0
     assert len(df.columns) > 0

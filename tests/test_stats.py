@@ -94,8 +94,11 @@ def test_fpgrowth_pairs_agree_with_exact_pair_pass(spark):
     from hw_kafka_flink_health_spark.queries import QUERIES
 
     fi = QUERIES["basket_frequent_itemsets"](spark, SF_DIR).collect()
+    # items is a comma-joined sorted string (driver-canonicalizable scalar)
     got_pairs = {
-        tuple(r["items"]): r["freq"] for r in fi if len(r["items"]) == 2
+        tuple(r["items"].split(",")): r["freq"]
+        for r in fi
+        if r["items"].count(",") == 1
     }
     from hw_kafka_flink_health_spark.sources.files import load_table
 
