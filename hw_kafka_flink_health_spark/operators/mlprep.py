@@ -125,7 +125,10 @@ def shuffle_shards(
       near-equal sizes (binomial deviation only), decided per-row with no
       sampling pass.
     * ``pos`` — rank of the draw within the shard (`row_number`, id
-      tie-break), i.e. the write order inside the shard file.
+      tie-break), i.e. the write order inside the shard file. The window
+      that materializes it is for AUDIT queries only (asserting the
+      permutation); the physical export (`write_shuffled_shards`) never
+      computes it — file order encodes position.
 
     At 100 TB this is ``repartition(n_shards, shard)`` +
     ``sortWithinPartitions(draw, id)`` — one shuffle, each task streams
@@ -216,11 +219,26 @@ def write_shuffled_shards(
     Determinism caveat at scale: `repartition(n, col)` places each shard
     wholly in one task, so per-file contents are a pure function of the
     data, not of cluster parallelism.
+
+    Deliberately does NOT call `shuffle_shards`: the `pos` window there
+    (one task per shard, full per-shard sort) would materialize exactly
+    the rank this write path gets for free from `sortWithinPartitions` —
+    file order already encodes position, so neither `pos` nor the `draw`
+    sort key is persisted.
     """
-    out = shuffle_shards(df, id_col, n_shards=n_shards, salt=salt)
+    draw = hash_unit(id_col, salt)
+    out = df.withColumn("draw", draw).withColumn(
+        "shard",
+        F.least(F.floor(F.col("draw") * n_shards), F.lit(n_shards - 1)).cast("bigint"),
+    )
+    # Sort leads with `shard`: the dynamic-partition write REQUIRES child
+    # ordering by its partition columns and would otherwise insert its own
+    # (unstable) Sort(shard) on top, clobbering the permutation order.
+    # `shard` is constant within each task, so (shard, draw, id) == (draw, id).
     (
         out.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("draw", id_col)
+        .sortWithinPartitions("shard", "draw", id_col)
+        .drop("draw")
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)

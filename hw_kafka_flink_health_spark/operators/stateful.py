@@ -123,6 +123,41 @@ EWMA_OUTPUT_SCHEMA = T.StructType(
 EWMA_STATE_SCHEMA = T.StructType([T.StructField("ewma", T.DoubleType())])
 
 
+def _ewma_batch_frame(
+    key, pdf: pd.DataFrame, prev: float | None, alpha: float
+) -> tuple[pd.DataFrame | None, float | None]:
+    """Vectorized per-micro-batch EWMA step shared by both stateful APIs.
+
+    pandas ``ewm(alpha, adjust=False)`` runs exactly the recursion
+    ``e_t = a*x_t + (1-a)*e_{t-1}`` (seed ``e_1 = x_1``) in Cython — no
+    per-row Python loop. Carried state is threaded by prepending the
+    previous EWMA as a virtual first observation and dropping it, which
+    reproduces the seeded recursion term-for-term."""
+    if not len(pdf):
+        return None, prev
+    xs = pdf.sort_values("event_time")
+    vals = xs["heart_rate_bpm"].astype(float).reset_index(drop=True)
+    if prev is None:
+        sm = vals.ewm(alpha=alpha, adjust=False).mean()
+    else:
+        sm = (
+            pd.concat([pd.Series([float(prev)]), vals], ignore_index=True)
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .iloc[1:]
+            .reset_index(drop=True)
+        )
+    frame = pd.DataFrame(
+        {
+            "patient_id": key,
+            "event_time": xs["event_time"].astype("int64").to_numpy(),
+            "heart_rate_bpm": vals.astype("int64").to_numpy(),
+            "ewma_bpm": sm.to_numpy(),
+        }
+    )
+    return frame, float(sm.iloc[-1])
+
+
 def ewma_stream(parsed: DataFrame, alpha: float = 0.2) -> DataFrame:
     """Per-patient exponentially-weighted moving average of heart rate —
     a smoothing monitor whose recursion (ewma_t = a*x_t + (1-a)*ewma_{t-1})
@@ -138,18 +173,15 @@ def ewma_stream(parsed: DataFrame, alpha: float = 0.2) -> DataFrame:
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         prev = state.get[0] if state.exists else None
-        out = []
+        frames = []
         for pdf in pdfs:
-            for _, row in pdf.sort_values("event_time").iterrows():
-                bpm = float(row["heart_rate_bpm"])
-                prev = bpm if prev is None else alpha * bpm + (1 - alpha) * prev
-                out.append((key[0], int(row["event_time"]), int(bpm), prev))
+            frame, prev = _ewma_batch_frame(key[0], pdf, prev, alpha)
+            if frame is not None:
+                frames.append(frame)
         if prev is not None:
             state.update((prev,))
-        if out:
-            yield pd.DataFrame(
-                out, columns=["patient_id", "event_time", "heart_rate_bpm", "ewma_bpm"]
-            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return parsed.groupBy("patient_id").applyInPandasWithState(
         fn,
@@ -183,19 +215,12 @@ def ewma_stream_tws(parsed: DataFrame, alpha: float = 0.2) -> DataFrame:
 
         def handleInputRows(self, key, rows, timerValues):
             prev = self.state.get()[0] if self.state.exists() else None
-            out = []
             for pdf in rows:
-                for _, row in pdf.sort_values("event_time").iterrows():
-                    bpm = float(row["heart_rate_bpm"])
-                    prev = bpm if prev is None else alpha * bpm + (1 - alpha) * prev
-                    out.append((key[0], int(row["event_time"]), int(bpm), prev))
+                frame, prev = _ewma_batch_frame(key[0], pdf, prev, alpha)
+                if frame is not None:
+                    yield frame
             if prev is not None:
                 self.state.update((prev,))
-            if out:
-                yield pd.DataFrame(
-                    out,
-                    columns=["patient_id", "event_time", "heart_rate_bpm", "ewma_bpm"],
-                )
 
         def close(self) -> None:
             pass
@@ -358,7 +383,7 @@ def cogrouped_reconcile(
         k = l[key].iloc[0] if len(l) else r[key].iloc[0]
         return pd.DataFrame(
             {
-                "user_id": [int(k)],
+                key: [int(k)],
                 "n_left": [int(len(l))],
                 "n_right": [int(len(r))],
                 "value_delta": [
@@ -367,10 +392,12 @@ def cogrouped_reconcile(
             }
         )
 
+    # Output key column is named after `key` (not hardcoded), so non-default
+    # keys label and type the key column correctly.
     return (
         left.groupBy(key)
         .cogroup(right.groupBy(key))
         .applyInPandas(
-            reconcile, "user_id long, n_left long, n_right long, value_delta double"
+            reconcile, f"{key} long, n_left long, n_right long, value_delta double"
         )
     )

@@ -1252,8 +1252,11 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     history = docs  # full corpus: the batch re-delivers EDITED copies of it
+    # Batch ids live in a DISJOINT namespace (negative) — a fixed additive
+    # offset would collide with real history ids once doc_id reaches it at
+    # larger scale factors, corrupting the new/old role check.
     batch = docs.filter(F.col("doc_id") % 50 == 7).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" minor appended revision")).alias("text"),
     )
     out = minhash_incremental_candidates(

@@ -393,19 +393,19 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_id
       FROM events
     ), m AS (
-      SELECT user_id, ts_ms, gap_ms,
+      SELECT user_id, ts_ms, gap_ms, event_id,
              max(ts_ms + gap_ms) OVER (
                PARTITION BY user_id ORDER BY ts_ms, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS prev_reach
       FROM e
     ), f AS (
-      SELECT user_id, ts_ms, gap_ms,
+      SELECT user_id, ts_ms, gap_ms, event_id,
              CASE WHEN prev_reach IS NULL OR ts_ms >= prev_reach THEN 1 ELSE 0 END AS new_sess
       FROM m
     ), g AS (
       SELECT user_id, ts_ms, gap_ms,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM f
     )

@@ -393,15 +393,17 @@ def test_minhash_incremental_catches_planted_neardup_of_history(spark):
     hist = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     base = hist.filter(F.col("doc_id") == 7).collect()[0]["text"]
     edited = base + " trailing edit tokens appended here"
+    # new-batch ids use a disjoint (negative) namespace so they can never
+    # collide with history ids at any scale factor
     batch = spark.createDataFrame(
-        [(100007, edited), (100008, "entirely unrelated fresh content words nothing shared")],
+        [(-7, edited), (-8, "entirely unrelated fresh content words nothing shared")],
         ["doc_id", "text"],
     )
     got = minhash_incremental_candidates(
         hist, batch, "text", "doc_id", jaccard_distance_threshold=0.5
     ).collect()
     pairs = {(r["new_doc"], r["old_doc"]) for r in got}
-    assert (100007, 7) in pairs, pairs
+    assert (-7, 7) in pairs, pairs
     # every candidate is new-batch on the left, history on the right
-    assert all(n >= 100000 and o < 100000 for n, o in pairs), pairs
-    assert not any(n == 100008 and o == 7 for n, o in pairs)
+    assert all(n < 0 and o >= 0 for n, o in pairs), pairs
+    assert not any(n == -8 and o == 7 for n, o in pairs)

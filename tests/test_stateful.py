@@ -293,3 +293,17 @@ def test_cogrouped_reconcile_matches_relational_twin(spark):
     }
     assert got == expect
     assert any(v[0] == 0 for v in got.values()) and any(v[1] == 0 for v in got.values())
+
+
+def test_cogrouped_reconcile_honors_key_parameter(spark):
+    """A non-default key must label (and type) the key column after itself —
+    previously the output dict and schema hardcoded 'user_id', silently
+    mislabeling any other key."""
+    from hw_kafka_flink_health_spark.operators.stateful import cogrouped_reconcile
+
+    left = spark.createDataFrame([(1, 2.0), (2, 3.0)], ["k", "value"])
+    right = spark.createDataFrame([(1, 1.0)], ["k", "value"])
+    out = cogrouped_reconcile(left, right, key="k")
+    assert out.columns == ["k", "n_left", "n_right", "value_delta"]
+    rows = {r["k"]: (r["n_left"], r["n_right"], r["value_delta"]) for r in out.collect()}
+    assert rows == {1: (1, 1, 1.0), 2: (1, 0, 3.0)}
