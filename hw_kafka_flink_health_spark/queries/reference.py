@@ -89,6 +89,42 @@ def hr_alerts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hr_alerts_sliding_10s",
+    oracle="""
+    SELECT user_id,
+           (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 10) AS BIGINT) * 10 - g.i * 10) * 1000 AS window_start,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events, (SELECT unnest(range(6)) AS i) g
+    GROUP BY 1, 2
+    """,
+)
+def hr_alerts_sliding_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (literal parity): 1-minute windows sliding by 10 seconds — the
+    exact example slide the reference README suggests
+    (/root/reference/README.md:511 "e.g. slide of 10 seconds"); the 20 s
+    variant (`hr_alerts_sliding`) stays as the coarser sibling. Every
+    event belongs to exactly 6 windows; the oracle rebuilds the
+    epoch-aligned window grid arithmetically, like Spark's window()."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 minute", "10 seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
     "hr_parse_contract",
     oracle="""
     SELECT 'p' || lpad(CAST(user_id AS VARCHAR), 3, '0') AS patient_id,

@@ -114,6 +114,58 @@ def embedding_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIDE_COS_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), c AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ), r AS (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        FROM c
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine, rank
+    FROM r WHERE rank <= 5
+    """
+
+
+@register("embedding_cosine_topk_wide", oracle=_WIDE_COS_ORACLE)
+def embedding_cosine_topk_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-tier cosine top-5 with a WIDE query set (every 10th
+    vector — 10% of the corpus as queries). At sf0.1 this is ~25.6M
+    multiply-adds, ABOVE the measured arrow/BLAS crossover (~10M,
+    PLANS.md epilogue): benched side-by-side with the arrow sibling so
+    the regime where the vectorized tier should win is visible (and a
+    BLAS-path regression shows up) round-over-round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+@register("embedding_cosine_topk_arrow_wide", oracle=_WIDE_COS_ORACLE)
+def embedding_cosine_topk_arrow_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS-tier sibling of `embedding_cosine_topk_wide`: one
+    matmul per Arrow batch, per-batch local top-k. Above the ~10M-mult
+    crossover this tier should beat the expression tier — the bench pair
+    demonstrates the tier guidance at its operating point instead of
+    permanently showing arrow 'losing' below it."""
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = cosine_topk_arrow(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 @register("embedding_ann_ivf")  # approximate/seeded (kmeans): rows-only
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-index ANN: kmeans inverted lists, n_probe=2 of 10 —
