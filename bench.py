@@ -122,6 +122,13 @@ HEADLINE = [
     "hr_alerts_sliding_10s",
     "embedding_cosine_topk_wide",
     "embedding_cosine_topk_arrow_wide",
+    # round-4 analytics widening: exact rolling distinct; distributed
+    # global prefix sum; per-user sequence windows; corpus entropy
+    "rolling_active_users",
+    "orders_abc_pareto",
+    "events_markov_transitions",
+    "text_token_entropy",
+    "orders_ship_latency",
 ]
 
 

@@ -195,3 +195,67 @@ def binned_interval_join(
         )
         .drop("__bin")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    *,
+    out_col: str = "running_total",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable GLOBAL running sum (cumulative sum over a total order
+    spanning the whole table) — without the single-task global window
+    `Window.orderBy(...)` would plan.
+
+    Two-pass distributed prefix sum, the textbook scan algorithm mapped
+    onto Spark:
+
+    1. `repartitionByRange(order_cols)` range-partitions the rows so
+       partition i holds a contiguous slice of the total order, then a
+       partition-local window computes the within-partition cumsum (each
+       task sorts only its slice).
+    2. Per-partition totals (ONE row per partition — bounded, collected
+       to the driver) become exclusive partition offsets, broadcast back
+       and added to the local cumsum.
+
+    The result is independent of where the sampled range boundaries land
+    (prefix sums don't care how the order is cut), so the output is
+    deterministic even though RangePartitioner's sampling isn't. At
+    100 TB this is one range shuffle + one tiny broadcast — vs the
+    global-window plan that funnels every row through one task.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(n, *order_cols)
+    pid = F.spark_partition_id()
+    local = ordered.withColumn("_pid", pid).withColumn(
+        "_local_sum",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # RangePartitioner SAMPLES its boundaries, so two executions of the
+    # same plan can cut the order differently; the offsets job and the
+    # final job must see ONE materialization — pin it (same lineage-
+    # truncation pattern as the connected-components loop).
+    local = local.localCheckpoint()
+    totals = (
+        local.groupBy("_pid").agg(F.max("_local_sum").alias("_ptotal")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_ptotal"] or 0
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    return local.withColumn(out_col, F.col("_local_sum") + off_expr).drop(
+        "_pid", "_local_sum"
+    )

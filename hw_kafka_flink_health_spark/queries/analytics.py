@@ -762,3 +762,200 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi"
         ),
     )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    a AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    w AS (SELECT a.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+          FROM a JOIN ud u ON u.day BETWEEN a.day - 6 AND a.day
+          GROUP BY a.day)
+    SELECT epoch_ms(CAST(a.day AS TIMESTAMP)) AS day_ms, a.dau, w.wau,
+           round(a.dau * 1.0 / w.wau, 4) AS stickiness
+    FROM a JOIN w ON a.day = w.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness with an EXACT 7-day rolling distinct — the
+    product-health metric that defeats naive windowing (COUNT(DISTINCT)
+    cannot ride a sliding frame). Scalable formulation: each (user, day)
+    activity row is exploded to the <=7 window-ends it contributes to,
+    deduped, and counted — a fixed 7x fan-out of the tiny distinct
+    (user, day) table instead of the oracle's range join, which at 100 TB
+    would re-scan each day's users 7 times. Window-ends are restricted to
+    observed days by the inner join with the DAU side."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wau = (
+        ud.select("day", "user_id", F.explode(F.expr("sequence(0, 6)")).alias("off"))
+        .select(F.date_add("day", F.col("off")).alias("wday"), "user_id")
+        .distinct()
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            F.unix_millis(F.col("day").cast("timestamp")).alias("day_ms"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), cnt AS (
+      SELECT from_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM nxt WHERE next_type IS NOT NULL
+      GROUP BY from_type, next_type
+    )
+    SELECT from_type, next_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM cnt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next_type | type), the session-model / anomalous-flow
+    primitive. One per-user lag window on the fact table (partitioned by
+    user — no global sort), then the heavy table collapses to a
+    |types|^2 aggregate; the row-probability window rides that tiny
+    aggregate, never the events scan. Full (ts, event_id) tie-break makes
+    the sequence — and thus the matrix — deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    cnt = nxt.groupBy("from_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
+    )
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ), c AS (
+      SELECT p_partkey, rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(rev_cents) OVER () AS total
+      FROM rev
+    )
+    SELECT p_partkey, rev_cents,
+           round(cum * 1.0 / total, 6) AS cum_share,
+           CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue share: cumulative
+    share over the revenue-descending total order, class A up to 80%,
+    B to 95%, C beyond. The global cumulative sum uses the two-pass
+    distributed prefix sum (`operators/relational.py:global_prefix_sum`:
+    range partition -> partition-local cumsum -> bounded per-partition
+    offsets broadcast back) instead of the single-task global window the
+    naive `Window.orderBy` plans — the difference between a day and a
+    minute at 100 TB. Class boundaries compare exact integer cents
+    (cum*100 <= total*80), immune to FP rounding at the thresholds."""
+    from hw_kafka_flink_health_spark.operators.relational import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("rev_cents")
+    )
+    total = rev.agg(F.sum("rev_cents").cast("long").alias("_total"))
+    c = global_prefix_sum(
+        rev,
+        "rev_cents",
+        [F.col("rev_cents").desc(), F.col("p_partkey")],
+        out_col="cum",
+    )
+    return c.crossJoin(F.broadcast(total)).select(
+        "p_partkey",
+        "rev_cents",
+        F.round(F.col("cum") / F.col("_total"), 6).alias("cum_share"),
+        F.when(F.col("cum") * 100 <= F.col("_total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("_total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@register(
+    "orders_ship_latency",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(lat), 4) AS avg_days,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lat), 4) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lat), 4) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY lat), 4) AS p99,
+           CAST(max(lat) AS BIGINT) AS max_days
+    FROM (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class: exact
+    interpolated p50/p90/p99 (percentile_cont semantics in both engines),
+    mean and max — the fulfillment-SLA readout. One fact-fact equi join
+    (orders side reduced to two columns before the shuffle) then a
+    sort-based exact-percentile agg per priority (5 groups). The exact
+    tails are the point; the approx_percentile sibling family covers the
+    sketch path for when 100 TB makes exact sorting unreasonable."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lat"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("lat"), 4).alias("avg_days"),
+        F.round(F.expr("percentile(lat, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(lat, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(lat, 0.99)"), 4).alias("p99"),
+        F.max("lat").cast("long").alias("max_days"),
+    )

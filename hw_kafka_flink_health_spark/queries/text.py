@@ -1527,3 +1527,44 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("novelty"),
     )
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits,
+           round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio
+    FROM tf GROUP BY source
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution plus
+    type-token ratio — the lexical-diversity screen that separates
+    boilerplate-heavy sources (low entropy, low TTR) from natural prose
+    before corpus mixing. Entropy in the numerically-stable form
+    log2(N) - sum(c*log2 c)/N over the per-source term frequencies: one
+    explode -> (source, token) agg -> per-source agg, all partial-agg
+    friendly; no distribution is ever materialized as a vector."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+        ).alias("entropy_bits"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+    )

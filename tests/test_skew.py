@@ -94,3 +94,38 @@ def test_salted_join_rejects_dim_preserving_types(spark, skewed):
     for how in ("right", "full", "full_outer", "right_outer", "cross"):
         with pytest.raises(ValueError, match="big-side-preserving"):
             salted_join(skewed, dim, "key", how=how)
+
+
+def test_global_prefix_sum_matches_single_task_window(spark):
+    """The two-pass distributed prefix sum must equal the naive global
+    window cumsum over the same total order, and must actually spread the
+    work: the ranged intermediate uses >1 partition (the naive plan
+    funnels every row through one task)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.relational import global_prefix_sum
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q")
+    )
+    got = global_prefix_sum(
+        li, "q", [F.col("q").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        out_col="run", n_partitions=8,
+    )
+    w = (
+        Window.orderBy(F.col("q").desc(), "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = li.withColumn("run", F.sum("q").over(w))
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"])  # noqa: E731
+    g = {key(r): r["run"] for r in got.collect()}
+    e = {key(r): r["run"] for r in expect.collect()}
+    assert g == e
+    n_parts = (
+        li.repartitionByRange(8, F.col("q").desc(), "l_orderkey", "l_linenumber")
+        .rdd.getNumPartitions()
+    )
+    assert n_parts > 1
