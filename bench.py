@@ -129,6 +129,9 @@ HEADLINE = [
     "events_markov_transitions",
     "text_token_entropy",
     "orders_ship_latency",
+    "incremental_join_view",
+    "text_sparse_cosine_pairs",
+    "graph_triangle_neardup",
 ]
 
 

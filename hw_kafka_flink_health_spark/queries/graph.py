@@ -149,3 +149,90 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("out_deg").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+# The triangle query's oracle embeds the near-dup pair SQL as its edge
+# CTE; importing the text module here (it has no import path back to this
+# module) guarantees that oracle is registered before we read it.
+from hw_kafka_flink_health_spark.queries import text as _text  # noqa: E402, F401
+
+
+def _triangle_oracle() -> str:
+    """Reuse the registered near-dup pair SQL as the edge CTE (single
+    source of truth for the edge spec)."""
+    from hw_kafka_flink_health_spark.queries._registry import ORACLES
+
+    pairs = ORACLES["dedup_ngram_jaccard"]
+    return f"""
+    WITH pairs AS ({pairs}),
+    t AS (
+      SELECT e1.doc1 AS a, e1.doc2 AS b, e2.doc2 AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc1 = e1.doc2
+      JOIN pairs e3 ON e3.doc1 = e1.doc1 AND e3.doc2 = e2.doc2
+    ), r AS (
+      SELECT a AS doc_id FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM r GROUP BY doc_id
+    """
+
+
+@register("graph_triangle_neardup", oracle=_triangle_oracle())
+def graph_triangle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the near-dup pair graph
+    (edges = word-trigram Jaccard >= 0.2 pairs): triangle-dense
+    neighborhoods are the tight duplicate clusters worth removing
+    wholesale, vs bridge-only chains that connected components alone
+    can't distinguish.
+
+    Implements the DISTRIBUTED triangle algorithm — degree orientation
+    (each undirected edge directed from its lower-(degree, id) endpoint,
+    so every wedge is enumerated exactly once at its lowest-degree apex)
+    then wedge closure by joining back against the oriented edge list.
+    Orientation bounds the per-node wedge fan-out by min(deg)^2 instead
+    of deg^2, the standard hub-taming trick that makes triangle counting
+    feasible on power-law graphs at 100 TB. Orientation order is a pure
+    tuple comparison — no global rank window anywhere. The id-ordered
+    DuckDB twin enumerates the same triangle set."""
+    from hw_kafka_flink_health_spark.queries.text import dedup_ngram_jaccard
+
+    e = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    deg = (
+        e.select(F.col("doc1").alias("s"))
+        .unionAll(e.select(F.col("doc2").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("s").alias("doc1"), F.col("d").alias("d1")), "doc1")
+        .join(deg.select(F.col("s").alias("doc2"), F.col("d").alias("d2")), "doc2")
+    )
+    lt = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("doc1") < F.col("doc2"))
+    )
+    oe = ed.select(
+        F.when(lt, F.col("doc1")).otherwise(F.col("doc2")).alias("src"),
+        F.when(lt, F.col("doc2")).otherwise(F.col("doc1")).alias("dst"),
+        F.when(lt, F.col("d2")).otherwise(F.col("d1")).alias("ddst"),
+    )
+    e1, e2 = oe.alias("e1"), oe.alias("e2")
+    wedge_order = (F.col("e1.ddst") < F.col("e2.ddst")) | (
+        (F.col("e1.ddst") == F.col("e2.ddst")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & wedge_order).select(
+        F.col("e1.src").alias("apex"),
+        F.col("e1.dst").alias("a"),
+        F.col("e2.dst").alias("b"),
+    )
+    closing = oe.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    tri = wedges.join(closing, ["a", "b"])
+    return (
+        tri.select(F.col("apex").alias("doc_id"))
+        .unionAll(tri.select(F.col("a").alias("doc_id")))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

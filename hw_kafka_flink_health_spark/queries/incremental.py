@@ -150,3 +150,65 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("op") != "D").select(
         "key", "payload", F.col("op").alias("last_op")
     )
+
+
+@register(
+    "incremental_join_view",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN-aggregate view — the delta
+    algebra every warehouse refresh engine implements. The base tables
+    are split into old/new batches (orders: every 10th key is the new
+    batch; lineitem: every 7th order's lines), and the maintained view is
+    built as base + delta propagation:
+
+        (O0 u dO) |x| (L0 u dL)
+          = O0|x|L0  (base, assumed materialized)
+          + dO|x|L0  (new orders against old lines)
+          + O |x| dL (ALL orders against new lines — covers dO|x|dL)
+
+    Each delta term aggregates to partials and the final agg merges them,
+    so a refresh touches only delta-sized joins, never re-joining the
+    full fact tables — the point of IVM at 100 TB. The oracle is the
+    full-recompute join: the maintained result must be indistinguishable
+    from recomputation."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    o_new = F.col("o_orderkey") % 10 == 0
+    l_new = F.col("l_orderkey") % 7 == 0
+    o0, d_o = orders.filter(~o_new), orders.filter(o_new)
+    l0, d_l = li.filter(~l_new), li.filter(l_new)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+
+    base = agg(o0.join(l0, F.col("o_orderkey") == F.col("l_orderkey")))
+    delta1 = agg(d_o.join(l0, F.col("o_orderkey") == F.col("l_orderkey")))
+    delta2 = agg(orders.join(d_l, F.col("o_orderkey") == F.col("l_orderkey")))
+    return (
+        base.unionByName(delta1)
+        .unionByName(delta2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+        )
+    )

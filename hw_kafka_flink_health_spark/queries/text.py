@@ -1568,3 +1568,66 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_bits"),
         F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
     )
+
+
+@register(
+    "text_sparse_cosine_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, w
+    ), n AS (SELECT count(*)::DOUBLE AS nn FROM documents),
+    dfq AS (SELECT w, count(*)::BIGINT AS dfc FROM tf GROUP BY w),
+    wt AS (
+      SELECT t.doc_id, t.w, t.tf * ln(nn / dfc) AS wt
+      FROM tf t JOIN dfq USING (w) CROSS JOIN n
+      WHERE dfc <= 50
+    ), nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY doc_id),
+    dotp AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.wt * b.wt) AS dot
+      FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(dot / (x.nrm * y.nrm), 4) AS cosine
+    FROM dotp JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
+    WHERE dot / (x.nrm * y.nrm) > 0.2
+    """,
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join — the BAG-OF-WORDS sibling of
+    the dense embedding near-dup pass: document pairs whose tf-idf
+    vectors have cosine > 0.2, computed entirely through the token
+    POSTINGS (one join on token, partial-agg dot products), so no
+    document vector is ever materialized. The document-frequency cap
+    (df <= 50, part of the spec and mirrored in the oracle) is the
+    prefix-filtering analog that bounds the per-token pair fan-out f^2 —
+    hot/stopword tokens carry ~zero idf weight anyway, and dropping them
+    is what keeps the postings join sub-quadratic on a web corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("dfc"))
+    wt = (
+        tf.join(dfq.filter(F.col("dfc") <= 50), "w")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "w", (F.col("tf") * F.log(F.col("nn") / F.col("dfc"))).alias("wt"))
+    )
+    nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a, b = wt.alias("a"), wt.alias("b")
+    dot = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    cos = F.col("dot") / (F.col("x.nrm") * F.col("y.nrm"))
+    return (
+        dot.join(nrm.alias("x"), F.col("d1") == F.col("x.doc_id"))
+        .join(nrm.alias("y"), F.col("d2") == F.col("y.doc_id"))
+        .filter(cos > 0.2)
+        .select("d1", "d2", F.round(cos, 4).alias("cosine"))
+    )

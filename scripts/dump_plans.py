@@ -52,6 +52,12 @@ SHOWCASE = {
     "embedding_hard_negatives": "label-mismatch filter pruned BEFORE the per-query top-k window; anchors broadcast, corpus scanned once",
     "skew_key_report": "hot-key diagnosis with no global window: totals agg + TakeOrdered top-10, scales to billions of keys",
     "text_vocab_coverage": "Zipf coverage via TakeOrderedAndProject per candidate N — per-partition heaps, never a global sort",
+    "orders_abc_pareto": "global cumulative share via two-pass distributed prefix sum (range shuffle + bounded offset broadcast) — no single-task global window",
+    "rolling_active_users": "exact 7-day rolling distinct: bounded 7x explode of the (user, day) distinct table, never a range join re-scanning each day",
+    "events_markov_transitions": "per-user lag window on one user_id exchange; probability window rides the |types|^2 aggregate, not the fact table",
+    "text_sparse_cosine_pairs": "sparse tf-idf cosine via token postings join; df cap bounds hot-token pair fan-out (prefix-filter analog)",
+    "graph_triangle_neardup": "degree-oriented wedge enumeration + closure join — per-node wedge work bounded by min-degree, the power-law-safe triangle plan",
+    "incremental_join_view": "join-view refresh as delta algebra: base + dO|x|L0 + O|x|dL partials merged; full tables never re-joined",
 }
 
 
