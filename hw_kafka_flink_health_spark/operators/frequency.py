@@ -74,3 +74,84 @@ def heavy_hitters(
         .filter(F.col("cnt") >= threshold)
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
     )
+
+
+def cms_build(
+    df: DataFrame,
+    key: str | Column,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch over a key column: a (depth × width) counter table
+    as a tiny DataFrame (seed, bucket, cnt) — the mergeable approximate
+    sibling of `heavy_hitters`.
+
+    Distributed shape: each input row fans out to `depth` (seed, bucket)
+    pairs map-side (posexplode of a d-element bucket array computed with
+    xxhash64 — JVM codegen, no Python), then ONE map-side-combined groupBy
+    whose shuffle carries at most depth×width partial rows per task —
+    O(d·w), never O(distinct keys). That is the whole point at token
+    scale: the shuffle is constant-size regardless of key cardinality,
+    and two sketches over disjoint data merge by counter addition
+    (`cms_merge` — exactly associative), so per-hour sketches roll up to
+    per-day without touching rows again.
+
+    Guarantee (standard CMS): estimate >= true count always; estimate <=
+    true + eps*N with probability 1-delta for eps=e/width, delta=e^-depth.
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    keyed = df.select(kcol.cast("string").alias("key")).filter(F.col("key").isNotNull())
+    buckets = F.array(
+        *[
+            (F.abs(F.xxhash64(F.col("key"), F.lit(d))) % width).cast("int")
+            for d in range(depth)
+        ]
+    )
+    return (
+        keyed.select(F.posexplode(buckets).alias("seed", "bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two same-shaped sketches by counter addition (exact: CMS is a
+    linear sketch, so merge(build(A), build(B)) == build(A ∪ B) row-for-row
+    — pinned by tests/test_stats.py)."""
+    return (
+        a.unionByName(b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str = "key",
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each row of `keys`: estimate = min over
+    the depth counters the key hashes into. depth/width MUST match the
+    build call — they define the hash family. The sketch is d×w rows —
+    broadcast; the (typically small) candidate set joins it without
+    shuffling the corpus. Keys never inserted estimate as the min of
+    whatever collided into their buckets (>= 0, standard CMS behavior)."""
+    kcol = F.col(key).cast("string")
+    buckets = F.array(
+        *[
+            (F.abs(F.xxhash64(kcol, F.lit(d))) % width).cast("int")
+            for d in range(depth)
+        ]
+    )
+    probes = keys.select(
+        F.col(key).alias("key"), F.posexplode(buckets).alias("seed", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -66,16 +66,35 @@ def new_peak_stream(parsed: DataFrame) -> DataFrame:
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         max_bpm = state.get[0] if state.exists else None
-        out = []
+        frames = []
         for pdf in pdfs:
-            for _, row in pdf.sort_values("event_time").iterrows():
-                bpm = int(row["heart_rate_bpm"])
-                if max_bpm is None or bpm > max_bpm:
-                    max_bpm = bpm
-                    out.append((key[0], int(row["event_time"]), bpm))
+            if not len(pdf):
+                continue
+            xs = pdf.sort_values("event_time")
+            bpm = xs["heart_rate_bpm"].astype("int64").reset_index(drop=True)
+            # running max of strictly-previous rows (carry-in = prior state);
+            # vectorized cummax+shift — no per-row Python loop
+            prev_max = bpm.cummax().shift(1)
+            if max_bpm is not None:
+                prev_max = prev_max.fillna(float(max_bpm)).clip(lower=float(max_bpm))
+            is_peak = prev_max.isna() | (bpm > prev_max)
+            max_bpm = int(max(bpm.max(), max_bpm if max_bpm is not None else bpm.max()))
+            if is_peak.any():
+                keep = xs.reset_index(drop=True)[is_peak.to_numpy()]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "patient_id": key[0],
+                            "event_time": keep["event_time"].astype("int64").to_numpy(),
+                            "heart_rate_bpm": keep["heart_rate_bpm"]
+                            .astype("int32")
+                            .to_numpy(),
+                        }
+                    )
+                )
         state.update((max_bpm,))
-        if out:
-            yield pd.DataFrame(out, columns=["patient_id", "event_time", "heart_rate_bpm"])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return parsed.groupBy("patient_id").applyInPandasWithState(
         fn,
@@ -335,17 +354,20 @@ def session_timeout_stream(parsed: DataFrame, *, gap_seconds: int = 30) -> DataF
             state.get if state.exists else (None, None, 0, 0.0)
         )
         for pdf in pdfs:
-            for _, row in pdf.sort_values("event_time").iterrows():
-                ts = int(row["event_time"])
-                if start_ms is None:
-                    start_ms = ts
-                # events arriving within the gap extend the session; a
-                # larger in-batch jump would normally split — kept simple
-                # here (split logic is per-session code, the point of the
-                # escape hatch) because the timeout handles the close
-                last_ms = max(last_ms or ts, ts)
-                n += 1
-                sum_bpm += float(row["heart_rate_bpm"])
+            if not len(pdf):
+                continue
+            # events arriving within the gap extend the session; a larger
+            # in-batch jump would normally split — kept simple here (split
+            # logic is per-session code, the point of the escape hatch)
+            # because the timeout handles the close. Batch folds to
+            # min/max/count/sum — vectorized, no per-row loop.
+            ts_min = int(pdf["event_time"].min())
+            ts_max = int(pdf["event_time"].max())
+            if start_ms is None:
+                start_ms = ts_min
+            last_ms = ts_max if last_ms is None else max(last_ms, ts_max)
+            n += int(len(pdf))
+            sum_bpm += float(pdf["heart_rate_bpm"].sum())
         state.update((start_ms, last_ms, n, sum_bpm))
         state.setTimeoutTimestamp(last_ms + gap_ms)
         return
@@ -400,4 +422,107 @@ def cogrouped_reconcile(
         .applyInPandas(
             reconcile, f"{key} long, n_left long, n_right long, value_delta double"
         )
+    )
+
+
+CEP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_event_id", T.LongType()),
+        T.StructField("view_ms", T.LongType()),
+        T.StructField("purchase_ms", T.LongType()),
+        T.StructField("gap_s", T.LongType()),
+    ]
+)
+CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_view_ms", T.LongType()),
+        T.StructField("last_purchase_ms", T.LongType()),
+    ]
+)
+
+
+def cep_followed_by_stream(
+    events: DataFrame, *, within_ms: int = 600_000
+) -> DataFrame:
+    """Streaming CEP "view followed-by purchase within T, no purchase
+    between" — the live twin of `queries/cep.py:cep_followed_by` (which
+    is the DuckDB-oracled batch form; FlinkCEP `begin('view')
+    .followedBy('purchase').within(T)` is the reference-stack analog).
+
+    GroupState carries exactly the NFA's live frontier: the newest view
+    and newest purchase timestamp per user (two longs — O(keys) state,
+    no buffered events). Per micro-batch the match test is vectorized:
+    sorted ts + `cummax().shift(1)` reproduces "most recent strictly
+    prior" for both event kinds, with carried state folded in via
+    fillna/clip — no per-row Python loop. Cross-batch order follows
+    stream time (at-least-once monitor semantics, same caveat as
+    `new_peak_stream`).
+
+    Input columns: user_id long, event_id long, ts_ms long,
+    event_type string.
+    """
+    ship_package(events.sparkSession)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        prev_view, prev_purch = state.get if state.exists else (None, None)
+        frames = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            xs = pdf.sort_values(["ts_ms", "event_id"]).reset_index(drop=True)
+            ts = xs["ts_ms"].astype("int64")
+
+            def prior_max(kind: str, carry):
+                s = ts.where(xs["event_type"] == kind).cummax().shift(1)
+                if carry is not None:
+                    s = s.fillna(float(carry)).clip(lower=float(carry))
+                return s
+
+            last_view = prior_max("view", prev_view)
+            last_purch = prior_max("purchase", prev_purch)
+            is_match = (
+                (xs["event_type"] == "purchase")
+                & last_view.notna()
+                & (last_purch.isna() | (last_view > last_purch))
+                & (ts - last_view <= within_ms)
+            )
+            if is_match.any():
+                hit = xs[is_match.to_numpy()]
+                lv = last_view[is_match.to_numpy()].astype("int64")
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": hit["user_id"].astype("int64").to_numpy(),
+                            "purchase_event_id": hit["event_id"].astype("int64").to_numpy(),
+                            "view_ms": lv.to_numpy(),
+                            "purchase_ms": hit["ts_ms"].astype("int64").to_numpy(),
+                            "gap_s": ((hit["ts_ms"].astype("int64") - lv) // 1000).to_numpy(),
+                        }
+                    )
+                )
+            batch_view = ts.where(xs["event_type"] == "view").max()
+            batch_purch = ts.where(xs["event_type"] == "purchase").max()
+            if pd.notna(batch_view):
+                prev_view = (
+                    int(batch_view)
+                    if prev_view is None
+                    else max(int(batch_view), prev_view)
+                )
+            if pd.notna(batch_purch):
+                prev_purch = (
+                    int(batch_purch)
+                    if prev_purch is None
+                    else max(int(batch_purch), prev_purch)
+                )
+        state.update((prev_view, prev_purch))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )

@@ -2,11 +2,14 @@
 
 from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     analytics,
+    cep,
+    geo,
     graph,
     incremental,
     mlprep,
     reference,
     relational,
+    retrieval,
     runtime_filters,
     stats,
     text,

@@ -1,0 +1,189 @@
+"""Geospatial operators: grid-cell-blocked radius join over deterministic
+synthetic coordinates.
+
+Extension surface (SURVEY §2.C): spatial predicates are a standard
+analytics-engine surface (Sedona/PostGIS-style). The engine-relevant part
+is the JOIN SHAPE: a distance predicate is a theta join, and the naive
+form is a cross join — O(|probes|·|points|) comparisons. The scalable
+form blocks both sides into fixed grid cells sized so radius <= one cell,
+expands each probe to its 3×3 neighbor ring (9 rows per probe — probes
+are the small side), and equi-joins on the cell id. Catalyst then plans a
+plain broadcast hash join; haversine runs only on ring-local candidates.
+
+Coordinates are derived deterministically from keys via the portable
+md5-bucket idiom (same construction as mlprep's hash splits), latitude
+clamped to [-45, 45] so a 20° cell is >= the 1500 km radius in km at
+every latitude in range — the containment proof the 3×3 ring needs.
+Longitude cells WRAP at the antimeridian ((i + di) mod 18): a probe at
+lon 179° must see candidates at -179°.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+RADIUS_KM = 1500.0
+CELL_DEG = 20.0
+N_LON_CELLS = 18  # 360 / CELL_DEG
+EARTH_KM = 6371.0088
+
+
+def _hash_unit(col: Column, salt: str) -> Column:
+    """Portable uniform draw in [0, 1) from md5(key || salt) — identical
+    digits to the DuckDB oracle's concat('0x', substr(md5(..), 1, 8))."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("bigint")
+    return h / F.lit(4294967296.0)
+
+
+def _lat(col: Column, salt: str) -> Column:
+    return _hash_unit(col, salt + "lat") * 90.0 - 45.0
+
+
+def _lon(col: Column, salt: str) -> Column:
+    return _hash_unit(col, salt + "lon") * 360.0 - 180.0
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance, double precision, identical operand order to
+    the oracle's SQL so both engines agree to float rounding."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * EARTH_KM) * F.asin(F.sqrt(a))
+
+
+_HAVERSINE_SQL = """
+    2.0 * 6371.0088 * asin(sqrt(
+      sin(radians(({plat}) - ({clat})) / 2) * sin(radians(({plat}) - ({clat})) / 2)
+      + cos(radians({clat})) * cos(radians({plat}))
+        * sin(radians(({plon}) - ({clon})) / 2) * sin(radians(({plon}) - ({clon})) / 2)
+    ))
+"""
+
+_COORD_SQL = """
+      CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), '{salt}lat')), 1, 8))
+           AS BIGINT) / 4294967296.0 * 90.0 - 45.0 AS lat,
+      CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), '{salt}lon')), 1, 8))
+           AS BIGINT) / 4294967296.0 * 360.0 - 180.0 AS lon
+"""
+
+
+@register(
+    "geo_grid_radius_join",
+    oracle=f"""
+    WITH probes AS (
+      SELECT n_nationkey AS probe_id, {_COORD_SQL.format(key="n_nationkey", salt="nation")}
+      FROM nation WHERE n_nationkey < 5
+    ), pts AS (
+      SELECT c_custkey, {_COORD_SQL.format(key="c_custkey", salt="cust")}
+      FROM customer
+    )
+    SELECT p.probe_id, c.c_custkey,
+           round({_HAVERSINE_SQL.format(plat="p.lat", plon="p.lon", clat="c.lat", clon="c.lon")}, 3) AS dist_km
+    FROM probes p, pts c
+    WHERE {_HAVERSINE_SQL.format(plat="p.lat", plon="p.lon", clat="c.lat", clon="c.lon")} <= 1500.0
+    """,
+)
+def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customers within 1500 km of each of 5 probe points, via grid
+    blocking: points bucket into 20° cells; each probe explodes into its
+    3×3 neighbor ring (longitude WRAPPING mod 18 across the
+    antimeridian); the equi-join on cell id broadcasts the ≤45-row probe
+    ring, so the fact side never shuffles and haversine evaluates only on
+    ring-local candidates. The oracle is the brute-force cross join —
+    value-hash equality IS the proof the ring contains every true match
+    (radius <= min cell dimension at |lat| <= 45, lon: 20°·111.32·cos45°
+    = 1574 km)."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+
+    probes = nation.filter(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey").alias("probe_id"),
+        _lat(F.col("n_nationkey"), "nation").alias("plat"),
+        _lon(F.col("n_nationkey"), "nation").alias("plon"),
+    )
+    pts = cust.select(
+        "c_custkey",
+        _lat(F.col("c_custkey"), "cust").alias("clat"),
+        _lon(F.col("c_custkey"), "cust").alias("clon"),
+    )
+    lat_cell = F.floor((F.col("clat") + 90.0) / CELL_DEG).cast("int")
+    lon_cell = F.floor((F.col("clon") + 180.0) / CELL_DEG).cast("int")
+    pts = pts.withColumn("cell", lat_cell * 100 + lon_cell)
+
+    ring = F.array(
+        *[
+            (
+                (F.floor((F.col("plat") + 90.0) / CELL_DEG).cast("int") + dlat) * 100
+                + (
+                    F.floor((F.col("plon") + 180.0) / CELL_DEG).cast("int")
+                    + dlon
+                    + N_LON_CELLS
+                )
+                % N_LON_CELLS
+            )
+            for dlat in (-1, 0, 1)
+            for dlon in (-1, 0, 1)
+        ]
+    )
+    probe_ring = probes.select(
+        "probe_id", "plat", "plon", F.explode(ring).alias("cell")
+    )
+
+    dist = haversine_km(F.col("plat"), F.col("plon"), F.col("clat"), F.col("clon"))
+    return (
+        pts.join(F.broadcast(probe_ring), "cell")
+        .withColumn("dist_km_raw", dist)
+        .filter(F.col("dist_km_raw") <= RADIUS_KM)
+        .select(
+            "probe_id",
+            "c_custkey",
+            F.round("dist_km_raw", 3).alias("dist_km"),
+        )
+    )
+
+
+@register(
+    "geo_cell_density",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_COORD_SQL.format(key="c_custkey", salt="cust")}
+      FROM customer
+    )
+    SELECT CAST(floor((lat + 90.0) / 20.0) * 100
+                + floor((lon + 180.0) / 20.0) AS BIGINT) AS cell,
+           count(*)::BIGINT AS n_points,
+           round(avg(lat), 4) AS avg_lat,
+           round(avg(lon), 4) AS avg_lon
+    FROM pts
+    GROUP BY 1
+    """,
+)
+def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density summary per grid cell (the build side of any
+    tile-based spatial index): one map-side-combined aggregate, no joins.
+    At 100 TB this is the cheap first pass that sizes per-cell work and
+    exposes spatial skew before the radius join runs."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        _lat(F.col("c_custkey"), "cust").alias("lat"),
+        _lon(F.col("c_custkey"), "cust").alias("lon"),
+    )
+    cell = (
+        F.floor((F.col("lat") + 90.0) / CELL_DEG) * 100
+        + F.floor((F.col("lon") + 180.0) / CELL_DEG)
+    ).cast("long")
+    return pts.groupBy(cell.alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )

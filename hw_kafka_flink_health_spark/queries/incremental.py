@@ -212,3 +212,97 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").cast("long").alias("rev_cents"),
         )
     )
+
+
+@register(
+    "merkle_block_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    ), b AS (
+      -- replica with planted divergence: updates on %1000==7, deletes on %1000==13
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 1000 = 7 THEN o_custkey + 1 ELSE o_custkey END
+               AS o_custkey,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 1000 <> 13
+    ), da AS (
+      SELECT o_orderkey // 4096 AS block,
+             sum(CAST(concat('0x', substr(md5(concat(
+                   CAST(o_orderkey AS VARCHAR), '|',
+                   CAST(o_custkey AS VARCHAR), '|', o_orderstatus)), 1, 12))
+                 AS BIGINT))::BIGINT AS digest,
+             count(*)::BIGINT AS n
+      FROM a GROUP BY 1
+    ), db AS (
+      SELECT o_orderkey // 4096 AS block,
+             sum(CAST(concat('0x', substr(md5(concat(
+                   CAST(o_orderkey AS VARCHAR), '|',
+                   CAST(o_custkey AS VARCHAR), '|', o_orderstatus)), 1, 12))
+                 AS BIGINT))::BIGINT AS digest,
+             count(*)::BIGINT AS n
+      FROM b GROUP BY 1
+    )
+    SELECT coalesce(da.block, db.block) AS block,
+           coalesce(da.n, 0) AS n_a, coalesce(db.n, 0) AS n_b
+    FROM da FULL OUTER JOIN db ON da.block = db.block
+    WHERE da.digest IS DISTINCT FROM db.digest
+    """,
+)
+def merkle_block_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table comparison by block digest (the Merkle-tree
+    first level, Cassandra-repair style): instead of full-outer-joining
+    two 100 TB replicas row-by-row (two full shuffles on the key), each
+    side folds to ONE row per 4096-key block — an order-independent
+    digest (sum of 48-bit md5 prefixes: bounded 2^60 < int64, portable
+    across engines) plus a row count — and only the O(blocks)-sized
+    digest tables meet. Blocks that differ (here: planted updates at
+    o_orderkey%1000==7 and deletes at %1000==13 on the 'replica') are
+    exactly the ranges a repair job would then re-sync row-level. Both
+    digest aggs are map-side combined; the final join is broadcastable
+    at any table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    b = orders.filter(F.col("o_orderkey") % 1000 != 13).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 1000 == 7, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderstatus",
+    )
+
+    def digests(df: DataFrame) -> DataFrame:
+        row_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.groupBy(
+            F.floor(F.col("o_orderkey") / 4096).cast("long").alias("block")
+        ).agg(
+            F.sum(row_hash).cast("long").alias("digest"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    da, db = digests(a), digests(b)
+    return (
+        da.join(db.withColumnRenamed("digest", "digest_b").withColumnRenamed("n", "n_b"),
+                "block", "full_outer")
+        .filter(~F.col("digest").eqNullSafe(F.col("digest_b")))
+        .select(
+            "block",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+    )

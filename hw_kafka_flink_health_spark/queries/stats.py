@@ -549,3 +549,43 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return stacked.select("rule", "violations", "n_rows")
+
+
+@register("approx_topk_cms")
+def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate token top-k from a count-min sketch
+    (`operators/frequency.py:cms_build/cms_estimate`): the sketch is a
+    constant-size (4×1024) counter table whatever the vocabulary, so its
+    shuffle never scales with distinct keys and per-hour sketches merge
+    into per-day by counter addition (`cms_merge`, exactly associative —
+    pinned in tests/test_stats.py). The candidate set probed here comes
+    from the same local-frequent prune `heavy_hitters` uses (no false
+    negatives above the threshold); estimates carry the one-sided CMS
+    error (est >= true, bounded excess — also pinned by test). Rows-only
+    by design: the sketch layout is engine-specific, like HLL/GK."""
+    from hw_kafka_flink_health_spark.operators.frequency import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sketch = cms_build(toks, "tok", depth=4, width=1024)
+    # candidate pass: keys locally frequent anywhere (threshold/P bound)
+    keyed = toks.select(F.col("tok").alias("key"))
+    candidates = (
+        keyed.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid", "key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("key")
+        .distinct()
+    )
+    return (
+        cms_estimate(sketch, candidates, depth=4, width=1024)
+        .orderBy(F.col("est").desc(), F.col("key").asc())
+        .limit(15)
+        .select("key", "est")
+    )

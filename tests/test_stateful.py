@@ -307,3 +307,100 @@ def test_cogrouped_reconcile_honors_key_parameter(spark):
     assert out.columns == ["k", "n_left", "n_right", "value_delta"]
     rows = {r["k"]: (r["n_left"], r["n_right"], r["value_delta"]) for r in out.collect()}
     assert rows == {1: (1, 1, 1.0), 2: (1, 0, 3.0)}
+
+
+def test_cep_followed_by_stream_matches_batch_twin(spark, tmp_path):
+    """Cross-batch CEP state: a view in batch 0 must pair with a purchase
+    in batch 1; a purchase between them (also batch 1) must consume the
+    frontier; out-of-window purchases must not match."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.stateful import cep_followed_by_stream
+
+    rows = [
+        # user 1: view .. purchase (match, crosses batch boundary), then a
+        # second purchase with no fresh view (no match: frontier consumed)
+        (1, 10, 1_000_000, "view"),
+        (1, 11, 1_050_000, "click"),
+        (1, 12, 1_200_000, "purchase"),
+        (1, 13, 1_300_000, "purchase"),
+        # user 2: view -> purchase but outside the 600s window (no match)
+        (2, 20, 1_000_000, "view"),
+        (2, 21, 1_700_001, "purchase"),
+        # user 3: purchase with no prior view at all (no match)
+        (3, 30, 1_100_000, "purchase"),
+    ]
+    src = tmp_path / "cep"
+    src.mkdir()
+    with open(src / "b0.jsonl", "w") as f:
+        for r in rows[:2] + rows[4:5]:
+            f.write(
+                _json.dumps(
+                    {"user_id": r[0], "event_id": r[1], "ts_ms": r[2], "event_type": r[3]}
+                )
+                + "\n"
+            )
+    with open(src / "b1.jsonl", "w") as f:
+        for r in rows[2:4] + rows[5:]:
+            f.write(
+                _json.dumps(
+                    {"user_id": r[0], "event_id": r[1], "ts_ms": r[2], "event_type": r[3]}
+                )
+                + "\n"
+            )
+    import os as _os
+
+    t0 = _os.stat(src / "b0.jsonl").st_mtime
+    _os.utime(src / "b0.jsonl", (t0 - 60, t0 - 60))
+
+    schema = "user_id long, event_id long, ts_ms long, event_type string"
+    reader = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    q = (
+        cep_followed_by_stream(reader)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.purchase_event_id, r.view_ms, r.purchase_ms, r.gap_s)
+        for r in spark.sql("SELECT * FROM cep_stream").collect()
+    }
+    assert got == {(1, 12, 1_000_000, 1_200_000, 200)}
+
+    # batch twin on the same rows: same single match (cep_followed_by logic
+    # inlined over an in-memory frame with the same column names)
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, schema)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = df.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_ms",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts_ms"))).over(w).alias("lv"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts_ms")))
+        .over(w)
+        .alias("lp"),
+    )
+    twin = {
+        (r.user_id, r.event_id, r.lv, r.ts_ms, (r.ts_ms - r.lv) // 1000)
+        for r in t.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("lv").isNotNull()
+            & (F.col("lp").isNull() | (F.col("lv") > F.col("lp")))
+            & (F.col("ts_ms") - F.col("lv") <= 600_000)
+        ).collect()
+    }
+    assert got == twin

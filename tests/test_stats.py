@@ -127,3 +127,49 @@ def test_fpgrowth_pairs_agree_with_exact_pair_pass(spark):
     got_pairs = {tuple(sorted(k)): v for k, v in got_pairs.items()}
     assert got_pairs == expect_pairs
     assert len(got_pairs) > 0
+
+
+def test_cms_estimate_one_sided_and_merge_linear(spark):
+    """CMS guarantees on planted data: (a) estimate >= true count for every
+    probed key (one-sided error, always); (b) min-over-depth excess stays
+    far under the worst single-row bound; (c) the sketch is linear —
+    merging two half-corpus sketches equals the whole-corpus sketch
+    counter-for-counter."""
+    from hw_kafka_flink_health_spark.operators.frequency import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 60
+        + [(f"noise_{i}",) for i in range(3000)]
+    )
+    df = spark.createDataFrame(rows, ["v"]).repartition(8)
+    sketch = cms_build(df, "v", depth=4, width=1024)
+
+    probes = spark.createDataFrame(
+        [("hot",), ("warm",), ("noise_7",), ("never_seen",)], ["key"]
+    )
+    est = {
+        r.key: r.est
+        for r in cms_estimate(sketch, probes, depth=4, width=1024).collect()
+    }
+    true = {"hot": 400, "warm": 60, "noise_7": 1, "never_seen": 0}
+    for k, t in true.items():
+        assert est[k] >= t, f"{k}: CMS must never underestimate"
+        # N=3460, width=1024 -> E[excess per row] ~3.4; min over 4
+        # independent rows on this fixed data lands well under 40
+        assert est[k] - t <= 40, f"{k}: excess {est[k] - t} implausibly large"
+
+    half_a = spark.createDataFrame(rows[: len(rows) // 2], ["v"])
+    half_b = spark.createDataFrame(rows[len(rows) // 2 :], ["v"])
+    merged = cms_merge(
+        cms_build(half_a, "v", depth=4, width=1024),
+        cms_build(half_b, "v", depth=4, width=1024),
+    )
+    whole = cms_build(df, "v", depth=4, width=1024)
+    a = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
+    b = {(r.seed, r.bucket): r.cnt for r in whole.collect()}
+    assert a == b
