@@ -132,6 +132,16 @@ HEADLINE = [
     "incremental_join_view",
     "text_sparse_cosine_pairs",
     "graph_triangle_neardup",
+    # round-4 pack b: CEP, retrieval, sketch, spatial, anti-entropy
+    "cep_journey_counts",
+    "cep_followed_by",
+    "text_bm25_topk",
+    "hybrid_rrf_retrieval",
+    "approx_topk_cms",
+    "geo_grid_radius_join",
+    "merkle_block_diff",
+    "join_skew_diagnostics",
+    "text_compression_ratio",
 ]
 
 

@@ -199,7 +199,14 @@ def graph_triangle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin enumerates the same triangle set."""
     from hw_kafka_flink_health_spark.queries.text import dedup_ngram_jaccard
 
-    e = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    # The Jaccard pair pipeline is the expensive subtree and feeds the
+    # degree agg, the orientation join, AND the wedge-closure join —
+    # without materialization Catalyst re-executes it per consumer
+    # (exchange reuse only collapses identical exchanges, not the three
+    # differently-shaped reads). localCheckpoint pins the (tiny,
+    # O(pairs)) edge list once; same lineage-truncation lever
+    # connected_components uses.
+    e = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2").localCheckpoint()
     deg = (
         e.select(F.col("doc1").alias("s"))
         .unionAll(e.select(F.col("doc2").alias("s")))
@@ -213,11 +220,12 @@ def graph_triangle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = (F.col("d1") < F.col("d2")) | (
         (F.col("d1") == F.col("d2")) & (F.col("doc1") < F.col("doc2"))
     )
+    # oriented edges feed e1, e2 AND the closing join: materialize once
     oe = ed.select(
         F.when(lt, F.col("doc1")).otherwise(F.col("doc2")).alias("src"),
         F.when(lt, F.col("doc2")).otherwise(F.col("doc1")).alias("dst"),
         F.when(lt, F.col("d2")).otherwise(F.col("d1")).alias("ddst"),
-    )
+    ).localCheckpoint()
     e1, e2 = oe.alias("e1"), oe.alias("e2")
     wedge_order = (F.col("e1.ddst") < F.col("e2.ddst")) | (
         (F.col("e1.ddst") == F.col("e2.ddst")) & (F.col("e1.dst") < F.col("e2.dst"))
@@ -236,3 +244,80 @@ def graph_triangle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+_BFS_ROUNDS = 4
+_BFS_SOURCE = "s1"
+
+
+def _bfs_oracle() -> str:
+    """Unrolled min-dist BFS twin: same integer ops, same round count."""
+    pre = f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    d0 AS (SELECT '{_BFS_SOURCE}' AS node, 0 AS dist)"""
+    its = []
+    for i in range(1, _BFS_ROUNDS + 1):
+        its.append(f"""
+    d{i} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT ed.dst AS node, d{i - 1}.dist + 1 AS dist
+        FROM d{i - 1} JOIN ed ON d{i - 1}.node = ed.src
+      ) GROUP BY node
+    )""")
+    return (
+        pre
+        + ","
+        + ",".join(its)
+        + f"\n    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{_BFS_ROUNDS}"
+    )
+
+
+@register("graph_bfs_distance", oracle=_bfs_oracle())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round BFS shortest hops from supplier s1 over the
+    UNDIRECTED customer—supplier graph: each round is one join of the
+    reached set against the edge list plus a min-dist aggregate —
+    integer arithmetic throughout, so the unrolled DuckDB twin
+    hash-matches exactly. 4 rounds reach everything in this bipartite
+    graph's connected component (diameter <= 4 hops for any
+    co-purchasing chain). At 100 TB you'd join only the FRONTIER
+    (nodes first reached last round) instead of the full reached set —
+    same answers because min() discards re-discoveries; joining the
+    reached set keeps the plan textually parallel to the oracle. Edges
+    localCheckpoint once (the orders⋈lineitem distinct is the expensive
+    subtree; 2×rounds consumers otherwise re-derive it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ed = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame([(_BFS_SOURCE, 0)], "node string, dist int")
+    for _ in range(_BFS_ROUNDS):
+        hop = (
+            dist.join(ed, dist["node"] == ed["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

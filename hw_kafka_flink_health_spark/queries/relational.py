@@ -1611,3 +1611,37 @@ def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x.cents").cast("bigint").alias("sum_cents"),
         F.sum(F.col("x.id") % 97).cast("bigint").alias("sum_check"),
     )
+
+
+@register("approx_overlap_hll")  # sketch-based: rows-only by design
+def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from HLL sketches alone: |A∩B| via
+    inclusion-exclusion (|A| + |B| − |A∪B|) over per-segment user
+    sketches — the cross-segment dedup question ("how many clickers also
+    purchased?") answered WITHOUT re-scanning events per pair, because
+    union-agg merges the kilobyte sketches of already-built segments.
+    One scan builds all per-type sketches; every pairwise overlap then
+    derives from sketch algebra. Error bound vs the exact intersection
+    pinned in tests/test_approx_operators.py."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = lambda c: F.hll_sketch_estimate(c).cast("bigint")  # noqa: E731
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            est("sk_a").alias("n_a"),
+            est("sk_b").alias("n_b"),
+            F.hll_sketch_estimate(
+                F.hll_union(F.col("sk_a"), F.col("sk_b"))
+            ).cast("bigint").alias("n_union"),
+        )
+        .withColumn(
+            "n_overlap_est",
+            F.greatest(F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0)),
+        )
+        .orderBy("type_a", "type_b")
+    )

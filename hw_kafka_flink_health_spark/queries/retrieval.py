@@ -64,26 +64,35 @@ _BM25_ORACLE = f"""
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(term, doc_id, score) for every query term × matching doc."""
+    """(term, doc_id, score) for every query term × matching doc. Doc
+    length rides the token rows through the explode, so the tf aggregate
+    carries it for free — no separate doc_id-keyed dl join (saves two
+    exchanges; the only corpus-sized shuffle is the tf agg itself)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
     ).filter(F.col("term").isin(QUERY_TERMS))
-    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    dl = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("double").alias("dl")
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl")
     )
-    stats = dl.agg(
-        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("long").alias("n")
+    # df as a window over tf: the term exchange this needs is the SAME
+    # one the per-term ranking window needs downstream, so df costs no
+    # extra shuffle and no second corpus scan (a groupBy-join form would
+    # re-derive tf's whole subtree — Catalyst doesn't share unmaterialized
+    # subplans across join branches).
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
     )
+    stats = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl")
+    ).agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("long").alias("n"))
     idf = F.log(
         F.lit(1) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .select(
             "term",
             "doc_id",

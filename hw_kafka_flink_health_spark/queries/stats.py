@@ -589,3 +589,109 @@ def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("key", "est")
     )
+
+
+@register(
+    "join_skew_diagnostics",
+    oracle="""
+    WITH k AS (
+      SELECT l_partkey, count(*)::BIGINT AS n_rows,
+             (count(*) * count(*))::BIGINT AS out_rows
+      FROM lineitem GROUP BY 1
+    ), tot AS (SELECT sum(out_rows) AS total_out FROM k)
+    SELECT l_partkey, n_rows, out_rows,
+           round(out_rows / total_out * 100, 4) AS pct_of_join
+    FROM k CROSS JOIN tot
+    ORDER BY out_rows DESC, l_partkey
+    LIMIT 10
+    """,
+)
+def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join blow-up pre-flight: before running a self-equi-join on
+    l_partkey, compute EXACTLY what each key would contribute to the
+    output (n_left × n_right = n² here) and each key's share of the total
+    — the guardrail report a 100 TB pipeline runs to decide between a
+    plain shuffle join, AQE skew split, or salting. One
+    map-side-combined aggregate + a broadcast 1-row total; the join
+    itself never runs. The same two-groupBy shape generalizes to any
+    A⋈B by aggregating each side separately and joining the (tiny)
+    per-key count tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    k = k.withColumn("out_rows", (F.col("n_rows") * F.col("n_rows")).cast("long"))
+    tot = k.agg(F.sum("out_rows").alias("total_out"))
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "n_rows",
+            "out_rows",
+            F.round(F.col("out_rows") / F.col("total_out") * 100, 4).alias(
+                "pct_of_join"
+            ),
+        )
+        .orderBy(F.col("out_rows").desc(), F.col("l_partkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(floor(value / 50.0) AS BIGINT) AS value_band,
+             user_id, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2, 3, 4
+    ), withp AS (
+      SELECT *, (c * 1.0 / sum(c) OVER (PARTITION BY event_type, hr, value_band))
+               AS p
+      FROM per_user
+    ), g AS (
+      SELECT event_type, hr, value_band,
+             count(*)::BIGINT AS n_users,
+             sum(c)::BIGINT AS group_size,
+             round(-sum(p * ln(p)), 4) + 0.0 AS entropy
+      FROM withp
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, epoch_ms(hr) AS hour_ms, value_band, group_size, n_users,
+           entropy,
+           CASE WHEN n_users < 3 THEN 1 ELSE 0 END AS below_l
+    FROM g
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit — k-anonymity's stronger sibling: a class whose
+    rows all belong to ONE user is re-identifiable however large it is.
+    Per quasi-identifier class, count distinct sensitive values (users)
+    and the entropy of their distribution (entropy l-diversity). Two
+    stacked hash aggregations — (QI, user) then QI — both map-side
+    combined; the entropy sum rides the second agg via a window over the
+    per-user counts, never a re-scan of events."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type", "hr", "value_band")
+    p = F.col("c") * 1.0 / F.sum("c").over(w)
+    per_user = per_user.withColumn("plogp", p * F.log(p))
+    g = per_user.groupBy("event_type", "hr", "value_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("group_size"),
+        # +0.0 normalizes IEEE negative zero (single-user classes produce
+        # -0.0 in one engine and 0.0 in the other; repr() distinguishes)
+        (F.round(-F.sum("plogp"), 4) + F.lit(0.0)).alias("entropy"),
+    )
+    return g.select(
+        "event_type",
+        F.unix_millis(F.col("hr").cast("timestamp")).alias("hour_ms"),
+        "value_band",
+        "group_size",
+        "n_users",
+        "entropy",
+        F.when(F.col("n_users") < 3, 1).otherwise(0).alias("below_l"),
+    )

@@ -1631,3 +1631,16 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos > 0.2)
         .select("d1", "d2", F.round(cos, 4).alias("cosine"))
     )
+
+
+@register("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (`operators/compress.py`) — the
+    deflate quality screen public corpus pipelines run next to the
+    repetition and Gopher rules. Rows-only: zlib has no SQL twin; the
+    monotonicity contract (repetitive < prose < incompressible) is pinned
+    by tests/test_text_quality.py."""
+    from hw_kafka_flink_health_spark.operators.compress import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs).orderBy("doc_id")

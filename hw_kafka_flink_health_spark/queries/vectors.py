@@ -117,7 +117,7 @@ def embedding_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIDE_COS_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-        FROM embeddings WHERE vec_id % 10 = 0
+        FROM embeddings WHERE vec_id % 20 = 0
     ), c AS (
         SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS sim
         FROM embeddings e, q
@@ -135,14 +135,14 @@ _WIDE_COS_ORACLE = f"""
 
 @register("embedding_cosine_topk_wide", oracle=_WIDE_COS_ORACLE)
 def embedding_cosine_topk_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expression-tier cosine top-5 with a WIDE query set (every 10th
-    vector — 10% of the corpus as queries). At sf0.1 this is ~25.6M
+    """Expression-tier cosine top-5 with a WIDE query set (every 20th
+    vector — 5% of the corpus as queries). At sf0.1 this is ~12.8M
     multiply-adds, ABOVE the measured arrow/BLAS crossover (~10M,
     PLANS.md epilogue): benched side-by-side with the arrow sibling so
     the regime where the vectorized tier should win is visible (and a
     BLAS-path regression shows up) round-over-round."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
     out = cosine_topk(emb, queries, k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
@@ -159,7 +159,7 @@ def embedding_cosine_topk_arrow_wide(spark: SparkSession, sf_dir: str) -> DataFr
     from hw_kafka_flink_health_spark.operators.similarity import cosine_topk_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
     out = cosine_topk_arrow(emb, queries, k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"

@@ -58,6 +58,14 @@ SHOWCASE = {
     "text_sparse_cosine_pairs": "sparse tf-idf cosine via token postings join; df cap bounds hot-token pair fan-out (prefix-filter analog)",
     "graph_triangle_neardup": "degree-oriented wedge enumeration + closure join — per-node wedge work bounded by min-degree, the power-law-safe triangle plan",
     "incremental_join_view": "join-view refresh as delta algebra: base + dO|x|L0 + O|x|dL partials merged; full tables never re-joined",
+    "cep_journey_counts": "CEP regex-over-sequence: ordering inside array_sort(collect_list) on ONE user_id exchange — no window sort, regex NFA runs once per key",
+    "cep_followed_by": "CEP followed-by: two running-max columns over one window spec — the NFA frontier as window state, single exchange+sort",
+    "text_bm25_topk": "BM25: tf agg only over query-matching tokens (long tail dies map-side); df/avgdl/N broadcast scalars; per-term top-k window on the tiny scored set",
+    "hybrid_rrf_retrieval": "RRF fusion: both arms reduce to <=50-row rankings before the full-outer fusion join — broadcast regardless of corpus size",
+    "geo_grid_radius_join": "spatial radius join: probe 3x3 cell ring broadcast (45 rows), fact side never shuffles, haversine only on ring-local candidates — no cross join",
+    "merkle_block_diff": "anti-entropy diff: per-block digests map-side combined on both replicas; only O(blocks) digest rows meet in the final join",
+    "approx_topk_cms": "count-min sketch: posexplode fan-out then ONE agg whose shuffle is capped at depth*width rows per task, whatever the key cardinality",
+    "join_skew_diagnostics": "join pre-flight: per-key fan-out accounting via one map-side-combined agg + broadcast 1-row total; the diagnosed join itself never runs",
 }
 
 

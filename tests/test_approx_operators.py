@@ -407,3 +407,29 @@ def test_minhash_incremental_catches_planted_neardup_of_history(spark):
     # every candidate is new-batch on the left, history on the right
     assert all(n < 0 and o >= 0 for n, o in pairs), pairs
     assert not any(n == -8 and o == 7 for n, o in pairs)
+
+
+def test_hll_overlap_inclusion_exclusion_bound(spark):
+    """Sketch-algebra overlap estimates vs exact intersections: with 15
+    users per segment the HLL estimates are near-exact; assert every
+    pairwise overlap is within 5% + 2 absolute of truth."""
+    from hw_kafka_flink_health_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {}
+    users = {
+        r.event_type: set(u.user_id for u in ev.filter(F.col("event_type") == r.event_type).select("user_id").distinct().collect())
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for ta in users:
+        for tb in users:
+            if ta < tb:
+                exact[(ta, tb)] = len(users[ta] & users[tb])
+    got = {
+        (r.type_a, r.type_b): r.n_overlap_est
+        for r in QUERIES["approx_overlap_hll"](spark, sf).collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) <= max(2, 0.05 * e), (k, got[k], e)

@@ -431,3 +431,51 @@ def test_persist_reuses_computation_via_inmemory_scan(spark):
         assert "InMemoryTableScan" in plan, plan
     finally:
         base.unpersist()
+
+
+def test_geo_radius_join_broadcasts_ring_no_cartesian(spark):
+    """The grid-blocked spatial join must plan as a broadcast hash join on
+    the cell id — never a cartesian/nested-loop of probes x points (the
+    naive distance-predicate plan)."""
+    plan = plan_of(spark, "geo_grid_radius_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_single_corpus_shuffle(spark):
+    """BM25's only corpus-sized exchange is the (term, doc) tf aggregate
+    over query-matching tokens; df/avgdl/N ride broadcasts."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "BroadcastExchange" in plan  # corpus stats + df
+    # tf agg + per-term ranking window are the hash exchanges; the raw
+    # token stream must not shuffle unfiltered
+    assert plan.count("Exchange hashpartitioning") <= 3, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_cms_sketch_aggregate_is_partial(spark):
+    """The count-min build must show map-side partial aggregation — the
+    shuffle carries at most depth*width partial rows per task."""
+    plan = plan_of(spark, "approx_topk_cms")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "posexplode" in plan.lower() or "Generate" in plan
+
+
+def test_merkle_diff_digests_before_join(spark):
+    """Anti-entropy diff: both sides fold to per-block digests (partial
+    aggs) BEFORE any join; the join itself sees only O(blocks) rows, so
+    it must not be preceded by a row-level exchange of the raw table."""
+    plan = plan_of(spark, "merkle_block_diff")
+    # two digest aggregates (one per replica), each with partial+final
+    assert plan.count("HashAggregate") >= 4
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_cep_followed_by_single_exchange(spark):
+    """The CEP window form shuffles events exactly once on user_id; both
+    running-max columns share that window spec."""
+    plan = plan_of(spark, "cep_followed_by")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
