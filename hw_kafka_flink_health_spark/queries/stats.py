@@ -695,3 +695,91 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy",
         F.when(F.col("n_users") < 3, 1).otherwise(0).alias("below_l"),
     )
+
+
+@register(
+    "pii_pseudonymize",
+    oracle="""
+    SELECT event_id,
+           substr(md5(concat('tenant-salt:', CAST(user_id AS VARCHAR))), 1, 16)
+             AS user_token,
+           event_type, epoch_ms(ts) AS ts_ms
+    FROM events
+    """,
+)
+def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization: user_id -> salted-hash token,
+    REFERENTIALLY CONSISTENT (the same user maps to the same token in
+    every table and every run, so joins and per-user aggregates still
+    work on the released data) yet not reversible without the salt.
+    Pure map-side expression — no shuffle at all; the privacy sibling of
+    `pii_redaction` (free text) for key columns. Rotating the salt
+    re-keys the whole release in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.substring(
+            F.md5(F.concat(F.lit("tenant-salt:"), F.col("user_id").cast("string"))),
+            1,
+            16,
+        ).alias("user_token"),
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+
+
+@register(
+    "quantile_sketch_log",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(ln(o_totalprice) / 0.01) AS BIGINT) AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM orders WHERE o_totalprice > 0
+      GROUP BY 1
+    ), c AS (
+      SELECT bucket, cnt,
+             sum(cnt) OVER (ORDER BY bucket) AS cum,
+             sum(cnt) OVER () AS total
+      FROM b
+    ), q AS (
+      SELECT q_frac FROM (VALUES (0.5), (0.9), (0.99)) t(q_frac)
+    )
+    SELECT q_frac,
+           round(exp((min(c.bucket) + 0.5) * 0.01), 4) AS est_value
+    FROM q JOIN c ON c.cum >= q.q_frac * c.total
+    GROUP BY q_frac
+    """,
+)
+def quantile_sketch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch that IS hash-checkable: a log-domain
+    histogram (bin width 1% in ln-space -> ~0.5% relative value error by
+    construction). Unlike GK/t-digest, the sketch state is a
+    DETERMINISTIC (bucket -> count) table — mergeable by counter
+    addition across partitions, hours, or engines, and therefore
+    value-hash oracle-able, which no engine-specific sketch is. One
+    map-side-combined agg builds it; quantile lookup walks the tiny
+    cumulative table. Relative-error contract vs exact quantiles pinned
+    in tests/test_incremental.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(
+            F.floor(F.log(F.col("o_totalprice")) / 0.01).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    q = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q_frac double")
+    return (
+        q.join(c, F.col("cum") >= F.col("q_frac") * F.col("total"))
+        .groupBy("q_frac")
+        .agg(
+            F.round(F.exp((F.min("bucket") + 0.5) * 0.01), 4).alias("est_value")
+        )
+    )

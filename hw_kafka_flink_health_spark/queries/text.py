@@ -1644,3 +1644,57 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_ratio(docs).orderBy("doc_id")
+
+
+@register("dedup_sketch_quality_report")
+def dedup_sketch_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation harness: MinHash-LSH candidate pairs
+    scored against the EXACT n-gram Jaccard pairs at the same threshold
+    — one row of TP / FN / FP counts plus recall. This is the report a
+    100 TB dedup deployment produces on a sampled slice before trusting
+    the sketch tier corpus-wide (the sketch runs sub-quadratic; the
+    exact tier verifies it on the sample). Rows-only: the MinHash side
+    is engine-specific by construction; the planted-duplicate recall
+    floor is pinned in tests/test_approx_operators.py."""
+    from hw_kafka_flink_health_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        F.col("doc1").alias("id1"), F.col("doc2").alias("id2")
+    )
+    approx = minhash_lsh_pairs(
+        docs, "text", "doc_id", jaccard_distance_threshold=0.7
+    ).select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"))
+    return (
+        exact.withColumn("side", F.lit("exact"))
+        .unionByName(approx.withColumn("side", F.lit("approx")))
+        .groupBy("id1", "id2")
+        .agg(F.collect_set("side").alias("sides"))
+        .select(
+            F.sum(F.when(F.size("sides") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(F.array_contains("sides", "exact") & (F.size("sides") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+            F.sum(
+                F.when(F.array_contains("sides", "approx") & (F.size("sides") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+        .select(
+            "tp",
+            "fn",
+            "fp",
+            F.round(F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 4)
+            .alias("recall"),
+        )
+    )

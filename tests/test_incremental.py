@@ -114,3 +114,27 @@ def test_exact_quantiles_property_random_distributions(spark):
         for q in qs:
             expect = svals[math.floor((len(vals) - 1) * q)]
             assert got[q] == expect, (q, got[q], expect, len(vals))
+
+
+def test_quantile_sketch_log_relative_error_bound(spark):
+    """Log-histogram quantile estimates must land within the bin-width
+    relative error (1% ln-bin -> ~0.5% value error, allow 1%) of exact
+    quantiles, at every probed q."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        r.q_frac: r.est_value
+        for r in QUERIES["quantile_sketch_log"](spark, sf).collect()
+    }
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_totalprice") > 0
+    )
+    exact = orders.agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("p")
+    ).collect()[0]["p"]
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        rel = abs(est[q] - ex) / ex
+        assert rel <= 0.01, (q, est[q], ex, rel)
