@@ -155,3 +155,69 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key: str | Column,
+    *,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom filter as a DataFrame: the set of SET bit positions (one int
+    column, distinct). Completes the sketch-algebra family next to the
+    count-min sketch and the log-histogram quantile table — every member
+    is a small relational value that merges with plain relational ops
+    (Bloom merge = UNION DISTINCT of positions; containment = all k
+    positions present). The build is an explode of k xxhash64 positions
+    + one distinct whose shuffle is capped at n_bits rows — O(m), never
+    O(distinct keys). This is the portable cousin of the parquet-footer
+    bloom indexes in operators/storage.py: those live in file metadata
+    for scan pruning; this one is a first-class value you can join,
+    persist, or ship to another job as a pre-filter."""
+    kcol = F.col(key) if isinstance(key, str) else key
+    keyed = df.select(kcol.cast("string").alias("key")).filter(F.col("key").isNotNull())
+    positions = F.array(
+        *[
+            (F.abs(F.xxhash64(F.col("key"), F.lit(1000 + d))) % n_bits).cast("int")
+            for d in range(n_hashes)
+        ]
+    )
+    return keyed.select(F.explode(positions).alias("pos")).distinct()
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two filters built with the same (n_bits, n_hashes): the
+    merged filter answers membership for the union of both key sets —
+    exactly (same positions as building from the concatenated input)."""
+    return a.unionByName(b).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key: str = "key",
+    *,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """(key, maybe_present) for each probe row: present iff ALL k bit
+    positions are set. No false negatives ever; false-positive rate
+    ~(1 - e^{-kn/m})^k, pinned by test. The bloom side broadcasts (<=
+    n_bits rows); probing is a left join + count match — no shuffle of
+    the probe side beyond its own aggregate."""
+    kcol = F.col(key).cast("string")
+    positions = F.array(
+        *[
+            (F.abs(F.xxhash64(kcol, F.lit(1000 + d))) % n_bits).cast("int")
+            for d in range(n_hashes)
+        ]
+    )
+    probes = keys.select(F.col(key).alias("key"), F.explode(positions).alias("pos"))
+    marked = probes.join(
+        F.broadcast(bloom.withColumn("__hit", F.lit(1))), "pos", "left"
+    )
+    return marked.groupBy("key").agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__hit"), F.lit(0))))
+        .alias("maybe_present")
+    )

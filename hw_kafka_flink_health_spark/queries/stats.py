@@ -783,3 +783,48 @@ def quantile_sketch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp((F.min("bucket") + 0.5) * 0.01), 4).alias("est_value")
         )
     )
+
+
+@register("bloom_prefilter_orders")
+def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter report: build a relational Bloom filter
+    (`operators/frequency.py:bloom_build`) over the customers of one
+    nation, probe every order's custkey through it, and compare against
+    the exact semi-join — one row: exact matches, bloom-passed rows, and
+    the measured false-positive rate. This is the shippable-sketch
+    pattern: the 64 KB filter travels to the orders job as a pre-filter
+    that drops most non-matching rows BEFORE the real join (no shuffle
+    of the fact side to discover non-membership). Rows-only: bit
+    positions are xxhash64 (engine-specific); no-false-negative and FPR
+    contracts pinned in tests/test_stats.py."""
+    from hw_kafka_flink_health_spark.operators.frequency import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    members = cust.filter(F.col("c_nationkey") == 1).select(
+        F.col("c_custkey").alias("key")
+    )
+    bloom = bloom_build(members, "key")
+    probes = orders.select(F.col("o_custkey").alias("key")).distinct()
+    probed = bloom_probe(bloom, probes)
+    exact = probes.join(
+        members.withColumn("__m", F.lit(1)).distinct(), "key", "left"
+    ).select("key", F.coalesce("__m", F.lit(0)).alias("is_member"))
+    joined = probed.join(exact, "key")
+    return joined.agg(
+        F.sum("is_member").cast("long").alias("n_true_members"),
+        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_passed"),
+        F.sum(F.when(F.col("maybe_present") & (F.col("is_member") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.round(
+            F.sum(F.when(F.col("maybe_present") & (F.col("is_member") == 0), 1).otherwise(0))
+            / F.greatest(F.sum(F.when(F.col("is_member") == 0, 1).otherwise(0)), F.lit(1)),
+            6,
+        ).alias("fpr"),
+    )

@@ -120,3 +120,81 @@ def foreach_batch_upsert(
         .outputMode("update")
         .start()
     )
+
+
+def foreach_batch_dynamic_rules(
+    df: DataFrame,
+    rules_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Flink broadcast-state parity: classification thresholds live in a
+    tiny RULES table that operators update OUT OF BAND; every micro-batch
+    re-reads it and classifies with the CURRENT rules — no restart, no
+    redeploy (FlinkCEP/DataStream does this with a broadcast rules stream;
+    Structured Streaming's idiom is the per-batch re-read of a slowly-
+    changing dim, planned as a broadcast join each batch).
+
+    rules_path: JSON file(s) with one row {"high": int, "low": int}. The
+    batch applies the LATEST rule row (max file order is irrelevant — one
+    row expected; crossJoin of a 1-row broadcast). Output rows land in
+    out_dir/batch_id=N with the thresholds they were judged by, so the
+    audit trail shows WHICH rule version classified each row."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rules = (
+            spark.read.schema("high int, low int").json(rules_path).limit(1)
+        )
+        judged = batch_df.crossJoin(F.broadcast(rules)).withColumn(
+            "status",
+            F.when(F.col("heart_rate_bpm") > F.col("high"), "tachycardia_alert")
+            .when(F.col("heart_rate_bpm") < F.col("low"), "bradycardia_alert")
+            .otherwise("normal"),
+        )
+        judged.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def foreach_batch_side_outputs(
+    df: DataFrame,
+    rules,
+    main_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+):
+    """Flink side-output parity: ONE streaming query routes each
+    micro-batch's rows to the main sink or the quarantine sink by named
+    row-level rules (`operators/audit.py:split_by_constraints` — same
+    rules engine the batch pipeline uses). Quarantined rows carry the
+    names of every rule they violated. Both writes are per-batch
+    idempotent (batchId-derived directories), so checkpoint replay
+    cannot duplicate either side."""
+    from hw_kafka_flink_health_spark.operators.audit import split_by_constraints
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            good, bad = split_by_constraints(batch_df, rules)
+            good.write.mode("overwrite").parquet(f"{main_dir}/batch_id={batch_id}")
+            from pyspark.sql import functions as F
+
+            bad.withColumn(
+                "__violations", F.array_join("__violations", ",")
+            ).write.mode("overwrite").parquet(f"{quarantine_dir}/batch_id={batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -173,3 +173,37 @@ def test_cms_estimate_one_sided_and_merge_linear(spark):
     a = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
     b = {(r.seed, r.bucket): r.cnt for r in whole.collect()}
     assert a == b
+
+
+def test_bloom_no_false_negatives_fpr_and_merge(spark):
+    """Bloom contracts on planted keys: every inserted key passes; the
+    FPR over 2000 never-inserted probes stays near the analytic rate for
+    (m=2^16, k=5, n=500); merging two half-filters equals building from
+    the whole input."""
+    from hw_kafka_flink_health_spark.operators.frequency import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    members = [(f"key_{i}",) for i in range(500)]
+    df = spark.createDataFrame(members, ["v"])
+    bloom = bloom_build(df, "v")
+
+    probes = spark.createDataFrame(
+        members + [(f"absent_{i}",) for i in range(2000)], ["key"]
+    )
+    got = {r.key: r.maybe_present for r in bloom_probe(bloom, probes).collect()}
+    assert all(got[f"key_{i}"] for i in range(500)), "false negative!"
+    fp = sum(1 for i in range(2000) if got[f"absent_{i}"])
+    # analytic FPR ~ (1 - e^{-kn/m})^k ~ 8e-8 for n=500; allow a loose
+    # ceiling that still catches a broken hash family (deterministic data)
+    assert fp <= 5, f"implausible false-positive count {fp}"
+
+    merged = bloom_merge(
+        bloom_build(spark.createDataFrame(members[:250], ["v"]), "v"),
+        bloom_build(spark.createDataFrame(members[250:], ["v"]), "v"),
+    )
+    a = {r.pos for r in merged.collect()}
+    b = {r.pos for r in bloom.collect()}
+    assert a == b

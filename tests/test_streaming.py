@@ -1257,3 +1257,97 @@ def test_streaming_restart_with_benign_code_change(spark, tmp_path):
     assert set(rows) == {("p001", 80), ("p002", 120), ("p003", 130)}
     assert rows[("p003", 130)]["flagged"] is True
     assert rows[("p001", 80)]["flagged"] is None  # v1-era row, no such field
+
+
+def test_dynamic_rules_rebroadcast_per_microbatch(spark, tmp_path):
+    """Broadcast-state parity: the SAME reading classifies differently
+    after the rules file is updated between micro-batches — no restart."""
+    import json as _json
+    import os as _os
+
+    from hw_kafka_flink_health_spark.streaming.sinks import (
+        foreach_batch_dynamic_rules,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rules = tmp_path / "rules"
+    rules.mkdir()
+    with open(rules / "r.json", "w") as f:
+        f.write(_json.dumps({"high": 100, "low": 50}) + "\n")
+    with open(src / "b0.jsonl", "w") as f:
+        f.write(_json.dumps({"patient_id": "p1", "heart_rate_bpm": 120}) + "\n")
+    t0 = _os.stat(src / "b0.jsonl").st_mtime
+    _os.utime(src / "b0.jsonl", (t0 - 60, t0 - 60))
+
+    reader = (
+        spark.readStream.schema("patient_id string, heart_rate_bpm int")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = foreach_batch_dynamic_rules(
+        reader, str(rules), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    # operators raise the threshold OUT OF BAND; same bpm, new verdict
+    with open(rules / "r.json", "w") as f:
+        f.write(_json.dumps({"high": 150, "low": 50}) + "\n")
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(_json.dumps({"patient_id": "p1", "heart_rate_bpm": 120}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    by_batch = {r.batch_id: (r.status, r.high) for r in out}
+    assert by_batch[0] == ("tachycardia_alert", 100)
+    assert by_batch[1] == ("normal", 150)
+
+
+def test_side_outputs_route_main_and_quarantine(spark, tmp_path):
+    """Side-output parity: one query, two sinks; quarantined rows carry
+    the violated rule names; main+quarantine partition the batch."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.streaming.sinks import (
+        foreach_batch_side_outputs,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"patient_id": "p1", "heart_rate_bpm": 80},   # ok
+        {"patient_id": "", "heart_rate_bpm": 80},     # bad id
+        {"patient_id": "p2", "heart_rate_bpm": 999},  # out of range
+        {"patient_id": "", "heart_rate_bpm": -1},     # both
+    ]
+    with open(src / "b0.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    reader = spark.readStream.schema("patient_id string, heart_rate_bpm int").json(
+        str(src)
+    )
+    rules = {
+        "nonempty_id": F.col("patient_id") != "",
+        "bpm_in_range": F.col("heart_rate_bpm").between(20, 260),
+    }
+    q = foreach_batch_side_outputs(
+        reader,
+        rules,
+        str(tmp_path / "main"),
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    main = spark.read.parquet(str(tmp_path / "main")).collect()
+    quar = spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    assert {r.patient_id for r in main} == {"p1"}
+    assert len(main) + len(quar) == len(rows)
+    viol = {(r.patient_id, r.heart_rate_bpm): r["__violations"] for r in quar}
+    assert viol[("", 80)] == "nonempty_id"
+    assert viol[("p2", 999)] == "bpm_in_range"
+    assert set(viol[("", -1)].split(",")) == {"nonempty_id", "bpm_in_range"}
