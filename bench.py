@@ -142,6 +142,13 @@ HEADLINE = [
     "merkle_block_diff",
     "join_skew_diagnostics",
     "text_compression_ratio",
+    # round-4 pack c: graph BFS, attribution, forecast backtest, privacy,
+    # hash-checkable quantile sketch
+    "graph_bfs_distance",
+    "attribution_linear_touch",
+    "forecast_seasonal_naive_backtest",
+    "privacy_l_diversity",
+    "quantile_sketch_log",
 ]
 
 

@@ -158,7 +158,7 @@ def ivf_topk(
     partition pruning. Returns (query_id, neighbor_id, cosine, rank).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = corpus.select(
         F.col(id_col),

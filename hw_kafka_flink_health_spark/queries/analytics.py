@@ -959,3 +959,70 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat, 0.99)"), 4).alias("p99"),
         F.max("lat").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "attribution_linear_touch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS conv_ms
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), touches AS (
+      SELECT user_id, event_id, ts_ms, conv_ms
+      FROM t
+      WHERE event_type = 'click'
+        AND conv_ms IS NOT NULL
+        AND conv_ms - ts_ms <= 604800000
+    ), credit AS (
+      SELECT user_id, conv_ms,
+             count(*)::BIGINT AS n_touches
+      FROM touches GROUP BY 1, 2
+    )
+    SELECT user_id, conv_ms, n_touches,
+           round(1.0 / n_touches, 6) AS credit_per_touch
+    FROM credit
+    """,
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: every click is assigned to the
+    NEXT purchase by the same user (within a 7-day lookback), and each
+    conversion splits its credit equally across its touches. The
+    assignment is one `min(purchase ts) OVER (1 FOLLOWING..)` window —
+    never a clicks×purchases range self-join, which is the naive plan
+    and quadratic on hot users. One exchange on user_id; the credit agg
+    rides the already-partitioned rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    t = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_ms.alias("ts_ms"),
+        F.min(F.when(F.col("event_type") == "purchase", ts_ms)).over(w).alias("conv_ms"),
+    )
+    touches = t.filter(
+        (F.col("event_type") == "click")
+        & F.col("conv_ms").isNotNull()
+        & (F.col("conv_ms") - F.col("ts_ms") <= 604800000)
+    )
+    credit = touches.groupBy("user_id", "conv_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    return credit.select(
+        "user_id",
+        "conv_ms",
+        "n_touches",
+        F.round(1.0 / F.col("n_touches"), 6).alias("credit_per_touch"),
+    )

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.incremental import (
     daily_partials,
-    finalize_rollup,
     merge_partials,
 )
 from hw_kafka_flink_health_spark.queries._registry import register

@@ -545,3 +545,57 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap_ms"), 4).alias("avg_gap_ms"),
         F.round(F.stddev_samp("gap_ms"), 4).alias("sd_gap_ms"),
     )
+
+
+@register(
+    "forecast_seasonal_naive_backtest",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), j AS (
+      SELECT cur.user_id, cur.v AS actual, prev.v AS forecast
+      FROM h cur JOIN h prev
+        ON cur.user_id = prev.user_id
+       AND prev.hr = cur.hr - INTERVAL 24 HOURS
+      WHERE cur.v <> 0
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_points,
+           round(avg(abs(actual - forecast) / abs(actual)) * 100, 4) AS mape_pct
+    FROM j GROUP BY user_id
+    """,
+)
+def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting harness with the seasonal-naive baseline
+    (forecast(t) = value(t - 24h)): per-user MAPE over every hour that
+    has a day-earlier twin. Any real forecasting model must beat this
+    number — computing it IS the first step of forecast evaluation at
+    scale. One hourly pre-aggregate (map-side combined), then an equi
+    self-join on (user, hour-24h) — the pre-agg is tiny relative to raw
+    events, so the join never touches the fact table twice. Hourly
+    averages are rounded to 6 dp BEFORE the ratio in both engines so the
+    MAPE hash matches despite float division."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    cur, prev = h.alias("cur"), h.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("cur.user_id") == F.col("prev.user_id"))
+        & (F.col("prev.hr") == F.col("cur.hr") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        F.col("cur.user_id").alias("user_id"),
+        F.col("cur.v").alias("actual"),
+        F.col("prev.v").alias("forecast"),
+    ).filter(F.col("actual") != 0)
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(
+            F.avg(F.abs(F.col("actual") - F.col("forecast")) / F.abs(F.col("actual")))
+            * 100,
+            4,
+        ).alias("mape_pct"),
+    )

@@ -66,6 +66,10 @@ SHOWCASE = {
     "merkle_block_diff": "anti-entropy diff: per-block digests map-side combined on both replicas; only O(blocks) digest rows meet in the final join",
     "approx_topk_cms": "count-min sketch: posexplode fan-out then ONE agg whose shuffle is capped at depth*width rows per task, whatever the key cardinality",
     "join_skew_diagnostics": "join pre-flight: per-key fan-out accounting via one map-side-combined agg + broadcast 1-row total; the diagnosed join itself never runs",
+    "quantile_sketch_log": "deterministic log-histogram quantile sketch: one partial-agg bucket build; quantile lookup walks the tiny cumulative table",
+    "graph_bfs_distance": "bounded-round BFS: per round one reached-set x edges join + min-dist agg, edges localCheckpointed once",
+    "attribution_linear_touch": "multi-touch attribution: next-purchase assignment as a FOLLOWING-frame window — no clicks x purchases range self-join",
+    "forecast_seasonal_naive_backtest": "forecast backtest: hourly pre-agg then (user, hr-24h) equi self-join — fact table aggregated once, joined small",
 }
 
 
