@@ -149,6 +149,7 @@ HEADLINE = [
     "forecast_seasonal_naive_backtest",
     "privacy_l_diversity",
     "quantile_sketch_log",
+    "max_concurrent_sessions",
 ]
 
 

@@ -242,9 +242,11 @@ def global_prefix_sum(
     # final job must see ONE materialization — pin it (same lineage-
     # truncation pattern as the connected-components loop).
     local = local.localCheckpoint()
-    totals = (
-        local.groupBy("_pid").agg(F.max("_local_sum").alias("_ptotal")).collect()
-    )
+    # Partition total = SUM of values (== the partition's LAST running
+    # value). max(_local_sum) would only coincide for non-negative
+    # inputs and silently inflates offsets for signed values (sweep-line
+    # +1/-1 deltas) — caught by max_concurrent_sessions' oracle.
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal")).collect()
     offsets = {}
     acc = 0
     for r in sorted(totals, key=lambda r: r["_pid"]):

@@ -1026,3 +1026,93 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_touches",
         F.round(1.0 / F.col("n_touches"), 6).alias("credit_per_touch"),
     )
+
+
+@register(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000 THEN 1
+                  WHEN lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts_ms,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x
+    ), iv AS (
+      SELECT user_id, sess_id, min(ts_ms) AS start_ms, max(ts_ms) + 1 AS end_ms
+      FROM s GROUP BY 1, 2
+    ), sweep AS (
+      SELECT start_ms AS ts_ms, 1 AS delta, user_id FROM iv
+      UNION ALL
+      SELECT end_ms, -1, user_id FROM iv
+    ), run AS (
+      SELECT ts_ms, delta,
+             sum(delta) OVER (ORDER BY ts_ms, delta, user_id
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM sweep
+    )
+    SELECT CAST(max(live) AS BIGINT) AS max_concurrent,
+           CAST(min(CASE WHEN live = (SELECT max(live) FROM run) THEN ts_ms END)
+                AS BIGINT) AS at_ms
+    FROM run
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line: sessionize per user (30-min gap),
+    emit (+1 at start, −1 just after last event), and take the running
+    sum over the GLOBAL time order — whose maximum is the answer every
+    capacity planner asks for. The global cumsum uses the two-pass
+    distributed prefix sum (`operators/relational.py:global_prefix_sum`:
+    range shuffle + per-partition offsets), never the single-task global
+    window the oracle's `OVER (ORDER BY ...)` implies — same values,
+    scalable order. Ends sort before starts at an equal timestamp
+    (delta −1 < +1), so back-to-back sessions don't double-count."""
+    from hw_kafka_flink_health_spark.operators.relational import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    x = ev.select(
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        F.when(ts_ms - F.lag(ts_ms).over(wu) > 1800000, 1)
+        .when(F.lag(ts_ms).over(wu).isNull(), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    s = x.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_ms")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    iv = s.groupBy("user_id", "sess_id").agg(
+        F.min("ts_ms").alias("start_ms"), (F.max("ts_ms") + 1).alias("end_ms")
+    )
+    sweep = iv.select(
+        F.col("start_ms").alias("ts_ms"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        iv.select(F.col("end_ms").alias("ts_ms"), F.lit(-1).alias("delta"), "user_id")
+    )
+    run = global_prefix_sum(
+        sweep, "delta", ["ts_ms", "delta", "user_id"], out_col="live"
+    )
+    peak = run.agg(F.max("live").alias("__peak"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("live").cast("long").alias("max_concurrent"),
+            F.min(F.when(F.col("live") == F.col("__peak"), F.col("ts_ms")))
+            .cast("long")
+            .alias("at_ms"),
+        )
+    )

@@ -129,3 +129,30 @@ def test_global_prefix_sum_matches_single_task_window(spark):
         .rdd.getNumPartitions()
     )
     assert n_parts > 1
+
+
+def test_global_prefix_sum_signed_values(spark):
+    """Signed inputs (sweep-line +1/-1 deltas): partition offsets must be
+    the SUM of prior partitions' values, not the max of their running
+    sums — regression for the offset bug max_concurrent_sessions caught."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.relational import global_prefix_sum
+
+    rows = [(i, 1 if i % 3 != 2 else -2) for i in range(300)]  # dips negative
+    df = spark.createDataFrame(rows, ["pos", "delta"]).repartition(8)
+    got = {
+        r.pos: r.running_total
+        for r in global_prefix_sum(df, "delta", ["pos"], n_partitions=6).collect()
+    }
+    expected = {
+        r.pos: r.t
+        for r in df.withColumn(
+            "t",
+            F.sum("delta").over(
+                Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == expected
