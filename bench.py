@@ -150,6 +150,8 @@ HEADLINE = [
     "privacy_l_diversity",
     "quantile_sketch_log",
     "max_concurrent_sessions",
+    "regr_theil_sen_user",
+    "corr_kendall_tau_user",
 ]
 
 

@@ -828,3 +828,123 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fpr"),
     )
+
+
+@register(
+    "regr_theil_sen_user",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.user_id,
+             (b.v - a.v) / (b.day - a.day) AS slope
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.day < b.day
+    ), ranked AS (
+      SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM slopes
+    )
+    SELECT user_id,
+           round(avg(slope), 6) AS theil_slope,
+           CAST(max(cnt) AS BIGINT) AS n_pairs
+    FROM ranked
+    WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+    GROUP BY user_id
+    """,
+)
+def regr_theil_sen_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per user: the MEDIAN of all pairwise daily
+    slopes — up to ~29% outlier contamination cannot move it, unlike the
+    least-squares `regr_user_trend` twin. The pair join is per-user on
+    the DAILY pre-aggregate, so the quadratic blowup is bounded by
+    days², not events² (the only safe way to run pairwise estimators at
+    scale), and the exact median uses the same rank-window selection as
+    `median_value_by_type` — one exchange on user_id shared by the pair
+    join and both windows. Daily means round to 6 dp before the slope
+    division so both engines hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    d = ev.groupBy(
+        "user_id", F.floor(ts_ms / 86400000.0).cast("long").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        ((F.col("b.v") - F.col("a.v")) / (F.col("b.day") - F.col("a.day"))).alias(
+            "slope"
+        ),
+    )
+    wr = Window.partitionBy("user_id").orderBy("slope")
+    wc = Window.partitionBy("user_id")
+    ranked = slopes.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+    )
+    return mid.groupBy("user_id").agg(
+        F.round(F.avg("slope"), 6).alias("theil_slope"),
+        F.max("cnt").cast("long").alias("n_pairs"),
+    )
+
+
+@register(
+    "corr_kendall_tau_user",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.user_id,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS s
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.day < b.day
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_pairs,
+           sum(s)::BIGINT AS concordance,
+           round(sum(s) * 1.0 / count(*), 6) AS kendall_tau
+    FROM pairs GROUP BY user_id
+    """,
+)
+def corr_kendall_tau_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a of daily value vs time, per user: the rank-based
+    trend-strength measure (sign-only, so one corrupted day cannot move
+    it far — the correlation sibling of `regr_theil_sen_user`, sharing
+    its bounded days² pair join). Since the x axis is the day itself and
+    pairs are generated with a.day < b.day, concordance reduces to
+    sign(v_b − v_a) — integer arithmetic until the final ratio, so the
+    hash check is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    d = ev.groupBy(
+        "user_id", F.floor(ts_ms / 86400000.0).cast("long").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("s").cast("long").alias("concordance"),
+        F.round(F.sum("s") * 1.0 / F.count(F.lit(1)), 6).alias("kendall_tau"),
+    )

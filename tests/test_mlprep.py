@@ -156,3 +156,49 @@ def test_write_shuffled_shards_files_hold_permutation_order(spark, tmp_path):
         assert list(t["doc_id"]) == expect_order[shard], (
             f"shard {shard} file order != permutation order"
         )
+
+
+def test_webdataset_shards_roundtrip_and_byte_determinism(spark, tmp_path):
+    """Tar shard export: every row lands exactly once as a .txt/.json
+    member pair; member order inside a shard follows the deterministic
+    draw; two exports of the same data are byte-identical."""
+    import hashlib
+    import json as _json
+    import tarfile
+
+    from hw_kafka_flink_health_spark.operators.export import write_webdataset_shards
+
+    rows = [(i, f"text number {i}", f"src{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def export(d):
+        out = tmp_path / d
+        write_webdataset_shards(
+            df, str(out), meta_cols=("source",), n_shards=4
+        )
+        return out
+
+    out1 = export("a")
+    tars = sorted(p.name for p in out1.iterdir())
+    assert tars == [f"shard-{i:05d}.tar" for i in range(4)]
+
+    seen = {}
+    for t in tars:
+        with tarfile.open(out1 / t) as tf:
+            names = tf.getnames()
+            # strict pairing and order: 00000000.txt, 00000000.json, ...
+            for i in range(0, len(names), 2):
+                assert names[i] == f"{i // 2:08d}.txt"
+                assert names[i + 1] == f"{i // 2:08d}.json"
+                meta = _json.loads(tf.extractfile(names[i + 1]).read())
+                text = tf.extractfile(names[i]).read().decode()
+                assert meta["source"] == f"src{meta['doc_id'] % 3}"
+                assert text == f"text number {meta['doc_id']}"
+                seen[meta["doc_id"]] = True
+    assert len(seen) == 200  # exactly once each
+
+    out2 = export("b")
+    for t in tars:
+        h1 = hashlib.md5((out1 / t).read_bytes()).hexdigest()
+        h2 = hashlib.md5((out2 / t).read_bytes()).hexdigest()
+        assert h1 == h2, f"{t}: export not byte-deterministic"

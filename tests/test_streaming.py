@@ -1351,3 +1351,28 @@ def test_side_outputs_route_main_and_quarantine(spark, tmp_path):
     assert viol[("", 80)] == "nonempty_id"
     assert viol[("p2", 999)] == "bpm_in_range"
     assert set(viol[("", -1)].split(",")) == {"nonempty_id", "bpm_in_range"}
+
+
+def test_cep_job_demo_cli_runs():
+    """The CEP monitor's broker-less demo (`python -m ... cep_job --demo`)
+    runs end-to-end from the CLI and the console sink ticks — the
+    FlinkCEP-job parity check."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hw_kafka_flink_health_spark.streaming.cep_job",
+            "--demo",
+            "--demo-seconds",
+            "8",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Batch: " in proc.stdout
