@@ -152,6 +152,8 @@ HEADLINE = [
     "max_concurrent_sessions",
     "regr_theil_sen_user",
     "corr_kendall_tau_user",
+    "percentile_matrix_by_type",
+    "mlprep_stratified_exact",
 ]
 
 

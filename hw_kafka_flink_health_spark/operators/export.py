@@ -107,3 +107,50 @@ def write_webdataset_shards(
         close()
 
     out.rdd.foreachPartition(write_partition)
+
+
+def read_webdataset_shards(spark, in_dir: str):
+    """Re-ingest WebDataset shards as a DataFrame (shard, pos, key,
+    text, meta_json): `binaryFile` scans the tars (one file per task —
+    tars are sequential by design, so per-file parallelism is the right
+    grain), and an Arrow-batched mapInPandas untars each archive and
+    pairs the .txt/.json members. The round trip
+    write_webdataset_shards -> read_webdataset_shards is exact (pinned
+    by test), which makes the tar tier a real interchange point rather
+    than a write-only export."""
+    import io as _io
+    import tarfile as _tarfile
+
+    import pandas as pd
+
+    ship_package(spark)
+    files = spark.read.format("binaryFile").load(f"{in_dir}/shard-*.tar")
+
+    schema = "shard long, pos long, key string, text string, meta_json string"
+
+    def untar(batches):
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                shard = int(path.rsplit("shard-", 1)[1].split(".")[0])
+                with _tarfile.open(fileobj=_io.BytesIO(bytes(blob))) as tf:
+                    members = {}
+                    for m in tf.getmembers():
+                        key, ext = m.name.rsplit(".", 1)
+                        members.setdefault(key, {})[ext] = tf.extractfile(m).read()
+                    for pos, key in enumerate(sorted(members)):
+                        pair = members[key]
+                        out.append(
+                            (
+                                shard,
+                                pos,
+                                key,
+                                pair.get("txt", b"").decode("utf-8"),
+                                pair.get("json", b"{}").decode("utf-8"),
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=["shard", "pos", "key", "text", "meta_json"]
+            )
+
+    return files.select("path", "content").mapInPandas(untar, schema=schema)

@@ -654,3 +654,37 @@ def mlprep_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("kept"),
         F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
     )
+
+
+@register(
+    "mlprep_stratified_exact",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'sx1')), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 20
+    """,
+)
+def mlprep_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size stratified sample: precisely 20 docs per source (not
+    the binomial ~rate of `sampleBy`), membership decided by ranking a
+    portable md5 draw within each stratum — deterministic forever, no
+    sampling variance, retry-safe. One exchange on the stratum; at scale
+    the rank window is per-stratum parallel. The rate-based sibling
+    (`mlprep_stratified_sample`) remains the cheaper one-pass screen;
+    this is the one you use when split sizes are contractual."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("sx1"))), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", "rn")
+    )

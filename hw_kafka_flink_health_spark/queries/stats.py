@@ -948,3 +948,89 @@ def corr_kendall_tau_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("long").alias("concordance"),
         F.round(F.sum("s") * 1.0 / F.count(F.lit(1)), 6).alias("kendall_tau"),
     )
+
+
+@register(
+    "percentile_matrix_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           count(*)::BIGINT AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def percentile_matrix_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile report per group in ONE aggregate pass:
+    `percentile(value, array(...))` computes all four interpolated
+    quantiles from a single per-group sort (both engines use the same
+    type-7 linear interpolation, so the 4-dp hash matches exactly) —
+    versus four separate percentile calls, which would sort the group
+    four times. The approx sibling (`percentile_approx`/GK) remains the
+    unbounded-group scale path; this is the exact tier for bounded
+    per-group cardinalities."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    qs = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    return qs.select(
+        "event_type",
+        F.round(F.col("q")[0], 4).alias("p25"),
+        F.round(F.col("q")[1], 4).alias("p50"),
+        F.round(F.col("q")[2], 4).alias("p75"),
+        F.round(F.col("q")[3], 4).alias("p95"),
+        "cnt",
+    )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(l_quantity AS DOUBLE) AS wt,
+             sum(CAST(l_quantity AS DOUBLE)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(CAST(l_quantity AS DOUBLE)) OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cum >= tot / 2 THEN price END), 2) AS weighted_median,
+           round(max(tot), 2) AS total_weight
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price weighted by quantity) per return flag: the
+    first price whose cumulative weight crosses half the total — the
+    inventory-weighted 'typical price' no unweighted median gives. Both
+    running and total weight ride ONE exchange on the group key
+    (cumulative window + whole-partition window share the partitioning);
+    the crossing row is a conditional min, not a second scan. Order is
+    totalized by (price, orderkey, linenumber) so the crossing row is
+    unique in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(F.col("l_quantity").cast("double")).over(wc).alias("cum"),
+        F.sum(F.col("l_quantity").cast("double")).over(wall).alias("tot"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(F.when(F.col("cum") >= F.col("tot") / 2, F.col("price"))), 2
+        ).alias("weighted_median"),
+        F.round(F.max("tot"), 2).alias("total_weight"),
+    )

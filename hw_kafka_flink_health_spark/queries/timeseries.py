@@ -599,3 +599,77 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
             4,
         ).alias("mape_pct"),
     )
+
+
+@register(
+    "session_bounce_rate",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000 THEN 1
+                  WHEN lag(epoch_ms(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts_ms,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x
+    ), sess AS (
+      SELECT user_id, sess_id,
+             CAST(floor(min(ts_ms) / 86400000.0) AS BIGINT) AS day,
+             count(*)::BIGINT AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT day,
+           count(*)::BIGINT AS n_sessions,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate
+    FROM sess GROUP BY day
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min gap) that contain a
+    single event — the standard engagement metric, computed on the same
+    sessionization the concurrency sweep uses. One exchange on user for
+    the gap windows; the per-day rollup is a second tiny aggregate over
+    one row per session."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    x = ev.select(
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        F.when(ts_ms - F.lag(ts_ms).over(wu) > 1800000, 1)
+        .when(F.lag(ts_ms).over(wu).isNull(), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    s = x.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_ms")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = s.groupBy("user_id", "sess_id").agg(
+        F.floor(F.min("ts_ms") / 86400000.0).cast("long").alias("day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )

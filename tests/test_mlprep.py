@@ -202,3 +202,30 @@ def test_webdataset_shards_roundtrip_and_byte_determinism(spark, tmp_path):
         h1 = hashlib.md5((out1 / t).read_bytes()).hexdigest()
         h2 = hashlib.md5((out2 / t).read_bytes()).hexdigest()
         assert h1 == h2, f"{t}: export not byte-deterministic"
+
+
+def test_webdataset_read_back_round_trip(spark, tmp_path):
+    """write -> read recovers every sample with its metadata and the
+    in-shard permutation position."""
+    import json as _json
+
+    from hw_kafka_flink_health_spark.operators.export import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    rows = [(i, f"body {i}", f"s{i % 2}") for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = tmp_path / "wds"
+    write_webdataset_shards(df, str(out), meta_cols=("source",), n_shards=3)
+
+    back = read_webdataset_shards(spark, str(out)).collect()
+    assert len(back) == 120
+    seen = set()
+    for r in back:
+        meta = _json.loads(r.meta_json)
+        assert r.text == f"body {meta['doc_id']}"
+        assert meta["source"] == f"s{meta['doc_id'] % 2}"
+        assert r.key == f"{r.pos:08d}"
+        seen.add(meta["doc_id"])
+    assert len(seen) == 120
