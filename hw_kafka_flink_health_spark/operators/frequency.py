@@ -221,3 +221,61 @@ def bloom_probe(
         (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__hit"), F.lit(0))))
         .alias("maybe_present")
     )
+
+
+def ams_f2_sketch(
+    df: DataFrame,
+    key: str | Column,
+    *,
+    n_counters: int = 64,
+    n_estimators: int = 5,
+) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) sketch for the second frequency moment
+    F2 = Σ f_k² — the collision/self-join-size statistic: completes the
+    frequency-moment family (F0 = HLL, F1 = count, heavy F∞ = two-phase
+    prune, point queries = CMS). Each estimator row e holds `n_counters`
+    signed counters: counter c accumulates ±1 per occurrence (sign and
+    bucket from xxhash64). Like CMS this is a LINEAR sketch — counters
+    add across partitions/batches (map-side-combined agg, O(e·c) shuffle
+    whatever the key cardinality) and two sketches merge by addition.
+
+    Returns (est, counter, val) — estimate F2 with `ams_f2_estimate`.
+    """
+    kcol = F.col(key) if isinstance(key, str) else key
+    keyed = df.select(kcol.cast("string").alias("key")).filter(F.col("key").isNotNull())
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(e).alias("est"),
+                (F.abs(F.xxhash64(F.col("key"), F.lit(2000 + e))) % n_counters)
+                .cast("int")
+                .alias("counter"),
+                F.when(
+                    F.abs(F.xxhash64(F.col("key"), F.lit(3000 + e))) % 2 == 0, 1
+                )
+                .otherwise(-1)
+                .alias("sgn"),
+            )
+            for e in range(n_estimators)
+        ]
+    )
+    return (
+        keyed.select(F.explode(rows).alias("r"))
+        .select("r.est", "r.counter", "r.sgn")
+        .groupBy("est", "counter")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+    )
+
+
+def ams_f2_estimate(sketch: DataFrame) -> DataFrame:
+    """One-row F2 estimate: per estimator, Σ val² over its counters is an
+    unbiased F2 estimator (variance shrinks with n_counters); the MEDIAN
+    across estimators tames outliers (median-of-means). All on the tiny
+    e×c sketch — a driver-free two-level aggregate."""
+    per_est = sketch.groupBy("est").agg(
+        F.sum(F.col("val") * F.col("val")).cast("double").alias("f2_est")
+    )
+    return per_est.agg(
+        F.expr("percentile(f2_est, 0.5)").cast("long").alias("f2_estimate"),
+        F.count(F.lit(1)).cast("long").alias("n_estimators"),
+    )

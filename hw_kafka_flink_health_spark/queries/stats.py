@@ -1034,3 +1034,25 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_median"),
         F.round(F.max("tot"), 2).alias("total_weight"),
     )
+
+
+@register("approx_f2_tokens")
+def approx_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate token F2 (= the exact output size of a token
+    self-join) from the AMS sketch — the sketch-tier sibling of
+    `join_skew_diagnostics`: where that query accounts per-key fan-out
+    exactly, this one estimates the TOTAL collision mass from an e×c
+    counter table whose build shuffles O(e·c) rows regardless of
+    vocabulary size, and which merges across corpus slices by counter
+    addition. Rows-only (hash-dependent); the 30% error bound and exact
+    linearity are pinned in tests/test_stats.py."""
+    from hw_kafka_flink_health_spark.operators.frequency import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return ams_f2_estimate(ams_f2_sketch(toks, "tok"))

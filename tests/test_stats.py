@@ -207,3 +207,38 @@ def test_bloom_no_false_negatives_fpr_and_merge(spark):
     a = {r.pos for r in merged.collect()}
     b = {r.pos for r in bloom.collect()}
     assert a == b
+
+
+def test_ams_f2_estimate_within_bound_and_linear(spark):
+    """AMS F2 on planted frequencies: the median-of-estimators estimate
+    lands within 30% of exact F2 (deterministic hashes, fixed data), and
+    the sketch is linear (half+half counters == whole)."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.frequency import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    rows = (
+        [("a",)] * 100 + [("b",)] * 50 + [("c",)] * 10
+        + [(f"n{i}",) for i in range(200)]
+    )
+    exact = 100**2 + 50**2 + 10**2 + 200
+    df = spark.createDataFrame(rows, ["v"]).repartition(8)
+    est = ams_f2_estimate(ams_f2_sketch(df, "v")).collect()[0]
+    assert est.n_estimators == 5
+    assert abs(est.f2_estimate - exact) <= 0.3 * exact, (est.f2_estimate, exact)
+
+    half_a = spark.createDataFrame(rows[: len(rows) // 2], ["v"])
+    half_b = spark.createDataFrame(rows[len(rows) // 2 :], ["v"])
+    sa = ams_f2_sketch(half_a, "v")
+    sb = ams_f2_sketch(half_b, "v")
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("est", "counter")
+        .agg(F.sum("val").cast("long").alias("val"))
+    )
+    a = {(r.est, r.counter): r.val for r in merged.collect()}
+    b = {(r.est, r.counter): r.val for r in ams_f2_sketch(df, "v").collect()}
+    assert a == b
