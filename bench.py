@@ -154,6 +154,10 @@ HEADLINE = [
     "corr_kendall_tau_user",
     "percentile_matrix_by_type",
     "mlprep_stratified_exact",
+    "cep_error_burst",
+    "pipeline_rag_index",
+    "session_bounce_rate",
+    "weighted_median_price",
 ]
 
 

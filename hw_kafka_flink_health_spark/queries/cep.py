@@ -202,3 +202,57 @@ def cep_absence_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("view_event_id"),
         F.col("ts_ms").alias("view_ms"),
     )
+
+
+@register(
+    "cep_error_burst",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, rn - rn_t AS grp,
+             count(*)::BIGINT AS run_len,
+             min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+      FROM t WHERE event_type = 'error'
+      GROUP BY 1, 2
+    )
+    SELECT user_id, run_len, start_ms, end_ms
+    FROM runs WHERE run_len >= 3
+    """,
+)
+def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP iterative quantifier (FlinkCEP `times(3, ...)` / A{3,}): runs
+    of >= 3 CONSECUTIVE error events per user — the three-strikes
+    monitoring pattern. Consecutive-run detection is the gaps-and-islands
+    rn-difference trick: two row_numbers over the SAME user_id exchange
+    (global position minus per-type position is constant exactly within
+    a consecutive run), then one aggregate per island. No self-joins, no
+    sequence materialization — at 100 TB the events table shuffles once
+    on user_id and everything else rides that partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        "event_type",
+        ts_ms.alias("ts_ms"),
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_typ).alias("rn_t"),
+    )
+    runs = (
+        t.filter(F.col("event_type") == "error")
+        .groupBy("user_id", (F.col("rn") - F.col("rn_t")).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+        )
+    )
+    return runs.filter(F.col("run_len") >= 3).select(
+        "user_id", "run_len", "start_ms", "end_ms"
+    )

@@ -688,3 +688,57 @@ def mlprep_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "source", "rn")
     )
+
+
+@register(
+    "pipeline_rag_index",
+    oracle="""
+    WITH qual AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+        AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' ')) > 0.3
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_id,
+             substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+      FROM qual,
+           LATERAL unnest(generate_series(0,
+             CAST(greatest(1, ceil((length(text) - 50) / 150.0)) AS BIGINT) - 1))
+             AS t(i)
+    )
+    SELECT c.doc_id, c.chunk_id,
+           CAST(e.label AS BIGINT) AS cluster,
+           CAST(length(c.chunk_text) AS BIGINT) AS chunk_len,
+           md5(c.chunk_text) AS chunk_fp
+    FROM chunks c JOIN embeddings e ON e.vec_id = c.doc_id
+    """,
+)
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-index BUILD pipeline as one DAG: quality-screen the
+    corpus, chunk into overlapping context windows, attach each chunk to
+    its document's coarse index list (the embedding's cluster label —
+    the IVF inverted-list id), and fingerprint the chunk text for
+    dedup-aware upserts. This is the sibling of
+    `pipeline_pretrain_corpus` for the retrieval side: every stage is an
+    oracled operator elsewhere; the value hash here pins the COMPOSITION.
+    Shuffle audit: chunking is narrow (sequence/posexplode — zero
+    exchanges), the embedding join is the only shuffle and partitions on
+    doc id; at scale the output writes `partitionBy(cluster)` so probes
+    open only probed lists (see the IVF-as-partitioned-table row)."""
+    from hw_kafka_flink_health_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.split(F.col("text"), " ")
+    qual = docs.filter(
+        (F.size(toks) >= 5)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) > 0.3)
+    )
+    chunks = chunk_documents(qual, "doc_id", "text", chunk_size=200, overlap=50)
+    return chunks.join(emb, chunks.doc_id == emb.vec_id).select(
+        "doc_id",
+        "chunk_id",
+        F.col("label").cast("long").alias("cluster"),
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_fp"),
+    )

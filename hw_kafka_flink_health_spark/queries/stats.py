@@ -1056,3 +1056,73 @@ def approx_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok") != ""
     )
     return ams_f2_estimate(ams_f2_sketch(toks, "tok"))
+
+
+@register(
+    "approx_distinct_kmv",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_distinct
+      FROM h
+    )
+    SELECT event_type,
+           CAST(max(n_distinct) AS BIGINT) AS true_distinct,
+           CASE WHEN max(n_distinct) < 64 THEN CAST(max(n_distinct) AS DOUBLE)
+                ELSE round(63.0 / (max(CASE WHEN rn = 64 THEN hv END)
+                                   / 4294967296.0), 4)
+           END AS kmv_estimate
+    FROM r WHERE rn <= 64
+    GROUP BY event_type
+    """,
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch, k=64: keep the k smallest
+    portable md5 hashes per group; estimate = (k−1)/u_(k) where u_(k) is
+    the k-th smallest hash as a [0,1) unit. The one approximate-distinct
+    sketch whose ANSWER is value-hash oracle-able — its 'randomness' is
+    the engine-portable md5, so Spark and DuckDB agree bit-for-bit
+    (HLL's binary sketch never can). Mergeable: union the hash sets and
+    re-take the k smallest — exact associativity by construction. Groups
+    below k report their exact distinct count. One distinct + one rank
+    window, both on the same group exchange. Scale note: true_distinct
+    rides along here as the error-visibility column (cheap at these
+    group counts); a 100 TB run drops it and replaces the rank window
+    with per-partition k-smallest heaps merged k-wise (the TakeOrdered
+    shape), never materializing a global distinct — the estimate line
+    is unchanged because the k smallest hashes are the same set."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    wr = Window.partitionBy("event_type").orderBy("hv")
+    wc = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_distinct"),
+    ).filter(F.col("rn") <= 64)
+    return r.groupBy("event_type").agg(
+        F.max("n_distinct").cast("long").alias("true_distinct"),
+        F.when(
+            F.max("n_distinct") < 64, F.max("n_distinct").cast("double")
+        )
+        .otherwise(
+            F.round(
+                63.0
+                / (F.max(F.when(F.col("rn") == 64, F.col("hv"))) / F.lit(4294967296.0)),
+                4,
+            )
+        )
+        .alias("kmv_estimate"),
+    )

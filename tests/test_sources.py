@@ -376,3 +376,26 @@ def test_union_by_name_tolerates_schema_drift(spark):
     assert rows[2]["quality"] is None and rows[2]["text"] == "y"
     # column order follows the first relation; both rows share it
     assert u.columns == ["doc_id", "text", "quality"]
+
+
+def test_ignore_corrupt_files_skips_bad_parquet(spark, tmp_path):
+    """Operational robustness: a truncated/garbage parquet part among good
+    ones must not kill the scan when ignoreCorruptFiles is on — the read
+    returns every row from the intact files (and with the flag off, the
+    same scan raises). The per-read option form keeps the tolerance
+    scoped to the landing zone instead of session-global."""
+    import pytest as _pytest
+
+    good = tmp_path / "zone"
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.coalesce(2).write.parquet(str(good))
+    # plant garbage that LOOKS like a part file
+    (good / "part-99999-corrupt.snappy.parquet").write_bytes(b"PAR1 this is not parquet")
+
+    ok = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(str(good)).collect()
+    )
+    assert {r.id for r in ok} == set(range(100))
+
+    with _pytest.raises(Exception):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(str(good)).collect()
