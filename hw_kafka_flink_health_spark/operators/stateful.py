@@ -526,3 +526,78 @@ def cep_followed_by_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+BURST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("alert_ms", T.LongType()),
+        T.StructField("run_len", T.LongType()),
+    ]
+)
+BURST_STATE_SCHEMA = T.StructType([T.StructField("open_run", T.LongType())])
+
+
+def cep_error_burst_stream(events: DataFrame, *, threshold: int = 3) -> DataFrame:
+    """Streaming twin of `queries/cep.py:cep_error_burst` (FlinkCEP
+    `times(threshold).consecutive()`): alert ONCE per run, at the moment
+    the run REACHES `threshold` consecutive 'error' events — state is a
+    single long per key (the open trailing run length), vectorized per
+    micro-batch with the same islands arithmetic as the batch query:
+    cumsum of non-error markers ids the consecutive groups; carry-in
+    extends the first group iff the batch starts mid-run. Input columns:
+    user_id long, event_id long, ts_ms long, event_type string."""
+    ship_package(events.sparkSession)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        open_run = int(state.get[0]) if state.exists else 0
+        frames = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            xs = pdf.sort_values(["ts_ms", "event_id"]).reset_index(drop=True)
+            err = (xs["event_type"] == "error").to_numpy()
+            import numpy as np
+
+            grp = np.cumsum(~err)  # constant within a consecutive-error run
+            # position within run (1..run_len on error rows, 0 elsewhere):
+            # cumsum of the error indicator per group — a group also holds
+            # its preceding non-error row, which contributes 0
+            pos = (
+                pd.Series(err.astype("int64")).groupby(grp).cumsum().to_numpy()
+                * err
+            )
+            # carry extends the first group only if the batch STARTS with
+            # an error (grp==grp[0] and err[0])
+            if open_run and len(xs) and err[0]:
+                pos = np.where((grp == grp[0]) & err, pos + open_run, pos)
+            hit = err & (pos == threshold)
+            if hit.any():
+                out = xs[hit]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": out["user_id"].astype("int64").to_numpy(),
+                            "alert_ms": out["ts_ms"].astype("int64").to_numpy(),
+                            "run_len": threshold,
+                        }
+                    )
+                )
+            # new open run = trailing consecutive errors (+ carry iff the
+            # whole batch is one unbroken error run)
+            if err[-1]:
+                trailing = int(pos[-1])
+            else:
+                trailing = 0
+            open_run = trailing
+        state.update((open_run,))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

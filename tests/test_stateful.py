@@ -404,3 +404,65 @@ def test_cep_followed_by_stream_matches_batch_twin(spark, tmp_path):
         ).collect()
     }
     assert got == twin
+
+
+def test_cep_error_burst_stream_alerts_once_per_run(spark, tmp_path):
+    """Quantifier CEP in streaming: a run of 3+ consecutive errors alerts
+    exactly ONCE (at the third), runs split across micro-batches still
+    alert, non-error events reset the count, and longer runs don't
+    re-alert."""
+    import json as _json
+    import os as _os
+
+    from hw_kafka_flink_health_spark.operators.stateful import cep_error_burst_stream
+
+    rows = [
+        # user 1: e e | e e e  -> run of 5 crossing the batch boundary:
+        # one alert at the 3rd error (ts 2000)
+        (1, 0, 1000, "error"), (1, 1, 1500, "error"),
+        (1, 2, 2000, "error"), (1, 3, 2500, "error"), (1, 4, 3000, "error"),
+        # user 2: e e view e e  -> reset by the view; no run reaches 3
+        (2, 10, 1000, "error"), (2, 11, 1500, "error"),
+        (2, 12, 2000, "view"), (2, 13, 2500, "error"), (2, 14, 3000, "error"),
+        # user 3: e e e in one batch -> one alert at ts 1200
+        (3, 20, 1000, "error"), (3, 21, 1100, "error"), (3, 22, 1200, "error"),
+    ]
+    b0 = [r for r in rows if r[0] == 1][:2] + [r for r in rows if r[0] == 2][:3]
+    b1 = [r for r in rows if r[0] == 1][2:] + [r for r in rows if r[0] == 2][3:] + [
+        r for r in rows if r[0] == 3
+    ]
+    src = tmp_path / "burst"
+    src.mkdir()
+    for name, batch in (("b0.jsonl", b0), ("b1.jsonl", b1)):
+        with open(src / name, "w") as f:
+            for u, e, t, ty in batch:
+                f.write(
+                    _json.dumps(
+                        {"user_id": u, "event_id": e, "ts_ms": t, "event_type": ty}
+                    )
+                    + "\n"
+                )
+    t0 = _os.stat(src / "b0.jsonl").st_mtime
+    _os.utime(src / "b0.jsonl", (t0 - 60, t0 - 60))
+
+    reader = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts_ms long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        cep_error_burst_stream(reader)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("burst_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.alert_ms, r.run_len)
+        for r in spark.sql("SELECT * FROM burst_stream").collect()
+    }
+    assert got == {(1, 2000, 3), (3, 1200, 3)}
