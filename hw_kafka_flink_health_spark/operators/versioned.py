@@ -1,0 +1,133 @@
+"""Versioned snapshot tables: manifest-pinned file sets with time travel.
+
+The lakehouse table-format core (Delta/Iceberg's essential mechanism)
+reduced to its Spark-visible contract, built from primitives this repo
+already trusts (parquet parts + atomic manifest publication, the same
+commit discipline as `sources/pydatasource.py:ManifestJsonlDataSource`):
+
+* every commit writes NEW parquet files into the table directory, then
+  publishes `manifest-v{N}.json` naming exactly the files that make up
+  version N, and finally flips the `_latest` pointer by ATOMIC RENAME —
+  readers never observe a half-written version;
+* a read pins a manifest, so it sees one immutable snapshot regardless
+  of concurrent commits (snapshot isolation), and old versions stay
+  readable forever until vacuumed (time travel);
+* data files are immutable and shared across versions — an overwrite
+  logically replaces rows but physically only adds files + one manifest,
+  so commits cost O(new data), never O(table);
+* `vacuum` deletes files unreachable from any retained manifest — the
+  only destructive operation, and it never touches the current version.
+
+At 100 TB this is the difference between "rewrite the table to update
+it" and "append new parts + swap a pointer"; the read path is a plain
+parquet scan of the pinned file list, so every pushdown/pruning plan
+property holds unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"manifest-v{version}.json")
+
+
+def _latest_pointer(table_dir: str) -> str:
+    return os.path.join(table_dir, "_latest")
+
+
+def current_version(table_dir: str) -> int | None:
+    try:
+        with open(_latest_pointer(table_dir)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def commit_snapshot(df: DataFrame, table_dir: str, *, mode: str = "overwrite") -> int:
+    """Commit df as the next version. mode='overwrite' makes the new
+    version exactly df; mode='append' makes it previous-version ∪ df.
+    Returns the committed version number.
+
+    Write protocol: stage parquet into a scratch dir, move the part
+    files into the table dir under unique names, write the manifest,
+    then atomically rename a temp pointer onto `_latest`. A reader that
+    raced the commit either sees the old pointer (old snapshot) or the
+    new one (fully published snapshot) — never a torn state."""
+    spark = df.sparkSession
+    os.makedirs(table_dir, exist_ok=True)
+    prev = current_version(table_dir)
+    version = 0 if prev is None else prev + 1
+
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = []
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            dst = f"data-v{version}-{name}"
+            os.rename(os.path.join(staging, name), os.path.join(table_dir, dst))
+            new_files.append(dst)
+    # scrap the staging skeleton (_SUCCESS etc.)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+
+    files = list(new_files)
+    if mode == "append" and prev is not None:
+        with open(_manifest_path(table_dir, prev)) as f:
+            files = json.load(f)["files"] + files
+    elif mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    with open(_manifest_path(table_dir, version), "w") as f:
+        json.dump({"version": version, "files": files}, f)
+    tmp = _latest_pointer(table_dir) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.rename(tmp, _latest_pointer(table_dir))  # atomic publish
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, *, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot (latest by default; any retained version by
+    number — time travel). The manifest's file list is resolved ONCE at
+    plan time, so the DataFrame is immutable under concurrent commits."""
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    with open(_manifest_path(table_dir, v)) as f:
+        files = json.load(f)["files"]
+    if not files:
+        raise ValueError(f"version {v} has an empty file list")
+    return spark.read.parquet(*[os.path.join(table_dir, p) for p in files])
+
+
+def vacuum(table_dir: str, *, keep_last: int = 2) -> list[str]:
+    """Delete data files unreachable from the `keep_last` most recent
+    manifests (and drop older manifests). Returns the deleted file names.
+    Never touches files the retained versions reference."""
+    latest = current_version(table_dir)
+    if latest is None:
+        return []
+    keep_versions = [v for v in range(max(0, latest - keep_last + 1), latest + 1)]
+    keep_files: set[str] = set()
+    for v in keep_versions:
+        with open(_manifest_path(table_dir, v)) as f:
+            keep_files.update(json.load(f)["files"])
+    deleted = []
+    for name in sorted(os.listdir(table_dir)):
+        if name.startswith("data-") and name not in keep_files:
+            os.remove(os.path.join(table_dir, name))
+            deleted.append(name)
+        elif name.startswith("manifest-v"):
+            v = int(name.split("manifest-v")[1].split(".")[0])
+            if v not in keep_versions:
+                os.remove(os.path.join(table_dir, name))
+    return deleted
