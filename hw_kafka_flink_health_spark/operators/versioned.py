@@ -49,7 +49,13 @@ def current_version(table_dir: str) -> int | None:
         return None
 
 
-def commit_snapshot(df: DataFrame, table_dir: str, *, mode: str = "overwrite") -> int:
+def commit_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    mode: str = "overwrite",
+    batch_id: int | None = None,
+) -> int:
     """Commit df as the next version. mode='overwrite' makes the new
     version exactly df; mode='append' makes it previous-version ∪ df.
     Returns the committed version number.
@@ -84,8 +90,14 @@ def commit_snapshot(df: DataFrame, table_dir: str, *, mode: str = "overwrite") -
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
 
+    manifest = {"version": version, "files": files}
+    if batch_id is not None:
+        # transactional-sink support: the manifest records which stream
+        # batch produced this version, so a replayed batch is detected
+        # and skipped (exactly-once) — see last_committed_batch
+        manifest["batch_id"] = batch_id
     with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump({"version": version, "files": files}, f)
+        json.dump(manifest, f)
     tmp = _latest_pointer(table_dir) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -131,3 +143,16 @@ def vacuum(table_dir: str, *, keep_last: int = 2) -> list[str]:
             if v not in keep_versions:
                 os.remove(os.path.join(table_dir, name))
     return deleted
+
+
+def last_committed_batch(table_dir: str) -> int | None:
+    """The stream batch id recorded in the CURRENT version's manifest
+    (None for non-streaming commits or empty tables) — the check a
+    transactional streaming sink performs before applying a batch, so a
+    checkpoint replay of batch N against a table already at batch N is a
+    no-op instead of a duplicate."""
+    v = current_version(table_dir)
+    if v is None:
+        return None
+    with open(_manifest_path(table_dir, v)) as f:
+        return json.load(f).get("batch_id")

@@ -198,3 +198,47 @@ def foreach_batch_side_outputs(
         .outputMode("append")
         .start()
     )
+
+
+def foreach_batch_versioned_upsert(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+):
+    """Transactional streaming sink: each micro-batch MERGEs into a
+    VERSIONED snapshot table (operators/versioned.py) and the commit
+    manifest records the batch id — the Delta-style exactly-once
+    contract. On checkpoint replay, a batch whose id is already in the
+    current manifest is skipped entirely, so duplicates are structurally
+    impossible (vs the idempotent-overwrite form in
+    `foreach_batch_upsert`, which re-does work on replay). Every batch
+    leaves a time-travelable version behind: the materialized view AND
+    its full history from one sink."""
+    from hw_kafka_flink_health_spark.operators.relational import merge_upsert
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        current_version,
+        last_committed_batch,
+        read_snapshot,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(table_dir)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed, exactly-once skip
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates(key_cols)
+        if current_version(table_dir) is not None:
+            base = read_snapshot(spark, table_dir)
+            merged = merge_upsert(base, batch_df.select(*base.columns), key_cols)
+        else:
+            merged = batch_df
+        commit_snapshot(merged, table_dir, batch_id=batch_id)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
