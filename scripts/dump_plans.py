@@ -70,6 +70,11 @@ SHOWCASE = {
     "graph_bfs_distance": "bounded-round BFS: per round one reached-set x edges join + min-dist agg, edges localCheckpointed once",
     "attribution_linear_touch": "multi-touch attribution: next-purchase assignment as a FOLLOWING-frame window — no clicks x purchases range self-join",
     "forecast_seasonal_naive_backtest": "forecast backtest: hourly pre-agg then (user, hr-24h) equi self-join — fact table aggregated once, joined small",
+    "cep_error_burst": "quantifier CEP: islands via two row_numbers on ONE user exchange — no self-join, no sequence materialization",
+    "pipeline_rag_index": "RAG index build: narrow chunking (zero exchanges) + one embedding join — the only shuffle in the whole pipeline",
+    "approx_distinct_kmv": "KMV distinct: one distinct + rank window on the same group exchange; the estimate is oracle-checkable because md5 is its randomness",
+    "weighted_median_price": "weighted median: running + total weight share one group exchange; crossing row via conditional min, no second scan",
+    "max_concurrent_sessions": "sweep-line peak concurrency: sessionize windows on user exchange, then distributed prefix sum (range shuffle + offset broadcast) — no single-task global window",
 }
 
 

@@ -150,3 +150,17 @@ def test_streaming_versioned_upsert_exactly_once_with_history(spark, tmp_path):
     q2.stop()
     assert current_version(table) == before
     assert last_committed_batch(table) == 1
+
+
+def test_snapshot_read_preserves_pushdown(spark, tmp_path):
+    """The versioned read path is a plain parquet scan of the pinned file
+    list, so predicate pushdown must survive: PushedFilters shows the
+    predicate at the scan, proving time travel costs no plan quality."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.range(1000).selectExpr("id", "id % 7 AS bucket"), t
+    )
+    df = read_snapshot(spark, t).filter("bucket = 3")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "bucket" in plan
+    assert df.count() == len([i for i in range(1000) if i % 7 == 3])
