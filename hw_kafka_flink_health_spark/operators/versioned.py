@@ -110,7 +110,11 @@ def read_snapshot(
 ) -> DataFrame:
     """Read a pinned snapshot (latest by default; any retained version by
     number — time travel). The manifest's file list is resolved ONCE at
-    plan time, so the DataFrame is immutable under concurrent commits."""
+    plan time, so the DataFrame is immutable under concurrent commits.
+    mergeSchema is always on: an appended version may mix files written
+    under an older, narrower schema with newer wide ones (schema
+    evolution) — old files surface the new columns as NULL, and a
+    version pinned BEFORE the evolution never sees them at all."""
     v = current_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
@@ -118,7 +122,9 @@ def read_snapshot(
         files = json.load(f)["files"]
     if not files:
         raise ValueError(f"version {v} has an empty file list")
-    return spark.read.parquet(*[os.path.join(table_dir, p) for p in files])
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, p) for p in files]
+    )
 
 
 def vacuum(table_dir: str, *, keep_last: int = 2) -> list[str]:

@@ -164,3 +164,22 @@ def test_snapshot_read_preserves_pushdown(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "bucket" in plan
     assert df.count() == len([i for i in range(1000) if i % 7 == 3])
+
+
+def test_append_with_evolved_schema_merges_and_old_versions_unchanged(spark, tmp_path):
+    """Schema evolution: an append that ADDS a column produces a version
+    whose old files surface the new column as NULL; the pre-evolution
+    version still reads with the original schema only."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.createDataFrame([(1, "a")], ["id", "val"]), t)
+    commit_snapshot(
+        spark.createDataFrame([(2, "b", 9.5)], ["id", "val", "score"]),
+        t,
+        mode="append",
+    )
+    latest = read_snapshot(spark, t)
+    assert set(latest.columns) == {"id", "val", "score"}
+    rows = {(r.id, r.val, r.score) for r in latest.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+    v0 = read_snapshot(spark, t, version=0)
+    assert set(v0.columns) == {"id", "val"}
