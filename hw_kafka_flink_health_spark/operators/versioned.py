@@ -162,3 +162,87 @@ def last_committed_batch(table_dir: str) -> int | None:
         return None
     with open(_manifest_path(table_dir, v)) as f:
         return json.load(f).get("batch_id")
+
+
+def commit_snapshot_clustered(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    cluster_col: str,
+    n_files: int = 4,
+    mode: str = "overwrite",
+    batch_id: int | None = None,
+) -> int:
+    """Commit with manifest-level statistics (the Iceberg metadata-pruning
+    mechanism): range-cluster rows by `cluster_col` into `n_files` files,
+    then record each file's min/max for that column IN THE MANIFEST. A
+    predicate read (`read_snapshot_pruned`) drops non-overlapping files
+    from the plan before Spark ever lists them — metadata pruning ABOVE
+    the parquet-footer level, which is what makes point reads on a
+    100 TB table open a handful of files instead of consulting every
+    footer. Stats are read from the just-written footers (driver-side,
+    bounded by n_files rows of metadata)."""
+    import pyarrow.parquet as pq
+
+    clustered = df.repartitionByRange(n_files, cluster_col).sortWithinPartitions(
+        cluster_col
+    )
+    version = commit_snapshot(clustered, table_dir, mode=mode, batch_id=batch_id)
+    with open(_manifest_path(table_dir, version)) as f:
+        manifest = json.load(f)
+    stats = dict(manifest.get("stats", {}))
+    for name in manifest["files"]:
+        if name in stats:
+            continue  # appended-in files from a prior version keep theirs
+        md = pq.read_metadata(os.path.join(table_dir, name))
+        idx = md.schema.names.index(cluster_col)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        stats[name] = [lo, hi]
+    manifest["stats"] = stats
+    manifest["cluster_col"] = cluster_col
+    with open(_manifest_path(table_dir, version), "w") as f:
+        json.dump(manifest, f)
+    return version
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Read only the files whose [min, max] overlaps [lo, hi] (inclusive),
+    then apply the row-level filter on the survivors — manifest pruning +
+    footer pruning + row filtering, the full three-level skip stack.
+    Falls back to all files for any file missing stats (never wrong,
+    only less pruned)."""
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    with open(_manifest_path(table_dir, v)) as f:
+        manifest = json.load(f)
+    stats = manifest.get("stats", {})
+    col = manifest.get("cluster_col")
+    keep = [
+        name
+        for name in manifest["files"]
+        if name not in stats or not (stats[name][1] < lo or stats[name][0] > hi)
+    ]
+    if not keep:
+        # empty selection: preserve schema by reading one file filtered-false
+        keep = manifest["files"][:1]
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, p) for p in keep]
+        )
+        from pyspark.sql import functions as F
+
+        return df.filter(F.lit(False))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, p) for p in keep]
+    )
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col(col).between(lo, hi))

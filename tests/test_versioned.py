@@ -183,3 +183,36 @@ def test_append_with_evolved_schema_merges_and_old_versions_unchanged(spark, tmp
     assert rows == {(1, "a", None), (2, "b", 9.5)}
     v0 = read_snapshot(spark, t, version=0)
     assert set(v0.columns) == {"id", "val"}
+
+
+def test_manifest_pruning_skips_files_and_matches_full_filter(spark, tmp_path):
+    """Iceberg-style metadata pruning: a clustered commit records per-file
+    min/max in the manifest; a range read opens ONLY overlapping files
+    (proven via _metadata.file_path) and returns exactly what the
+    unpruned filter would."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot_clustered,
+        read_snapshot_pruned,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot_clustered(
+        spark.range(10_000).selectExpr("id", "id % 13 AS payload"),
+        t,
+        cluster_col="id",
+        n_files=8,
+    )
+    pruned = read_snapshot_pruned(spark, t, lo=100, hi=200)
+    got = {r.id for r in pruned.collect()}
+    full = {
+        r.id
+        for r in read_snapshot(spark, t).filter("id BETWEEN 100 AND 200").collect()
+    }
+    assert got == full == set(range(100, 201))
+    # the pruned plan touches at most 2 of the 8 range files
+    n_files = (
+        pruned.selectExpr("_metadata.file_path AS f").distinct().count()
+    )
+    assert n_files <= 2, n_files
+    # out-of-range probe: empty, but schema preserved
+    assert read_snapshot_pruned(spark, t, lo=10**9, hi=2 * 10**9).count() == 0
