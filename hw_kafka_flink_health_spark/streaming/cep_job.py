@@ -31,12 +31,27 @@ def main() -> None:
     p.add_argument("--out-dir", help="match output directory (JSON)")
     p.add_argument("--checkpoint", default="/tmp/ckpt/cep")
     p.add_argument("--within-ms", type=int, default=600_000)
+    p.add_argument(
+        "--pattern",
+        choices=["followed_by", "burst"],
+        default="followed_by",
+        help="followed_by: view->purchase within window; "
+        "burst: 3+ consecutive errors (times(3).consecutive())",
+    )
     args = p.parse_args()
 
     from pyspark.sql import functions as F
 
-    from hw_kafka_flink_health_spark.operators.stateful import cep_followed_by_stream
+    from hw_kafka_flink_health_spark.operators.stateful import (
+        cep_error_burst_stream,
+        cep_followed_by_stream,
+    )
     from hw_kafka_flink_health_spark.session import get_spark
+
+    def matcher(events):
+        if args.pattern == "burst":
+            return cep_error_burst_stream(events)
+        return cep_followed_by_stream(events, within_ms=args.within_ms)
 
     spark = get_spark(app_name="CepJob")
 
@@ -51,11 +66,12 @@ def main() -> None:
             F.unix_millis("timestamp").alias("ts_ms"),
             F.when(F.col("value") % 3 == 0, "view")
             .when(F.col("value") % 5 == 0, "purchase")
+            .when(F.col("value") % 7 < 4, "error")  # gives the burst pattern runs to find
             .otherwise("click")
             .alias("event_type"),
         )
         q = (
-            cep_followed_by_stream(events, within_ms=args.within_ms)
+            matcher(events)
             .writeStream.outputMode("append")
             .format("console")
             .option("truncate", "false")
@@ -72,7 +88,7 @@ def main() -> None:
     reader = spark.readStream.schema(
         "user_id long, event_id long, ts_ms long, event_type string"
     ).json(args.source_dir)
-    matches = cep_followed_by_stream(reader, within_ms=args.within_ms)
+    matches = matcher(reader)
     sink = (
         matches.writeStream.outputMode("append")
         .format("json")
