@@ -1116,3 +1116,45 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("at_ms"),
         )
     )
+
+
+@register(
+    "orders_backlog_aging",
+    oracle="""
+    SELECT CASE WHEN age_d < 30 THEN '0-29'
+                WHEN age_d < 90 THEN '30-89'
+                WHEN age_d < 365 THEN '90-364'
+                ELSE '365+' END AS age_band,
+           o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS open_value
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             date_diff('day', o_orderdate, DATE '1995-06-17') AS age_d
+      FROM orders WHERE o_orderstatus = 'O' AND o_orderdate <= DATE '1995-06-17'
+    )
+    GROUP BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging as of a fixed business date: orders still
+    'O' bucketed by age band × priority with the open value at stake —
+    the working-capital report every ops team runs daily. Pure
+    scan-filter-aggregate: the status+date predicates push to the
+    parquet scan, the banding is a CASE over a date_diff, one shuffle
+    for the tiny band×priority grid."""
+    o = load_table(spark, sf_dir, "orders")
+    asof = F.lit("1995-06-17").cast("date")
+    aged = o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderdate") <= asof)
+    ).withColumn("age_d", F.datediff(asof, F.col("o_orderdate")))
+    band = (
+        F.when(F.col("age_d") < 30, "0-29")
+        .when(F.col("age_d") < 90, "30-89")
+        .when(F.col("age_d") < 365, "90-364")
+        .otherwise("365+")
+    )
+    return aged.groupBy(band.alias("age_band"), "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("open_value"),
+    )
