@@ -1158,3 +1158,59 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("open_value"),
     )
+
+
+@register(
+    "orders_priority_mix_tvd",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_orderpriority, count(*)::BIGINT AS n
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT o_orderpriority, count(*)::BIGINT AS n_all,
+             (SELECT count(*) FROM orders) AS grand
+      FROM orders GROUP BY 1
+    ), j AS (
+      SELECT m.month, m.o_orderpriority,
+             m.n * 1.0 / sum(m.n) OVER (PARTITION BY m.month) AS share_m,
+             t.n_all * 1.0 / t.grand AS share_all
+      FROM m JOIN tot t USING (o_orderpriority)
+    )
+    SELECT month,
+           round(sum(abs(share_m - share_all)) / 2, 6) AS tvd,
+           CASE WHEN sum(abs(share_m - share_all)) / 2 > 0.05 THEN 1 ELSE 0 END
+             AS drifted
+    FROM j GROUP BY month
+    """,
+)
+def orders_priority_mix_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix-shift monitor: per month, the total-variation
+    distance between that month's order-priority composition and the
+    all-time mix (TVD = half the L1 gap between the two distributions,
+    in [0,1]) with a 5% drift flag — the categorical sibling of the
+    KL-based numeric drift audit (`mlprep_split_drift`). Two tiny
+    aggregates (month×priority, priority) and window shares on the
+    month×priority grid; the orders table is scanned twice but never
+    joined to itself at row level."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("timestamp").alias("month"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    grand = o.agg(F.count(F.lit(1)).cast("long").alias("grand"))
+    j = (
+        m.join(F.broadcast(tot), "o_orderpriority")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "share_m",
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("month")),
+        )
+        .withColumn("share_all", F.col("n_all") * 1.0 / F.col("grand"))
+    )
+    tvd = F.sum(F.abs(F.col("share_m") - F.col("share_all"))) / 2
+    return j.groupBy("month").agg(
+        F.round(tvd, 6).alias("tvd"),
+        F.when(tvd > 0.05, 1).otherwise(0).alias("drifted"),
+    )
