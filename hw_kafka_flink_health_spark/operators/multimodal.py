@@ -51,11 +51,121 @@ def fake_decode(payload: bytes) -> list[float]:
 
 
 def decode_image_batch(payloads: pd.Series) -> pd.Series:
-    """Real decoder slot — image libs are absent in this environment."""
+    """Real decoder slot for COMPRESSED formats — jpeg/png libs are absent
+    in this environment. Uncompressed containers have real pure-Python
+    codecs here: `parse_bmp24` (24-bit BMP) and `parse_wav_pcm16`
+    (RIFF/WAVE PCM16); inject those or a library codec via
+    extract_features(decoder=...)."""
     raise NotImplementedError(
-        "image decoding requires a codec library not present in this "
-        "container; inject a decoder via extract_features(decoder=...)"
+        "compressed-image decoding requires a codec library not present in "
+        "this container; inject a decoder via extract_features(decoder=...) "
+        "— parse_bmp24 / parse_wav_pcm16 cover the uncompressed formats"
     )
+
+
+# --- Real, dependency-free container codecs (public formats: Windows
+# BITMAPINFOHEADER BMP and RIFF/WAVE PCM). These make the decode stage of
+# the multimodal pipeline fully real in this container: headers, row
+# padding, bottom-up row order, BGR channel order, and RIFF chunk walking
+# are all exercised, not faked.
+
+
+def encode_bmp24(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode top-down row-major RGB triples (len == w*h*3) as a standard
+    24-bit uncompressed BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, rows
+    stored bottom-up, each padded to a 4-byte boundary, channels as BGR."""
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * height
+    data_offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_offset + img_size, 0, 0, data_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = pixels[y * row_raw : (y + 1) * row_raw]
+        bgr = b"".join(row[i : i + 3][::-1] for i in range(0, row_raw, 3))
+        rows.append(bgr + b"\x00" * pad)
+    return header + dib + b"".join(rows)
+
+
+def parse_bmp24(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit uncompressed BMP -> (width, height, top-down
+    row-major RGB bytes). Handles the data-offset indirection, 4-byte row
+    padding, bottom-up (h > 0) vs top-down (h < 0) storage, and the
+    BGR->RGB channel flip."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    top_down, ah = h < 0, abs(h)
+    row_raw = w * 3
+    row_size = (row_raw + 3) // 4 * 4
+    rows = []
+    for i in range(ah):
+        off = data_offset + i * row_size
+        row = payload[off : off + row_raw]
+        rows.append(b"".join(row[j : j + 3][::-1] for j in range(0, row_raw, 3)))
+    if not top_down:
+        rows.reverse()
+    return w, ah, b"".join(rows)
+
+
+def encode_wav_pcm16(samples, *, sample_rate: int = 16000) -> bytes:
+    """Encode int16 samples as a standard mono RIFF/WAVE PCM16 file. A
+    deliberately odd-sized LIST chunk precedes the data chunk so parsers
+    must really walk (and word-align) chunks instead of assuming a fixed
+    44-byte layout."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *[int(s) for s in samples])
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    junk = b"INFOcomment"  # odd length: exercises the word-align rule
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_wav_pcm16(payload: bytes):
+    """Parse a RIFF/WAVE PCM16 payload -> (sample_rate, int16 numpy array).
+    Walks the chunk list (skipping unknown chunks, honoring the odd-size
+    word-align rule) rather than assuming the canonical 44-byte header."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if audio_format != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={audio_format}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
 
 
 def extract_features(
@@ -180,6 +290,93 @@ def sample_frames(
             )
 
     return assets.filter(F.col("modality") == "video").mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+CODEC_ASSET_SCHEMA = "asset_id long, modality string, payload binary"
+CODEC_STATS_SCHEMA = (
+    "asset_id long, modality string, width int, height int, "
+    "n_values long, sum_values long, extreme long"
+)
+
+
+def synthesize_codec_assets(documents: DataFrame) -> DataFrame:
+    """Ingest stage: one REAL container payload per document — even
+    doc_ids become 24-bit BMPs, odd doc_ids mono PCM16 WAVs. Pixel and
+    sample values are deterministic integer functions of doc_id (so an
+    external SQL oracle can replay the decoded statistics exactly):
+
+      image: w = 8 + id%5, h = 6 + id%3, pixel[i] = (id*31 + i) % 256
+      audio: n = 64 + id%50, sample[i] = (id*7 + i*13) % 2048 - 1024
+
+    mapInPandas over Arrow batches; numpy generates the value arrays, the
+    pure-Python codecs wrap them in real headers."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(documents.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = 8 + did % 5, 6 + did % 3
+                    px = ((did * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                    out.append((did, "image", encode_bmp24(w, h, px.tobytes())))
+                else:
+                    n = 64 + did % 50
+                    s = (did * 7 + np.arange(n) * 13) % 2048 - 1024
+                    out.append((did, "audio", encode_wav_pcm16(s)))
+            yield pd.DataFrame(out, columns=["asset_id", "modality", "payload"])
+
+    return documents.select("doc_id").mapInPandas(op, schema=CODEC_ASSET_SCHEMA)
+
+
+def decode_codec_stats(assets: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """Decode stage: parse each binary payload with the REAL container
+    parser for its modality (BMP header/padding/row-order walk, or WAV
+    RIFF chunk walk) and emit integer statistics over the decoded values
+    — exact, so value-hash-oracle-able. image: n/sum/max of pixel bytes;
+    audio: n/sum of samples, max(|sample|). A wrong data offset, padding
+    byte leak, or chunk mis-walk shifts n_values/sum_values and fails the
+    hash."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(assets.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, mod, p in zip(pdf["asset_id"], pdf["modality"], pdf[payload_col]):
+                buf = bytes(p)
+                if mod == "image":
+                    w, h, rgb = parse_bmp24(buf)
+                    px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                    out.append((aid, mod, w, h, px.size, int(px.sum()), int(px.max())))
+                else:
+                    _, samples = parse_wav_pcm16(buf)
+                    s = samples.astype(np.int64)
+                    out.append(
+                        (aid, mod, 0, 0, s.size, int(s.sum()), int(np.abs(s).max()))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id",
+                    "modality",
+                    "width",
+                    "height",
+                    "n_values",
+                    "sum_values",
+                    "extreme",
+                ],
+            )
+
+    return assets.mapInPandas(op, schema=CODEC_STATS_SCHEMA)
 
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:

@@ -453,11 +453,13 @@ def cep_followed_by_stream(
     GroupState carries exactly the NFA's live frontier: the newest view
     and newest purchase timestamp per user (two longs — O(keys) state,
     no buffered events). Per micro-batch the match test is vectorized:
-    sorted ts + `cummax().shift(1)` reproduces "most recent strictly
-    prior" for both event kinds, with carried state folded in via
-    fillna/clip — no per-row Python loop. Cross-batch order follows
-    stream time (at-least-once monitor semantics, same caveat as
-    `new_peak_stream`).
+    sorted ts + `ffill().shift(1)` on the kind-masked series reproduces
+    "most recent strictly prior" for both event kinds (ffill, not
+    cummax: cummax leaves NaN at every other-kind row, so shift(1)
+    would blank rows whose immediate predecessor is the other kind),
+    with carried state folded in via fillna/clip — no per-row Python
+    loop. Cross-batch order follows stream time (at-least-once monitor
+    semantics, same caveat as `new_peak_stream`).
 
     Input columns: user_id long, event_id long, ts_ms long,
     event_type string.
@@ -474,7 +476,10 @@ def cep_followed_by_stream(
             ts = xs["ts_ms"].astype("int64")
 
             def prior_max(kind: str, carry):
-                s = ts.where(xs["event_type"] == kind).cummax().shift(1)
+                # ffill (ts is sorted ascending, so ffill == running max of
+                # the masked series) closes the NaN holes cummax would leave
+                # at other-kind rows; shift(1) then means "strictly prior".
+                s = ts.where(xs["event_type"] == kind).ffill().shift(1)
                 if carry is not None:
                     s = s.fillna(float(carry)).clip(lower=float(carry))
                 return s

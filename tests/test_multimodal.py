@@ -221,3 +221,100 @@ def test_audio_spectrum_finds_planted_tones(spark):
     c = rows[3]["spectral_centroid_hz"]
     assert 2800 < c < 3200  # equal-power tones at 1k/5k -> centroid ~3k
     assert rows[3]["band_mid_frac"] > 0.45 and rows[3]["band_high_frac"] > 0.45
+
+
+def test_bmp24_round_trip_and_variants():
+    """Pure-Python BMP codec: encode->parse round-trips exact pixels
+    (including widths that force 4-byte row padding), parses a top-down
+    (negative height) file from another writer, and rejects unsupported
+    variants instead of returning garbage."""
+    import struct
+
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        encode_bmp24,
+        parse_bmp24,
+    )
+
+    # w=3 -> row_raw=9 -> 3 pad bytes per row: the classic padding trap
+    px = bytes(range(3 * 2 * 3))  # 3x2 RGB, distinct byte per channel
+    blob = encode_bmp24(3, 2, px)
+    w, h, rgb = parse_bmp24(blob)
+    assert (w, h, rgb) == (3, 2, px)
+    # pad bytes must not leak into the decoded pixels
+    assert len(blob) == 14 + 40 + 2 * 12  # 9 raw + 3 pad per row
+
+    # top-down variant (negative height), hand-built: parser must NOT flip
+    td = bytearray(encode_bmp24(3, 2, px))
+    struct.pack_into("<i", td, 22, -2)
+    # encode_bmp24 wrote rows bottom-up; with height<0 a reader takes them
+    # as-is, so the decoded image is the vertical mirror
+    w2, h2, rgb2 = parse_bmp24(bytes(td))
+    assert (w2, h2) == (3, 2)
+    assert rgb2 == px[9:] + px[:9]
+
+    with pytest.raises(ValueError):
+        parse_bmp24(b"PNG....")
+    bad = bytearray(encode_bmp24(2, 2, bytes(12)))
+    struct.pack_into("<H", bad, 28, 8)  # 8bpp: unsupported
+    with pytest.raises(ValueError):
+        parse_bmp24(bytes(bad))
+
+
+def test_wav_pcm16_round_trip_chunk_walk():
+    """Pure-Python WAV codec: the encoder plants an odd-sized LIST chunk
+    before data, so a parse that assumes the canonical 44-byte layout (or
+    skips the word-align rule) fails; signed samples round-trip exactly."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        parse_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    blob = encode_wav_pcm16(samples, sample_rate=8000)
+    rate, got = parse_wav_pcm16(blob)
+    assert rate == 8000
+    assert got.tolist() == samples
+    assert b"LIST" in blob  # the chunk walker actually had work to do
+
+    with pytest.raises(ValueError):
+        parse_wav_pcm16(b"RIFXxxxxWAVE")
+
+
+def test_codec_asset_pipeline_stats_match_closed_form(spark):
+    """The synthesize->decode pipeline over real containers reproduces the
+    closed-form integer stats the DuckDB oracle computes (the sf-agnostic
+    local mirror of the multimodal_decode_features correctness row)."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        decode_codec_stats,
+        synthesize_codec_assets,
+    )
+
+    docs = spark.range(20).selectExpr("id AS doc_id")
+    rows = {r["asset_id"]: r for r in decode_codec_stats(synthesize_codec_assets(docs)).collect()}
+    assert len(rows) == 20
+    for did in range(20):
+        r = rows[did]
+        if did % 2 == 0:
+            w, h = 8 + did % 5, 6 + did % 3
+            px = (did * 31 + np.arange(w * h * 3)) % 256
+            assert (r["modality"], r["width"], r["height"]) == ("image", w, h)
+            assert (r["n_values"], r["sum_values"], r["extreme"]) == (
+                px.size,
+                int(px.sum()),
+                int(px.max()),
+            )
+        else:
+            n = 64 + did % 50
+            s = (did * 7 + np.arange(n) * 13) % 2048 - 1024
+            assert (r["modality"], r["width"], r["height"]) == ("audio", 0, 0)
+            assert (r["n_values"], r["sum_values"], r["extreme"]) == (
+                n,
+                int(s.sum()),
+                int(np.abs(s).max()),
+            )

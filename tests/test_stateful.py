@@ -406,6 +406,77 @@ def test_cep_followed_by_stream_matches_batch_twin(spark, tmp_path):
     assert got == twin
 
 
+def test_cep_followed_by_stream_single_batch_holes(spark, tmp_path):
+    """Regression for the cummax().shift(1) NaN-hole bug: cummax leaves NaN
+    at every other-kind row, so shift(1) blanked any row whose IMMEDIATE
+    predecessor was another kind. Two broken paths, both inside one
+    micro-batch:
+
+    1. view -> click -> purchase in ONE batch must match (the old code
+       missed it: the purchase's predecessor is the click, so last_view
+       came out NaN).
+    2. carried view + purchase -> click -> purchase in one batch: only the
+       FIRST purchase matches; the second must NOT (the old code saw
+       last_purch NaN at the second purchase — its predecessor is the
+       click — and emitted a false positive against the carried view).
+    """
+    import json as _json
+    import os as _os
+
+    from hw_kafka_flink_health_spark.operators.stateful import cep_followed_by_stream
+
+    b0 = [
+        # user 1: the full triple in one batch (scenario 1)
+        (1, 10, 1_000_000, "view"),
+        (1, 11, 1_050_000, "click"),
+        (1, 12, 1_200_000, "purchase"),
+        # user 2: just the view — carried into batch 1 (scenario 2 setup)
+        (2, 20, 1_000_000, "view"),
+    ]
+    b1 = [
+        # user 2: purchase, click, purchase — first consumes the carried
+        # view; second must not match through the click-induced NaN hole
+        (2, 21, 1_100_000, "purchase"),
+        (2, 22, 1_150_000, "click"),
+        (2, 23, 1_200_000, "purchase"),
+    ]
+    src = tmp_path / "cep_holes"
+    src.mkdir()
+    for name, batch in (("b0.jsonl", b0), ("b1.jsonl", b1)):
+        with open(src / name, "w") as f:
+            for r in batch:
+                f.write(
+                    _json.dumps(
+                        {"user_id": r[0], "event_id": r[1], "ts_ms": r[2], "event_type": r[3]}
+                    )
+                    + "\n"
+                )
+    t0 = _os.stat(src / "b0.jsonl").st_mtime
+    _os.utime(src / "b0.jsonl", (t0 - 60, t0 - 60))
+
+    schema = "user_id long, event_id long, ts_ms long, event_type string"
+    reader = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    q = (
+        cep_followed_by_stream(reader)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_stream_holes")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.purchase_event_id, r.view_ms, r.purchase_ms, r.gap_s)
+        for r in spark.sql("SELECT * FROM cep_stream_holes").collect()
+    }
+    assert got == {
+        (1, 12, 1_000_000, 1_200_000, 200),
+        (2, 21, 1_000_000, 1_100_000, 100),
+    }
+
+
 def test_cep_error_burst_stream_alerts_once_per_run(spark, tmp_path):
     """Quantifier CEP in streaming: a run of 3+ consecutive errors alerts
     exactly ONCE (at the third), runs split across micro-batches still

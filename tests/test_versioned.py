@@ -216,3 +216,74 @@ def test_manifest_pruning_skips_files_and_matches_full_filter(spark, tmp_path):
     assert n_files <= 2, n_files
     # out-of-range probe: empty, but schema preserved
     assert read_snapshot_pruned(spark, t, lo=10**9, hi=2 * 10**9).count() == 0
+
+
+def test_clustered_append_carries_stats_and_tolerates_unclustered_base(spark, tmp_path):
+    """Append-mode clustered commits: (1) stats for carried-over files are
+    copied forward from the previous manifest (commit_snapshot writes a
+    stats-free manifest, so without the copy every prior file's footer
+    was re-read); (2) a base version committed UN-clustered (or clustered
+    on a different column) must not fail the append — its files are left
+    stat-less and simply unpruned."""
+    import json
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        commit_snapshot_clustered,
+        read_snapshot_pruned,
+    )
+
+    # --- (2) un-clustered base, then clustered append: must not raise
+    t = str(tmp_path / "tbl_uc")
+    commit_snapshot(spark.range(100).selectExpr("id", "id % 7 AS payload"), t)
+    v1 = commit_snapshot_clustered(
+        spark.range(100, 200).selectExpr("id", "id % 7 AS payload"),
+        t,
+        cluster_col="id",
+        n_files=4,
+        mode="append",
+    )
+    with open(_manifest_path(t, v1)) as f:
+        m1 = json.load(f)
+    # new files have stats; base-version files may not — and pruned reads
+    # still return the full correct result (stat-less files never pruned)
+    new_files = [n for n in m1["files"] if n.startswith("data-v1-")]
+    assert new_files and all(n in m1["stats"] for n in new_files)
+    got = {r.id for r in read_snapshot_pruned(spark, t, lo=50, hi=150).collect()}
+    assert got == set(range(50, 151))
+
+    # --- (1) clustered base, clustered append: prior stats copied forward
+    t2 = str(tmp_path / "tbl_cc")
+    commit_snapshot_clustered(
+        spark.range(1000).selectExpr("id"), t2, cluster_col="id", n_files=4
+    )
+    with open(_manifest_path(t2, 0)) as f:
+        stats0 = json.load(f)["stats"]
+    v1 = commit_snapshot_clustered(
+        spark.range(1000, 2000).selectExpr("id"),
+        t2,
+        cluster_col="id",
+        n_files=4,
+        mode="append",
+    )
+    with open(_manifest_path(t2, v1)) as f:
+        m1 = json.load(f)
+    for name, mm in stats0.items():
+        assert m1["stats"][name] == mm  # carried forward verbatim
+    # pruning works across both generations
+    assert {
+        r.id for r in read_snapshot_pruned(spark, t2, lo=900, hi=1100).collect()
+    } == set(range(900, 1101))
+
+
+def test_vacuum_tolerates_already_dropped_manifests(spark, tmp_path):
+    """A vacuum with keep_last=1 deletes older manifests; a LATER vacuum
+    with a larger keep_last must not FileNotFoundError on the gap — it
+    retains what is still reachable."""
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        commit_snapshot(spark.range(i * 10, i * 10 + 10), t)
+    vacuum(t, keep_last=1)  # drops manifests v0..v2
+    deleted = vacuum(t, keep_last=3)  # previously raised FileNotFoundError
+    assert deleted == []  # nothing newly unreachable
+    assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(30, 40))
