@@ -22,6 +22,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Driver-side collects of the ANN query set / training sample are bounded
+# by contract: the broadcast-small-side assumption. The guard fails fast
+# with an actionable message instead of letting an oversized "query" side
+# OOM the driver mid-collect.
+MAX_QUERY_SET_ROWS = 65_536
+MAX_TRAIN_SAMPLE_ROWS = 1_000_000
+
+
+def _collect_query_set(
+    queries: DataFrame, id_col: str, vec_col: str, *, max_rows: int = MAX_QUERY_SET_ROWS
+):
+    """Collect the (small) query side to the driver, erroring if it
+    exceeds `max_rows`. Uses limit(max+1) so the driver never holds more
+    than max_rows+1 rows even when the input is huge."""
+    rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"query set exceeds the driver-side bound of {max_rows} rows; "
+            "the ANN query side is collected+broadcast by contract (small "
+            "side). Batch the queries, raise max_rows deliberately, or swap "
+            "the sides so the large side is the corpus."
+        )
+    return rows
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision (deterministic)."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -317,9 +346,7 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
+    qrows = _collect_query_set(queries, id_col, vec_col)
     qids_l = np.array([r.qid for r in qrows], dtype=np.int64)
     qmat_l = np.array([r.qv for r in qrows], dtype=np.float64)  # (q, d)
     bq = corpus.sparkSession.sparkContext.broadcast((qids_l, qmat_l))
@@ -432,6 +459,13 @@ def pq_train(
 
     from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
 
+    if sample_size > MAX_TRAIN_SAMPLE_ROWS:
+        raise ValueError(
+            f"sample_size={sample_size} exceeds the driver-side training "
+            f"bound of {MAX_TRAIN_SAMPLE_ROWS} rows; PQ codebooks train on "
+            "a bounded sample by contract — a larger sample does not "
+            "improve the codebook enough to justify driver memory."
+        )
     rows = (
         corpus.select(
             F.col(vec_col).alias("v"), hash_unit(F.col(id_col), salt).alias("u")
@@ -527,9 +561,7 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
+    qrows = _collect_query_set(queries, id_col, vec_col)
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     Q = np.array([r.qv for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))

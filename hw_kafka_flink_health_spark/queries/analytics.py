@@ -93,7 +93,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+             CASE WHEN row_number() OVER w = 1
+                       OR lag(event_type) OVER w IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS changed
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -119,10 +120,15 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of join in operators/relational.py then serves lookups against it)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changed = (
-        F.lag("event_type").over(w).isNull()
-        | (F.lag("event_type").over(w) != F.col("event_type"))
-    )
+    # A run starts at the partition's FIRST row unconditionally, then at
+    # every null-safe state change. `lag(...).isNull()` is NOT a valid
+    # first-row test — a NULL state value is indistinguishable from the
+    # empty frame, which made every NULL-state row a run start (and the
+    # IS DISTINCT FROM form alone misses a user whose first state is
+    # NULL) — found by the all-NULL-group-key fuzz sweep.
+    changed = (F.row_number().over(w) == 1) | ~F.lag("event_type").over(
+        w
+    ).eqNullSafe(F.col("event_type"))
     runs = ev.withColumn("changed", changed).filter("changed")
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lead_ts = F.lead("ts").over(w2)
@@ -509,7 +515,8 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+             CASE WHEN row_number() OVER w = 1
+                       OR lag(event_type) OVER w IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS changed
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

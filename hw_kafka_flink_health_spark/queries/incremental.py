@@ -305,3 +305,64 @@ def merkle_block_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
         )
     )
+
+
+@register(
+    "versioned_time_travel",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1) AND o_custkey BETWEEN 100 AND 500
+    GROUP BY 1
+    """,
+)
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse commit -> time-travel read -> manifest pruning, end to
+    end against a live table (`operators/versioned.py`): v0 commits a
+    clustered overwrite (orderkey%4==0), v1 a clustered APPEND
+    (orderkey%4==1, sharing v0's files + carrying its manifest stats
+    forward), v2 an overwrite that logically REPLACES everything — then
+    the query time-travels back to the pinned v1 with a metadata-pruned
+    range read (only files whose [min,max] o_custkey overlaps [100,500]
+    enter the plan). The DuckDB oracle replays the v1 snapshot's logical
+    content INDEPENDENTLY from the source table (orderkey%4 in (0,1) +
+    the same range predicate), so a commit that mixes versions, a time
+    travel that sees v2, or a pruning pass that drops a live file all
+    break the value hash. File-list-level replay (manifest -> DuckDB
+    read_parquet([...])) is additionally pinned in tests/test_versioned.py."""
+    import tempfile
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        commit_snapshot_clustered,
+        read_snapshot_pruned,
+    )
+
+    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_tt_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot_clustered(
+        orders.filter(F.col("o_orderkey") % 4 == 0),
+        table_dir,
+        cluster_col="o_custkey",
+        n_files=4,
+    )
+    commit_snapshot_clustered(
+        orders.filter(F.col("o_orderkey") % 4 == 1),
+        table_dir,
+        cluster_col="o_custkey",
+        n_files=4,
+        mode="append",
+    )
+    # v2: overwrite with disjoint data — must be invisible to the v1 read
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 4 == 2), table_dir)
+    v1 = read_snapshot_pruned(spark, table_dir, lo=100, hi=500, version=1)
+    return v1.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )

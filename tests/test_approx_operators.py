@@ -433,3 +433,27 @@ def test_hll_overlap_inclusion_exclusion_bound(spark):
     assert set(got) == set(exact)
     for k, e in exact.items():
         assert abs(got[k] - e) <= max(2, 0.05 * e), (k, got[k], e)
+
+
+def test_ann_driver_collects_fail_fast_when_oversized(spark):
+    """The ANN query-set / PQ-training collects are driver-side by contract
+    (broadcast small side); an oversized input must raise an actionable
+    error BEFORE collecting it all, never OOM the driver."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.similarity import (
+        MAX_TRAIN_SAMPLE_ROWS,
+        _collect_query_set,
+        pq_train,
+    )
+
+    vecs = spark.range(50).selectExpr(
+        "id AS vec_id", "array(cast(id AS double), 1.0d) AS embedding"
+    )
+    with pytest.raises(ValueError, match="driver-side bound"):
+        _collect_query_set(vecs, "vec_id", "embedding", max_rows=10)
+    # within the bound: returns everything
+    assert len(_collect_query_set(vecs, "vec_id", "embedding", max_rows=50)) == 50
+
+    with pytest.raises(ValueError, match="training bound"):
+        pq_train(vecs, sample_size=MAX_TRAIN_SAMPLE_ROWS + 1)

@@ -71,3 +71,23 @@ def test_headline_names_resolve_in_registry():
 
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, missing
+
+
+def test_bench_detail_queries_are_registered():
+    """Drift guard (the converse of the headline check): every query name
+    recorded in the committed BENCH_DETAIL.json must still resolve in the
+    registry — a renamed/removed catalog entry would otherwise keep
+    stale timings in the judge-facing artifact unnoticed. Synthetic
+    bench-only entries (the live streaming pipeline) are allowlisted."""
+    import bench
+
+    from hw_kafka_flink_health_spark.queries import QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    synthetic = {"streaming_alert_pipeline"}
+    stale = [n for n in detail["queries"] if n not in QUERIES and n not in synthetic]
+    assert not stale, f"BENCH_DETAIL.json references unregistered queries: {stale}"
+    # and the headline list itself contains no duplicates (double-timing)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
