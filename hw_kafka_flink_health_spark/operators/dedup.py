@@ -195,31 +195,51 @@ def winnowing_fingerprint(
     *,
     kgram: int = 8,
     window: int = 4,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprint (rolling hash over char k-grams).
 
     The MOSS scheme: hash every k-char gram (rolling window via substring
-    + xxhash64 — all codegen'd), then keep the minimum hash of each
-    `window` consecutive grams; the distinct minima are the fingerprint
-    set. Guarantees any shared substring of length >= kgram+window-1
-    yields a shared fingerprint — the standard near-dup/plagiarism sketch.
+    + hash — all codegen'd), then keep the minimum hash of each `window`
+    consecutive grams; the distinct minima are the fingerprint set.
+    Guarantees any shared substring of length >= kgram+window-1 yields a
+    shared fingerprint — the standard near-dup/plagiarism sketch.
 
-    Returns (doc, fingerprints array<long>, n_fingerprints).
+    `hash` picks the gram hash: "xxhash64" (long, fastest — JVM
+    engine-specific, so no cross-engine oracle) or "md5" (lowercase hex
+    string; every SQL engine computes the identical digest and lexicographic
+    min, which makes the fingerprint set value-oracle-able). The winnowing
+    guarantee only needs hash determinism, not a particular function.
+
+    Returns (doc, fingerprints array<long|string>, n_fingerprints).
 
     The gram array is staged as a real column before the windowed-min pass
     — an inline expression would be re-evaluated per window position
-    (O(len^2); see word_shingles PERF note).
+    (O(len^2); see word_shingles PERF note). Empty/short texts yield an
+    EMPTY fingerprint array: the sequence() bounds are when()-guarded
+    because Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not empty.
     """
+    if hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash {hash!r} (xxhash64|md5)")
+    elem = "bigint" if hash == "xxhash64" else "string"
+    hf = F.xxhash64 if hash == "xxhash64" else F.md5
     c = F.col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (kgram - 1), F.lit(0))),
-        lambda i: F.xxhash64(c.substr(i, F.lit(kgram))),
-    )
+    n_grams = F.length(c) - (kgram - 1)
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: hf(c.substr(i, F.lit(kgram)))
+        ),
+    ).otherwise(F.array().cast(f"array<{elem}>"))
     staged = df.select(F.col(id_col).alias("doc"), grams.alias("__grams"))
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("__grams") - (window - 1), F.lit(0))),
-        lambda j: F.array_min(F.slice(F.col("__grams"), j, window)),
-    )
+    n_wins = F.size("__grams") - (window - 1)
+    wins = F.when(
+        n_wins > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.array_min(F.slice(F.col("__grams"), j, window)),
+        ),
+    ).otherwise(F.array().cast(f"array<{elem}>"))
     staged2 = staged.select("doc", F.array_distinct(wins).alias("fingerprints"))
     return staged2.select(
         "doc",

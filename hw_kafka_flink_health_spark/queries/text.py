@@ -167,15 +167,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash63(docs, "text", "doc_id")
 
 
-@register("doc_winnowing_fingerprint")  # xxhash64-based: rows-only by design
+@register(
+    "doc_winnowing_fingerprint",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(len(text) - 7, 0) + 1)) AS i
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, i, md5(substr(text, i, 8)) AS g,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams
+    ), wins AS (
+      SELECT doc_id, i, n_grams,
+             min(g) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w
+      FROM hashed
+    )
+    SELECT doc_id AS doc,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_fingerprints,
+           min(CASE WHEN i = 1 THEN w END) AS first_fp
+    FROM wins WHERE i <= n_grams - 3
+    GROUP BY doc_id
+    """,
+)
 def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling char k-gram hash) fingerprint sets per doc —
-    the MOSS near-dup sketch; hash-engine-specific, so no value oracle."""
+    the MOSS near-dup sketch. Value-oracled via the md5 hash tier: both
+    engines compute identical lowercase-hex digests and the same
+    lexicographic windowed min, so the fingerprint-set size and the first
+    window's fingerprint hash-compare exactly (the xxhash64 tier remains
+    the faster engine path for production, same winnowing guarantee).
+    Docs too short to produce a full window are dropped on both sides."""
     from hw_kafka_flink_health_spark.operators.dedup import winnowing_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    return winnowing_fingerprint(docs, "text", "doc_id").select(
-        "doc", "n_fingerprints", F.element_at("fingerprints", 1).alias("first_fp")
+    return (
+        winnowing_fingerprint(docs, "text", "doc_id", hash="md5")
+        .filter(F.col("n_fingerprints") > 0)
+        .select(
+            "doc", "n_fingerprints", F.element_at("fingerprints", 1).alias("first_fp")
+        )
     )
 
 
@@ -943,14 +975,49 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_raw_rgb_resize")  # binary pixel math: rows-only by design
+@register(
+    "multimodal_raw_rgb_resize",
+    oracle="""
+    WITH d AS (SELECT doc_id, md5('img:' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents WHERE doc_id < 200),
+    gy AS (SELECT doc_id, h, unnest(range(8)) AS y FROM d),
+    g AS (SELECT doc_id, h, y, unnest(range(8)) AS x FROM gy),
+    px AS (
+      -- nearest-neighbor 16->8: sampled pixel (2y, 2x); flat byte index
+      -- of channel c is ((2y)*16 + 2x)*3 + c, and payload byte i is
+      -- digest byte i % 16 (the 16-byte md5 seed is tiled to 768 bytes)
+      SELECT doc_id, y, x,
+             ((2*y)*16 + 2*x)*3 AS base, h
+      FROM g
+    ), b AS (
+      SELECT doc_id,
+        (strpos('0123456789abcdef', substr(h, 2*((base+0) % 16)+1, 1))-1)*16
+          + (strpos('0123456789abcdef', substr(h, 2*((base+0) % 16)+2, 1))-1) AS r,
+        (strpos('0123456789abcdef', substr(h, 2*((base+1) % 16)+1, 1))-1)*16
+          + (strpos('0123456789abcdef', substr(h, 2*((base+1) % 16)+2, 1))-1) AS g,
+        (strpos('0123456789abcdef', substr(h, 2*((base+2) % 16)+1, 1))-1)*16
+          + (strpos('0123456789abcdef', substr(h, 2*((base+2) % 16)+2, 1))-1) AS b
+      FROM px
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           sum(r) / 64.0 AS mean_r,
+           sum(g) / 64.0 AS mean_g,
+           sum(b) / 64.0 AS mean_b
+    FROM b GROUP BY doc_id
+    """,
+)
 def multimodal_raw_rgb_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-computation multimodal path: deterministic 16x16 raw_rgb
     images synthesized per doc (md5-seeded pixels, generated
     executor-side in the same Arrow pass shape a thumbnail service uses),
     then ACTUALLY resized to 8x8 with numpy nearest-neighbor and reduced
-    to channel means. Rows-only (binary payloads don't hash-compare in
-    SQL); the pixel math itself is pinned exactly in
+    to channel means. Value-oracled: the seed bytes are md5 hex digits
+    DuckDB can re-derive, the nearest-neighbor grid is integer index
+    arithmetic, and each channel mean is an exact k/64 double (64 uint8
+    samples; 1/64 is a terminating binary fraction, so no rounding step
+    is needed for cross-engine repr equality). The pixel math is
+    additionally pinned in
     tests/test_multimodal.py::test_raw_rgb_resize_is_real_pixel_math."""
     import hashlib
 
@@ -986,9 +1053,11 @@ def multimodal_raw_rgb_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id",
         "width",
         "height",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("mean_g", 4).alias("mean_g"),
-        F.round("mean_b", 4).alias("mean_b"),
+        # exact k/64 doubles — see docstring; rounding would only add a
+        # cross-engine half-up/half-even hazard
+        "mean_r",
+        "mean_g",
+        "mean_b",
     )
 
 

@@ -43,7 +43,9 @@ RECENT = [
     "dedup_exact_by_source",
     "dedup_keep_best",
     "dedup_ngram_jaccard",
+    "doc_winnowing_fingerprint",
     "funnel_conversion",
+    "multimodal_raw_rgb_resize",
     "join_scd2_pointlookup",
     "linkage_part_names",
     "max_concurrent_sessions",
