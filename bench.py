@@ -158,6 +158,15 @@ HEADLINE = [
     "pipeline_rag_index",
     "session_bounce_rate",
     "weighted_median_price",
+    # round-5 additions: lakehouse maintenance, multi-dim pruning, UDTF,
+    # value-oracled fingerprints/codecs
+    "versioned_time_travel",
+    "versioned_zorder_prune",
+    "versioned_optimize_compact",
+    "text_sentences_udtf",
+    "doc_winnowing_fingerprint",
+    "multimodal_decode_features",
+    "basket_frequent_itemsets",
 ]
 
 

@@ -266,3 +266,246 @@ def read_snapshot_pruned(
     from pyspark.sql import functions as F
 
     return df.filter(F.col(col).between(lo, hi))
+
+
+def _zvalue_expr(cols, lo_hi: dict, *, bits: int = 16):
+    """Interleaved-bits Z-value over 2+ numeric columns, as a pure Catalyst
+    expression (shift/and/or — whole-stage codegen'd, no UDF). Each column
+    is min-max scaled to [0, 2^bits) with the provided bounds; the scaling
+    only shapes the physical LAYOUT, so float rounding here can never
+    affect query results."""
+    from pyspark.sql import functions as F
+
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = lo_hi[c]
+        span = float(hi) - float(lo)
+        if span <= 0:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            s = F.floor(
+                (F.col(c).cast("double") - float(lo)) * (float(top) / span)
+            ).cast("long")
+            scaled.append(F.greatest(F.least(s, F.lit(top)), F.lit(0)))
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + j))
+    return z
+
+
+def _file_minmax(table_dir: str, name: str, col: str):
+    """[min, max] of `col` from a parquet footer, or None when the column
+    is absent or any row group lacks statistics (caller leaves the file
+    unpruned — never wrong, only less pruned)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(os.path.join(table_dir, name))
+    if col not in md.schema.names:
+        return None
+    idx = md.schema.names.index(col)
+    st = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+    if not st or any(s is None for s in st):
+        return None
+    return [min(s.min for s in st), max(s.max for s in st)]
+
+
+def commit_snapshot_zordered(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+    batch_id: int | None = None,
+) -> int:
+    """Commit with Z-ORDER clustering (Delta/Iceberg OPTIMIZE ZORDER BY):
+    rows are range-partitioned and sorted by the interleaved-bits Z-value
+    of `cluster_cols`, so a selective predicate on ANY of the clustered
+    dimensions overlaps only ~N^((d-1)/d) of N files — the multi-column
+    pruning a single-column sort cannot give. Per-file [min,max] is
+    recorded in the manifest for EVERY clustered column
+    (`read_snapshot_pruned_2d` consumes them); the Z-value itself is
+    layout-only and never stored."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cluster_cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cluster_cols)],
+    ).first()
+    lo_hi = {
+        c: (bounds[f"lo_{i}"], bounds[f"hi_{i}"]) for i, c in enumerate(cluster_cols)
+    }
+    z = _zvalue_expr(cluster_cols, lo_hi, bits=bits)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    version = commit_snapshot(clustered, table_dir, mode=mode, batch_id=batch_id)
+    with open(_manifest_path(table_dir, version)) as f:
+        manifest = json.load(f)
+    stats2 = dict(manifest.get("stats2", {}))
+    prev = version - 1 if mode == "append" and version > 0 else None
+    if prev is not None:
+        try:
+            with open(_manifest_path(table_dir, prev)) as f:
+                stats2.update(json.load(f).get("stats2", {}))
+        except FileNotFoundError:
+            pass
+    for name in manifest["files"]:
+        if name in stats2:
+            continue
+        per_col = {}
+        for c in cluster_cols:
+            mm = _file_minmax(table_dir, name, c)
+            if mm is not None:
+                per_col[c] = mm
+        if per_col:
+            stats2[name] = per_col
+    manifest["stats2"] = stats2
+    manifest["zorder"] = {"cols": list(cluster_cols), "bits": bits}
+    with open(_manifest_path(table_dir, version), "w") as f:
+        json.dump(manifest, f)
+    return version
+
+
+def read_snapshot_pruned_2d(
+    spark: SparkSession,
+    table_dir: str,
+    preds: dict,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-dimension manifest pruning: keep only files whose recorded
+    [min,max] overlaps EVERY predicate interval in `preds`
+    ({col: (lo, hi)} inclusive), then apply the row-level conjunction on
+    the survivors. Files lacking stats for a predicated column are kept
+    (pruning must never lose rows)."""
+    from pyspark.sql import functions as F
+
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    with open(_manifest_path(table_dir, v)) as f:
+        manifest = json.load(f)
+    stats2 = manifest.get("stats2", {})
+
+    def overlaps(name: str) -> bool:
+        per_col = stats2.get(name, {})
+        for c, (lo, hi) in preds.items():
+            mm = per_col.get(c)
+            if mm is not None and (mm[1] < lo or mm[0] > hi):
+                return False
+        return True
+
+    keep = [name for name in manifest["files"] if overlaps(name)]
+    row_filter = None
+    for c, (lo, hi) in preds.items():
+        cond = F.col(c).between(lo, hi)
+        row_filter = cond if row_filter is None else (row_filter & cond)
+    if not keep:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, p) for p in manifest["files"][:1]]
+        )
+        return df.filter(F.lit(False))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, p) for p in keep]
+    )
+    return df.filter(row_filter) if row_filter is not None else df
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    small_file_bytes: int = 8 * 1024 * 1024,
+    target_files: int | None = None,
+) -> int:
+    """OPTIMIZE (small-file compaction): rewrite the current version's
+    small files into fewer, larger ones and commit the result as the next
+    version — content-identical by construction, old versions untouched
+    (time travel still works; `vacuum` reclaims the small files once
+    they age out of retention). The append-heavy ingest pattern that
+    motivates this (streaming commits, CDC batches) produces thousands of
+    KB-scale files at 100 TB, and every reader then pays per-file open
+    costs; compaction is the standard maintenance pass.
+
+    Files >= `small_file_bytes` are carried over untouched (no data
+    movement — compaction cost is O(small bytes), never O(table)); their
+    manifest stats (if any) are carried too. Returns the new version, or
+    the CURRENT version unchanged when <2 small files exist (nothing to
+    compact)."""
+    v = current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    with open(_manifest_path(table_dir, v)) as f:
+        manifest = json.load(f)
+    sizes = {
+        name: os.path.getsize(os.path.join(table_dir, name))
+        for name in manifest["files"]
+    }
+    small = [n for n in manifest["files"] if sizes[n] < small_file_bytes]
+    big = [n for n in manifest["files"] if sizes[n] >= small_file_bytes]
+    if len(small) < 2:
+        return v
+    if target_files is None:
+        total = sum(sizes[n] for n in small)
+        target_files = max(1, -(-total // small_file_bytes))  # ceil div
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table_dir, p) for p in small])
+        .coalesce(target_files)
+    )
+    version = v + 1
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").parquet(staging)
+    new_files = []
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            dst = f"data-v{version}-{name}"
+            os.rename(os.path.join(staging, name), os.path.join(table_dir, dst))
+            new_files.append(dst)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+
+    new_manifest = {"version": version, "files": big + new_files}
+    # carry forward whatever stats the kept files had; recompute for the
+    # compacted files when the table is clustered (same falls-back-to-
+    # unpruned contract as everywhere else)
+    for key in ("stats", "stats2"):
+        old = manifest.get(key)
+        if old is None:
+            continue
+        kept = {n: old[n] for n in big if n in old}
+        if key == "stats" and manifest.get("cluster_col"):
+            for n in new_files:
+                mm = _file_minmax(table_dir, n, manifest["cluster_col"])
+                if mm is not None:
+                    kept[n] = mm
+        if key == "stats2" and manifest.get("zorder"):
+            for n in new_files:
+                per_col = {}
+                for c in manifest["zorder"]["cols"]:
+                    mm = _file_minmax(table_dir, n, c)
+                    if mm is not None:
+                        per_col[c] = mm
+                if per_col:
+                    kept[n] = per_col
+        new_manifest[key] = kept
+    for key in ("cluster_col", "zorder"):
+        if key in manifest:
+            new_manifest[key] = manifest[key]
+    with open(_manifest_path(table_dir, version), "w") as f:
+        json.dump(new_manifest, f)
+    tmp = _latest_pointer(table_dir) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.rename(tmp, _latest_pointer(table_dir))
+    return version

@@ -366,3 +366,100 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents"),
     )
+
+
+@register(
+    "versioned_zorder_prune",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 700
+      AND o_totalprice BETWEEN 50000 AND 150000
+    GROUP BY 1
+    """,
+)
+def versioned_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order OPTIMIZE end to end: commit orders Z-ORDERED BY
+    (o_custkey, o_totalprice) — interleaved-bits clustering, pure
+    Catalyst bit math — then answer a conjunctive 2-D range predicate
+    through `read_snapshot_pruned_2d`, which drops every file whose
+    manifest [min,max] misses EITHER dimension before Spark lists it.
+    This is the multi-column pruning a single-column sort cannot provide
+    (each selective dimension alone skips ~sqrt-fraction of files —
+    measured in tests/test_versioned.py). The oracle replays the same
+    predicate on the source table, so a layout or pruning bug that drops
+    or duplicates rows breaks the value hash."""
+    import tempfile
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot_zordered,
+        read_snapshot_pruned_2d,
+    )
+
+    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_z_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot_zordered(
+        orders, table_dir, cluster_cols=["o_custkey", "o_totalprice"], n_files=16
+    )
+    hit = read_snapshot_pruned_2d(
+        spark,
+        table_dir,
+        {"o_custkey": (200, 700), "o_totalprice": (50000.0, 150000.0)},
+    )
+    return hit.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_custkey").cast("long").alias("sum_custkey"),
+    )
+
+
+@register(
+    "versioned_optimize_compact",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_orderkey % 8 IN (0, 1, 2, 3)
+    GROUP BY 1
+    """,
+)
+def versioned_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file maintenance end to end: four append commits build the
+    fragmented table an ingest stream produces, OPTIMIZE rewrites the
+    small files into fewer large ones (content-identical next version,
+    old versions still time-travelable, cost O(small bytes)), and the
+    post-compaction read must aggregate to exactly what the source table
+    says — a compaction that loses, duplicates, or reorders-into-wrong-
+    files data breaks the value hash. File-count/history/stats behavior
+    is pinned in tests/test_versioned.py."""
+    import tempfile
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        compact_snapshot,
+        read_snapshot,
+    )
+
+    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_opt_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for m in range(4):
+        commit_snapshot(
+            orders.filter(F.col("o_orderkey") % 8 == m).coalesce(2),
+            table_dir,
+            mode="append",
+        )
+    compact_snapshot(spark, table_dir, small_file_bytes=64 * 1024 * 1024)
+    return read_snapshot(spark, table_dir).groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )

@@ -1811,3 +1811,60 @@ def dedup_sketch_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+@register(
+    "text_sentences_udtf",
+    oracle=r"""
+    WITH parts AS (
+      SELECT doc_id, trim(unnest(string_split_regex(text, '\.\s+'))) AS s
+      FROM documents
+    ), keep AS (
+      SELECT doc_id, s, len(string_split_regex(s, '\s+')) AS n_words
+      FROM parts WHERE s <> ''
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_sentences,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(max(n_words) AS BIGINT) AS max_words
+    FROM keep GROUP BY doc_id
+    """,
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+/4 `@udtf`,
+    Arrow-optimized) driven through SQL `LATERAL` — the one-row-in,
+    many-rows-out escape hatch the scalar/aggregate UDF tiers can't
+    express. The UDTF splits each document into sentences (regex on
+    '.'+whitespace) and yields (idx, sentence, n_words) rows; the query
+    aggregates per document so the output is order-insensitive and
+    value-oracle-able against DuckDB's regex-split replay. useArrow=True
+    keeps the transfer batched (the same Arrow path as pandas UDFs); per
+    row the UDTF does O(len) regex work, and rows are independent, so the
+    stage parallelizes embarrassingly at 100 TB — it is the heavy
+    sentence-segmentation shape (spaCy/pysbd slots in for the regex)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_words int", useArrow=True)
+    class SentenceSplit:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            idx = 0
+            for part in re.split(r"\.\s+", text):
+                s = part.strip()
+                if s:
+                    yield idx, s, len(re.split(r"\s+", s))
+                    idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    out = spark.sql(
+        "SELECT doc_id, s.n_words FROM __udtf_docs, LATERAL sentence_split(text) s"
+    )
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+    )

@@ -61,8 +61,11 @@ RECENT = [
     "scd2_user_state",
     "text_decontaminate",
     "text_tfidf_top_terms",
+    "text_sentences_udtf",
     "user_activity_streaks",
     "versioned_time_travel",
+    "versioned_zorder_prune",
+    "versioned_optimize_compact",
 ]
 
 

@@ -287,3 +287,133 @@ def test_vacuum_tolerates_already_dropped_manifests(spark, tmp_path):
     deleted = vacuum(t, keep_last=3)  # previously raised FileNotFoundError
     assert deleted == []  # nothing newly unreachable
     assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(30, 40))
+
+
+def test_zorder_prunes_on_every_clustered_dimension(spark, tmp_path):
+    """Z-order clustering: with files laid out by the interleaved-bits
+    Z-value of (x, y), a selective predicate on x ALONE and one on y
+    ALONE must each skip most files (a 1-column sort can only ever prune
+    its own column), and 2-D pruned reads must return exactly what the
+    unpruned filter would."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot_zordered,
+        read_snapshot_pruned_2d,
+    )
+
+    t = str(tmp_path / "ztbl")
+    # decorrelated dims: y is a modular bit-reversal-ish shuffle of x
+    df = spark.range(20_000).selectExpr(
+        "id AS x", "(id * 7919) % 20000 AS y", "id % 97 AS payload"
+    )
+    commit_snapshot_zordered(df, t, cluster_cols=["x", "y"], n_files=16)
+
+    def files_touched(d):
+        return d.selectExpr("_metadata.file_path AS f").distinct().count()
+
+    # 10% slab on x only
+    px = read_snapshot_pruned_2d(spark, t, {"x": (0, 1999)})
+    assert {r.x for r in px.collect()} == set(range(2000))
+    assert files_touched(px) <= 8, files_touched(px)
+    # 10% slab on y only — the dimension a linear sort would NOT prune
+    py = read_snapshot_pruned_2d(spark, t, {"y": (0, 1999)})
+    assert {r.y for r in py.collect()} == set(range(0, 20000, 1)) & {
+        (i * 7919) % 20000 for i in range(20000) if (i * 7919) % 20000 < 2000
+    }
+    assert files_touched(py) <= 8, files_touched(py)
+    # conjunctive 2-D read == full filter
+    both = read_snapshot_pruned_2d(spark, t, {"x": (0, 4999), "y": (0, 4999)})
+    expect = {
+        (i, (i * 7919) % 20000)
+        for i in range(5000)
+        if (i * 7919) % 20000 <= 4999
+    }
+    assert {(r.x, r.y) for r in both.collect()} == expect
+    assert files_touched(both) <= 6, files_touched(both)
+    # out-of-range: empty, schema preserved
+    assert read_snapshot_pruned_2d(spark, t, {"x": (10**9, 2 * 10**9)}).count() == 0
+
+
+def test_compaction_preserves_content_history_and_stats(spark, tmp_path):
+    """OPTIMIZE: many tiny appended files -> one compaction commit.
+    Content must be identical, the file count must drop, the PRE-compaction
+    version must still time-travel, big files must be carried (not
+    rewritten), and a clustered table's manifest stats must survive so
+    pruned reads still work afterwards."""
+    import json as _json
+    import os as _os
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        commit_snapshot,
+        compact_snapshot,
+        current_version,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "ctbl")
+    for i in range(6):  # 6 tiny single-file commits
+        commit_snapshot(
+            spark.range(i * 10, i * 10 + 10).coalesce(1), t, mode="append"
+        )
+    v_before = current_version(t)
+    with open(_manifest_path(t, v_before)) as f:
+        n_files_before = len(_json.load(f)["files"])
+    assert n_files_before >= 6
+
+    v_after = compact_snapshot(spark, t, small_file_bytes=8 * 1024 * 1024)
+    assert v_after == v_before + 1
+    with open(_manifest_path(t, v_after)) as f:
+        files_after = _json.load(f)["files"]
+    assert len(files_after) < n_files_before
+    # content identical
+    assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(60))
+    # pre-compaction version still readable (time travel preserved)
+    assert {
+        r.id for r in read_snapshot(spark, t, version=v_before).collect()
+    } == set(range(60))
+    # vacuum with retention 1 now reclaims the small files
+    deleted = vacuum(t, keep_last=1)
+    assert deleted  # the tiny pre-compaction files went away
+    assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(60))
+    # idempotence: nothing left to compact -> same version returned
+    assert compact_snapshot(spark, t, small_file_bytes=8 * 1024 * 1024) in (
+        v_after,
+        v_after + 1,
+    )
+
+
+def test_compaction_recomputes_clustered_stats(spark, tmp_path):
+    """Compacting a CLUSTERED table must keep manifest pruning working:
+    carried big files keep their stats, compacted files get fresh
+    footer-derived stats."""
+    import json as _json
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        commit_snapshot_clustered,
+        compact_snapshot,
+        read_snapshot_pruned,
+    )
+
+    t = str(tmp_path / "cstbl")
+    commit_snapshot_clustered(
+        spark.range(1000).selectExpr("id"), t, cluster_col="id", n_files=4
+    )
+    commit_snapshot_clustered(
+        spark.range(1000, 1010).selectExpr("id"),
+        t,
+        cluster_col="id",
+        n_files=4,
+        mode="append",
+    )
+    v = compact_snapshot(spark, t, small_file_bytes=1024 * 1024)
+    with open(_manifest_path(t, v)) as f:
+        m = _json.load(f)
+    assert m["cluster_col"] == "id"
+    # every file still has stats -> pruning stays tight and correct
+    assert set(m["stats"]) == set(m["files"])
+    got = {r.id for r in read_snapshot_pruned(spark, t, lo=100, hi=200).collect()}
+    assert got == set(range(100, 201))
