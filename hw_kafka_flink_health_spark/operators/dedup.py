@@ -160,29 +160,48 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash63(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """63-bit SimHash fingerprint per document (JVM-side, no Python UDF).
+def simhash63(
+    df: DataFrame, text_col: str, id_col: str, *, hash: str = "xxhash64"
+) -> DataFrame:
+    """SimHash fingerprint per document (JVM-side, no Python UDF).
 
-    Classic construction: hash each token (xxhash64), sum +1/-1 per bit
+    Classic construction: hash each non-empty token, sum +1/-1 per bit
     position over all tokens, set result bit where the sum is positive.
-    Bit 63 (the sign bit) is skipped so the fingerprint is a non-negative
-    long. Hamming-close fingerprints => near-duplicate texts.
-    """
-    tok = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.col(text_col), " ")).alias("token"),
-    ).withColumn("h", F.xxhash64("token"))
+    Hamming-close fingerprints => near-duplicate texts.
+
+    `hash` picks the token hash: "xxhash64" (63 bits — bit 63/sign is
+    skipped so the fingerprint is a non-negative long; JVM
+    engine-specific, fastest) or "md5" (60 bits from the first 15 hex
+    digits — any SQL engine re-derives the identical bits, which makes
+    the fingerprint value-oracle-able; SimHash only needs a uniform
+    deterministic hash, not a particular one)."""
+    if hash == "xxhash64":
+        n_bits, hcol = 63, F.xxhash64("token")
+    elif hash == "md5":
+        n_bits, hcol = 60, F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        raise ValueError(f"unknown hash {hash!r} (xxhash64|md5)")
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn("h", hcol)
+    )
     bit_sums = tok.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(63)
+            for b in range(n_bits)
         ]
     )
     sim = reduce(
         lambda acc, b: acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
-        range(1, 63),
+        range(1, n_bits),
         F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
     return bit_sums.select(F.col("doc"), sim.alias("simhash"))

@@ -159,12 +159,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # xxhash64-based: rows-only by design
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+      FROM tok WHERE token <> ''
+    ), bits AS (
+      SELECT doc_id, t.range AS b,
+             sum(CASE WHEN (h >> CAST(t.range AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h, range(60) t
+      GROUP BY doc_id, t.range
+    )
+    SELECT doc_id AS doc,
+           CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << CAST(b AS INTEGER)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash fingerprint per document (JVM-side xxhash64 — the
-    hash function is engine-specific, so no value oracle)."""
+    """SimHash fingerprint per document, value-oracled via the md5 hash
+    tier: both engines derive the identical 60 bits per token (first 15
+    md5 hex digits), so the whole bit-vote construction — +1/-1 sums per
+    position, sign threshold, bit assembly — hash-compares exactly
+    against DuckDB's replay. The xxhash64 63-bit tier remains the faster
+    engine path for production (`operators/dedup.py:simhash63`); SimHash
+    semantics only need a uniform deterministic hash."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash63(docs, "text", "doc_id")
+    return simhash63(docs, "text", "doc_id", hash="md5")
 
 
 @register(

@@ -457,3 +457,22 @@ def test_ann_driver_collects_fail_fast_when_oversized(spark):
 
     with pytest.raises(ValueError, match="training bound"):
         pq_train(vecs, sample_size=MAX_TRAIN_SAMPLE_ROWS + 1)
+
+
+def test_simhash_md5_tier_is_near_dup_sensitive_and_60_bit(spark):
+    """The md5 (oracle-able) SimHash tier keeps the SimHash property:
+    near-identical docs land Hamming-close, unrelated docs far; and
+    fingerprints fit in 60 bits (15 hex digits), staying non-negative."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river edge"),
+            (3, "completely different subject matter about databases and indexing"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc: r.simhash for r in simhash63(docs, "text", "doc_id", hash="md5").collect()}
+    assert all(0 <= v < (1 << 60) for v in fps.values())
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+    assert ham(fps[1], fps[2]) <= 12  # one-token edit flips few bit votes

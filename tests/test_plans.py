@@ -479,3 +479,28 @@ def test_cep_followed_by_single_exchange(spark):
     plan = plan_of(spark, "cep_followed_by")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_zvalue_expression_is_jvm_side_codegen(spark):
+    """The Z-order layout key is pure Catalyst bit math: the projection
+    must run inside WholeStageCodegen with NO Python evaluation node —
+    a UDF here would serialize every row through Python just to pick a
+    file layout."""
+    from hw_kafka_flink_health_spark.operators.versioned import _zvalue_expr
+
+    df = spark.range(1000).selectExpr("id AS x", "(id * 7) % 1000 AS y")
+    z = df.withColumn("__z", _zvalue_expr(["x", "y"], {"x": (0, 999), "y": (0, 999)}))
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" marks a whole-stage-codegen'd operator in the plan string
+    assert plan.lstrip().startswith("*("), plan[:200]
+    assert "shiftleft" in plan  # the bit interleave is Catalyst expressions
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_md5_tier_single_shuffle(spark):
+    """The oracle-able SimHash tier must keep the engine shape: explode +
+    ONE hash-aggregate shuffle on doc (60 per-bit votes fold in the same
+    partial+final agg), conv/md5 all JVM-side (no Python nodes)."""
+    plan = plan_of(spark, "dedup_simhash")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
