@@ -224,24 +224,37 @@ def winnowing_fingerprint(
     Guarantees any shared substring of length >= kgram+window-1 yields a
     shared fingerprint — the standard near-dup/plagiarism sketch.
 
-    `hash` picks the gram hash: "xxhash64" (long, fastest — JVM
-    engine-specific, so no cross-engine oracle) or "md5" (lowercase hex
-    string; every SQL engine computes the identical digest and lexicographic
-    min, which makes the fingerprint set value-oracle-able). The winnowing
-    guarantee only needs hash determinism, not a particular function.
+    `hash` picks the gram hash: "xxhash64" (JVM engine-specific, so no
+    cross-engine oracle) or "md5" (60-bit long from the first 15 md5 hex
+    digits — every SQL engine re-derives the identical value via
+    `('0x' || substr(md5(g),1,15))::BIGINT`, which makes the fingerprint
+    set value-oracle-able). The winnowing guarantee only needs hash
+    determinism, not a particular function. Fingerprints are longs in
+    BOTH modes.
 
-    Returns (doc, fingerprints array<long|string>, n_fingerprints).
+    Returns (doc, fingerprints array<long>, n_fingerprints).
 
-    The gram array is staged as a real column before the windowed-min pass
-    — an inline expression would be re-evaluated per window position
-    (O(len^2); see word_shingles PERF note). Empty/short texts yield an
-    EMPTY fingerprint array: the sequence() bounds are when()-guarded
-    because Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not empty.
+    PERF, load-bearing shape: the gram array MUST evaluate once per row,
+    and Catalyst's CollapseProject will happily inline a staged projection
+    back into the consumer when the staged column is referenced once —
+    which turns the windowed-min pass into O(len^2) HASH evaluations (at
+    sf0.1 that was 420M md5 calls, ~700 s, vs <2 s staged). The window
+    min is therefore built from `window` separate element lookups
+    (`least(get(g, j), get(g, j+1), ...)`): multiple references to a
+    non-cheap alias block the collapse (asserted on the optimized plan in
+    tests/test_plans.py), and per-window slice-array allocation is gone
+    too. Empty/short texts yield an EMPTY fingerprint array: the
+    sequence() bounds are when()-guarded because Spark's sequence(1, 0)
+    counts DOWN ([1, 0]), it is not empty.
     """
     if hash not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash {hash!r} (xxhash64|md5)")
-    elem = "bigint" if hash == "xxhash64" else "string"
-    hf = F.xxhash64 if hash == "xxhash64" else F.md5
+    if hash == "xxhash64":
+        hf = lambda s: F.xxhash64(s)  # noqa: E731
+    else:
+        hf = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(  # noqa: E731
+            "long"
+        )
     c = F.col(text_col)
     n_grams = F.length(c) - (kgram - 1)
     grams = F.when(
@@ -249,16 +262,18 @@ def winnowing_fingerprint(
         F.transform(
             F.sequence(F.lit(1), n_grams), lambda i: hf(c.substr(i, F.lit(kgram)))
         ),
-    ).otherwise(F.array().cast(f"array<{elem}>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     staged = df.select(F.col(id_col).alias("doc"), grams.alias("__grams"))
+    g = F.col("__grams")
     n_wins = F.size("__grams") - (window - 1)
     wins = F.when(
         n_wins > 0,
         F.transform(
             F.sequence(F.lit(1), n_wins),
-            lambda j: F.array_min(F.slice(F.col("__grams"), j, window)),
+            # j is 1-based; F.get is 0-based
+            lambda j: F.least(*[F.get(g, j + k - 1) for k in range(window)]),
         ),
-    ).otherwise(F.array().cast(f"array<{elem}>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     staged2 = staged.select("doc", F.array_distinct(wins).alias("fingerprints"))
     return staged2.select(
         "doc",

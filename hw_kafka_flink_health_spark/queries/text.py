@@ -200,7 +200,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(1, greatest(len(text) - 7, 0) + 1)) AS i
       FROM documents
     ), hashed AS (
-      SELECT doc_id, i, md5(substr(text, i, 8)) AS g,
+      SELECT doc_id, i,
+             ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT AS g,
              count(*) OVER (PARTITION BY doc_id) AS n_grams
       FROM grams
     ), wins AS (
@@ -211,7 +212,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS doc,
            CAST(count(DISTINCT w) AS BIGINT) AS n_fingerprints,
-           min(CASE WHEN i = 1 THEN w END) AS first_fp
+           CAST(min(CASE WHEN i = 1 THEN w END) AS BIGINT) AS first_fp
     FROM wins WHERE i <= n_grams - 3
     GROUP BY doc_id
     """,
@@ -219,20 +220,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling char k-gram hash) fingerprint sets per doc —
     the MOSS near-dup sketch. Value-oracled via the md5 hash tier: both
-    engines compute identical lowercase-hex digests and the same
-    lexicographic windowed min, so the fingerprint-set size and the first
-    window's fingerprint hash-compare exactly (the xxhash64 tier remains
-    the faster engine path for production, same winnowing guarantee).
-    Docs too short to produce a full window are dropped on both sides."""
+    engines derive the identical 60-bit gram value (first 15 md5 hex
+    digits parsed base-16) and the same windowed min, so the
+    fingerprint-set size and the first window's fingerprint hash-compare
+    exactly (the xxhash64 tier remains the faster engine path for
+    production, same winnowing guarantee). Docs too short to produce a
+    full window are dropped on both sides."""
     from hw_kafka_flink_health_spark.operators.dedup import winnowing_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        winnowing_fingerprint(docs, "text", "doc_id", hash="md5")
-        .filter(F.col("n_fingerprints") > 0)
-        .select(
-            "doc", "n_fingerprints", F.element_at("fingerprints", 1).alias("first_fp")
-        )
+    # Too-short-doc exclusion as a CHEAP pre-filter (len >= kgram+window-1
+    # <=> at least one full window). Filtering on n_fingerprints AFTER the
+    # operator gets pushed below the projection and re-inlines the whole
+    # hash chain into the scan predicate (O(len^2) md5 per row — the plan
+    # test pins the single-md5 shape).
+    docs = docs.filter(F.length("text") >= 8 + 4 - 1)
+    return winnowing_fingerprint(docs, "text", "doc_id", hash="md5").select(
+        "doc", "n_fingerprints", F.element_at("fingerprints", 1).alias("first_fp")
     )
 
 
