@@ -15,9 +15,13 @@ selection —
           and picks the exact ranked element per quantile.
 
 Two scans and a sliver-sort replace a full-table sort; ranks are exact,
-semantics are discrete quantiles (lower interpolation): the value at
-zero-based position floor((n-1) * q) in ascending order — identical to
-DuckDB's `quantile_disc`, which the registry oracle pins.
+semantics are SQL-standard discrete quantiles (PERCENTILE_DISC /
+DuckDB `quantile_disc`): the smallest element whose cumulative
+distribution reaches q, i.e. zero-based position ceil(q * n) - 1 in
+ascending order. (floor((n-1) * q) — "lower interpolation" — coincides
+with this on most (n, q) but diverges when q*n and q*(n-1) straddle an
+integer, e.g. n=3, q=0.99: caught by the single-row/tiny-table fuzz
+sweep.)
 
 Degenerate case (massively duplicated values): a bucket can hold far more
 than n/n_buckets rows, but pass 2 still only sorts that bucket's rows,
@@ -58,7 +62,11 @@ def exact_quantiles(
     mn, mx, n = stats.mn, stats.mx, stats.n
     if n == 0:
         raise ValueError(f"exact_quantiles: no non-null rows in {col}")
-    ranks = {q: math.floor((n - 1) * q) for q in qs}  # zero-based target ranks
+    # zero-based ceiling ranks (SQL PERCENTILE_DISC: smallest value with
+    # cume_dist >= q); clamped for q=0 and float-overshoot at q=1
+    ranks = {
+        q: 0 if q <= 0 else min(n - 1, math.ceil(q * n) - 1) for q in qs
+    }
 
     if mn == mx:
         return base.sparkSession.createDataFrame(

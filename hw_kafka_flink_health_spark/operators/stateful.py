@@ -35,7 +35,12 @@ def grouped_zscore(events: DataFrame) -> DataFrame:
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
         sd = v.std(ddof=1)
-        pdf["zscore"] = (v - v.mean()) / sd if sd and sd > 0 else 0.0
+        # SQL semantics: undefined std (singleton group) or zero std ->
+        # NULL zscore (NaN canonicalizes to NULL), matching
+        # (x - avg) / stddev_samp in engines where /0 yields NULL
+        pdf["zscore"] = (
+            (v - v.mean()) / sd if pd.notna(sd) and sd > 0 else float("nan")
+        )
         return pdf[["event_id", "event_type", "value", "zscore"]]
 
     return events.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(

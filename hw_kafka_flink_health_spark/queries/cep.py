@@ -40,8 +40,11 @@ JOURNEY_PATTERN = "v[^p]*p"
     "cep_journey_counts",
     oracle="""
     WITH seq AS (
+      -- coalesce: string_agg over only-NULL codes yields NULL, but the
+      -- engine's array_join skips NULL elements -> empty journey string
       SELECT user_id,
-             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+             coalesce(string_agg(substr(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id), '') AS seq
       FROM events GROUP BY user_id
     )
     SELECT user_id,

@@ -132,6 +132,9 @@ def hr_alerts_sliding_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_ms(CAST(ts AS TIMESTAMP)) AS event_time
     FROM events
     WHERE event_id % 20 <> 0
+      -- None-contract: a NULL field never serializes into the synthetic
+      -- JSON, so the parser drops the record (missing-key -> invalid)
+      AND value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
     """,
 )
 def hr_parse_contract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -842,7 +842,7 @@ def scalar_subquery_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_agg",
     oracle="""
     SELECT event_type,
-           count(*) AS n,
+           count(value) AS n,
            round(sum(value), 2) AS total,
            round(avg(value), 4) AS mean
     FROM events GROUP BY event_type
@@ -1266,7 +1266,9 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
     )
-    SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20.0)), 19)
+    SELECT CAST(CASE WHEN mx > mn
+                     THEN least(floor((o_totalprice - mn) / ((mx - mn) / 20.0)), 19)
+                     ELSE 0 END
                 AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
            round(min(o_totalprice), 2) AS lo,
@@ -1279,15 +1281,25 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width 20-bucket histogram of order value: bounds from a
     broadcast 1-row min/max agg, bucket assignment as portable floor
     arithmetic (identical FP ops in both engines; no width_bucket
-    dependency). Two scans of a single column, one tiny shuffle."""
+    dependency). Two scans of a single column, one tiny shuffle. The
+    mx == mn degenerate case (constant column / single row) is an
+    explicit bucket 0 on both sides — an unguarded division is an ANSI
+    DIVIDE_BY_ZERO under Spark and an engine-dependent NULL elsewhere."""
     orders = load_table(spark, sf_dir, "orders")
     bounds = orders.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
     width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(19)
-    ).cast("bigint")
+    bucket = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(19)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
     return (
         orders.join(F.broadcast(bounds))
         .groupBy(bucket.alias("bucket"))
@@ -1594,19 +1606,26 @@ def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     escaping) breaks the hash. Parse + aggregate stay in one codegen
     pass; no UDF."""
     ev = load_table(spark, sf_dir, "events")
+    # NULL fields serialize as EMPTY elements (coalesce) — a bare concat
+    # NULL-propagates the whole record, silently dropping every non-null
+    # sibling value (caught by the all-NULL-group-key fuzz sweep). Empty
+    # elements parse back as NULL for numeric types; the empty string is
+    # mapped back to NULL for the type key.
     xml = F.concat(
         F.lit("<event><id>"),
-        F.col("event_id").cast("string"),
+        F.coalesce(F.col("event_id").cast("string"), F.lit("")),
         F.lit("</id><type>"),
-        F.col("event_type"),
+        F.coalesce(F.col("event_type"), F.lit("")),
         F.lit("</type><cents>"),
-        F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+        F.coalesce(F.floor(F.col("value") * 100).cast("bigint").cast("string"), F.lit("")),
         F.lit("</cents></event>"),
     )
     parsed = ev.select(
         F.from_xml(xml, "id BIGINT, type STRING, cents BIGINT").alias("x")
     )
-    return parsed.groupBy(F.col("x.type").alias("event_type")).agg(
+    return parsed.groupBy(
+        F.nullif(F.col("x.type"), F.lit("")).alias("event_type")
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x.cents").cast("bigint").alias("sum_cents"),
         F.sum(F.col("x.id") % 97).cast("bigint").alias("sum_check"),

@@ -403,9 +403,13 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
            -- DuckDB's skewness is the bias-corrected SAMPLE G1; Spark's is
            -- the population g1 = G1*(n-2)/sqrt(n*(n-1)). kurtosis_pop matches
-           -- Spark's population excess kurtosis directly.
-           round(skewness(l_quantity) * (count(*) - 2)
-                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_qty,
+           -- Spark's population excess kurtosis directly. n < 3 pinned to
+           -- NULL on both sides: the sample G1 is undefined there while the
+           -- population form degenerates to 0 — an engine-dependent answer.
+           CASE WHEN count(*) >= 3 THEN
+             round(skewness(l_quantity) * (count(*) - 2)
+                   / sqrt(count(*) * (count(*) - 1.0)), 6)
+           END AS skew_qty,
            round(kurtosis_pop(l_quantity), 6) AS kurt_qty,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
@@ -421,7 +425,11 @@ def agg_corr_covar_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
-        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        # n < 3: sample skewness undefined, population form degenerates to
+        # 0 — pin to NULL in both engines (see oracle comment)
+        F.round(
+            F.when(F.count(F.lit(1)) >= 3, F.skewness("l_quantity")), 6
+        ).alias("skew_qty"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )

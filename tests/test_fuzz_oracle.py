@@ -31,12 +31,16 @@ TABLES = (
 ).split()
 
 # The most recently added oracled queries (r4/r5 additions per VERDICT) +
-# the structurally riskiest older ones (windows, prefix scans, iteration).
+# the structurally riskiest older ones (windows, prefix scans, iteration) +
+# every query the round-5 full-catalog fuzz audit caught diverging (each
+# fixed; pinned here so the divergence class stays dead).
 RECENT = [
+    "agg_corr_covar_skew",
     "attribution_linear_touch",
     "autocorr_user_lag1",
     "basket_frequent_itemsets",
     "cep_error_burst",
+    "cep_journey_counts",
     "cumulative_distinct_users",
     "dedup_clusters",
     "dedup_exact",
@@ -44,7 +48,11 @@ RECENT = [
     "dedup_keep_best",
     "dedup_ngram_jaccard",
     "doc_winnowing_fingerprint",
+    "events_xml_roundtrip",
+    "exact_quantiles",
     "funnel_conversion",
+    "histogram_totalprice",
+    "hr_parse_contract",
     "multimodal_raw_rgb_resize",
     "join_scd2_pointlookup",
     "linkage_part_names",
@@ -59,9 +67,11 @@ RECENT = [
     "rfm_user_profile",
     "rollup_hour_day",
     "scd2_user_state",
+    "skew_salted_agg",
     "text_decontaminate",
     "text_tfidf_top_terms",
     "text_sentences_udtf",
+    "udaf_grouped_zscore",
     "user_activity_streaks",
     "versioned_time_travel",
     "versioned_zorder_prune",

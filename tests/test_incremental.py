@@ -93,8 +93,10 @@ def test_exact_quantiles_rejects_all_null(spark):
 def test_exact_quantiles_property_random_distributions(spark):
     """Adversarial shapes a fixed-width histogram hates: heavy skew, point
     masses, negatives, tiny n, few buckets (forcing multi-rank buckets) —
-    every quantile must equal the rank-selected element of the sorted
-    list."""
+    every quantile must equal the PERCENTILE_DISC element of the sorted
+    list (ceiling rank: smallest element with cume_dist >= q, the
+    quantile_disc semantics the oracle pins; the old floor((n-1)q) form
+    diverges on small n, caught by the fuzz sweep)."""
     import math
     import random
 
@@ -111,9 +113,11 @@ def test_exact_quantiles_property_random_distributions(spark):
         df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(5)
         got = {r.q: r.val for r in exact_quantiles(df, "v", qs, n_buckets=8).collect()}
         svals = sorted(vals)
+        n = len(vals)
         for q in qs:
-            expect = svals[math.floor((len(vals) - 1) * q)]
-            assert got[q] == expect, (q, got[q], expect, len(vals))
+            idx = 0 if q <= 0 else min(n - 1, math.ceil(q * n) - 1)
+            expect = svals[idx]
+            assert got[q] == expect, (q, got[q], expect, n)
 
 
 def test_quantile_sketch_log_relative_error_bound(spark):

@@ -65,7 +65,10 @@ def test_grouped_zscore_properties(spark):
     )
     rows = {r.event_id: r.zscore for r in grouped_zscore(df).collect()}
     assert abs(rows[1] + 1.0) < 1e-9 and abs(rows[2]) < 1e-9 and abs(rows[3] - 1.0) < 1e-9
-    assert rows[4] == 0.0  # singleton group: std undefined -> 0
+    # singleton group: std undefined -> NULL/NaN (SQL window semantics)
+    import math as _math
+
+    assert rows[4] is None or _math.isnan(rows[4])
 
 
 def test_udtf_matches_native_explode(spark):
