@@ -33,8 +33,72 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class VersionConflictError(RuntimeError):
+    """Optimistic-concurrency failure: the base version moved underneath a
+    commit that pinned `expect_version`. The caller re-reads the table and
+    re-derives its change (the standard OCC retry loop)."""
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"manifest-v{version}.json")
+
+
+def _publish_manifest(table_dir: str, version: int, manifest: dict) -> bool:
+    """Atomically CLAIM version N by hard-linking a fully-written temp
+    manifest to its final name — link fails if the name exists, so two
+    writers can never share a version, and a concurrent reader can never
+    observe a half-written manifest (the content exists before the name
+    does). Returns False when another writer already claimed N."""
+    tmp = os.path.join(table_dir, f"_manifest-tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def _rewrite_manifest(table_dir: str, version: int, manifest: dict) -> None:
+    """Atomically REPLACE an already-claimed manifest (stats enrichment by
+    the clustered/zordered committers). tmp + os.replace: a concurrent
+    reader of the base manifest sees either the old or the new content,
+    never a truncation."""
+    tmp = os.path.join(table_dir, f"_manifest-tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table_dir, version))
+
+
+def _advance_pointer(table_dir: str, version: int) -> None:
+    """Move `_latest` forward to `version` unless it already points past
+    it — the pointer is MONOTONIC (without the check, a slow v5 writer
+    could rename over a v6 pointer and readers would time-travel
+    backwards). A spin lock file makes check+rename atomic; on a real
+    deployment this is the metastore/object-store CAS operation."""
+    import time as _time
+
+    lock = os.path.join(table_dir, "_latest.lock")
+    for _ in range(5000):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            _time.sleep(0.002)
+    else:
+        raise TimeoutError(f"could not acquire pointer lock in {table_dir}")
+    try:
+        cur = current_version(table_dir)
+        if cur is None or cur < version:
+            tmp = _latest_pointer(table_dir) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.rename(tmp, _latest_pointer(table_dir))
+    finally:
+        os.close(fd)
+        os.remove(lock)
 
 
 def _latest_pointer(table_dir: str) -> str:
@@ -55,19 +119,39 @@ def commit_snapshot(
     *,
     mode: str = "overwrite",
     batch_id: int | None = None,
+    expect_version: int | None = None,
+    max_retries: int = 20,
 ) -> int:
     """Commit df as the next version. mode='overwrite' makes the new
     version exactly df; mode='append' makes it previous-version ∪ df.
     Returns the committed version number.
 
     Write protocol: stage parquet into a scratch dir, move the part
-    files into the table dir under unique names, write the manifest,
-    then atomically rename a temp pointer onto `_latest`. A reader that
-    raced the commit either sees the old pointer (old snapshot) or the
-    new one (fully published snapshot) — never a torn state."""
+    files into the table dir under unique names, atomically CLAIM the
+    next version number by hard-linking the manifest into place, then
+    advance the monotonic `_latest` pointer. A reader that raced the
+    commit either sees the old pointer (old snapshot) or the new one
+    (fully published snapshot) — never a torn state.
+
+    Concurrency (optimistic): two writers can never share a version —
+    the loser of the manifest claim RETRIES against the new base
+    (appends re-merge onto the winner's file list, which is correct
+    because append is commutative; overwrites become
+    last-writer-wins). Pass `expect_version` (the version the caller
+    read before deriving its change) to demand compare-and-swap
+    semantics instead: the commit succeeds only as expect_version + 1,
+    else raises VersionConflictError and touches nothing the retry
+    loop can't redo. Data file names embed the first-attempt version as
+    a debugging hint; the manifest's file list is the only authority."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
     spark = df.sparkSession
     os.makedirs(table_dir, exist_ok=True)
     prev = current_version(table_dir)
+    if expect_version is not None and prev != expect_version:
+        raise VersionConflictError(
+            f"table {table_dir} is at version {prev}, expected {expect_version}"
+        )
     version = 0 if prev is None else prev + 1
 
     staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
@@ -83,26 +167,33 @@ def commit_snapshot(
         os.remove(os.path.join(staging, name))
     os.rmdir(staging)
 
-    files = list(new_files)
-    if mode == "append" and prev is not None:
-        with open(_manifest_path(table_dir, prev)) as f:
-            files = json.load(f)["files"] + files
-    elif mode not in ("overwrite", "append"):
-        raise ValueError(f"unknown mode {mode!r}")
-
-    manifest = {"version": version, "files": files}
-    if batch_id is not None:
-        # transactional-sink support: the manifest records which stream
-        # batch produced this version, so a replayed batch is detected
-        # and skipped (exactly-once) — see last_committed_batch
-        manifest["batch_id"] = batch_id
-    with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump(manifest, f)
-    tmp = _latest_pointer(table_dir) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.rename(tmp, _latest_pointer(table_dir))  # atomic publish
-    return version
+    for _attempt in range(max_retries + 1):
+        files = list(new_files)
+        base = version - 1
+        if mode == "append" and base >= 0:
+            # the base manifest exists even if its writer has not flipped
+            # the pointer yet (claims publish content-complete manifests)
+            with open(_manifest_path(table_dir, base)) as f:
+                files = json.load(f)["files"] + files
+        manifest = {"version": version, "files": files}
+        if batch_id is not None:
+            # transactional-sink support: the manifest records which stream
+            # batch produced this version, so a replayed batch is detected
+            # and skipped (exactly-once) — see last_committed_batch
+            manifest["batch_id"] = batch_id
+        if _publish_manifest(table_dir, version, manifest):
+            _advance_pointer(table_dir, version)
+            return version
+        # lost the claim: another writer owns this version number
+        if expect_version is not None:
+            raise VersionConflictError(
+                f"version {version} of {table_dir} was committed concurrently "
+                f"(base {expect_version} is stale)"
+            )
+        version += 1
+    raise VersionConflictError(
+        f"gave up after {max_retries} contended commits to {table_dir}"
+    )
 
 
 def read_snapshot(
@@ -221,8 +312,7 @@ def commit_snapshot_clustered(
         stats[name] = [min(s.min for s in col_stats), max(s.max for s in col_stats)]
     manifest["stats"] = stats
     manifest["cluster_col"] = cluster_col
-    with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump(manifest, f)
+    _rewrite_manifest(table_dir, version, manifest)
     return version
 
 
@@ -370,8 +460,7 @@ def commit_snapshot_zordered(
             stats2[name] = per_col
     manifest["stats2"] = stats2
     manifest["zorder"] = {"cols": list(cluster_cols), "bits": bits}
-    with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump(manifest, f)
+    _rewrite_manifest(table_dir, version, manifest)
     return version
 
 
@@ -502,10 +591,10 @@ def compact_snapshot(
     for key in ("cluster_col", "zorder"):
         if key in manifest:
             new_manifest[key] = manifest[key]
-    with open(_manifest_path(table_dir, version), "w") as f:
-        json.dump(new_manifest, f)
-    tmp = _latest_pointer(table_dir) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.rename(tmp, _latest_pointer(table_dir))
+    if not _publish_manifest(table_dir, version, new_manifest):
+        raise VersionConflictError(
+            f"compaction of {table_dir} lost the claim for version {version} "
+            "to a concurrent commit; re-run against the new current version"
+        )
+    _advance_pointer(table_dir, version)
     return version

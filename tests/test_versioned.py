@@ -417,3 +417,75 @@ def test_compaction_recomputes_clustered_stats(spark, tmp_path):
     assert set(m["stats"]) == set(m["files"])
     got = {r.id for r in read_snapshot_pruned(spark, t, lo=100, hi=200).collect()}
     assert got == set(range(100, 201))
+
+
+def test_occ_concurrent_appends_never_share_a_version(spark, tmp_path):
+    """Optimistic concurrency: parallel appenders race on the version
+    claim; losers must retry onto the winner's file list. No version may
+    be claimed twice, the pointer is the max committed version, and the
+    final snapshot is the exact union of every appended batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        current_version,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "occ")
+
+    def append(i: int) -> int:
+        return commit_snapshot(
+            spark.range(i * 100, i * 100 + 100).coalesce(1), t, mode="append"
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = sorted(ex.map(append, range(6)))
+    assert versions == list(range(6))  # unique AND contiguous
+    assert current_version(t) == 5
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == set(range(0, 600)).intersection(
+        {i * 100 + j for i in range(6) for j in range(100)}
+    )
+    assert len(got) == 600
+
+
+def test_occ_expect_version_raises_on_stale_base(spark, tmp_path):
+    """Compare-and-swap commits: a writer that derived its change from
+    version N must fail (not clobber, not silently rebase) when the table
+    has moved past N."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        VersionConflictError,
+        _publish_manifest,
+        commit_snapshot,
+        compact_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "cas")
+    commit_snapshot(spark.range(10), t)  # v0
+    commit_snapshot(spark.range(10, 20), t, mode="append")  # v1
+    # stale base: table is at v1, writer expected v0
+    with pytest.raises(VersionConflictError):
+        commit_snapshot(spark.range(99), t, expect_version=0)
+    # race on the claim itself: v2 taken between read and publish
+    assert _publish_manifest(t, 2, {"version": 2, "files": []})
+    with pytest.raises(VersionConflictError):
+        commit_snapshot(spark.range(99), t, expect_version=1)
+    # table content unharmed
+    assert {r.id for r in read_snapshot(spark, t, version=1).collect()} == set(range(20))
+    # a plain append (no CAS pin) legally retries PAST the claimed
+    # versions 2 and 3 rather than failing — many tiny files pile up
+    from hw_kafka_flink_health_spark.operators.versioned import current_version
+
+    for i in range(4):
+        commit_snapshot(spark.range(i, i + 1).coalesce(1), t, mode="append")
+    v = current_version(t)
+    assert v >= 4  # skipped over the externally claimed version numbers
+    # compaction that loses ITS claim reports the conflict instead of
+    # clobbering: pre-claim the version compaction would take
+    assert _publish_manifest(t, v + 1, {"version": v + 1, "files": []})
+    with pytest.raises(VersionConflictError):
+        compact_snapshot(spark, t, small_file_bytes=1024 * 1024)
