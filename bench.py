@@ -163,6 +163,7 @@ HEADLINE = [
     "versioned_time_travel",
     "versioned_zorder_prune",
     "versioned_optimize_compact",
+    "versioned_delete_vectors",
     "text_sentences_udtf",
     "doc_winnowing_fingerprint",
     "multimodal_decode_features",

@@ -210,9 +210,15 @@ def read_snapshot(
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     with open(_manifest_path(table_dir, v)) as f:
-        files = json.load(f)["files"]
+        manifest = json.load(f)
+    files = manifest["files"]
     if not files:
         raise ValueError(f"version {v} has an empty file list")
+    if manifest.get("dv"):
+        # merge-on-read: anti-join the deletion sidecars out of the scan
+        return _apply_dv(
+            spark, table_dir, _with_row_identity(spark, table_dir, files), manifest["dv"]
+        )
     return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_dir, p) for p in files]
     )
@@ -233,13 +239,18 @@ def vacuum(table_dir: str, *, keep_last: int = 2) -> list[str]:
     for v in range(max(0, latest - keep_last + 1), latest + 1):
         try:
             with open(_manifest_path(table_dir, v)) as f:
-                keep_files.update(json.load(f)["files"])
+                m = json.load(f)
+                keep_files.update(m["files"])
+                keep_files.update(m.get("dv", []))
         except FileNotFoundError:
             continue
         keep_versions.append(v)
     deleted = []
     for name in sorted(os.listdir(table_dir)):
-        if name.startswith("data-") and name not in keep_files:
+        if (
+            (name.startswith("data-") or name.startswith("dv-"))
+            and name not in keep_files
+        ):
             os.remove(os.path.join(table_dir, name))
             deleted.append(name)
         elif name.startswith("manifest-v"):
@@ -350,11 +361,16 @@ def read_snapshot_pruned(
         from pyspark.sql import functions as F
 
         return df.filter(F.lit(False))
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table_dir, p) for p in keep]
-    )
     from pyspark.sql import functions as F
 
+    if manifest.get("dv"):
+        df = _apply_dv(
+            spark, table_dir, _with_row_identity(spark, table_dir, keep), manifest["dv"]
+        )
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, p) for p in keep]
+        )
     return df.filter(F.col(col).between(lo, hi))
 
 
@@ -503,9 +519,14 @@ def read_snapshot_pruned_2d(
             *[os.path.join(table_dir, p) for p in manifest["files"][:1]]
         )
         return df.filter(F.lit(False))
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table_dir, p) for p in keep]
-    )
+    if manifest.get("dv"):
+        df = _apply_dv(
+            spark, table_dir, _with_row_identity(spark, table_dir, keep), manifest["dv"]
+        )
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, p) for p in keep]
+        )
     return df.filter(row_filter) if row_filter is not None else df
 
 
@@ -546,11 +567,16 @@ def compact_snapshot(
     if target_files is None:
         total = sum(sizes[n] for n in small)
         target_files = max(1, -(-total // small_file_bytes))  # ceil div
-    merged = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(table_dir, p) for p in small])
-        .coalesce(target_files)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, p) for p in small]
     )
+    if manifest.get("dv"):
+        # PURGE deletion vectors for the files being rewritten: deleted
+        # rows drop out of the compacted files for real
+        merged = _apply_dv(
+            spark, table_dir, _with_row_identity(spark, table_dir, small), manifest["dv"]
+        )
+    merged = merged.coalesce(target_files)
     version = v + 1
     staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
     merged.write.mode("overwrite").parquet(staging)
@@ -565,6 +591,38 @@ def compact_snapshot(
     os.rmdir(staging)
 
     new_manifest = {"version": version, "files": big + new_files}
+    if manifest.get("dv"):
+        # entries for rewritten files were purged into the new data; keep
+        # only the entries that still target a carried big file, compacted
+        # into one fresh sidecar (stale per-file entries would be inert in
+        # the anti-join, but carrying them bloats every future read)
+        dv = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in manifest["dv"]]
+        ).select("file", "pos")
+        from pyspark.sql import functions as F
+
+        kept_dv = dv.filter(F.col("file").isin(big)).coalesce(1)
+        dv_stage = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+        kept_dv.write.mode("overwrite").parquet(dv_stage)
+        import pyarrow.parquet as _pq
+
+        dv_files = []
+        for name in sorted(os.listdir(dv_stage)):
+            if name.endswith(".parquet"):
+                dst = f"dv-v{version}-{name}"
+                os.rename(os.path.join(dv_stage, name), os.path.join(table_dir, dst))
+                dv_files.append(dst)
+        for name in os.listdir(dv_stage):
+            os.remove(os.path.join(dv_stage, name))
+        os.rmdir(dv_stage)
+        n_live = sum(
+            _pq.read_metadata(os.path.join(table_dir, n)).num_rows for n in dv_files
+        )
+        if n_live:
+            new_manifest["dv"] = dv_files
+        else:
+            for n in dv_files:
+                os.remove(os.path.join(table_dir, n))
     # carry forward whatever stats the kept files had; recompute for the
     # compacted files when the table is clustered (same falls-back-to-
     # unpruned contract as everywhere else)
@@ -595,6 +653,127 @@ def compact_snapshot(
         raise VersionConflictError(
             f"compaction of {table_dir} lost the claim for version {version} "
             "to a concurrent commit; re-run against the new current version"
+        )
+    _advance_pointer(table_dir, version)
+    return version
+
+
+# --- deletion vectors: row-level deletes without rewriting data files
+# (the Delta/Iceberg merge-on-read mechanism). A delete commits a SIDECAR
+# of (file, row_index) pairs — cost O(matched rows), never O(table) — and
+# readers anti-join the sidecar against the scan's _metadata.row_index.
+# Compaction PURGES: rewritten files drop their vector entries for real.
+
+
+def _with_row_identity(spark: SparkSession, table_dir: str, files: list) -> DataFrame:
+    """Scan the given data files with (__file, __pos) row identity from
+    the parquet reader's metadata column — stable because data files are
+    immutable."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, p) for p in files]
+    )
+    return df.withColumn(
+        "__file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    ).withColumn("__pos", F.col("_metadata.row_index"))
+
+
+def _apply_dv(spark: SparkSession, table_dir: str, df: DataFrame, dv_files: list) -> DataFrame:
+    """Anti-join the deletion sidecars out of a row-identified scan. The
+    join keys on (file, position); AQE picks broadcast when the vector is
+    small (the common case — deletes are sparse). Returns the df with
+    identity columns dropped."""
+    dv = spark.read.parquet(*[os.path.join(table_dir, p) for p in dv_files]).select(
+        "file", "pos"
+    )
+    out = df.join(
+        dv,
+        (df["__file"] == dv["file"]) & (df["__pos"] == dv["pos"]),
+        "left_anti",
+    )
+    return out.drop("__file", "__pos")
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    *,
+    expect_version: int | None = None,
+) -> int:
+    """Row-level DELETE as a deletion-vector commit: rows of the CURRENT
+    version matching `condition` (a Column or SQL string) are recorded as
+    (file, row_index) pairs in a sidecar; data files are untouched and
+    stay shared with every prior version (time travel still sees the
+    rows). Returns the new version — or the current one unchanged when
+    nothing matches.
+
+    Concurrency: deletes are NOT commutative with concurrent writes (the
+    matched positions were derived from a specific base), so a lost
+    version claim always raises VersionConflictError — re-run against the
+    new current version. Pass expect_version to also fail fast when the
+    base moved before the claim."""
+    from pyspark.sql import functions as F
+
+    v = current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if expect_version is not None and v != expect_version:
+        raise VersionConflictError(
+            f"table {table_dir} is at version {v}, expected {expect_version}"
+        )
+    with open(_manifest_path(table_dir, v)) as f:
+        manifest = json.load(f)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    live = _with_row_identity(spark, table_dir, manifest["files"])
+    if manifest.get("dv"):
+        # already-deleted rows can't be deleted twice (keeps sidecars tight)
+        dv = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in manifest["dv"]]
+        ).select("file", "pos")
+        live = live.join(
+            dv,
+            (live["__file"] == dv["file"]) & (live["__pos"] == dv["pos"]),
+            "left_anti",
+        )
+    matched = live.filter(cond).select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    )
+
+    version = v + 1
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+    matched.write.mode("overwrite").parquet(staging)
+    new_dv = []
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            dst = f"dv-v{version}-{name}"
+            os.rename(os.path.join(staging, name), os.path.join(table_dir, dst))
+            new_dv.append(dst)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+    # zero matches -> no-op at version v (an empty part file may still
+    # exist; footers say how many rows actually matched)
+    import pyarrow.parquet as pq
+
+    n_matched = sum(
+        pq.read_metadata(os.path.join(table_dir, name)).num_rows for name in new_dv
+    )
+    if n_matched == 0:
+        for name in new_dv:
+            os.remove(os.path.join(table_dir, name))
+        return v
+
+    new_manifest = dict(manifest)
+    new_manifest["version"] = version
+    new_manifest["dv"] = list(manifest.get("dv", [])) + new_dv
+    if not _publish_manifest(table_dir, version, new_manifest):
+        for name in new_dv:
+            os.remove(os.path.join(table_dir, name))
+        raise VersionConflictError(
+            f"version {version} of {table_dir} was committed concurrently; "
+            "re-derive the delete against the new current version"
         )
     _advance_pointer(table_dir, version)
     return version

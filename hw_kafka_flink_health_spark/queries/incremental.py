@@ -463,3 +463,51 @@ def versioned_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents"),
     )
+
+
+@register(
+    "versioned_delete_vectors",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_orderkey % 5 <> 0 AND o_custkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via deletion vectors, end to end: commit orders
+    once, then two delete_where commits record (file, row_index)
+    sidecars — data files untouched and shared with v0 (time travel still
+    sees every row), delete cost O(matched), never O(table) — and the
+    merge-on-read path anti-joins the vectors out of the scan
+    (`operators/versioned.py:delete_where/_apply_dv`, the Delta/Iceberg
+    deletion-vector mechanism). The oracle replays the surviving-row
+    aggregate independently from the source table, so a vector that
+    misses rows, hits the wrong positions, or double-applies breaks the
+    value hash. Vector purge on compaction + pruned-read composition are
+    pinned in tests/test_versioned.py."""
+    import tempfile
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        delete_where,
+        read_snapshot,
+    )
+
+    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_dv_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot(orders, table_dir)
+    delete_where(spark, table_dir, "o_orderkey % 5 = 0")
+    delete_where(spark, table_dir, "o_custkey % 7 = 0")
+    return read_snapshot(spark, table_dir).groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )

@@ -76,6 +76,7 @@ RECENT = [
     "versioned_time_travel",
     "versioned_zorder_prune",
     "versioned_optimize_compact",
+    "versioned_delete_vectors",
 ]
 
 

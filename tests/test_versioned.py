@@ -489,3 +489,82 @@ def test_occ_expect_version_raises_on_stale_base(spark, tmp_path):
     assert _publish_manifest(t, v + 1, {"version": v + 1, "files": []})
     with pytest.raises(VersionConflictError):
         compact_snapshot(spark, t, small_file_bytes=1024 * 1024)
+
+
+def test_deletion_vectors_roundtrip_timetravel_and_compaction_purge(spark, tmp_path):
+    """Row-level delete via deletion vectors: O(matched) sidecar commits,
+    data files untouched (prior versions still see the rows), reads
+    anti-join the vectors out, double deletes stay tight, compaction
+    PURGES vectors for rewritten files, and vacuum honors dv
+    reachability."""
+    import json as _json
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        commit_snapshot,
+        compact_snapshot,
+        current_version,
+        delete_where,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "dvtbl")
+    commit_snapshot(spark.range(100).selectExpr("id", "id % 10 AS k"), t)  # v0
+    v0_files = set(_json.load(open(_manifest_path(t, 0)))["files"])
+
+    v1 = delete_where(spark, t, "k = 3")  # 10 rows out
+    assert v1 == 1
+    with open(_manifest_path(t, 1)) as f:
+        m1 = _json.load(f)
+    assert set(m1["files"]) == v0_files  # data files SHARED, not rewritten
+    assert m1["dv"], "delete must record a deletion-vector sidecar"
+    assert {r.id for r in read_snapshot(spark, t).collect()} == {
+        i for i in range(100) if i % 10 != 3
+    }
+    # time travel: v0 still sees every row
+    assert read_snapshot(spark, t, version=0).count() == 100
+
+    # second delete appends to the vector set; already-deleted rows are
+    # not re-recorded (the sidecar stays tight)
+    v2 = delete_where(spark, t, "k IN (3, 7)")
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == {i for i in range(100) if i % 10 not in (3, 7)}
+    dv_rows = spark.read.parquet(
+        *[f"{t}/{p}" for p in _json.load(open(_manifest_path(t, v2)))["dv"]]
+    )
+    assert dv_rows.count() == 20  # 10 + 10, no duplicates for k=3
+
+    # no-op delete: nothing matches -> same version back
+    assert delete_where(spark, t, "k = 99") == v2
+
+    # compaction purges: rows vanish physically, dv entries dropped
+    v3 = compact_snapshot(spark, t, small_file_bytes=64 * 1024 * 1024)
+    assert v3 == v2 + 1
+    with open(_manifest_path(t, v3)) as f:
+        m3 = _json.load(f)
+    assert "dv" not in m3  # every file was rewritten -> no vectors left
+    assert {r.id for r in read_snapshot(spark, t).collect()} == got
+    # vacuum away history; current content unchanged
+    vacuum(t, keep_last=1)
+    assert {r.id for r in read_snapshot(spark, t).collect()} == got
+    assert current_version(t) == v3
+
+
+def test_deletion_vectors_with_pruned_reads(spark, tmp_path):
+    """DV application composes with manifest pruning: a clustered table
+    with deletes returns exactly full-filter-minus-deleted through the
+    pruned read path."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot_clustered,
+        delete_where,
+        read_snapshot_pruned,
+    )
+
+    t = str(tmp_path / "dvprune")
+    commit_snapshot_clustered(
+        spark.range(10_000).selectExpr("id"), t, cluster_col="id", n_files=8
+    )
+    delete_where(spark, t, "id % 2 = 1")
+    got = {r.id for r in read_snapshot_pruned(spark, t, lo=100, hi=200).collect()}
+    assert got == {i for i in range(100, 201) if i % 2 == 0}
