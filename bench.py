@@ -164,6 +164,7 @@ HEADLINE = [
     "versioned_zorder_prune",
     "versioned_optimize_compact",
     "versioned_delete_vectors",
+    "versioned_merge_upsert",
     "text_sentences_udtf",
     "doc_winnowing_fingerprint",
     "multimodal_decode_features",

@@ -777,3 +777,135 @@ def delete_where(
         )
     _advance_pointer(table_dir, version)
     return version
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    on: list,
+    *,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    expect_version: int | None = None,
+) -> int:
+    """MERGE INTO for versioned tables — the full upsert/delete DML verb,
+    composed merge-on-read style from the primitives this module already
+    trusts: matched target rows are tombstoned with a deletion-vector
+    sidecar (never a file rewrite), and the replacement/insert rows land
+    as appended files. ONE new version captures the whole merge; cost is
+    O(matched + source), never O(table).
+
+    `on` is the key column list. when_matched: 'update' (source row
+    replaces target row) or 'delete' (matched target rows disappear).
+    when_not_matched: 'insert' (unmatched source rows are appended) or
+    'ignore'. Duplicate keys in `source` are rejected — SQL MERGE raises
+    on multiple matches for one target row, and silently picking one
+    would make results partition-order-dependent.
+
+    Concurrency: like delete_where, a merge is derived from a specific
+    base version, so a lost claim raises VersionConflictError rather
+    than rebasing silently; pass expect_version for fail-fast CAS."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"unknown when_matched {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"unknown when_not_matched {when_not_matched!r}")
+
+    v = current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if expect_version is not None and v != expect_version:
+        raise VersionConflictError(
+            f"table {table_dir} is at version {v}, expected {expect_version}"
+        )
+    with open(_manifest_path(table_dir, v)) as f:
+        manifest = json.load(f)
+
+    dups = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
+    if dups:
+        raise ValueError(
+            f"MERGE source has duplicate keys on {on} (e.g. {dups[0]}): "
+            "each target row must match at most one source row"
+        )
+
+    live = _with_row_identity(spark, table_dir, manifest["files"])
+    if manifest.get("dv"):
+        dv = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in manifest["dv"]]
+        ).select("file", "pos")
+        live = live.join(
+            dv,
+            (live["__file"] == dv["file"]) & (live["__pos"] == dv["pos"]),
+            "left_anti",
+        )
+    skey = source.select(*on).dropDuplicates(on)
+    matched_positions = (
+        live.join(skey, on, "left_semi")
+        .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+    )
+
+    version = v + 1
+
+    def _stage(df: DataFrame, prefix: str) -> list:
+        staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        moved = []
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                dst = f"{prefix}-v{version}-{name}"
+                os.rename(os.path.join(staging, name), os.path.join(table_dir, dst))
+                moved.append(dst)
+        for name in os.listdir(staging):
+            os.remove(os.path.join(staging, name))
+        os.rmdir(staging)
+        return moved
+
+    import pyarrow.parquet as pq
+
+    new_dv = _stage(matched_positions, "dv")
+    if sum(pq.read_metadata(os.path.join(table_dir, n)).num_rows for n in new_dv) == 0:
+        for n in new_dv:
+            os.remove(os.path.join(table_dir, n))
+        new_dv = []
+
+    target_cols = [c for c in live.columns if c not in ("__file", "__pos")]
+    if when_matched == "update" and when_not_matched == "insert":
+        incoming = source.select(*target_cols)  # every source row lands
+    elif when_matched == "update":
+        incoming = source.join(
+            live.select(*on).dropDuplicates(on), on, "left_semi"
+        ).select(*target_cols)
+    elif when_not_matched == "insert":
+        incoming = source.join(
+            live.select(*on).dropDuplicates(on), on, "left_anti"
+        ).select(*target_cols)
+    else:  # delete matched, ignore unmatched: no incoming rows
+        incoming = None
+
+    new_files = _stage(incoming, "data") if incoming is not None else []
+    if new_files and sum(
+        pq.read_metadata(os.path.join(table_dir, n)).num_rows for n in new_files
+    ) == 0:
+        for n in new_files:
+            os.remove(os.path.join(table_dir, n))
+        new_files = []
+
+    if not new_dv and not new_files:
+        return v  # nothing matched, nothing to insert
+
+    new_manifest = dict(manifest)
+    new_manifest["version"] = version
+    new_manifest["files"] = list(manifest["files"]) + new_files
+    if new_dv:
+        new_manifest["dv"] = list(manifest.get("dv", [])) + new_dv
+    if not _publish_manifest(table_dir, version, new_manifest):
+        for n in new_dv + new_files:
+            os.remove(os.path.join(table_dir, n))
+        raise VersionConflictError(
+            f"version {version} of {table_dir} was committed concurrently; "
+            "re-derive the merge against the new current version"
+        )
+    _advance_pointer(table_dir, version)
+    return version

@@ -511,3 +511,57 @@ def versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents"),
     )
+
+
+@register(
+    "versioned_merge_upsert",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 1000
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM final GROUP BY 1
+    """,
+)
+def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO end to end (`operators/versioned.py:merge_into`): the
+    base version holds even-keyed orders; the source holds every
+    key%3==0 order with a +1000 price adjustment. Matched rows are
+    UPDATED merge-on-read style (deletion-vector tombstone + appended
+    replacement — no file rewrite), unmatched source rows INSERT, and
+    the final read must equal the independent SQL replay (base minus
+    matched originals, plus all adjusted source rows). One new version,
+    cost O(matched + source); update/delete/insert matrix, duplicate-key
+    rejection, and history preservation pinned in
+    tests/test_versioned.py."""
+    import tempfile
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        merge_into,
+        read_snapshot,
+    )
+
+    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_mrg_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), table_dir)
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    merge_into(spark, table_dir, source, ["o_orderkey"])
+    return read_snapshot(spark, table_dir).groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )

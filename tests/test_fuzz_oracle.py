@@ -77,6 +77,7 @@ RECENT = [
     "versioned_zorder_prune",
     "versioned_optimize_compact",
     "versioned_delete_vectors",
+    "versioned_merge_upsert",
 ]
 
 

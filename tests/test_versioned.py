@@ -568,3 +568,99 @@ def test_deletion_vectors_with_pruned_reads(spark, tmp_path):
     delete_where(spark, t, "id % 2 = 1")
     got = {r.id for r in read_snapshot_pruned(spark, t, lo=100, hi=200).collect()}
     assert got == {i for i in range(100, 201) if i % 2 == 0}
+
+
+def test_merge_into_upsert_delete_and_history(spark, tmp_path):
+    """MERGE INTO (merge-on-read): update tombstones old rows via DV and
+    appends replacements, inserts append, delete-mode removes matched
+    rows; one version per merge; history intact; duplicate source keys
+    rejected."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        VersionConflictError,
+        _publish_manifest,
+        commit_snapshot,
+        current_version,
+        delete_where,
+        merge_into,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "mrg")
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "tag", "val"]
+        ),
+        t,
+    )  # v0
+    # upsert: update id=2, insert id=4
+    src = spark.createDataFrame([(2, "B", 21.0), (4, "d", 40.0)], ["id", "tag", "val"])
+    v1 = merge_into(spark, t, src, ["id"])
+    assert v1 == 1
+    got = {(r.id, r.tag, r.val) for r in read_snapshot(spark, t).collect()}
+    assert got == {(1, "a", 10.0), (2, "B", 21.0), (3, "c", 30.0), (4, "d", 40.0)}
+    # history: v0 is untouched
+    assert {(r.id, r.tag) for r in read_snapshot(spark, t, version=0).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+    # delete-mode merge: remove ids 1 and 3; unmatched source id 99 ignored
+    v2 = merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1,), (3,), (99,)], ["id"]),
+        ["id"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert v2 == 2
+    assert {(r.id, r.val) for r in read_snapshot(spark, t).collect()} == {
+        (2, 21.0), (4, 40.0)
+    }
+
+    # update-only merge (no inserts): unmatched source rows dropped
+    v3 = merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(2, "BB", 22.0), (7, "x", 0.0)], ["id", "tag", "val"]),
+        ["id"],
+        when_not_matched="ignore",
+    )
+    assert {(r.id, r.tag, r.val) for r in read_snapshot(spark, t).collect()} == {
+        (2, "BB", 22.0), (4, "d", 40.0)
+    }
+    # merge composes with standalone deletes
+    delete_where(spark, t, "id = 4")
+    assert {r.id for r in read_snapshot(spark, t).collect()} == {2}
+
+    # duplicate source keys: rejected (SQL MERGE multiple-match error)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(2, "x", 1.0), (2, "y", 2.0)], ["id", "tag", "val"]),
+            ["id"],
+        )
+    # no-op merge: nothing matched, nothing to insert -> version unchanged
+    v = current_version(t)
+    assert (
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(42,)], ["id"]),
+            ["id"],
+            when_matched="delete",
+            when_not_matched="ignore",
+        )
+        == v
+    )
+    # lost claim -> conflict, staged files cleaned up
+    assert _publish_manifest(t, v + 1, {"version": v + 1, "files": []})
+    with pytest.raises(VersionConflictError):
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(2, "z", 9.0)], ["id", "tag", "val"]),
+            ["id"],
+        )
