@@ -422,8 +422,18 @@ def agg_corr_covar_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass algebraic aggregates (partial moment sums merge
     map-side), so the battery costs one shuffle like a count."""
     li = load_table(spark, sf_dir, "lineitem")
+    # corr as try_divide(covar, sx*sy): Spark 4's builtin corr THROWS
+    # DIVIDE_BY_ZERO under ANSI when either variance is zero (constant
+    # column), where SQL engines yield NULL — same moments, same value,
+    # NULL on degenerate groups (caught by the all-ties fuzz dataset)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("l_quantity", "l_extendedprice"),
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+            ),
+            6,
+        ).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
         # n < 3: sample skewness undefined, population form degenerates to
         # 0 — pin to NULL in both engines (see oracle comment)

@@ -1766,7 +1766,10 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
     )
-    cos = F.col("dot") / (F.col("x.nrm") * F.col("y.nrm"))
+    # try_divide: an all-stopword/identical corpus yields zero tf-idf
+    # norms; /0 is an ANSI error in Spark and NULL in SQL engines — NULL
+    # then fails the similarity filter on both sides
+    cos = F.try_divide(F.col("dot"), F.col("x.nrm") * F.col("y.nrm"))
     return (
         dot.join(nrm.alias("x"), F.col("d1") == F.col("x.doc_id"))
         .join(nrm.alias("y"), F.col("d2") == F.col("y.doc_id"))

@@ -71,6 +71,7 @@ RECENT = [
     "text_decontaminate",
     "text_tfidf_top_terms",
     "text_sentences_udtf",
+    "text_sparse_cosine_pairs",
     "udaf_grouped_zscore",
     "user_activity_streaks",
     "versioned_time_travel",
@@ -116,6 +117,34 @@ def fuzz_nulls(spark, tmp_path_factory):
     return _build_fuzz_dir(
         spark, str(tmp_path_factory.mktemp("fuzz_nulls")), rows=5, null_keys=True
     )
+
+
+_PRIMARY_KEYS = {
+    "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+
+
+@pytest.fixture(scope="module")
+def fuzz_ties(spark, tmp_path_factory):
+    """Hot-key/all-ties tables: 40 copies of ONE row per table with only
+    the primary key varying — constant measures (zero variance), duplicate
+    sort keys everywhere. Caught Spark 4's ANSI corr throwing on zero
+    variance and a tf-idf norm /0 in round 5."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("fuzz_ties"))
+    for t in TABLES:
+        one = load_table(spark, SF_DIR, t).limit(1)
+        rep = (
+            one.crossJoin(spark.range(40).selectExpr("id AS __i"))
+            .withColumn(_PRIMARY_KEYS[t], F.col("__i").cast("long"))
+            .drop("__i")
+        )
+        rep.coalesce(1).write.mode("overwrite").parquet(f"{base}/{t}.parquet")
+    return base
 
 
 def _duck_for(fuzz_dir: str):
@@ -169,6 +198,11 @@ def test_fuzz_single_row_tables(name, spark, fuzz_single):
 @pytest.mark.parametrize("name", RECENT)
 def test_fuzz_null_group_keys(name, spark, fuzz_nulls):
     _compare(name, spark, fuzz_nulls)
+
+
+@pytest.mark.parametrize("name", RECENT)
+def test_fuzz_all_ties(name, spark, fuzz_ties):
+    _compare(name, spark, fuzz_ties)
 
 
 # --- hypothesis property fuzz for the partition-arithmetic operators ---
