@@ -224,13 +224,33 @@ def read_snapshot(
     )
 
 
-def vacuum(table_dir: str, *, keep_last: int = 2) -> list[str]:
+def vacuum(
+    table_dir: str, *, keep_last: int = 2, orphan_ttl_seconds: float = 3600.0
+) -> list[str]:
     """Delete data files unreachable from the `keep_last` most recent
     manifests (and drop older manifests). Returns the deleted file names.
-    Never touches files the retained versions reference."""
+    Never touches files the retained versions reference.
+
+    Crash debris: a writer that died between staging and publishing
+    leaves `_staging-*` dirs / `_manifest-tmp-*` files behind; vacuum
+    sweeps those too, but only past `orphan_ttl_seconds` of age so an
+    IN-FLIGHT commit's staging is never yanked from under it (the same
+    age guard Delta's VACUUM applies to uncommitted files)."""
+    import shutil
+    import time as _time
+
     latest = current_version(table_dir)
     if latest is None:
         return []
+    now = _time.time()
+    for name in list(os.listdir(table_dir)):
+        if name.startswith(("_staging-", "_manifest-tmp-")):
+            p = os.path.join(table_dir, name)
+            try:
+                if now - os.path.getmtime(p) > orphan_ttl_seconds:
+                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            except FileNotFoundError:
+                pass  # concurrent vacuum / commit finished cleanup first
     # A prior vacuum with a smaller keep_last may already have dropped the
     # older manifests in this range — retain only what is still reachable
     # instead of failing on the missing ones.

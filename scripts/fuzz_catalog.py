@@ -1,0 +1,158 @@
+"""Full-catalog adversarial oracle audit: run EVERY oracled query on a
+pathological dataset and hash-compare against its DuckDB oracle, exactly
+like the external correctness driver but on data built to hit boundaries.
+
+    python scripts/fuzz_catalog.py [single|nulls|ties|unicode|all]
+
+Scenarios (round-5 findings in brackets):
+  single  — 1 row per table: degenerate groups, empty windows
+            [quantile ceiling-rank bug; histogram ANSI /0; zscore 0-vs-NULL]
+  nulls   — 5 rows, all-NULL group keys, half-NULL measures
+            [SCD2 NULL-state run detection; XML concat NULL-propagation;
+             3 oracles mis-stating NULL rules]
+  ties    — 40 copies of one row, only primary keys vary: zero variance,
+            duplicate sort keys [ANSI corr throw; tf-idf norm /0]
+  unicode — CJK/emoji/RTL/combining-accent text spliced into documents
+            and part names: char-vs-byte parity, regex classes [clean]
+
+The CI suite pins a ~45-query subset of these (tests/test_fuzz_oracle.py);
+this script is the full sweep, to re-run whenever queries are added.
+Exit code 0 iff no divergences."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_FUZZ_BASE_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+PRIMARY_KEYS = {
+    "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+UNICODE_SNIPPETS = [
+    "数据 处理 引擎 🚀 テスト",
+    "café naïve résumé ñandú",
+    "שלום עולם مرحبا بالعالم",
+    "Ωμέγα αλφα έτοιμο",
+]
+
+
+def build(spark, scenario: str) -> str:
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.sources.files import load_table
+
+    base = tempfile.mkdtemp(prefix=f"fuzz_{scenario}_")
+    for t in TABLES:
+        if scenario == "single":
+            df = load_table(spark, SF, t).limit(1)
+        elif scenario == "nulls":
+            df = load_table(spark, SF, t).limit(5)
+            if t == "events":
+                df = df.withColumn("event_type", F.lit(None).cast("string")).withColumn(
+                    "value", F.when(F.col("event_id") % 2 == 0, F.col("value"))
+                )
+            if t == "orders":
+                df = df.withColumn(
+                    "o_orderpriority",
+                    F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")),
+                )
+        elif scenario == "ties":
+            one = load_table(spark, SF, t).limit(1)
+            df = (
+                one.crossJoin(spark.range(40).selectExpr("id AS __i"))
+                .withColumn(PRIMARY_KEYS[t], F.col("__i").cast("long"))
+                .drop("__i")
+            )
+        elif scenario == "unicode":
+            df = load_table(spark, SF, t).limit(30)
+            snips = F.array(*[F.lit(s) for s in UNICODE_SNIPPETS])
+            if t == "documents":
+                df = df.withColumn(
+                    "text",
+                    F.concat(
+                        F.element_at(snips, (F.col("doc_id") % 4 + 1).cast("int")),
+                        F.lit(" "),
+                        F.col("text"),
+                        F.lit(" "),
+                        F.element_at(snips, ((F.col("doc_id") + 2) % 4 + 1).cast("int")),
+                    ),
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            if t == "part":
+                df = df.withColumn("p_name", F.concat(F.col("p_name"), F.lit(" café—κ")))
+        else:
+            raise ValueError(scenario)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/{t}.parquet")
+    return base
+
+
+def sweep(spark, scenario: str) -> list:
+    import duckdb
+
+    from hw_kafka_flink_health_spark.queries import ORACLES, QUERIES
+    from tests.test_oracle import canon
+
+    base = build(spark, scenario)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{base}/{t}.parquet/*.parquet')"
+        )
+    fails = []
+    todo = sorted(ORACLES)
+    for i, name in enumerate(todo):
+        t0 = time.time()
+        try:
+            sdf = QUERIES[name](spark, base).toPandas()
+        except Exception as e:
+            fails.append((scenario, name, f"spark error: {str(e)[:150]}"))
+            print(f"{scenario} {name}: SPARK ERROR", flush=True)
+            continue
+        try:
+            odf = con.execute(ORACLES[name]).df()
+        except Exception as e:
+            fails.append((scenario, name, f"oracle error: {str(e)[:150]}"))
+            print(f"{scenario} {name}: ORACLE ERROR", flush=True)
+            continue
+        ok = (
+            len(sdf) == len(odf)
+            and sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns))
+            and canon(sdf) == canon(odf)
+        )
+        if not ok:
+            fails.append((scenario, name, f"rows {len(sdf)}/{len(odf)}"))
+            print(f"{scenario} {name}: MISMATCH", flush=True)
+        if i % 40 == 0:
+            print(f"[{scenario} {i}/{len(todo)}] ({time.time()-t0:.1f}s)", flush=True)
+    con.close()
+    return fails
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from hw_kafka_flink_health_spark.session import get_spark
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    scenarios = ["single", "nulls", "ties", "unicode"] if which == "all" else [which]
+    spark = get_spark(app_name="fuzz_catalog", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    fails = []
+    for s in scenarios:
+        fails += sweep(spark, s)
+    print(f"\nFUZZ FAILURES: {len(fails)}")
+    for f in fails:
+        print(" ", f)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

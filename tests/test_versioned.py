@@ -664,3 +664,39 @@ def test_merge_into_upsert_delete_and_history(spark, tmp_path):
             spark.createDataFrame([(2, "z", 9.0)], ["id", "tag", "val"]),
             ["id"],
         )
+
+
+def test_vacuum_sweeps_aged_crash_debris_only(spark, tmp_path):
+    """A crashed writer's staging dir / manifest temp must be reclaimed by
+    vacuum once AGED, while fresh ones (possibly an in-flight commit)
+    survive; unreferenced data files from the crash are reclaimed by the
+    normal reachability rule."""
+    import os as _os
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "crash")
+    commit_snapshot(spark.range(10), t)
+    # simulate a crash: staged dir + manifest temp + an orphan data file
+    _os.makedirs(f"{t}/_staging-deadbeef")
+    open(f"{t}/_staging-deadbeef/part-x.parquet", "w").write("x")
+    open(f"{t}/_manifest-tmp-deadbeef", "w").write("{}")
+    open(f"{t}/data-v9-orphan.parquet", "w").write("x")
+    # fresh debris survives a vacuum (could be an in-flight commit)...
+    vacuum(t, keep_last=2)
+    assert _os.path.isdir(f"{t}/_staging-deadbeef")
+    assert _os.path.exists(f"{t}/_manifest-tmp-deadbeef")
+    # ...but the unreferenced data file goes immediately (reachability)
+    assert not _os.path.exists(f"{t}/data-v9-orphan.parquet")
+    # age the debris past the TTL -> swept
+    old = _os.path.getmtime(f"{t}/_manifest-tmp-deadbeef") - 7200
+    _os.utime(f"{t}/_staging-deadbeef", (old, old))
+    _os.utime(f"{t}/_manifest-tmp-deadbeef", (old, old))
+    vacuum(t, keep_last=2)
+    assert not _os.path.exists(f"{t}/_staging-deadbeef")
+    assert not _os.path.exists(f"{t}/_manifest-tmp-deadbeef")
+    assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(10))
