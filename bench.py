@@ -165,6 +165,7 @@ HEADLINE = [
     "versioned_optimize_compact",
     "versioned_delete_vectors",
     "versioned_merge_upsert",
+    "versioned_incremental_delta",
     "text_sentences_udtf",
     "doc_winnowing_fingerprint",
     "multimodal_decode_features",

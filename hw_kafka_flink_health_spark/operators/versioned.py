@@ -929,3 +929,36 @@ def merge_into(
         )
     _advance_pointer(table_dir, version)
     return version
+
+
+def read_version_delta(
+    spark: SparkSession, table_dir: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Rows ADDED between two versions of an append-only chain, read from
+    ONLY the files the newer manifest added — the manifest diff IS the
+    change feed, so incremental consumers (rollup maintenance, CDC
+    forwarding, index refresh) scan O(delta), never O(table). Raises when
+    the span is not pure-append (a file was removed or deletion vectors
+    changed): such a span has removals a file-level diff cannot express —
+    use snapshot_diff over time-travel reads there instead."""
+    with open(_manifest_path(table_dir, from_version)) as f:
+        m0 = json.load(f)
+    with open(_manifest_path(table_dir, to_version)) as f:
+        m1 = json.load(f)
+    if not set(m0["files"]).issubset(set(m1["files"])) or m0.get("dv") != m1.get("dv"):
+        raise ValueError(
+            f"versions {from_version}..{to_version} of {table_dir} are not an "
+            "append-only span (files removed or deletion vectors changed); "
+            "use snapshot_diff over read_snapshot(version=...) instead"
+        )
+    new_files = [n for n in m1["files"] if n not in set(m0["files"])]
+    if not new_files:
+        base = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, p) for p in m1["files"][:1]]
+        )
+        from pyspark.sql import functions as F
+
+        return base.filter(F.lit(False))
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, p) for p in new_files]
+    )

@@ -79,6 +79,7 @@ RECENT = [
     "versioned_optimize_compact",
     "versioned_delete_vectors",
     "versioned_merge_upsert",
+    "versioned_incremental_delta",
 ]
 
 

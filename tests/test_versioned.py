@@ -700,3 +700,35 @@ def test_vacuum_sweeps_aged_crash_debris_only(spark, tmp_path):
     assert not _os.path.exists(f"{t}/_staging-deadbeef")
     assert not _os.path.exists(f"{t}/_manifest-tmp-deadbeef")
     assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(10))
+
+
+def test_read_version_delta_is_file_level_and_guards_non_append(spark, tmp_path):
+    """The manifest diff is the change feed: the delta read opens ONLY the
+    newer version's added files (proven via _metadata), returns exactly
+    the appended rows, and refuses spans where files were removed or
+    deletion vectors changed (no file-level representation of removals)."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        delete_where,
+        read_version_delta,
+    )
+
+    t = str(tmp_path / "delta")
+    commit_snapshot(spark.range(100).selectExpr("id"), t)  # v0
+    commit_snapshot(spark.range(100, 150).selectExpr("id"), t, mode="append")  # v1
+    d = read_version_delta(spark, t, 0, 1)
+    assert {r.id for r in d.collect()} == set(range(100, 150))
+    # file-level: only v1's files are opened
+    touched = {
+        r.f.rsplit("/", 1)[-1]
+        for r in d.selectExpr("_metadata.file_path AS f").distinct().collect()
+    }
+    assert all(name.startswith("data-v1-") for name in touched), touched
+    # empty span: schema preserved, zero rows
+    assert read_version_delta(spark, t, 1, 1).count() == 0
+    # a delete breaks the append-only property -> explicit refusal
+    delete_where(spark, t, "id < 10")  # v2
+    with pytest.raises(ValueError, match="append-only"):
+        read_version_delta(spark, t, 1, 2)
