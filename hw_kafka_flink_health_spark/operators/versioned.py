@@ -808,6 +808,7 @@ def merge_into(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     expect_version: int | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """MERGE INTO for versioned tables — the full upsert/delete DML verb,
     composed merge-on-read style from the primitives this module already
@@ -920,6 +921,10 @@ def merge_into(
     new_manifest["files"] = list(manifest["files"]) + new_files
     if new_dv:
         new_manifest["dv"] = list(manifest.get("dv", [])) + new_dv
+    if batch_id is not None:
+        # transactional streaming sink: record which stream batch this
+        # merge applied (see last_committed_batch / commit_snapshot)
+        new_manifest["batch_id"] = batch_id
     if not _publish_manifest(table_dir, version, new_manifest):
         for n in new_dv + new_files:
             os.remove(os.path.join(table_dir, n))

@@ -214,13 +214,18 @@ def foreach_batch_versioned_upsert(
     impossible (vs the idempotent-overwrite form in
     `foreach_batch_upsert`, which re-does work on replay). Every batch
     leaves a time-travelable version behind: the materialized view AND
-    its full history from one sink."""
-    from hw_kafka_flink_health_spark.operators.relational import merge_upsert
+    its full history from one sink.
+
+    Each batch commits via `merge_into` (deletion-vector tombstones +
+    appended rows), so the per-batch cost is O(batch + matched), never
+    O(table) — the property that keeps a continuously-upserting sink
+    viable against a 100 TB table. The append-per-batch file pattern is
+    exactly what `compact_snapshot` maintains."""
     from hw_kafka_flink_health_spark.operators.versioned import (
         commit_snapshot,
         current_version,
         last_committed_batch,
-        read_snapshot,
+        merge_into,
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -229,12 +234,10 @@ def foreach_batch_versioned_upsert(
             return  # replayed batch: already committed, exactly-once skip
         spark = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates(key_cols)
-        if current_version(table_dir) is not None:
-            base = read_snapshot(spark, table_dir)
-            merged = merge_upsert(base, batch_df.select(*base.columns), key_cols)
+        if current_version(table_dir) is None:
+            commit_snapshot(batch_df, table_dir, batch_id=batch_id)
         else:
-            merged = batch_df
-        commit_snapshot(merged, table_dir, batch_id=batch_id)
+            merge_into(spark, table_dir, batch_df, key_cols, batch_id=batch_id)
 
     return (
         df.writeStream.foreachBatch(write_batch)
