@@ -86,6 +86,17 @@ def _advance_pointer(table_dir: str, version: int) -> None:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
+            # liveness: a writer that crashed between acquire and release
+            # would otherwise deadlock every future commit. The critical
+            # section is two tiny file ops (ms), so a lock older than 30 s
+            # is abandoned — steal it (rmdir-free; races between stealers
+            # collapse into whoever wins the next O_EXCL).
+            try:
+                if _time.time() - os.path.getmtime(lock) > 30.0:
+                    os.remove(lock)
+                    continue
+            except FileNotFoundError:
+                continue  # holder just released; retry immediately
             _time.sleep(0.002)
     else:
         raise TimeoutError(f"could not acquire pointer lock in {table_dir}")

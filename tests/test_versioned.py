@@ -732,3 +732,24 @@ def test_read_version_delta_is_file_level_and_guards_non_append(spark, tmp_path)
     delete_where(spark, t, "id < 10")  # v2
     with pytest.raises(ValueError, match="append-only"):
         read_version_delta(spark, t, 1, 2)
+
+
+def test_stale_pointer_lock_is_stolen(spark, tmp_path):
+    """A crashed writer's abandoned _latest.lock must not deadlock future
+    commits: locks older than the staleness bound are stolen."""
+    import os as _os
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        current_version,
+    )
+
+    t = str(tmp_path / "lk")
+    commit_snapshot(spark.range(5), t)
+    # simulate the crash: abandoned lock, backdated past the 30 s bound
+    lock = f"{t}/_latest.lock"
+    open(lock, "w").close()
+    old = _os.path.getmtime(lock) - 120
+    _os.utime(lock, (old, old))
+    v = commit_snapshot(spark.range(5, 10), t, mode="append")  # must not hang
+    assert v == 1 and current_version(t) == 1
