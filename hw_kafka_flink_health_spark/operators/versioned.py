@@ -978,3 +978,18 @@ def read_version_delta(
     return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_dir, p) for p in new_files]
     )
+
+
+def scratch_table_dir(prefix: str) -> str:
+    """Temp table dir for demo/driver queries, reclaimed at interpreter
+    exit (atexit) — repeated bench/correctness runs otherwise accumulate
+    orphaned table dirs in /tmp. The dir must outlive the query's LAZY
+    DataFrame (collected by the caller), so cleanup cannot happen any
+    earlier than process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

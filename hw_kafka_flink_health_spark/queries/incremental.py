@@ -332,15 +332,14 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     travel that sees v2, or a pruning pass that drops a live file all
     break the value hash. File-list-level replay (manifest -> DuckDB
     read_parquet([...])) is additionally pinned in tests/test_versioned.py."""
-    import tempfile
-
     from hw_kafka_flink_health_spark.operators.versioned import (
+        scratch_table_dir,
         commit_snapshot,
         commit_snapshot_clustered,
         read_snapshot_pruned,
     )
 
-    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_tt_")
+    table_dir = scratch_table_dir("spark_graft_versioned_tt_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
@@ -391,14 +390,13 @@ def versioned_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured in tests/test_versioned.py). The oracle replays the same
     predicate on the source table, so a layout or pruning bug that drops
     or duplicates rows breaks the value hash."""
-    import tempfile
-
     from hw_kafka_flink_health_spark.operators.versioned import (
+        scratch_table_dir,
         commit_snapshot_zordered,
         read_snapshot_pruned_2d,
     )
 
-    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_z_")
+    table_dir = scratch_table_dir("spark_graft_versioned_z_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
@@ -436,15 +434,14 @@ def versioned_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     says — a compaction that loses, duplicates, or reorders-into-wrong-
     files data breaks the value hash. File-count/history/stats behavior
     is pinned in tests/test_versioned.py."""
-    import tempfile
-
     from hw_kafka_flink_health_spark.operators.versioned import (
+        scratch_table_dir,
         commit_snapshot,
         compact_snapshot,
         read_snapshot,
     )
 
-    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_opt_")
+    table_dir = scratch_table_dir("spark_graft_versioned_opt_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -488,15 +485,14 @@ def versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses rows, hits the wrong positions, or double-applies breaks the
     value hash. Vector purge on compaction + pruned-read composition are
     pinned in tests/test_versioned.py."""
-    import tempfile
-
     from hw_kafka_flink_health_spark.operators.versioned import (
+        scratch_table_dir,
         commit_snapshot,
         delete_where,
         read_snapshot,
     )
 
-    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_dv_")
+    table_dir = scratch_table_dir("spark_graft_versioned_dv_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
@@ -540,15 +536,14 @@ def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost O(matched + source); update/delete/insert matrix, duplicate-key
     rejection, and history preservation pinned in
     tests/test_versioned.py."""
-    import tempfile
-
     from hw_kafka_flink_health_spark.operators.versioned import (
+        scratch_table_dir,
         commit_snapshot,
         merge_into,
         read_snapshot,
     )
 
-    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_mrg_")
+    table_dir = scratch_table_dir("spark_graft_versioned_mrg_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -587,15 +582,14 @@ def versioned_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the difference between an hourly rollup that reads an hour
     and one that rescans the lake; the file-level delta proof and the
     non-append guard live in tests/test_versioned.py."""
-    import tempfile
-
     from hw_kafka_flink_health_spark.operators.versioned import (
+        scratch_table_dir,
         commit_snapshot,
         read_snapshot,
         read_version_delta,
     )
 
-    table_dir = tempfile.mkdtemp(prefix="spark_graft_versioned_inc_")
+    table_dir = scratch_table_dir("spark_graft_versioned_inc_")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
