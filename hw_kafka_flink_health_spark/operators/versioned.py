@@ -993,3 +993,38 @@ def scratch_table_dir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
+
+
+class ConstraintViolationError(RuntimeError):
+    """A commit-time CHECK constraint failed; the commit published nothing."""
+
+
+def commit_snapshot_checked(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    check: str,
+    mode: str = "overwrite",
+    batch_id: int | None = None,
+    expect_version: int | None = None,
+) -> int:
+    """Commit with a Delta-style CHECK constraint: every incoming row must
+    satisfy the SQL predicate `check`, or the whole commit is rejected
+    BEFORE anything publishes (the table never holds a version that
+    violates its contract — enforcement at the table boundary, not in
+    every producer). The validation is one aggregate over the incoming
+    data only (O(new data)); the error reports the violation count and a
+    sample row for debugging."""
+    from pyspark.sql import functions as F
+
+    bad = df.filter(~F.expr(check).eqNullSafe(F.lit(True)))
+    sample = bad.limit(1).collect()
+    if sample:
+        n_bad = bad.count()
+        raise ConstraintViolationError(
+            f"CHECK ({check}) failed for {n_bad} incoming row(s); "
+            f"example: {sample[0].asDict()}"
+        )
+    return commit_snapshot(
+        df, table_dir, mode=mode, batch_id=batch_id, expect_version=expect_version
+    )

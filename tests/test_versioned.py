@@ -753,3 +753,35 @@ def test_stale_pointer_lock_is_stolen(spark, tmp_path):
     _os.utime(lock, (old, old))
     v = commit_snapshot(spark.range(5, 10), t, mode="append")  # must not hang
     assert v == 1 and current_version(t) == 1
+
+
+def test_commit_check_constraint_rejects_before_publish(spark, tmp_path):
+    """CHECK constraints: a violating commit publishes NOTHING (version
+    unchanged, no orphan manifest), NULL check results count as
+    violations (SQL CHECK accepts only TRUE... here the strict table-
+    boundary reading), and clean commits pass through."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        ConstraintViolationError,
+        commit_snapshot_checked,
+        current_version,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "chk")
+    commit_snapshot_checked(
+        spark.range(10).selectExpr("id", "id * 2 AS v"), t, check="v >= 0"
+    )
+    assert current_version(t) == 0
+    with pytest.raises(ConstraintViolationError, match=r"CHECK \(v >= 0\)"):
+        commit_snapshot_checked(
+            spark.range(5).selectExpr("id", "id - 3 AS v"), t, check="v >= 0"
+        )
+    assert current_version(t) == 0  # nothing published
+    # NULL check result = violation (strict boundary)
+    with pytest.raises(ConstraintViolationError):
+        commit_snapshot_checked(
+            spark.createDataFrame([(1, None)], "id long, v long"), t, check="v >= 0"
+        )
+    assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(10))
