@@ -69,8 +69,12 @@ def emulated_produce(bootstrap: str, topic: str, values: list) -> None:
     bytes; they land as base64 so arbitrary bytes survive."""
     d = _emulated_topic_dir(bootstrap, topic)
     now = int(time.time() * 1000)
-    path = os.path.join(d, f"batch-{now}-{uuid.uuid4().hex[:8]}.jsonl")
-    tmp = path + ".tmp"
+    name = f"batch-{now}-{uuid.uuid4().hex[:8]}.jsonl"
+    path = os.path.join(d, name)
+    # stage under a DOT-prefixed name: Spark's file listing ignores hidden
+    # files, so a reader can never observe the half-written batch (a
+    # "<name>.tmp" suffix would NOT be hidden and could be listed mid-write)
+    tmp = os.path.join(d, f".{name}.tmp")
     with open(tmp, "w") as f:
         for i, v in enumerate(values):
             raw = v if isinstance(v, bytes) else str(v).encode("utf-8")
