@@ -72,6 +72,37 @@ def _rewrite_manifest(table_dir: str, version: int, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(table_dir, version))
 
 
+def _stage_parquet(df: DataFrame, table_dir: str, prefix: str, version: int) -> list:
+    """Write df to a scratch dir and move its part files into the table
+    dir as `{prefix}-v{version}-<part>` — the shared staging step of every
+    commit path. The moved files are invisible to readers until a
+    manifest references them (and vacuum's never-referenced TTL guard
+    protects them while the commit is in flight)."""
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    moved = []
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            dst = f"{prefix}-v{version}-{name}"
+            os.rename(os.path.join(staging, name), os.path.join(table_dir, dst))
+            moved.append(dst)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+    return moved
+
+
+def _staged_rows(table_dir: str, files: list) -> int:
+    """Total row count of just-staged files, from footers (driver-side,
+    O(files) metadata) — the zero-matches/no-op detection every DV-writing
+    path needs."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(table_dir, n)).num_rows for n in files
+    )
+
+
 def _advance_pointer(table_dir: str, version: int) -> None:
     """Move `_latest` forward to `version` unless it already points past
     it — the pointer is MONOTONIC (without the check, a slow v5 writer
@@ -89,14 +120,18 @@ def _advance_pointer(table_dir: str, version: int) -> None:
             # liveness: a writer that crashed between acquire and release
             # would otherwise deadlock every future commit. The critical
             # section is two tiny file ops (ms), so a lock older than 30 s
-            # is abandoned — steal it (rmdir-free; races between stealers
-            # collapse into whoever wins the next O_EXCL).
+            # is abandoned — steal it by ATOMIC RENAME, never a direct
+            # remove: rename succeeds for exactly one stealer, so a loser
+            # can't delete a FRESH lock someone else just re-acquired
+            # (which would let two writers into the critical section).
             try:
                 if _time.time() - os.path.getmtime(lock) > 30.0:
-                    os.remove(lock)
+                    corpse = lock + f".stale-{uuid.uuid4().hex}"
+                    os.rename(lock, corpse)
+                    os.remove(corpse)
                     continue
             except FileNotFoundError:
-                continue  # holder just released; retry immediately
+                continue  # holder just released (or another stealer won)
             _time.sleep(0.002)
     else:
         raise TimeoutError(f"could not acquire pointer lock in {table_dir}")
@@ -165,28 +200,25 @@ def commit_snapshot(
         )
     version = 0 if prev is None else prev + 1
 
-    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    new_files = []
-    for name in sorted(os.listdir(staging)):
-        if name.endswith(".parquet"):
-            dst = f"data-v{version}-{name}"
-            os.rename(os.path.join(staging, name), os.path.join(table_dir, dst))
-            new_files.append(dst)
-    # scrap the staging skeleton (_SUCCESS etc.)
-    for name in os.listdir(staging):
-        os.remove(os.path.join(staging, name))
-    os.rmdir(staging)
+    new_files = _stage_parquet(df, table_dir, "data", version)
 
     for _attempt in range(max_retries + 1):
         files = list(new_files)
+        dv = []
         base = version - 1
         if mode == "append" and base >= 0:
             # the base manifest exists even if its writer has not flipped
             # the pointer yet (claims publish content-complete manifests)
             with open(_manifest_path(table_dir, base)) as f:
-                files = json.load(f)["files"] + files
+                base_manifest = json.load(f)
+            files = base_manifest["files"] + files
+            # append preserves the base's deletion vectors — dropping them
+            # would resurrect every previously deleted row (overwrite
+            # correctly discards them: the table is being replaced)
+            dv = list(base_manifest.get("dv", []))
         manifest = {"version": version, "files": files}
+        if dv:
+            manifest["dv"] = dv
         if batch_id is not None:
             # transactional-sink support: the manifest records which stream
             # batch produced this version, so a replayed batch is detected
@@ -242,11 +274,14 @@ def vacuum(
     manifests (and drop older manifests). Returns the deleted file names.
     Never touches files the retained versions reference.
 
-    Crash debris: a writer that died between staging and publishing
-    leaves `_staging-*` dirs / `_manifest-tmp-*` files behind; vacuum
-    sweeps those too, but only past `orphan_ttl_seconds` of age so an
-    IN-FLIGHT commit's staging is never yanked from under it (the same
-    age guard Delta's VACUUM applies to uncommitted files)."""
+    Uncommitted-file safety: a concurrent writer moves its data/dv files
+    into the table dir BEFORE claiming a manifest, so a file referenced
+    by NO manifest at all may be an in-flight commit, not garbage —
+    such never-referenced files (and `_staging-*` / `_manifest-tmp-*`
+    debris) are only swept past `orphan_ttl_seconds` of age (the age
+    guard Delta's VACUUM applies to uncommitted files). Files referenced
+    by some manifest but not a RETAINED one are ordinary expired history
+    and are reclaimed immediately."""
     import shutil
     import time as _time
 
@@ -276,13 +311,38 @@ def vacuum(
         except FileNotFoundError:
             continue
         keep_versions.append(v)
+    # every file any manifest on disk references — computed BEFORE old
+    # manifests are deleted, so expired history is distinguishable from
+    # never-referenced (possibly in-flight) files
+    referenced_any: set[str] = set(keep_files)
+    for name in os.listdir(table_dir):
+        if name.startswith("manifest-v"):
+            try:
+                with open(os.path.join(table_dir, name)) as f:
+                    m = json.load(f)
+                referenced_any.update(m["files"])
+                referenced_any.update(m.get("dv", []))
+            except (FileNotFoundError, ValueError):
+                continue
     deleted = []
     for name in sorted(os.listdir(table_dir)):
         if (
             (name.startswith("data-") or name.startswith("dv-"))
             and name not in keep_files
         ):
-            os.remove(os.path.join(table_dir, name))
+            p = os.path.join(table_dir, name)
+            if name not in referenced_any:
+                # never referenced: could be a commit mid-publish — only
+                # sweep once it is unambiguously abandoned
+                try:
+                    if now - os.path.getmtime(p) <= orphan_ttl_seconds:
+                        continue
+                except FileNotFoundError:
+                    continue
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                continue
             deleted.append(name)
         elif name.startswith("manifest-v"):
             v = int(name.split("manifest-v")[1].split(".")[0])
@@ -609,19 +669,13 @@ def compact_snapshot(
         )
     merged = merged.coalesce(target_files)
     version = v + 1
-    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
-    merged.write.mode("overwrite").parquet(staging)
-    new_files = []
-    for name in sorted(os.listdir(staging)):
-        if name.endswith(".parquet"):
-            dst = f"data-v{version}-{name}"
-            os.rename(os.path.join(staging, name), os.path.join(table_dir, dst))
-            new_files.append(dst)
-    for name in os.listdir(staging):
-        os.remove(os.path.join(staging, name))
-    os.rmdir(staging)
+    new_files = _stage_parquet(merged, table_dir, "data", version)
 
     new_manifest = {"version": version, "files": big + new_files}
+    if "batch_id" in manifest:
+        # maintenance must not erase the streaming sink's exactly-once
+        # marker: the compacted table still reflects that batch
+        new_manifest["batch_id"] = manifest["batch_id"]
     if manifest.get("dv"):
         # entries for rewritten files were purged into the new data; keep
         # only the entries that still target a carried big file, compacted
@@ -633,23 +687,8 @@ def compact_snapshot(
         from pyspark.sql import functions as F
 
         kept_dv = dv.filter(F.col("file").isin(big)).coalesce(1)
-        dv_stage = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
-        kept_dv.write.mode("overwrite").parquet(dv_stage)
-        import pyarrow.parquet as _pq
-
-        dv_files = []
-        for name in sorted(os.listdir(dv_stage)):
-            if name.endswith(".parquet"):
-                dst = f"dv-v{version}-{name}"
-                os.rename(os.path.join(dv_stage, name), os.path.join(table_dir, dst))
-                dv_files.append(dst)
-        for name in os.listdir(dv_stage):
-            os.remove(os.path.join(dv_stage, name))
-        os.rmdir(dv_stage)
-        n_live = sum(
-            _pq.read_metadata(os.path.join(table_dir, n)).num_rows for n in dv_files
-        )
-        if n_live:
+        dv_files = _stage_parquet(kept_dv, table_dir, "dv", version)
+        if _staged_rows(table_dir, dv_files):
             new_manifest["dv"] = dv_files
         else:
             for n in dv_files:
@@ -681,6 +720,12 @@ def compact_snapshot(
         if key in manifest:
             new_manifest[key] = manifest[key]
     if not _publish_manifest(table_dir, version, new_manifest):
+        for n in new_files + new_manifest.get("dv", []):
+            if n.startswith(f"data-v{version}-") or n.startswith(f"dv-v{version}-"):
+                try:
+                    os.remove(os.path.join(table_dir, n))
+                except FileNotFoundError:
+                    pass
         raise VersionConflictError(
             f"compaction of {table_dir} lost the claim for version {version} "
             "to a concurrent commit; re-run against the new current version"
@@ -773,25 +818,10 @@ def delete_where(
     )
 
     version = v + 1
-    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
-    matched.write.mode("overwrite").parquet(staging)
-    new_dv = []
-    for name in sorted(os.listdir(staging)):
-        if name.endswith(".parquet"):
-            dst = f"dv-v{version}-{name}"
-            os.rename(os.path.join(staging, name), os.path.join(table_dir, dst))
-            new_dv.append(dst)
-    for name in os.listdir(staging):
-        os.remove(os.path.join(staging, name))
-    os.rmdir(staging)
+    new_dv = _stage_parquet(matched, table_dir, "dv", version)
     # zero matches -> no-op at version v (an empty part file may still
     # exist; footers say how many rows actually matched)
-    import pyarrow.parquet as pq
-
-    n_matched = sum(
-        pq.read_metadata(os.path.join(table_dir, name)).num_rows for name in new_dv
-    )
-    if n_matched == 0:
+    if _staged_rows(table_dir, new_dv) == 0:
         for name in new_dv:
             os.remove(os.path.join(table_dir, name))
         return v
@@ -879,25 +909,8 @@ def merge_into(
     )
 
     version = v + 1
-
-    def _stage(df: DataFrame, prefix: str) -> list:
-        staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
-        moved = []
-        for name in sorted(os.listdir(staging)):
-            if name.endswith(".parquet"):
-                dst = f"{prefix}-v{version}-{name}"
-                os.rename(os.path.join(staging, name), os.path.join(table_dir, dst))
-                moved.append(dst)
-        for name in os.listdir(staging):
-            os.remove(os.path.join(staging, name))
-        os.rmdir(staging)
-        return moved
-
-    import pyarrow.parquet as pq
-
-    new_dv = _stage(matched_positions, "dv")
-    if sum(pq.read_metadata(os.path.join(table_dir, n)).num_rows for n in new_dv) == 0:
+    new_dv = _stage_parquet(matched_positions, table_dir, "dv", version)
+    if _staged_rows(table_dir, new_dv) == 0:
         for n in new_dv:
             os.remove(os.path.join(table_dir, n))
         new_dv = []
@@ -916,10 +929,12 @@ def merge_into(
     else:  # delete matched, ignore unmatched: no incoming rows
         incoming = None
 
-    new_files = _stage(incoming, "data") if incoming is not None else []
-    if new_files and sum(
-        pq.read_metadata(os.path.join(table_dir, n)).num_rows for n in new_files
-    ) == 0:
+    new_files = (
+        _stage_parquet(incoming, table_dir, "data", version)
+        if incoming is not None
+        else []
+    )
+    if new_files and _staged_rows(table_dir, new_files) == 0:
         for n in new_files:
             os.remove(os.path.join(table_dir, n))
         new_files = []

@@ -406,9 +406,9 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- Spark's population excess kurtosis directly. n < 3 pinned to
            -- NULL on both sides: the sample G1 is undefined there while the
            -- population form degenerates to 0 — an engine-dependent answer.
-           CASE WHEN count(*) >= 3 THEN
-             round(skewness(l_quantity) * (count(*) - 2)
-                   / sqrt(count(*) * (count(*) - 1.0)), 6)
+           CASE WHEN count(l_quantity) >= 3 THEN
+             round(skewness(l_quantity) * (count(l_quantity) - 2)
+                   / sqrt(count(l_quantity) * (count(l_quantity) - 1.0)), 6)
            END AS skew_qty,
            round(kurtosis_pop(l_quantity), 6) AS kurt_qty,
            CAST(count(*) AS BIGINT) AS n
@@ -425,20 +425,26 @@ def agg_corr_covar_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corr as try_divide(covar, sx*sy): Spark 4's builtin corr THROWS
     # DIVIDE_BY_ZERO under ANSI when either variance is zero (constant
     # column), where SQL engines yield NULL — same moments, same value,
-    # NULL on degenerate groups (caught by the all-ties fuzz dataset)
+    # NULL on degenerate groups (caught by the all-ties fuzz dataset).
+    # The stddevs use PAIRWISE deletion (rows where BOTH are non-null),
+    # matching SQL corr's semantics when only one side is NULL.
+    both = F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     return li.groupBy("l_returnflag").agg(
         F.round(
             F.try_divide(
                 F.covar_samp("l_quantity", "l_extendedprice"),
-                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+                F.stddev_samp(F.when(both, F.col("l_quantity")))
+                * F.stddev_samp(F.when(both, F.col("l_extendedprice"))),
             ),
             6,
         ).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
-        # n < 3: sample skewness undefined, population form degenerates to
-        # 0 — pin to NULL in both engines (see oracle comment)
+        # n < 3 NON-NULL values (count(col), not count(*) — a group with 3
+        # rows but 2 values is still degenerate): sample skewness
+        # undefined, population form degenerates to 0 — pin to NULL in
+        # both engines (see oracle comment)
         F.round(
-            F.when(F.count(F.lit(1)) >= 3, F.skewness("l_quantity")), 6
+            F.when(F.count("l_quantity") >= 3, F.skewness("l_quantity")), 6
         ).alias("skew_qty"),
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
         F.count(F.lit(1)).cast("bigint").alias("n"),

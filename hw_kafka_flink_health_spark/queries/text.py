@@ -1849,10 +1849,12 @@ def dedup_sketch_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_sentences_udtf",
     oracle=r"""
     WITH parts AS (
-      SELECT doc_id, trim(unnest(string_split_regex(text, '\.\s+'))) AS s
+      SELECT doc_id,
+             trim(unnest(string_split_regex(text, '\.[ \t\n\r\f]+')),
+                  ' ' || chr(9) || chr(10) || chr(13) || chr(12)) AS s
       FROM documents
     ), keep AS (
-      SELECT doc_id, s, len(string_split_regex(s, '\s+')) AS n_words
+      SELECT doc_id, s, len(string_split_regex(s, '[ \t\n\r\f]+')) AS n_words
       FROM parts WHERE s <> ''
     )
     SELECT doc_id,
@@ -1876,6 +1878,9 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence-segmentation shape (spaCy/pysbd slots in for the regex)."""
     from pyspark.sql.functions import udtf
 
+    # EXPLICIT ASCII whitespace class on both sides: Python re's \s is
+    # Unicode-aware (U+00A0, U+3000, ...) while RE2's \s is ASCII-only —
+    # a non-breaking space would split words differently per engine
     @udtf(returnType="sentence_idx int, sentence string, n_words int", useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
@@ -1883,11 +1888,12 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             if text is None:
                 return
+            ws = " \t\n\r\f"
             idx = 0
-            for part in re.split(r"\.\s+", text):
-                s = part.strip()
+            for part in re.split(r"\.[ \t\n\r\f]+", text):
+                s = part.strip(ws)
                 if s:
-                    yield idx, s, len(re.split(r"\s+", s))
+                    yield idx, s, len(re.split(r"[ \t\n\r\f]+", s))
                     idx += 1
 
     spark.udtf.register("sentence_split", SentenceSplit)

@@ -46,12 +46,15 @@ UNICODE_SNIPPETS = [
 ]
 
 
-def build(spark, scenario: str) -> str:
+def build(spark, scenario: str, base: str | None = None) -> str:
+    """Materialize one pathological dataset (shared with the CI subset in
+    tests/test_fuzz_oracle.py — this function is the single source of the
+    scenario definitions)."""
     from pyspark.sql import functions as F
 
     from hw_kafka_flink_health_spark.sources.files import load_table
 
-    base = tempfile.mkdtemp(prefix=f"fuzz_{scenario}_")
+    base = base or tempfile.mkdtemp(prefix=f"fuzz_{scenario}_")
     for t in TABLES:
         if scenario == "single":
             df = load_table(spark, SF, t).limit(1)

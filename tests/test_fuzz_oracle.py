@@ -21,9 +21,6 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from hw_kafka_flink_health_spark.queries import ORACLES, QUERIES
-from hw_kafka_flink_health_spark.sources.files import load_table
-
-from tests.conftest import SF_DIR
 from tests.test_oracle import canon
 
 TABLES = (
@@ -83,69 +80,27 @@ RECENT = [
 ]
 
 
-def _build_fuzz_dir(spark, base: str, *, rows: int, null_keys: bool) -> str:
-    """Shrink every table to `rows` rows; optionally NULL out group-key /
-    measure columns (events.event_type entirely, half of events.value,
-    some orders.o_orderpriority) to stress NULL-group and NULL-skipping
-    aggregation paths."""
-    from pyspark.sql import functions as F
-
-    for t in TABLES:
-        df = load_table(spark, SF_DIR, t).limit(rows)
-        if null_keys and t == "events":
-            df = df.withColumn("event_type", F.lit(None).cast("string")).withColumn(
-                "value",
-                F.when(F.col("event_id") % 2 == 0, F.col("value")),
-            )
-        if null_keys and t == "orders":
-            df = df.withColumn(
-                "o_orderpriority",
-                F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")),
-            )
-        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/{t}.parquet")
-    return base
+# Scenario construction lives in scripts/fuzz_catalog.py (the full-sweep
+# tool) — one source for both the CI subset here and the full audit.
+from scripts.fuzz_catalog import build as _build_scenario  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def fuzz_single(spark, tmp_path_factory):
-    return _build_fuzz_dir(
-        spark, str(tmp_path_factory.mktemp("fuzz_single")), rows=1, null_keys=False
-    )
+    return _build_scenario(spark, "single", str(tmp_path_factory.mktemp("fuzz_single")))
 
 
 @pytest.fixture(scope="module")
 def fuzz_nulls(spark, tmp_path_factory):
-    return _build_fuzz_dir(
-        spark, str(tmp_path_factory.mktemp("fuzz_nulls")), rows=5, null_keys=True
-    )
-
-
-_PRIMARY_KEYS = {
-    "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
-    "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
-    "lineitem": "l_orderkey", "events": "event_id",
-    "documents": "doc_id", "embeddings": "vec_id",
-}
+    return _build_scenario(spark, "nulls", str(tmp_path_factory.mktemp("fuzz_nulls")))
 
 
 @pytest.fixture(scope="module")
 def fuzz_ties(spark, tmp_path_factory):
-    """Hot-key/all-ties tables: 40 copies of ONE row per table with only
-    the primary key varying — constant measures (zero variance), duplicate
-    sort keys everywhere. Caught Spark 4's ANSI corr throwing on zero
-    variance and a tf-idf norm /0 in round 5."""
-    from pyspark.sql import functions as F
-
-    base = str(tmp_path_factory.mktemp("fuzz_ties"))
-    for t in TABLES:
-        one = load_table(spark, SF_DIR, t).limit(1)
-        rep = (
-            one.crossJoin(spark.range(40).selectExpr("id AS __i"))
-            .withColumn(_PRIMARY_KEYS[t], F.col("__i").cast("long"))
-            .drop("__i")
-        )
-        rep.coalesce(1).write.mode("overwrite").parquet(f"{base}/{t}.parquet")
-    return base
+    """Hot-key/all-ties tables: constant measures (zero variance),
+    duplicate sort keys everywhere. Caught Spark 4's ANSI corr throwing on
+    zero variance and a tf-idf norm /0 in round 5."""
+    return _build_scenario(spark, "ties", str(tmp_path_factory.mktemp("fuzz_ties")))
 
 
 def _duck_for(fuzz_dir: str):

@@ -686,19 +686,22 @@ def test_vacuum_sweeps_aged_crash_debris_only(spark, tmp_path):
     open(f"{t}/_staging-deadbeef/part-x.parquet", "w").write("x")
     open(f"{t}/_manifest-tmp-deadbeef", "w").write("{}")
     open(f"{t}/data-v9-orphan.parquet", "w").write("x")
-    # fresh debris survives a vacuum (could be an in-flight commit)...
+    # fresh debris survives a vacuum — including the NEVER-REFERENCED
+    # data file, which could be a concurrent commit that has moved its
+    # parts in but not yet claimed a manifest (deleting it would destroy
+    # that commit's data)
     vacuum(t, keep_last=2)
     assert _os.path.isdir(f"{t}/_staging-deadbeef")
     assert _os.path.exists(f"{t}/_manifest-tmp-deadbeef")
-    # ...but the unreferenced data file goes immediately (reachability)
-    assert not _os.path.exists(f"{t}/data-v9-orphan.parquet")
-    # age the debris past the TTL -> swept
+    assert _os.path.exists(f"{t}/data-v9-orphan.parquet")
+    # age everything past the TTL -> swept
     old = _os.path.getmtime(f"{t}/_manifest-tmp-deadbeef") - 7200
-    _os.utime(f"{t}/_staging-deadbeef", (old, old))
-    _os.utime(f"{t}/_manifest-tmp-deadbeef", (old, old))
+    for p_ in ("_staging-deadbeef", "_manifest-tmp-deadbeef", "data-v9-orphan.parquet"):
+        _os.utime(f"{t}/{p_}", (old, old))
     vacuum(t, keep_last=2)
     assert not _os.path.exists(f"{t}/_staging-deadbeef")
     assert not _os.path.exists(f"{t}/_manifest-tmp-deadbeef")
+    assert not _os.path.exists(f"{t}/data-v9-orphan.parquet")
     assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(10))
 
 
@@ -785,3 +788,68 @@ def test_commit_check_constraint_rejects_before_publish(spark, tmp_path):
             spark.createDataFrame([(1, None)], "id long, v long"), t, check="v >= 0"
         )
     assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(10))
+
+
+def test_append_after_delete_preserves_deletion_vectors(spark, tmp_path):
+    """Regression (round-5 review): an append commit rebuilt the manifest
+    from the base's 'files' only, silently dropping 'dv' — every deleted
+    row RESURRECTED in the appended version. Appends (plain and
+    clustered) must carry the base's deletion vectors forward; overwrite
+    correctly discards them."""
+    import json as _json
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        commit_snapshot,
+        commit_snapshot_clustered,
+        current_version,
+        delete_where,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "advtbl")
+    commit_snapshot(spark.range(100).selectExpr("id", "id % 10 AS k"), t)  # v0
+    delete_where(spark, t, "k = 3")  # v1: 10 rows tombstoned
+    commit_snapshot(
+        spark.range(100, 120).selectExpr("id", "id % 10 AS k"), t, mode="append"
+    )  # v2
+    with open(_manifest_path(t, 2)) as f:
+        assert _json.load(f)["dv"], "append dropped the deletion vectors"
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got == {i for i in range(120) if not (i < 100 and i % 10 == 3)}
+    # clustered append over a deleted base keeps them too
+    commit_snapshot_clustered(
+        spark.range(120, 140).selectExpr("id", "id % 10 AS k"),
+        t,
+        cluster_col="id",
+        n_files=2,
+        mode="append",
+    )  # v3
+    got3 = {r.id for r in read_snapshot(spark, t).collect()}
+    assert got3 == {i for i in range(140) if not (i < 100 and i % 10 == 3)}
+    # overwrite discards vectors (table replaced wholesale)
+    commit_snapshot(spark.range(5), t)
+    v = current_version(t)
+    with open(_manifest_path(t, v)) as f:
+        assert "dv" not in _json.load(f)
+
+
+def test_compaction_preserves_streaming_batch_marker(spark, tmp_path):
+    """Regression (round-5 review): compaction rebuilt its manifest from
+    scratch and dropped batch_id, so last_committed_batch returned None
+    and a checkpoint replay would re-apply an already-committed batch.
+    Maintenance must carry the exactly-once marker forward."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        compact_snapshot,
+        last_committed_batch,
+    )
+
+    t = str(tmp_path / "bmtbl")
+    for i in range(4):
+        commit_snapshot(
+            spark.range(i * 5, i * 5 + 5).coalesce(1), t, mode="append", batch_id=i
+        )
+    assert last_committed_batch(t) == 3
+    compact_snapshot(spark, t, small_file_bytes=8 * 1024 * 1024)
+    assert last_committed_batch(t) == 3
