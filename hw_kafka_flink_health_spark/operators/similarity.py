@@ -163,6 +163,36 @@ def neardup_pairs_blocked(
     )
 
 
+def _fit_kmeans_clusters(feat: DataFrame, vec_col: str, n_clusters: int, seed: int):
+    """KMeans with degenerate-input protection: k is clamped to the number
+    of DISTINCT vectors (Spark's k-means|| init crashes with an
+    ArrayIndexOutOfBounds when it cannot find k distinct centers — all-ties
+    corpora, integration tests), and corpora with <2 distinct vectors skip
+    clustering entirely (everything is cluster 0). Returns (assigned_df
+    with a `cluster` column, [(cluster_id, centroid_list), ...]). The
+    guard costs one map-side-combined count-distinct over vector hashes."""
+    from pyspark.sql import functions as F
+
+    from pyspark.ml.clustering import KMeans
+
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64(F.col(vec_col).cast("string"))).alias("nd"),
+    ).first()
+    if stats.n < 2 or stats.nd < 2:
+        first = feat.select(vec_col).first()
+        centroid = [float(x) for x in first[0]] if first else []
+        return feat.withColumn("cluster", F.lit(0)), [(0, centroid)]
+    k_eff = max(2, min(n_clusters, int(stats.nd)))
+    model = KMeans(
+        k=k_eff, seed=seed, featuresCol="features", predictionCol="cluster"
+    ).fit(feat)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return model.transform(feat), centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -196,17 +226,12 @@ def ivf_topk(
             "features"
         ),
     )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cluster")
-    model = km.fit(feat)
+    clustered, centroids = _fit_kmeans_clusters(feat, vec_col, n_clusters, seed)
     # corpus-side norms staged once per row (see cosine_topk): candidate
     # scoring below then pays one fold per pair, not three
-    assigned = model.transform(feat).select(
+    assigned = clustered.select(
         id_col, vec_col, "cluster", norm_expr(F.col(vec_col)).alias("__cnorm")
     )
-
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
     cdf = corpus.sparkSession.createDataFrame(centroids, ["cluster", "centroid"])
 
     # route queries to n_probe nearest centroids (tiny broadcast join)
@@ -652,10 +677,8 @@ def semdedup(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features"),
     )
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="features", predictionCol="cluster"
-    ).fit(feat)
-    assigned = model.transform(feat).select(id_col, vec_col, "cluster")
+    clustered, _ = _fit_kmeans_clusters(feat, vec_col, n_clusters, seed)
+    assigned = clustered.select(id_col, vec_col, "cluster")
     pairs = neardup_pairs_blocked(
         assigned,
         id_col=id_col,

@@ -229,3 +229,12 @@ def test_fuzz_canon_float_negzero_guard():
 
 
 assert math is not None  # keep the import for canon's nan handling
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_survive_pathological_data(name, spark, fuzz_ties):
+    """Rows-only queries have no oracle to diverge from, but they must at
+    least RUN on degenerate data — the all-ties corpus caught Spark ml
+    KMeans crashing with an ArrayIndexOutOfBounds when it cannot find k
+    distinct centers (IVF + SemDeDup, round 5)."""
+    assert QUERIES[name](spark, fuzz_ties).count() >= 0
