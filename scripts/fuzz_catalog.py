@@ -69,6 +69,18 @@ def build(spark, scenario: str, base: str | None = None) -> str:
                     "o_orderpriority",
                     F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")),
                 )
+            if t == "lineitem":
+                # NULL measures on the biggest fact table (the round-5
+                # review flagged that only events/orders were nulled, so
+                # lineitem aggregate guards went unexercised)
+                df = df.withColumn(
+                    "l_quantity",
+                    F.when(F.col("l_linenumber") % 3 != 0, F.col("l_quantity")),
+                )
+            if t == "documents":
+                df = df.withColumn(
+                    "lang", F.when(F.col("doc_id") % 4 != 0, F.col("lang"))
+                )
         elif scenario == "ties":
             one = load_table(spark, SF, t).limit(1)
             df = (
