@@ -285,7 +285,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
-    detail_path = os.path.join(
+    # SPARK_GRAFT_BENCH_DETAIL redirects the detail artifact: the bench
+    # contract TEST runs this script at sf0.001 and previously clobbered
+    # the committed sf0.1 BENCH_DETAIL.json with toy-scale numbers
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     try:

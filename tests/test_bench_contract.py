@@ -9,9 +9,16 @@ import subprocess
 import sys
 
 
-def test_bench_emits_single_json_line():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
+def test_bench_emits_single_json_line(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    detail = str(tmp_path / "BENCH_DETAIL.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        # never clobber the committed sf0.1 artifact with toy-scale numbers
+        SPARK_GRAFT_BENCH_DETAIL=detail,
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
         env=env,
@@ -35,10 +42,10 @@ def test_bench_emits_single_json_line():
     assert tail["value"] == doc["value"] and tail["unit"] == "sec"
     assert tail["n_queries"] == len(doc["queries"])
     assert set(tail["queries"]) <= set(doc["queries"])
-    # the complete map is persisted next to bench.py
-    with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
-        detail = json.load(f)
-    assert detail["queries"] == doc["queries"]
+    # the complete map is persisted at the redirected detail path
+    with open(detail) as f:
+        detail_doc = json.load(f)
+    assert detail_doc["queries"] == doc["queries"]
 
 
 def test_all_query_columns_are_aliased_stable_names(spark):
