@@ -348,6 +348,117 @@ def minhash_lsh_pairs(
     )
 
 
+#: Mersenne prime 2^31-1 — the modulus of the pinned minhash permutation
+#: family. Chosen so every intermediate of (a*x + b) % p stays < 2^62:
+#: a, x < 2^31 after reduction, so the product never overflows a signed
+#: 64-bit long in ANY SQL engine (the property that makes the signatures
+#: cross-engine replayable).
+MINHASH_P = 2_147_483_647
+#: Pinned permutation coefficients: a_i = (i*2654435761 + 1) mod p (Knuth
+#: multiplicative constant), b_i = (i*40503 + 17) mod p. Formulaic so an
+#: oracle can enumerate the identical family from `range(k)`.
+def _minhash_coeffs(k: int) -> list:
+    return [
+        ((i * 2654435761 + 1) % MINHASH_P, (i * 40503 + 17) % MINHASH_P)
+        for i in range(k)
+    ]
+
+
+def minhash_det_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash LSH near-dup candidate pairs — NATIVE deterministic tier.
+
+    Same banding asymptotics as the pyspark.ml tier (`minhash_lsh_pairs`)
+    but with every source of engine-specific randomness removed, so a SQL
+    oracle replays the exact signatures:
+
+    * shingle hash = first 15 md5 hex digits parsed base-16 (60 bits,
+      signed-safe — the md5 tier that value-oracled SimHash/winnowing),
+      reduced mod p = 2^31-1;
+    * permutation i = (a_i*x + b_i) mod p with PINNED formulaic
+      coefficients (`_minhash_coeffs`) — no seeds, no JVM hash;
+    * signature = per-doc min of each permutation (ONE shuffle: a single
+      groupBy with `num_perm` min-aggregates, map-side partial);
+    * banding = `num_perm/rows_per_band` bands, band key packs the band's
+      signature rows into one long (s0*p + s1 < 2^62); candidates come
+      from the band-key self-equi-join — never an all-pairs compare, the
+      sub-quadratic 100 TB shape;
+    * est_jaccard = matching-signature fraction, an exact k/num_perm
+      binary fraction (repr-identical across engines, no rounding).
+
+    The signature array rides through the band explode (num_perm longs per
+    band row) so the pair estimate needs no second join back to a
+    signature table — the same trade approxSimilarityJoin makes carrying
+    its feature vectors. Returns (doc1, doc2, est_jaccard), doc1 < doc2.
+    """
+    if num_perm % rows_per_band != 0:
+        raise ValueError("num_perm must be a multiple of rows_per_band")
+    n_bands = num_perm // rows_per_band
+    sh = shingle_table(df, text_col, id_col, shingle_n).filter(F.size("sh") > 0)
+    x = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    postings = sh.select("doc", F.explode("sh").alias("shingle")).select(
+        "doc", x.alias("x")
+    )
+    sig_cols = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_perm))
+    ]
+    sigs = postings.groupBy("doc").agg(*sig_cols).select(
+        "doc", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig")
+    )
+    band_entries = [
+        F.struct(
+            F.lit(j).alias("band"),
+            reduce(
+                lambda acc, r: acc * MINHASH_P
+                + F.get("sig", j * rows_per_band + r),
+                range(1, rows_per_band),
+                F.get("sig", j * rows_per_band).cast("long"),
+            ).alias("key"),
+        )
+        for j in range(n_bands)
+    ]
+    bands = sigs.select(
+        "doc", "sig", F.explode(F.array(*band_entries)).alias("bk")
+    ).select("doc", "sig", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("doc").alias("doc1"), F.col("sig").alias("sig1"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc").alias("doc2"), F.col("sig").alias("sig2"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "sig1", "sig2")
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda u, v: (u == v).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.select(
+            "doc1",
+            "doc2",
+            (matches / F.lit(float(num_perm))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

@@ -92,6 +92,18 @@ def _stage_parquet(df: DataFrame, table_dir: str, prefix: str, version: int) -> 
     return moved
 
 
+def _unstage(table_dir: str, files: list) -> None:
+    """Remove just-staged files on a commit path that raises instead of
+    publishing — leaving them would accumulate garbage under contention
+    (each caller retry re-stages a fresh copy) until a vacuum past the
+    orphan TTL. Matches the cleanup delete_where/merge_into/compact do."""
+    for name in files:
+        try:
+            os.remove(os.path.join(table_dir, name))
+        except FileNotFoundError:
+            pass
+
+
 def _staged_rows(table_dir: str, files: list) -> int:
     """Total row count of just-staged files, from footers (driver-side,
     O(files) metadata) — the zero-matches/no-op detection every DV-writing
@@ -112,9 +124,15 @@ def _advance_pointer(table_dir: str, version: int) -> None:
     import time as _time
 
     lock = os.path.join(table_dir, "_latest.lock")
+    token = uuid.uuid4().hex.encode()
     for _ in range(5000):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # holder token: release only removes the lock while this token
+            # is still inside it, so a holder that stalls past the 30 s
+            # staleness bound and gets stolen can never delete a SUCCESSOR
+            # holder's fresh lock (which would let a third writer in).
+            os.write(fd, token)
             break
         except FileExistsError:
             # liveness: a writer that crashed between acquire and release
@@ -144,7 +162,21 @@ def _advance_pointer(table_dir: str, version: int) -> None:
             os.rename(tmp, _latest_pointer(table_dir))
     finally:
         os.close(fd)
-        os.remove(lock)
+        # ownership check before release: after a steal the path either no
+        # longer exists (stealer renamed it away) or holds the successor's
+        # token — both mean the lock is not ours to remove. The residual
+        # check→remove window only matters if THIS holder stalls >30 s again
+        # inside it, the same bound the steal protocol already accepts.
+        try:
+            with open(lock, "rb") as lf:
+                still_mine = lf.read() == token
+        except FileNotFoundError:
+            still_mine = False
+        if still_mine:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass  # a stealer raced the check; the lock is theirs now
 
 
 def _latest_pointer(table_dir: str) -> str:
@@ -229,11 +261,13 @@ def commit_snapshot(
             return version
         # lost the claim: another writer owns this version number
         if expect_version is not None:
+            _unstage(table_dir, new_files)
             raise VersionConflictError(
                 f"version {version} of {table_dir} was committed concurrently "
                 f"(base {expect_version} is stale)"
             )
         version += 1
+    _unstage(table_dir, new_files)
     raise VersionConflictError(
         f"gave up after {max_retries} contended commits to {table_dir}"
     )
@@ -311,6 +345,27 @@ def vacuum(
         except FileNotFoundError:
             continue
         keep_versions.append(v)
+    # IN-FLIGHT commits: a manifest with version > latest has been CLAIMED
+    # (content-complete by the publish protocol) but its writer has not
+    # advanced the pointer yet — sweeping it would brick the commit (the
+    # writer advances the pointer to a version whose manifest/data are
+    # gone). Retain such manifests and their files unconditionally: if the
+    # claimant crashed, the next commit skips past the zombie version and
+    # the pointer eventually passes it, at which point ordinary retention
+    # reclaims it. (The claimed manifest is also the append base for the
+    # NEXT version's claim, so even a TTL sweep here would race appenders.)
+    for name in os.listdir(table_dir):
+        if name.startswith("manifest-v"):
+            v = int(name.split("manifest-v")[1].split(".")[0])
+            if v > latest:
+                try:
+                    with open(os.path.join(table_dir, name)) as f:
+                        m = json.load(f)
+                except (FileNotFoundError, ValueError):
+                    continue
+                keep_files.update(m["files"])
+                keep_files.update(m.get("dv", []))
+                keep_versions.append(v)
     # every file any manifest on disk references — computed BEFORE old
     # manifests are deleted, so expired history is distinguishable from
     # never-referenced (possibly in-flight) files

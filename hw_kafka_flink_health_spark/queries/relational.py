@@ -1590,11 +1590,11 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_xml_roundtrip",
     oracle="""
-    SELECT event_type,
+    SELECT nullif(event_type, '') AS event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            CAST(sum(event_id % 97) AS BIGINT) AS sum_check
-    FROM events GROUP BY event_type
+    FROM events GROUP BY nullif(event_type, '')
     """,
 )
 def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1610,7 +1610,11 @@ def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-propagates the whole record, silently dropping every non-null
     # sibling value (caught by the all-NULL-group-key fuzz sweep). Empty
     # elements parse back as NULL for numeric types; the empty string is
-    # mapped back to NULL for the type key.
+    # mapped back to NULL for the type key. That collapses a GENUINE
+    # empty-string event_type into the NULL group — a documented lossy
+    # edge of the element encoding — so the oracle applies the identical
+    # nullif(event_type, '') collapse (round-5 advice: '' and NULL must
+    # land in the same group on BOTH engines, or a planted '' diverges).
     xml = F.concat(
         F.lit("<event><id>"),
         F.coalesce(F.col("event_id").cast("string"), F.lit("")),

@@ -21,6 +21,7 @@ from hw_kafka_flink_health_spark.functions.text import (
 from hw_kafka_flink_health_spark.operators.dedup import (
     exact_dedup,
     fingerprint_expr,
+    minhash_det_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash63,
@@ -149,14 +150,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # approximate/seeded: rows-only by design
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates (pyspark.ml banding) — the
-    sub-quadratic scale path; hash-seed-dependent, so no value oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "text", "doc_id", jaccard_distance_threshold=0.8).select(
-        "doc1", "doc2", F.round("jaccard_distance", 4).alias("jaccard_distance")
+@register(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), e AS (
+      SELECT doc, ('0x' || substr(md5(u.shingle), 1, 15))::BIGINT % 2147483647 AS x
+      FROM t, unnest(t.sh) AS u(shingle)
+      WHERE len(t.sh) > 0
+    ), perm AS (
+      SELECT r.range AS i,
+             (r.range * 2654435761 + 1) % 2147483647 AS a,
+             (r.range * 40503 + 17) % 2147483647 AS b
+      FROM range(16) r
+    ), sig AS (
+      SELECT doc, i, min((a * x + b) % 2147483647) AS s
+      FROM e CROSS JOIN perm GROUP BY doc, i
+    ), sigarr AS (
+      SELECT doc, list(s ORDER BY i) AS sig FROM sig GROUP BY doc
+    ), bands AS (
+      SELECT doc, b.range AS band,
+             sig[CAST(2 * b.range + 1 AS INTEGER)] * 2147483647
+               + sig[CAST(2 * b.range + 2 AS INTEGER)] AS key
+      FROM sigarr, range(8) b
+    ), cand AS (
+      SELECT DISTINCT x.doc AS doc1, y.doc AS doc2
+      FROM bands x JOIN bands y USING (band, key)
+      WHERE x.doc < y.doc
     )
+    SELECT doc1, doc2, est_jaccard FROM (
+      SELECT c.doc1, c.doc2,
+             CAST(list_sum(list_transform(range(1, 17),
+                 i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+               AS DOUBLE) / 16.0 AS est_jaccard
+      FROM cand c
+      JOIN sigarr s1 ON s1.doc = c.doc1
+      JOIN sigarr s2 ON s2.doc = c.doc2
+    ) WHERE est_jaccard >= 0.2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates — native DETERMINISTIC tier, fully
+    value-oracled: pinned (a·x+b) mod 2^31-1 permutations over the 60-bit
+    md5 shingle hash (the same md5 trick that value-oracled SimHash and
+    winnowing), signatures via one groupBy of min-aggregates, candidates
+    via the band-key self-join — sub-quadratic banding, never all-pairs.
+    DuckDB replays the identical signatures/bands, so the pair set AND
+    the matching-fraction Jaccard estimates hash-compare exactly. The
+    pyspark.ml seeded tier (`minhash_lsh_pairs`) remains as an alternate
+    engine path, covered by the planted-duplicate recall test."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_det_pairs(docs, "text", "doc_id", threshold=0.2)
 
 
 @register(

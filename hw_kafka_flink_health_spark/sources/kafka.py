@@ -138,11 +138,22 @@ def write_kafka_stream(
         d = _emulated_topic_dir(bootstrap, topic)
 
         def emit(batch_df: DataFrame, batch_id: int) -> None:
+            # Unique, per-batch-advancing offsets without any shuffle:
+            # monotonically_increasing_id() packs the partition id into its
+            # HIGH 33 bits, so naively adding it to a batch stride collides
+            # across batches (round-5 advice). Pack explicitly instead —
+            # bits [43..62] batch, [33..42] partition (emulated sink is a
+            # local fixture; 1024 partitions is plenty), [0..32] the
+            # within-partition row counter (mono-id's documented low 33
+            # bits). Offsets order rows within (batch, partition); readers
+            # replay whole files and never seek by offset.
             rows = (
                 batch_df.selectExpr(
                     "base64(CAST(value AS BINARY)) AS value_b64",
                     "CAST(spark_partition_id() AS INT) AS partition",
-                    f"CAST({batch_id} AS LONG) * 1000000 + monotonically_increasing_id() AS offset",
+                    f"shiftleft(CAST({batch_id} AS LONG), 43)"
+                    " + shiftleft(CAST(spark_partition_id() % 1024 AS LONG), 33)"
+                    " + (monotonically_increasing_id() & 8589934591) AS offset",
                     "unix_millis(current_timestamp()) AS ts_ms",
                 )
             )

@@ -476,3 +476,30 @@ def test_simhash_md5_tier_is_near_dup_sensitive_and_60_bit(spark):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
     assert ham(fps[1], fps[2]) <= 12  # one-token edit flips few bit votes
+
+
+def test_minhash_det_finds_planted_duplicate_and_is_deterministic(spark):
+    """The native deterministic minhash tier (pinned-coefficient
+    permutations over the md5 shingle hash) must recall a planted
+    near-duplicate like the pyspark.ml tier, produce identical output
+    across runs (no seeds, no JVM-specific hashing), and score exact
+    duplicates at est_jaccard = 1.0."""
+    from hw_kafka_flink_health_spark.operators.dedup import minhash_det_pairs
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    base = docs.orderBy("doc_id").limit(1).collect()[0]
+    planted = docs.select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(999999, base.text + " extra"), (999998, base.text)],
+            ["doc_id", "text"],
+        )
+    )
+    pairs = minhash_det_pairs(planted, "text", "doc_id", threshold=0.2)
+    got = {(r.doc1, r.doc2): r.est_jaccard for r in pairs.collect()}
+    assert any(
+        {d1, d2} == {base.doc_id, 999999} for (d1, d2) in got
+    ), f"planted near-dup not found in {len(got)} pairs"
+    exact_key = (min(base.doc_id, 999998), max(base.doc_id, 999998))
+    assert got[exact_key] == 1.0  # identical docs share every signature row
+    again = {(r.doc1, r.doc2): r.est_jaccard for r in pairs.collect()}
+    assert got == again

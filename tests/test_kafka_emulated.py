@@ -120,3 +120,53 @@ def test_emulated_kafka_hello_roundtrip(spark, tmp_path):
     assert [d["id"] for d in docs] == [0, 1, 2]
     assert all(d["processed_by"] == "hello_spark_job" for d in docs)
     assert all(d["message"] == "hello flink" for d in docs)
+
+
+def test_emulated_sink_offsets_unique_and_batch_ordered(spark, tmp_path):
+    """Regression (round-5 advice): the emulated sink derived offsets as
+    batch_id*1e6 + monotonically_increasing_id(), but mono-id packs the
+    partition id into its HIGH 33 bits, so any multi-partition batch
+    produced offsets that could collide with much-later batches of
+    partition 0. Offsets must be unique per topic and advance per batch;
+    within (batch, partition) they order rows."""
+    import glob
+
+    from hw_kafka_flink_health_spark.sources.kafka import (
+        emulated_produce,
+        read_kafka_stream,
+        write_kafka_stream,
+    )
+
+    bootstrap = f"emulated://{tmp_path}/broker"
+    src = read_kafka_stream(
+        spark, topic="offsets_in", bootstrap=bootstrap, starting_offsets="earliest"
+    ).repartition(4)  # force a MULTI-partition micro-batch
+    q = write_kafka_stream(
+        src.selectExpr("raw AS value"),
+        topic="offsets_out",
+        bootstrap=bootstrap,
+        checkpoint_dir=str(tmp_path / "ck_off"),
+        trigger_seconds=1,
+    )
+    per_batch = []
+    for batch in range(2):
+        emulated_produce(
+            bootstrap, "offsets_in", [f"m{batch}-{i}" for i in range(40)]
+        )
+        q.processAllAvailable()
+        rows = []
+        for path in glob.glob(f"{tmp_path}/broker/offsets_out/*.json"):
+            with open(path) as f:
+                rows.extend(json.loads(line) for line in f if line.strip())
+        per_batch.append(rows)
+    q.stop()
+
+    offsets = [r["offset"] for r in per_batch[1]]
+    assert len(offsets) == 80
+    assert len(set(offsets)) == 80, "emulated offsets must be unique per topic"
+    assert len({r["partition"] for r in per_batch[1]}) > 1, (
+        "test must exercise a multi-partition batch"
+    )
+    batch0 = {r["offset"] for r in per_batch[0]}
+    batch1 = {r["offset"] for r in per_batch[1]} - batch0
+    assert min(batch1) > max(batch0), "offsets must advance per batch"

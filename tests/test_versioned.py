@@ -853,3 +853,142 @@ def test_compaction_preserves_streaming_batch_marker(spark, tmp_path):
     assert last_committed_batch(t) == 3
     compact_snapshot(spark, t, small_file_bytes=8 * 1024 * 1024)
     assert last_committed_batch(t) == 3
+
+
+def test_vacuum_retains_in_flight_claimed_manifest(spark, tmp_path):
+    """Regression (round-5 advice, medium): vacuum's retained range spanned
+    only [latest-keep_last+1, latest], so a manifest CLAIMED past the
+    pointer (publish done, pointer flip pending) was deleted outright and
+    its data files — 'referenced but not retained' — were reclaimed
+    immediately, bypassing the orphan TTL and bricking the in-flight
+    commit. Manifests with version > latest must be retained with their
+    files."""
+    import json as _json
+    import os as _os
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        _publish_manifest,
+        _stage_parquet,
+        commit_snapshot,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "inflight")
+    commit_snapshot(spark.range(10), t)  # v0 (pointer -> 0)
+    # simulate a writer paused between _publish_manifest and
+    # _advance_pointer: v1 is claimed and content-complete, pointer still 0
+    staged = _stage_parquet(spark.range(10, 15), t, "data", 1)
+    assert _publish_manifest(t, 1, {"version": 1, "files": staged})
+    # age EVERYTHING so no TTL guard can be what saves the commit
+    for name in _os.listdir(t):
+        p = _os.path.join(t, name)
+        old = _os.path.getmtime(p) - 7200
+        _os.utime(p, (old, old))
+    vacuum(t, keep_last=1, orphan_ttl_seconds=3600.0)
+    assert _os.path.exists(_manifest_path(t, 1))
+    for name in staged:
+        assert _os.path.exists(_os.path.join(t, name)), name
+    # the paused writer resumes: its commit is intact and readable
+    from hw_kafka_flink_health_spark.operators.versioned import _advance_pointer
+
+    _advance_pointer(t, 1)
+    assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(10, 15))
+    # once the pointer has passed it, ordinary retention reclaims it
+    commit_snapshot(spark.range(20, 25), t)  # v2
+    vacuum(t, keep_last=1, orphan_ttl_seconds=0.0)
+    assert not _os.path.exists(_manifest_path(t, 1))
+
+
+def test_resumed_holder_never_deletes_successors_lock(spark, tmp_path, monkeypatch):
+    """Regression (round-5 advice): _advance_pointer's finally ran
+    os.remove(lock) unconditionally, so a holder that stalled past the
+    30 s steal bound deleted the SUCCESSOR holder's fresh lock on resume,
+    re-opening the two-writers window. With the holder-token check the
+    resumed writer must leave the successor's lock alone (and not raise
+    when its own lock is simply gone)."""
+    import os as _os
+
+    import hw_kafka_flink_health_spark.operators.versioned as V
+
+    t = str(tmp_path / "locktbl")
+    _os.makedirs(t)
+    lock = _os.path.join(t, "_latest.lock")
+
+    real_cv = V.current_version
+    stolen = {"done": False}
+
+    def steal_mid_critical_section(table_dir):
+        # runs INSIDE writer-1's critical section: simulate the >30 s stall
+        # during which a stealer renames the lock away and a successor
+        # writer re-creates it with its own token
+        if not stolen["done"]:
+            stolen["done"] = True
+            _os.rename(lock, lock + ".stale-x")
+            _os.remove(lock + ".stale-x")
+            with open(lock, "wb") as f:
+                f.write(b"successor-token")
+        return real_cv(table_dir)
+
+    monkeypatch.setattr(V, "current_version", steal_mid_critical_section)
+    V._advance_pointer(t, 0)  # must complete without touching the new lock
+    monkeypatch.setattr(V, "current_version", real_cv)
+
+    assert _os.path.exists(lock)
+    with open(lock, "rb") as f:
+        assert f.read() == b"successor-token"
+    assert V.current_version(t) == 0  # the pointer write itself happened
+    _os.remove(lock)
+
+    # and when the stolen lock is GONE at release (no successor yet), the
+    # resumed holder must not raise FileNotFoundError after a successful
+    # pointer write
+    stolen2 = {"done": False}
+
+    def steal_without_successor(table_dir):
+        if not stolen2["done"]:
+            stolen2["done"] = True
+            _os.rename(lock, lock + ".stale-y")
+            _os.remove(lock + ".stale-y")
+        return real_cv(table_dir)
+
+    monkeypatch.setattr(V, "current_version", steal_without_successor)
+    V._advance_pointer(t, 1)
+    assert V.current_version(t) == 1
+
+
+def test_conflict_paths_unstage_their_files(spark, tmp_path):
+    """Regression (round-5 advice): commit_snapshot left staged data-v*
+    files orphaned when raising VersionConflictError (CAS failure and
+    retry exhaustion), unlike every sibling DML path. Both raise paths
+    must clean up after themselves."""
+    import os as _os
+
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        VersionConflictError,
+        _publish_manifest,
+        commit_snapshot,
+    )
+
+    t = str(tmp_path / "occlean")
+    commit_snapshot(spark.range(5), t)  # v0
+
+    def data_files():
+        return {n for n in _os.listdir(t) if n.startswith("data-")}
+
+    before = data_files()
+    # CAS path: pre-claim v1 so the expect_version commit loses its claim
+    _publish_manifest(t, 1, {"version": 1, "files": []})
+    with pytest.raises(VersionConflictError):
+        commit_snapshot(spark.range(5, 9), t, expect_version=0)
+    assert data_files() == before, "CAS-failure path leaked staged files"
+
+    # retry-exhaustion path: every version it could try is pre-claimed
+    for v in range(2, 6):
+        _publish_manifest(t, v, {"version": v, "files": []})
+    with pytest.raises(VersionConflictError, match="gave up"):
+        commit_snapshot(spark.range(9, 12), t, max_retries=3)
+    assert data_files() == before, "retry-exhaustion path leaked staged files"
