@@ -170,6 +170,12 @@ HEADLINE = [
     "doc_winnowing_fingerprint",
     "multimodal_decode_features",
     "basket_frequent_itemsets",
+    # round-6 additions: deterministic minhash LSH (newly value-oracled),
+    # CHECK/OCC/schema-evolution lakehouse surfaces
+    "dedup_minhash_lsh",
+    "versioned_check_reject",
+    "versioned_occ_retry",
+    "versioned_schema_evolution",
 ]
 
 
@@ -219,6 +225,12 @@ def bench_streaming(spark) -> float:
         return round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+try:
+    LOAD_AVG_START = [round(x, 2) for x in os.getloadavg()]
+except OSError:
+    LOAD_AVG_START = None
 
 
 def main() -> None:
@@ -278,12 +290,25 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
+    # Machine-load provenance (round-5 verdict item 8): this box is
+    # co-tenanted and identical code has measured 2x apart across a day —
+    # recording the 1/5/15-min load averages WITH the numbers lets a
+    # later reader classify a "regression" as environmental without
+    # forensic reconstruction. load_avg_end is sampled after the run so
+    # the bench's own load is visible too.
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
     full = {
         "metric": "headline_query_wall_time_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "load_avg_start": LOAD_AVG_START,
+        "load_avg_end": load_end,
+        "n_cpus": os.cpu_count(),
     }
     # SPARK_GRAFT_BENCH_DETAIL redirects the detail artifact: the bench
     # contract TEST runs this script at sf0.001 and previously clobbered

@@ -613,3 +613,180 @@ def versioned_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("long").alias("n_orders"),
         F.sum("rev_cents").cast("long").alias("rev_cents"),
     )
+
+
+@register(
+    "versioned_check_reject",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(1 AS BIGINT) AS final_version
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY 1
+    """,
+)
+def versioned_check_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time CHECK constraint enforcement, end to end
+    (`operators/versioned.py:commit_snapshot_checked`): v0 commits a
+    clean slice, then an append whose rows ALL violate the table's CHECK
+    is rejected BEFORE anything publishes — no version, no manifest, no
+    data files — and a subsequent clean append lands as v1. The result
+    carries the table's final version number as a column, so a rejected
+    commit that still advanced the version (or a rejection that silently
+    dropped the clean append) breaks the value hash, not just a test.
+    The oracle replays the two CLEAN slices only."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        ConstraintViolationError,
+        commit_snapshot_checked,
+        current_version,
+        read_snapshot,
+        scratch_table_dir,
+    )
+
+    table_dir = scratch_table_dir("spark_graft_versioned_chk_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot_checked(
+        orders.filter(F.col("o_orderkey") % 3 == 0), table_dir,
+        check="o_totalprice > 0",
+    )
+    bad = orders.filter(F.col("o_orderkey") % 3 == 2)
+    # on pathological corpora (fuzz fixtures) this slice can be EMPTY —
+    # an empty batch violates nothing and would legitimately commit,
+    # shifting the version; only exercise the rejection when it can fire
+    if bad.limit(1).count() > 0:
+        try:
+            # every row of this batch violates the constraint -> whole
+            # commit rejected at the table boundary
+            commit_snapshot_checked(
+                bad, table_dir, check="o_orderkey % 3 <> 2", mode="append"
+            )
+            raise AssertionError("CHECK-violating commit must be rejected")
+        except ConstraintViolationError:
+            pass
+    commit_snapshot_checked(
+        orders.filter(F.col("o_orderkey") % 3 == 1), table_dir,
+        check="o_totalprice > 0", mode="append",
+    )
+    return read_snapshot(spark, table_dir).groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.lit(current_version(table_dir)).cast("long").alias("final_version"),
+    )
+
+
+@register(
+    "versioned_occ_retry",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(2 AS BIGINT) AS final_version
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1, 2)
+    GROUP BY 1
+    """,
+)
+def versioned_occ_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimistic-concurrency retry loop's OBSERVABLE outcome
+    (`operators/versioned.py:commit_snapshot` with `expect_version`):
+    writer B reads version 0, writer A appends v1 underneath it, so B's
+    CAS append on the stale base raises VersionConflictError (staging
+    nothing durable — the conflict path unstages its files); B then
+    re-reads and retries against the new base, landing as v2. The final
+    table must hold base ∪ A ∪ B exactly once each at exactly version 2 —
+    a lost append, a double apply, or a version skew breaks the hash.
+    The two-writers-never-share-a-version property itself is pinned with
+    real threads in tests/test_versioned.py."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        VersionConflictError,
+        commit_snapshot,
+        current_version,
+        read_snapshot,
+        scratch_table_dir,
+    )
+
+    table_dir = scratch_table_dir("spark_graft_versioned_occ_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 4 == 0), table_dir)  # v0
+    b_base = current_version(table_dir)  # writer B reads its base: 0
+    commit_snapshot(  # writer A sneaks in: v1
+        orders.filter(F.col("o_orderkey") % 4 == 1), table_dir, mode="append"
+    )
+    try:
+        commit_snapshot(
+            orders.filter(F.col("o_orderkey") % 4 == 2), table_dir,
+            mode="append", expect_version=b_base,
+        )
+        raise AssertionError("stale CAS base must raise")
+    except VersionConflictError:
+        pass  # the standard OCC loop: re-read, re-derive, retry
+    commit_snapshot(
+        orders.filter(F.col("o_orderkey") % 4 == 2), table_dir,
+        mode="append", expect_version=current_version(table_dir),
+    )  # v2
+    return read_snapshot(spark, table_dir).groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.lit(current_version(table_dir)).cast("long").alias("final_version"),
+    )
+
+
+@register(
+    "versioned_schema_evolution",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1
+                           THEN 'ch' || CAST(o_orderkey % 3 AS VARCHAR) END)
+                AS BIGINT) AS n_with_channel,
+           CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_v0_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a versioned table, value-oracled: v0 commits a
+    narrow schema, v1 APPENDS rows carrying a NEW `o_channel` column
+    (mergeSchema read: old files surface it as NULL — no rewrite of v0's
+    files, the O(new-data) evolution posture). The latest read counts
+    non-null channels per priority, so an evolution that nulls the new
+    column, backfills old rows, or drops v0 rows breaks the hash; the
+    pre-evolution version staying narrow is pinned in
+    tests/test_versioned.py."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        read_snapshot,
+        scratch_table_dir,
+    )
+
+    table_dir = scratch_table_dir("spark_graft_versioned_evo_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), table_dir)  # v0
+    evolved = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel", F.concat(F.lit("ch"), (F.col("o_orderkey") % 3).cast("string"))
+    )
+    commit_snapshot(evolved, table_dir, mode="append")  # v1: wider schema
+    return read_snapshot(spark, table_dir).groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count("o_channel").cast("long").alias("n_with_channel"),
+        F.count(F.when(F.col("o_channel").isNull(), 1))
+        .cast("long")
+        .alias("n_v0_rows"),
+    )

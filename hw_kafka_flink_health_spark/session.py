@@ -18,11 +18,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Conf bundle for the RocksDB state store provider (opt-in via
+#: get_spark(state_store="rocksdb") or SPARK_GRAFT_STATE_STORE=rocksdb).
+#: The default HDFS-backed provider keeps EVERY key's state on the JVM
+#: heap — fine for the sandbox, but a 100x-scale sliding-window or CEP
+#: job (state amplification: a 1-min window sliding by 10 s holds 6
+#: copies of every key) needs state off-heap and incrementally
+#: checkpointable, which is exactly what RocksDB provides (bundled
+#: rocksdbjni, no extra jars). Changelog checkpointing uploads per-batch
+#: deltas instead of full SST snapshots — the posture for large state.
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
 def get_spark(
     app_name: str = "hw_kafka_flink_health_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine defaults.
 
@@ -36,6 +54,12 @@ def get_spark(
       rejects; the loader converts nanos->timestamp explicitly.
     * AQE + skew-join handling on: at 100 TB, skewed keys and bad static
       partition counts are the norm, not the exception.
+
+    ``state_store="rocksdb"`` (or env ``SPARK_GRAFT_STATE_STORE=rocksdb``)
+    switches streaming state to the RocksDB provider
+    (``ROCKSDB_STATE_CONF``) — mandatory at real scale where windowed/CEP
+    state exceeds executor heap; default stays HDFS-backed in-memory so
+    small jobs skip the native-store overhead.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     if master is None:
@@ -56,6 +80,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    state_store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if state_store == "rocksdb":
+        for k, v in ROCKSDB_STATE_CONF.items():
+            builder = builder.config(k, v)
+    elif state_store not in (None, "", "hdfs"):
+        raise ValueError(f"unknown state_store {state_store!r} (rocksdb|hdfs)")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -148,6 +148,18 @@ def sweep(spark, scenario: str) -> list:
             print(f"{scenario} {name}: MISMATCH", flush=True)
         if i % 40 == 0:
             print(f"[{scenario} {i}/{len(todo)}] ({time.time()-t0:.1f}s)", flush=True)
+    # rows-only queries (approximate/seeded/iterative — no value oracle)
+    # can't hash-compare, but they MUST survive pathological data: this
+    # crash-check is what caught the KMeans k>distinct-centers AIOOBE in
+    # the IVF/SemDeDup operators (round-5) — degenerate corpora are
+    # exactly where sketch/clustering code breaks first.
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        try:
+            n = len(QUERIES[name](spark, base).toPandas())
+            print(f"{scenario} {name}: rows-only ok ({n} rows)", flush=True)
+        except Exception as e:
+            fails.append((scenario, name, f"rows-only spark error: {str(e)[:150]}"))
+            print(f"{scenario} {name}: ROWS-ONLY ERROR", flush=True)
     con.close()
     return fails
 

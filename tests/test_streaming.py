@@ -1376,3 +1376,71 @@ def test_cep_job_demo_cli_runs():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Batch: " in proc.stdout
+
+
+def test_streaming_under_rocksdb_state_store(spark, tmp_path):
+    """Opt-in RocksDB state store (round-5 verdict item: the default
+    in-memory HDFS-backed provider cannot hold 100x-scale window/CEP
+    state): the same windowed-alert pipeline must produce identical
+    results under the RocksDB provider, and the provider must ACTUALLY
+    engage (rocksdb custom metrics present in the query progress — a
+    silently ignored conf would pass a results-only check)."""
+    events = [
+        _ev("p001", "2025-11-19T07:00:05+00:00", 110),
+        _ev("p001", "2025-11-19T07:00:30+00:00", 120),
+        _ev("p002", "2025-11-19T07:00:40+00:00", 45),
+        _ev("p099", "2025-11-19T07:10:00+00:00", 75),  # watermark sentinel
+    ]
+    src = tmp_path / "rocks_src"
+    _write_events_json(str(src / "batch0.json"), events)
+
+    from hw_kafka_flink_health_spark.session import ROCKSDB_STATE_CONF
+
+    saved = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        reader = (
+            spark.readStream.schema("raw string")
+            .option("maxFilesPerTrigger", 1000)
+            .json(str(src))
+        )
+        alerts = build_streaming_job(reader, as_json=False)
+        q = (
+            alerts.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("alerts_rocksdb")
+            .start()
+        )
+        q.processAllAvailable()
+        progress = q.lastProgress
+        q.stop()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    out = {
+        (r.patient_id, r.window_start): r
+        for r in spark.sql("SELECT * FROM alerts_rocksdb").collect()
+    }
+    assert out[("p001", 1763535600000)].alert_type == "tachycardia"
+    assert out[("p001", 1763535600000)].avg_hr == 115.0
+    assert out[("p002", 1763535600000)].alert_type == "bradycardia"
+    # proof the RocksDB provider ran this query's state store
+    ops = progress["stateOperators"]
+    assert ops and any(
+        any(m.startswith("rocksdb") for m in op.get("customMetrics", {}))
+        for op in ops
+    ), f"no rocksdb metrics in progress: {ops}"
+
+
+def test_get_spark_rejects_unknown_state_store():
+    import pytest
+
+    from hw_kafka_flink_health_spark.session import get_spark
+
+    with pytest.raises(ValueError, match="unknown state_store"):
+        get_spark(state_store="leveldb")
