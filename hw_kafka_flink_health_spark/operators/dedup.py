@@ -364,6 +364,57 @@ def _minhash_coeffs(k: int) -> list:
     ]
 
 
+def _minhash_det_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int,
+    rows_per_band: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(doc, sig, band, key) rows of the deterministic minhash banding —
+    the shared core of `minhash_det_pairs` (full-corpus self-join) and
+    `minhash_det_incremental_candidates` (batch-vs-history join): md5
+    shingle hash mod p, pinned `(a·x+b) mod p` permutations
+    (`_minhash_coeffs`), ONE groupBy of min-aggregates for the
+    signature, band key packing `rows_per_band` signature rows into one
+    long (s0·p + s1 < 2^62)."""
+    if num_perm % rows_per_band != 0:
+        raise ValueError("num_perm must be a multiple of rows_per_band")
+    n_bands = num_perm // rows_per_band
+    sh = shingle_table(df, text_col, id_col, shingle_n).filter(F.size("sh") > 0)
+    x = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    postings = sh.select("doc", F.explode("sh").alias("shingle")).select(
+        "doc", x.alias("x")
+    )
+    sig_cols = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_perm))
+    ]
+    sigs = postings.groupBy("doc").agg(*sig_cols).select(
+        "doc", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig")
+    )
+    band_entries = [
+        F.struct(
+            F.lit(j).alias("band"),
+            reduce(
+                lambda acc, r: acc * MINHASH_P
+                + F.get("sig", j * rows_per_band + r),
+                range(1, rows_per_band),
+                F.get("sig", j * rows_per_band).cast("long"),
+            ).alias("key"),
+        )
+        for j in range(n_bands)
+    ]
+    return sigs.select(
+        "doc", "sig", F.explode(F.array(*band_entries)).alias("bk")
+    ).select("doc", "sig", "bk.band", "bk.key")
+
+
 def minhash_det_pairs(
     df: DataFrame,
     text_col: str,
@@ -399,39 +450,10 @@ def minhash_det_pairs(
     signature table — the same trade approxSimilarityJoin makes carrying
     its feature vectors. Returns (doc1, doc2, est_jaccard), doc1 < doc2.
     """
-    if num_perm % rows_per_band != 0:
-        raise ValueError("num_perm must be a multiple of rows_per_band")
-    n_bands = num_perm // rows_per_band
-    sh = shingle_table(df, text_col, id_col, shingle_n).filter(F.size("sh") > 0)
-    x = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-        % MINHASH_P
+    bands = _minhash_det_bands(
+        df, text_col, id_col,
+        num_perm=num_perm, rows_per_band=rows_per_band, shingle_n=shingle_n,
     )
-    postings = sh.select("doc", F.explode("sh").alias("shingle")).select(
-        "doc", x.alias("x")
-    )
-    sig_cols = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
-        for i, (a, b) in enumerate(_minhash_coeffs(num_perm))
-    ]
-    sigs = postings.groupBy("doc").agg(*sig_cols).select(
-        "doc", F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig")
-    )
-    band_entries = [
-        F.struct(
-            F.lit(j).alias("band"),
-            reduce(
-                lambda acc, r: acc * MINHASH_P
-                + F.get("sig", j * rows_per_band + r),
-                range(1, rows_per_band),
-                F.get("sig", j * rows_per_band).cast("long"),
-            ).alias("key"),
-        )
-        for j in range(n_bands)
-    ]
-    bands = sigs.select(
-        "doc", "sig", F.explode(F.array(*band_entries)).alias("bk")
-    ).select("doc", "sig", "bk.band", "bk.key")
     a = bands.select(
         F.col("doc").alias("doc1"), F.col("sig").alias("sig1"), "band", "key"
     )
@@ -631,3 +653,52 @@ def minhash_incremental_candidates(
         F.col("datasetB.doc").alias("old_doc"),
         F.col("jaccard_distance"),
     )
+
+
+def minhash_det_incremental_candidates(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Deterministic tier of the ingestion-time near-dup screen: the
+    asymmetric sibling of `minhash_det_pairs` — candidates come from
+    joining the NEW batch's band keys against the HISTORY's band keys
+    (`_minhash_det_bands` on each side), so cost scales with |batch| ×
+    bucket collision rate, never |history|². Same pinned md5/(a·x+b)
+    mod p signatures as the full-corpus tier, so a SQL oracle replays
+    the candidate set and the matching-fraction Jaccard estimates
+    exactly (the pyspark.ml seeded tier `minhash_incremental_candidates`
+    stays as the alternate engine path). At scale the history's banded
+    table is persisted, partitioned by band key — re-banding here is
+    the sandbox stand-in for that bucket-pruned join.
+
+    Returns (new_doc, old_doc, est_jaccard), est_jaccard >= threshold.
+    """
+    kw = dict(num_perm=num_perm, rows_per_band=rows_per_band, shingle_n=shingle_n)
+    new_b = _minhash_det_bands(batch, text_col, id_col, **kw).select(
+        F.col("doc").alias("new_doc"), F.col("sig").alias("new_sig"), "band", "key"
+    )
+    old_b = _minhash_det_bands(history, text_col, id_col, **kw).select(
+        F.col("doc").alias("old_doc"), F.col("sig").alias("old_sig"), "band", "key"
+    )
+    cand = (
+        new_b.join(old_b, ["band", "key"])
+        .select("new_doc", "old_doc", "new_sig", "old_sig")
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with("new_sig", "old_sig", lambda u, v: (u == v).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return cand.select(
+        "new_doc",
+        "old_doc",
+        (matches / F.lit(float(num_perm))).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)

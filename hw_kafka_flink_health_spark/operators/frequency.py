@@ -32,6 +32,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _seeded_hash(hash: str):
+    """Seeded hash family for the sketch operators, two tiers:
+
+    * "xxhash64" (default): JVM codegen, fastest — but engine-specific,
+      so sketches built with it are rows-only to an external oracle.
+    * "md5": first 15 md5 hex digits of `key|seed` parsed base-16 — 60
+      bits, non-negative, reproducible bit-for-bit in any engine
+      (DuckDB: `('0x' || substr(md5(key || '|' || seed), 1, 15))::BIGINT`).
+      The same tier that value-oracled SimHash/winnowing/MinHash; it
+      makes CMS/AMS/Bloom sketches hash-comparable across engines.
+
+    Returns f(col, seed) -> non-negative long Column.
+    """
+    if hash == "xxhash64":
+        return lambda c, seed: F.abs(F.xxhash64(c, F.lit(seed)))
+    if hash == "md5":
+        return lambda c, seed: F.conv(
+            F.substring(F.md5(F.concat_ws("|", c, F.lit(str(seed)))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"unknown hash {hash!r} (xxhash64|md5)")
+
+
 def heavy_hitters(
     df: DataFrame,
     key: str | Column,
@@ -82,6 +106,7 @@ def cms_build(
     *,
     depth: int = 4,
     width: int = 1024,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Count-min sketch over a key column: a (depth × width) counter table
     as a tiny DataFrame (seed, bucket, cnt) — the mergeable approximate
@@ -101,12 +126,10 @@ def cms_build(
     true + eps*N with probability 1-delta for eps=e/width, delta=e^-depth.
     """
     kcol = F.col(key) if isinstance(key, str) else key
+    hf = _seeded_hash(hash)
     keyed = df.select(kcol.cast("string").alias("key")).filter(F.col("key").isNotNull())
     buckets = F.array(
-        *[
-            (F.abs(F.xxhash64(F.col("key"), F.lit(d))) % width).cast("int")
-            for d in range(depth)
-        ]
+        *[(hf(F.col("key"), d) % width).cast("int") for d in range(depth)]
     )
     return (
         keyed.select(F.posexplode(buckets).alias("seed", "bucket"))
@@ -133,19 +156,18 @@ def cms_estimate(
     *,
     depth: int = 4,
     width: int = 1024,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Point-query the sketch for each row of `keys`: estimate = min over
-    the depth counters the key hashes into. depth/width MUST match the
-    build call — they define the hash family. The sketch is d×w rows —
+    the depth counters the key hashes into. depth/width/hash MUST match
+    the build call — they define the hash family. The sketch is d×w rows —
     broadcast; the (typically small) candidate set joins it without
     shuffling the corpus. Keys never inserted estimate as the min of
     whatever collided into their buckets (>= 0, standard CMS behavior)."""
     kcol = F.col(key).cast("string")
+    hf = _seeded_hash(hash)
     buckets = F.array(
-        *[
-            (F.abs(F.xxhash64(kcol, F.lit(d))) % width).cast("int")
-            for d in range(depth)
-        ]
+        *[(hf(kcol, d) % width).cast("int") for d in range(depth)]
     )
     probes = keys.select(
         F.col(key).alias("key"), F.posexplode(buckets).alias("seed", "bucket")
@@ -163,6 +185,7 @@ def bloom_build(
     *,
     n_bits: int = 1 << 16,
     n_hashes: int = 5,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Bloom filter as a DataFrame: the set of SET bit positions (one int
     column, distinct). Completes the sketch-algebra family next to the
@@ -176,10 +199,11 @@ def bloom_build(
     for scan pruning; this one is a first-class value you can join,
     persist, or ship to another job as a pre-filter."""
     kcol = F.col(key) if isinstance(key, str) else key
+    hf = _seeded_hash(hash)
     keyed = df.select(kcol.cast("string").alias("key")).filter(F.col("key").isNotNull())
     positions = F.array(
         *[
-            (F.abs(F.xxhash64(F.col("key"), F.lit(1000 + d))) % n_bits).cast("int")
+            (hf(F.col("key"), 1000 + d) % n_bits).cast("int")
             for d in range(n_hashes)
         ]
     )
@@ -200,6 +224,7 @@ def bloom_probe(
     *,
     n_bits: int = 1 << 16,
     n_hashes: int = 5,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """(key, maybe_present) for each probe row: present iff ALL k bit
     positions are set. No false negatives ever; false-positive rate
@@ -207,9 +232,10 @@ def bloom_probe(
     n_bits rows); probing is a left join + count match — no shuffle of
     the probe side beyond its own aggregate."""
     kcol = F.col(key).cast("string")
+    hf = _seeded_hash(hash)
     positions = F.array(
         *[
-            (F.abs(F.xxhash64(kcol, F.lit(1000 + d))) % n_bits).cast("int")
+            (hf(kcol, 1000 + d) % n_bits).cast("int")
             for d in range(n_hashes)
         ]
     )
@@ -229,6 +255,7 @@ def ams_f2_sketch(
     *,
     n_counters: int = 64,
     n_estimators: int = 5,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """AMS (Alon–Matias–Szegedy) sketch for the second frequency moment
     F2 = Σ f_k² — the collision/self-join-size statistic: completes the
@@ -242,17 +269,16 @@ def ams_f2_sketch(
     Returns (est, counter, val) — estimate F2 with `ams_f2_estimate`.
     """
     kcol = F.col(key) if isinstance(key, str) else key
+    hf = _seeded_hash(hash)
     keyed = df.select(kcol.cast("string").alias("key")).filter(F.col("key").isNotNull())
     rows = F.array(
         *[
             F.struct(
                 F.lit(e).alias("est"),
-                (F.abs(F.xxhash64(F.col("key"), F.lit(2000 + e))) % n_counters)
+                (hf(F.col("key"), 2000 + e) % n_counters)
                 .cast("int")
                 .alias("counter"),
-                F.when(
-                    F.abs(F.xxhash64(F.col("key"), F.lit(3000 + e))) % 2 == 0, 1
-                )
+                F.when(hf(F.col("key"), 3000 + e) % 2 == 0, 1)
                 .otherwise(-1)
                 .alias("sgn"),
             )

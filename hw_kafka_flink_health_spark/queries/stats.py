@@ -575,22 +575,51 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select("rule", "violations", "n_rows")
 
 
-@register("approx_topk_cms")
+@register(
+    "approx_topk_cms",
+    oracle="""
+    WITH raw AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), t AS (SELECT tok FROM raw WHERE tok <> ''),
+    sk AS (
+      SELECT d.range AS seed,
+             ('0x' || substr(md5(tok || '|' || CAST(d.range AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM t CROSS JOIN range(4) d GROUP BY 1, 2
+    ), cand AS (
+      SELECT tok AS key FROM t GROUP BY 1 HAVING count(*) >= 64
+    ), probes AS (
+      SELECT c.key, d.range AS seed,
+             ('0x' || substr(md5(c.key || '|' || CAST(d.range AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS bucket
+      FROM cand c CROSS JOIN range(4) d
+    )
+    SELECT key, est FROM (
+      SELECT p.key, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+      FROM probes p LEFT JOIN sk s USING (seed, bucket)
+      GROUP BY 1
+    ) ORDER BY est DESC, key LIMIT 15
+    """,
+)
 def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate token top-k from a count-min sketch
     (`operators/frequency.py:cms_build/cms_estimate`): the sketch is a
     constant-size (4×1024) counter table whatever the vocabulary, so its
     shuffle never scales with distinct keys and per-hour sketches merge
     into per-day by counter addition (`cms_merge`, exactly associative —
-    pinned in tests/test_stats.py). The candidate set probed here comes
-    from the same local-frequent prune `heavy_hitters` uses, with the
-    local bound derived as threshold // P from the ACTUAL partition
-    count (a key with global count >= MIN_FREQ spread over P partitions
-    must exceed MIN_FREQ/P somewhere) — so the contract is: no false
-    negatives among tokens with global count >= MIN_FREQ. Estimates
-    carry the one-sided CMS error (est >= true, bounded excess — also
-    pinned by test). Rows-only by design: the sketch layout is
-    engine-specific, like HLL/GK."""
+    pinned in tests/test_stats.py). Estimates carry the one-sided CMS
+    error (est >= true, bounded excess — also pinned by test).
+
+    Value-oracled via the md5 hash tier (`_seeded_hash`): the counter
+    table, the probe buckets, and therefore every estimate are replayed
+    bit-for-bit by DuckDB — the same conversion that oracled SimHash and
+    MinHash. The probed candidate set here is the exact >= 64 token set
+    (a plain HAVING both engines agree on); the partition-local
+    Misra-Gries candidate prune — whose output legitimately depends on
+    the physical partitioning — stays demonstrated and oracled in
+    `heavy_hitter_tokens`. The xxhash64 tier remains the production
+    default (JVM codegen, no md5 cost)."""
     from hw_kafka_flink_health_spark.operators.frequency import (
         cms_build,
         cms_estimate,
@@ -600,25 +629,16 @@ def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    sketch = cms_build(toks, "tok", depth=4, width=1024)
-    # candidate pass: keys locally frequent anywhere. MIN_FREQ is the
-    # query's explicit recall floor; the local bound is MIN_FREQ // P so
-    # a qualifying key spread one-per-partition still surfaces (the bug
-    # a flat `c >= 2` prune had: global count < 2P could vanish).
+    sketch = cms_build(toks, "tok", depth=4, width=1024, hash="md5")
     MIN_FREQ = 64
-    keyed = toks.select(F.col("tok").alias("key"))
-    p = keyed.rdd.getNumPartitions()
-    local_bound = max(1, MIN_FREQ // max(p, 1))
     candidates = (
-        keyed.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid", "key")
+        toks.groupBy(F.col("tok").alias("key"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= local_bound)
+        .filter(F.col("c") >= MIN_FREQ)
         .select("key")
-        .distinct()
     )
     return (
-        cms_estimate(sketch, candidates, depth=4, width=1024)
+        cms_estimate(sketch, candidates, depth=4, width=1024, hash="md5")
         .orderBy(F.col("est").desc(), F.col("key").asc())
         .limit(15)
         .select("key", "est")
@@ -819,7 +839,44 @@ def quantile_sketch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bloom_prefilter_orders")
+@register(
+    "bloom_prefilter_orders",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT c_custkey AS key FROM customer WHERE c_nationkey = 1
+    ), probes AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+    ), bloom AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(m.key AS VARCHAR) || '|'
+                                 || CAST(1000 + d.range AS VARCHAR)), 1, 15))::BIGINT
+               % 65536 AS pos
+      FROM members m CROSS JOIN range(5) d
+    ), pp AS (
+      SELECT p.key,
+             ('0x' || substr(md5(CAST(p.key AS VARCHAR) || '|'
+                                 || CAST(1000 + d.range AS VARCHAR)), 1, 15))::BIGINT
+               % 65536 AS pos
+      FROM probes p CROSS JOIN range(5) d
+    ), marked AS (
+      SELECT key, bool_and(pos IN (SELECT pos FROM bloom)) AS maybe_present
+      FROM pp GROUP BY key
+    ), j AS (
+      SELECT mk.key, mk.maybe_present,
+             CASE WHEN mem.key IS NOT NULL THEN 1 ELSE 0 END AS is_member
+      FROM marked mk LEFT JOIN members mem USING (key)
+    )
+    SELECT CAST(sum(is_member) AS BIGINT) AS n_true_members,
+           CAST(sum(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_passed,
+           CAST(sum(CASE WHEN maybe_present AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           round(sum(CASE WHEN maybe_present AND is_member = 0 THEN 1 ELSE 0 END)
+                 / greatest(sum(CASE WHEN is_member = 0 THEN 1 ELSE 0 END), 1),
+                 6) AS fpr
+    FROM j
+    """,
+)
 def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom pre-filter report: build a relational Bloom filter
     (`operators/frequency.py:bloom_build`) over the customers of one
@@ -828,9 +885,14 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measured false-positive rate. This is the shippable-sketch
     pattern: the 64 KB filter travels to the orders job as a pre-filter
     that drops most non-matching rows BEFORE the real join (no shuffle
-    of the fact side to discover non-membership). Rows-only: bit
-    positions are xxhash64 (engine-specific); no-false-negative and FPR
-    contracts pinned in tests/test_stats.py."""
+    of the fact side to discover non-membership).
+
+    Value-oracled via the md5 hash tier: DuckDB rebuilds the identical
+    set-bit positions, so membership verdicts — including which
+    NON-members false-positive through the filter — hash-compare
+    exactly. xxhash64 stays the production default tier; the
+    no-false-negative and FPR contracts remain pinned in
+    tests/test_stats.py."""
     from hw_kafka_flink_health_spark.operators.frequency import (
         bloom_build,
         bloom_probe,
@@ -841,9 +903,9 @@ def bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = cust.filter(F.col("c_nationkey") == 1).select(
         F.col("c_custkey").alias("key")
     )
-    bloom = bloom_build(members, "key")
+    bloom = bloom_build(members, "key", hash="md5")
     probes = orders.select(F.col("o_custkey").alias("key")).distinct()
-    probed = bloom_probe(bloom, probes)
+    probed = bloom_probe(bloom, probes, hash="md5")
     exact = probes.join(
         members.withColumn("__m", F.lit(1)).distinct(), "key", "left"
     ).select("key", F.coalesce("__m", F.lit(0)).alias("is_member"))
@@ -1070,7 +1132,30 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_f2_tokens")
+@register(
+    "approx_f2_tokens",
+    oracle="""
+    WITH raw AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), t AS (SELECT tok FROM raw WHERE tok <> ''),
+    c AS (
+      SELECT e.range AS est,
+             ('0x' || substr(md5(tok || '|' || CAST(2000 + e.range AS VARCHAR)), 1, 15))::BIGINT
+               % 64 AS counter,
+             CASE WHEN ('0x' || substr(md5(tok || '|' || CAST(3000 + e.range AS VARCHAR)), 1, 15))::BIGINT
+                       % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM t CROSS JOIN range(5) e
+    ), sk AS (
+      SELECT est, counter, sum(sgn)::BIGINT AS val FROM c GROUP BY 1, 2
+    ), per AS (
+      SELECT CAST(est AS BIGINT) AS est, sum(val * val)::BIGINT AS f2_est
+      FROM sk GROUP BY 1
+    )
+    SELECT est, f2_est,
+           (SELECT CAST(median(f2_est) AS DOUBLE) FROM per) AS f2_median
+    FROM per
+    """,
+)
 def approx_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate token F2 (= the exact output size of a token
     self-join) from the AMS sketch — the sketch-tier sibling of
@@ -1078,18 +1163,28 @@ def approx_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, this one estimates the TOTAL collision mass from an e×c
     counter table whose build shuffles O(e·c) rows regardless of
     vocabulary size, and which merges across corpus slices by counter
-    addition. Rows-only (hash-dependent); the 30% error bound and exact
-    linearity are pinned in tests/test_stats.py."""
-    from hw_kafka_flink_health_spark.operators.frequency import (
-        ams_f2_estimate,
-        ams_f2_sketch,
-    )
+    addition. The 30% error bound and exact linearity stay pinned in
+    tests/test_stats.py.
+
+    Value-oracled via the md5 hash tier: the signed counters, each
+    estimator's Σval² and the median-of-means all replay exactly in
+    DuckDB (per-estimator rows surfaced so a single colliding counter
+    breaks the hash, not just the aggregate). xxhash64 stays the
+    production default tier."""
+    from hw_kafka_flink_health_spark.operators.frequency import ams_f2_sketch
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    return ams_f2_estimate(ams_f2_sketch(toks, "tok"))
+    sketch = ams_f2_sketch(toks, "tok", hash="md5")
+    per = sketch.groupBy(F.col("est").cast("long").alias("est")).agg(
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("f2_est")
+    )
+    med = per.agg(
+        F.expr("percentile(f2_est, 0.5)").cast("double").alias("f2_median")
+    )
+    return per.crossJoin(F.broadcast(med))
 
 
 @register(

@@ -1428,16 +1428,68 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_incremental_neardup")  # LSH hash-seeded: rows-only by design
+@register(
+    "dedup_incremental_neardup",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id AS doc, text FROM documents
+      UNION ALL
+      SELECT -(doc_id + 1) AS doc, text || ' minor appended revision' AS text
+      FROM documents WHERE doc_id % 50 = 7
+    ), t AS (
+      SELECT doc,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc, string_split(text, ' ') AS toks FROM src)
+    ), e AS (
+      SELECT doc, ('0x' || substr(md5(u.shingle), 1, 15))::BIGINT % 2147483647 AS x
+      FROM t, unnest(t.sh) AS u(shingle)
+      WHERE len(t.sh) > 0
+    ), perm AS (
+      SELECT r.range AS i,
+             (r.range * 2654435761 + 1) % 2147483647 AS a,
+             (r.range * 40503 + 17) % 2147483647 AS b
+      FROM range(16) r
+    ), sig AS (
+      SELECT doc, i, min((a * x + b) % 2147483647) AS s
+      FROM e CROSS JOIN perm GROUP BY doc, i
+    ), sigarr AS (
+      SELECT doc, list(s ORDER BY i) AS sig FROM sig GROUP BY doc
+    ), bands AS (
+      SELECT doc, b.range AS band,
+             sig[CAST(2 * b.range + 1 AS INTEGER)] * 2147483647
+               + sig[CAST(2 * b.range + 2 AS INTEGER)] AS key
+      FROM sigarr, range(8) b
+    ), cand AS (
+      SELECT DISTINCT x.doc AS new_doc, y.doc AS old_doc
+      FROM bands x JOIN bands y USING (band, key)
+      WHERE x.doc < 0 AND y.doc >= 0
+    )
+    SELECT new_doc, old_doc, est_jaccard FROM (
+      SELECT c.new_doc, c.old_doc,
+             CAST(list_sum(list_transform(range(1, 17),
+                 i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+               AS DOUBLE) / 16.0 AS est_jaccard
+      FROM cand c
+      JOIN sigarr s1 ON s1.doc = c.new_doc
+      JOIN sigarr s2 ON s2.doc = c.old_doc
+    ) WHERE est_jaccard >= 0.4
+    """,
+)
 def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-time near-dup screen: a synthetic 'new batch' (every
     50th doc, re-ingested with a trailing edit and a shifted id) is
-    probed against the remaining corpus via the asymmetric MinHash band
-    join — candidates are (new, old) only, cost scales with the batch,
-    not the history. Planted recall pinned by
+    probed against the corpus via the asymmetric MinHash band join —
+    candidates are (new, old) only, cost scales with the batch, not the
+    history. Value-oracled via the deterministic tier
+    (`operators/dedup.py:minhash_det_incremental_candidates` — same
+    pinned md5/(a·x+b) mod p signatures that oracled the full-corpus
+    `dedup_minhash_lsh`), so DuckDB replays the candidate set and the
+    Jaccard estimates exactly. The pyspark.ml seeded tier stays as the
+    alternate path, with planted recall pinned by
     tests/test_approx_operators.py::test_minhash_incremental_catches_planted_neardup_of_history."""
     from hw_kafka_flink_health_spark.operators.dedup import (
-        minhash_incremental_candidates,
+        minhash_det_incremental_candidates,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1449,11 +1501,8 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" minor appended revision")).alias("text"),
     )
-    out = minhash_incremental_candidates(
-        history, batch, "text", "doc_id", jaccard_distance_threshold=0.6
-    )
-    return out.select(
-        "new_doc", "old_doc", F.round("jaccard_distance", 4).alias("jaccard_distance")
+    return minhash_det_incremental_candidates(
+        history, batch, "text", "doc_id", threshold=0.4
     )
 
 
@@ -1839,18 +1888,90 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(docs).orderBy("doc_id")
 
 
-@register("dedup_sketch_quality_report")
+@register(
+    "dedup_sketch_quality_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), e AS (
+      SELECT doc, unnest(sh) AS shingle, len(sh) AS n FROM t WHERE len(sh) > 0
+    ), exactp AS (
+      SELECT a.doc AS id1, b.doc AS id2,
+             count(*) AS common, any_value(a.n) AS n1, any_value(b.n) AS n2
+      FROM e a JOIN e b USING (shingle)
+      WHERE a.doc < b.doc GROUP BY 1, 2
+    ), exact AS (
+      SELECT id1, id2 FROM exactp
+      WHERE common::DOUBLE / (n1 + n2 - common) >= 0.3
+    ), eh AS (
+      SELECT doc, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS x
+      FROM e
+    ), perm AS (
+      SELECT r.range AS i,
+             (r.range * 2654435761 + 1) % 2147483647 AS a,
+             (r.range * 40503 + 17) % 2147483647 AS b
+      FROM range(16) r
+    ), sig AS (
+      SELECT doc, i, min((a * x + b) % 2147483647) AS s
+      FROM eh CROSS JOIN perm GROUP BY doc, i
+    ), sigarr AS (
+      SELECT doc, list(s ORDER BY i) AS sig FROM sig GROUP BY doc
+    ), bands AS (
+      SELECT doc, b.range AS band,
+             sig[CAST(2 * b.range + 1 AS INTEGER)] * 2147483647
+               + sig[CAST(2 * b.range + 2 AS INTEGER)] AS key
+      FROM sigarr, range(8) b
+    ), cand AS (
+      SELECT DISTINCT x.doc AS id1, y.doc AS id2
+      FROM bands x JOIN bands y USING (band, key)
+      WHERE x.doc < y.doc
+    ), approx AS (
+      SELECT id1, id2 FROM (
+        SELECT c.id1, c.id2,
+               CAST(list_sum(list_transform(range(1, 17),
+                   i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+                 AS DOUBLE) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN sigarr s1 ON s1.doc = c.id1
+        JOIN sigarr s2 ON s2.doc = c.id2
+      ) WHERE est_jaccard >= 0.3
+    ), u AS (
+      SELECT id1, id2,
+             bool_or(side = 'exact') AS has_e, bool_or(side = 'approx') AS has_a
+      FROM (
+        SELECT id1, id2, 'exact' AS side FROM exact
+        UNION ALL
+        SELECT id1, id2, 'approx' AS side FROM approx
+      ) GROUP BY 1, 2
+    )
+    SELECT tp, fn, fp,
+           round(tp / greatest(tp + fn, 1), 4) AS recall
+    FROM (
+      SELECT CAST(sum(CASE WHEN has_e AND has_a THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN has_e AND NOT has_a THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN has_a AND NOT has_e THEN 1 ELSE 0 END) AS BIGINT) AS fp
+      FROM u
+    )
+    """,
+)
 def dedup_sketch_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality evaluation harness: MinHash-LSH candidate pairs
     scored against the EXACT n-gram Jaccard pairs at the same threshold
     — one row of TP / FN / FP counts plus recall. This is the report a
     100 TB dedup deployment produces on a sampled slice before trusting
     the sketch tier corpus-wide (the sketch runs sub-quadratic; the
-    exact tier verifies it on the sample). Rows-only: the MinHash side
-    is engine-specific by construction; the planted-duplicate recall
-    floor is pinned in tests/test_approx_operators.py."""
+    exact tier verifies it on the sample). The sketch under evaluation
+    is the deterministic tier (`minhash_det_pairs` — the one a scaled
+    deployment bucket-joins), so the whole report is value-oracled:
+    DuckDB replays both the exact pairs and the sketch pairs and must
+    land on identical TP/FN/FP/recall. The seeded pyspark.ml tier keeps
+    its planted-duplicate recall floor in
+    tests/test_approx_operators.py."""
     from hw_kafka_flink_health_spark.operators.dedup import (
-        minhash_lsh_pairs,
+        minhash_det_pairs,
         ngram_jaccard_pairs,
     )
 
@@ -1858,9 +1979,9 @@ def dedup_sketch_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
         F.col("doc1").alias("id1"), F.col("doc2").alias("id2")
     )
-    approx = minhash_lsh_pairs(
-        docs, "text", "doc_id", jaccard_distance_threshold=0.7
-    ).select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"))
+    approx = minhash_det_pairs(docs, "text", "doc_id", threshold=0.3).select(
+        F.col("doc1").alias("id1"), F.col("doc2").alias("id2")
+    )
     return (
         exact.withColumn("side", F.lit("exact"))
         .unionByName(approx.withColumn("side", F.lit("approx")))

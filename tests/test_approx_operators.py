@@ -409,6 +409,35 @@ def test_minhash_incremental_catches_planted_neardup_of_history(spark):
     assert not any(n == -8 and o == 7 for n, o in pairs)
 
 
+def test_minhash_det_incremental_catches_planted_neardup_of_history(spark):
+    """Deterministic-tier twin of the planted-recall test above: the
+    pinned-coefficient asymmetric band join must also surface the edited
+    copy as a (new, old) candidate, keep side roles, and skip the
+    unrelated doc — and unlike the seeded ml tier its est_jaccard is a
+    stable k/num_perm fraction."""
+    from hw_kafka_flink_health_spark.operators.dedup import (
+        minhash_det_incremental_candidates,
+    )
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    hist = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = hist.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    edited = base + " trailing edit tokens appended here"
+    batch = spark.createDataFrame(
+        [(-7, edited), (-8, "entirely unrelated fresh content words nothing shared")],
+        ["doc_id", "text"],
+    )
+    got = minhash_det_incremental_candidates(
+        hist, batch, "text", "doc_id", threshold=0.4
+    ).collect()
+    pairs = {(r["new_doc"], r["old_doc"]) for r in got}
+    assert (-7, 7) in pairs, pairs
+    assert all(n < 0 and o >= 0 for n, o in pairs), pairs
+    assert not any(n == -8 and o == 7 for n, o in pairs)
+    assert all(r["est_jaccard"] * 16 == round(r["est_jaccard"] * 16) for r in got)
+
+
 def test_hll_overlap_inclusion_exclusion_bound(spark):
     """Sketch-algebra overlap estimates vs exact intersections: with 15
     users per segment the HLL estimates are near-exact; assert every
