@@ -173,6 +173,7 @@ HEADLINE = [
     # round-6 additions: deterministic minhash LSH (newly value-oracled),
     # CHECK/OCC/schema-evolution lakehouse surfaces
     "dedup_minhash_lsh",
+    "embedding_ann_srp",
     "versioned_check_reject",
     "versioned_occ_retry",
     "versioned_schema_evolution",

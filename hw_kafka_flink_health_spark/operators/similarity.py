@@ -18,6 +18,8 @@ Extension surface (SURVEY §2.C): driver-mandated similarity search; the referen
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -337,6 +339,134 @@ def lsh_ann_topk(
             )
             .cast("long"),
         )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _srp_sign_matrix(dim: int, n_bits: int) -> list[list[int]]:
+    """Pinned ±1 hyperplane matrix for `srp_ann_topk`: entry (i, j) is +1
+    iff the first 15 md5 hex digits of the string "i|j" parse to an even
+    integer — the same engine-portable md5 coin used by the sketch
+    operators' md5 tier, so a SQL oracle regenerates the identical
+    matrix (`('0x' || substr(md5(i || '|' || j), 1, 15))::BIGINT % 2`).
+    Deterministic, seedless, tiny (dim × n_bits entries, computed on the
+    driver and folded into the plan as literals)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1
+            for j in range(n_bits)
+        ]
+        for i in range(dim)
+    ]
+
+
+def srp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Approximate cosine top-k via DETERMINISTIC sign-random-projection
+    (hyperplane) LSH — the ANN family member whose whole pipeline is
+    value-oracle-able, unlike the seeded tiers (`lsh_ann_topk`,
+    `ivf_topk`, `pq_topk`):
+
+    * each vector is quantized to integers (`floor(x · scale)` in
+      double — exact and identical in every engine, no float-sum
+      order hazard: the hyperplane dot products below are pure int64
+      arithmetic);
+    * signature bit j = [⟨q, h_j⟩ > 0] for the pinned ±1 hyperplane
+      h_j (`_srp_sign_matrix` — md5-parity coins, no seeds). Vectors
+      on the same side of all hyperplanes in a band collide: P[bit
+      match] = 1 − θ/π (Charikar 2002), so banding `band_bits` bits
+      trades recall vs candidate count exactly like MinHash banding;
+    * candidates = band-key equi-join of query vs corpus signatures
+      (sub-quadratic, never all-pairs), then EXACT double-precision
+      cosine re-rank of candidates only, row_number top-k with the
+      round(sim, 6) + id tiebreak the exact tier uses.
+
+    The signature is ONE narrow codegen projection per row (n_bits
+    zip_with/aggregate folds over literal arrays — no explode, no join,
+    no shuffle); the only shuffles are the band join and the final
+    per-query window. Returns (query_id, neighbor_id, sim, rank).
+    """
+    if n_bits % band_bits != 0:
+        raise ValueError("n_bits must be a multiple of band_bits")
+    dim_row = corpus.agg(F.max(F.size(F.col(vec_col)))).first()
+    dim = dim_row[0] or 0
+    mat = _srp_sign_matrix(dim, n_bits)
+    n_bands = n_bits // band_bits
+
+    def bands_of(df: DataFrame, role: str) -> DataFrame:
+        qv = F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * scale)
+        )
+        staged = df.select(F.col(id_col).alias(role), qv.alias("_qv"))
+        dots = staged.select(
+            role,
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qv"),
+                        F.array(*[F.lit(mat[i][j]) for i in range(dim)]),
+                        lambda a, s: a * s.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias(f"dp{j}")
+                for j in range(n_bits)
+            ],
+        )
+        sig = reduce(
+            lambda acc, j: acc
+            + F.when(F.col(f"dp{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            range(n_bits),
+            F.lit(0).cast("long"),
+        )
+        sigs = dots.select(role, sig.alias("sig"))
+        band_entries = [
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.shiftright(F.col("sig"), b * band_bits) % (1 << band_bits)).alias(
+                    "bval"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+        return sigs.select(
+            role, F.explode(F.array(*band_entries)).alias("bk")
+        ).select(role, "bk.band", "bk.bval")
+
+    cand = (
+        bands_of(queries, "query_id")
+        .join(bands_of(corpus, "neighbor_id"), ["band", "bval"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ne"))
+    sims = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qe"), F.col("ne")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

@@ -11,6 +11,7 @@ from hw_kafka_flink_health_spark.operators.similarity import (
     cosine_topk,
     lsh_ann_topk,
     neardup_pairs_blocked,
+    srp_ann_topk,
 )
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
@@ -53,6 +54,78 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk(emb, queries, k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "embedding_ann_srp",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), el AS (
+      SELECT vec_id, e, unnest(range(len(e))) AS i FROM v
+    ), q AS (
+      SELECT vec_id, i,
+             CAST(floor(e[CAST(i + 1 AS INTEGER)] * 1000) AS BIGINT) AS qx
+      FROM el
+    ), m AS (
+      SELECT di.i, j.range AS j,
+             CASE WHEN ('0x' || substr(md5(CAST(di.i AS VARCHAR) || '|'
+                                            || CAST(j.range AS VARCHAR)), 1, 15))::BIGINT
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT DISTINCT i FROM el) di CROSS JOIN range(16) j
+    ), dots AS (
+      SELECT q.vec_id, m.j, sum(q.qx * m.sgn)::BIGINT AS dp
+      FROM q JOIN m ON q.i = m.i
+      GROUP BY 1, 2
+    ), sigs AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dp > 0 THEN 1::BIGINT << CAST(j AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY 1
+    ), bands AS (
+      SELECT vec_id, b.range AS band,
+             (sig >> CAST(4 * b.range AS INTEGER)) % 16 AS bval
+      FROM sigs, range(4) b
+    ), cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bands qb JOIN bands cb USING (band, bval)
+      WHERE qb.vec_id < 20 AND cb.vec_id <> qb.vec_id
+    ), sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_inner_product(a.e, b.e) /
+               (sqrt(list_inner_product(a.e, a.e)) *
+                sqrt(list_inner_product(b.e, b.e))) AS sim
+      FROM cand c
+      JOIN v a ON a.vec_id = c.query_id
+      JOIN v b ON b.vec_id = c.neighbor_id
+    ), r AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(sim, 6) DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via DETERMINISTIC sign-random-projection LSH
+    (`operators/similarity.py:srp_ann_topk`) — the ANN family member
+    that IS value-oracled, where the seeded tiers (`embedding_ann_lsh`
+    / `_ivf` / `_pq`) are rows-only by construction: hyperplane signs
+    come from pinned md5-parity coins over integer-quantized vectors
+    (exact int64 dot products — no float-summation-order hazard),
+    4-bit banding generates candidates sub-quadratically, and an exact
+    double-precision cosine re-ranks just the candidates. DuckDB
+    regenerates the identical matrix, signatures, bands, candidates,
+    and ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = srp_ann_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank"
     )
 
 

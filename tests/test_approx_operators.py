@@ -438,6 +438,31 @@ def test_minhash_det_incremental_catches_planted_neardup_of_history(spark):
     assert all(r["est_jaccard"] * 16 == round(r["est_jaccard"] * 16) for r in got)
 
 
+def test_srp_ann_finds_planted_duplicate(spark):
+    """Deterministic sign-random-projection ANN: an exact copy of a
+    corpus vector shares every hyperplane sign, so it MUST collide in
+    all bands, surface as a candidate, and win rank 1 with cosine 1.0
+    — and the whole pipeline must be run-to-run identical (no seeds)."""
+    from hw_kafka_flink_health_spark.operators.similarity import srp_ann_topk
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    copy = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(99999).cast(emb.schema["vec_id"].dataType).alias("vec_id"),
+        "embedding",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    corpus = emb.unionByName(copy.select(emb.columns))
+    queries = corpus.filter(F.col("vec_id") == 99999)
+    got = srp_ann_topk(corpus, queries, k=3).collect()
+    top = [r for r in got if r["rank"] == 1]
+    assert len(top) == 1 and top[0]["neighbor_id"] == 3, got
+    assert abs(top[0]["sim"] - 1.0) < 1e-9
+    again = srp_ann_topk(corpus, queries, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_hll_overlap_inclusion_exclusion_bound(spark):
     """Sketch-algebra overlap estimates vs exact intersections: with 15
     users per segment the HLL estimates are near-exact; assert every

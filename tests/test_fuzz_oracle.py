@@ -77,6 +77,18 @@ RECENT = [
     "versioned_delete_vectors",
     "versioned_merge_upsert",
     "versioned_incremental_delta",
+    # round-6 additions: CHECK/OCC/evolution lakehouse paths, md5-tier
+    # sketch conversions, deterministic minhash + SRP ANN
+    "versioned_check_reject",
+    "versioned_occ_retry",
+    "versioned_schema_evolution",
+    "approx_topk_cms",
+    "approx_f2_tokens",
+    "bloom_prefilter_orders",
+    "dedup_minhash_lsh",
+    "dedup_incremental_neardup",
+    "dedup_sketch_quality_report",
+    "embedding_ann_srp",
 ]
 
 
