@@ -174,6 +174,7 @@ HEADLINE = [
     # CHECK/OCC/schema-evolution lakehouse surfaces
     "dedup_minhash_lsh",
     "embedding_ann_srp",
+    "embedding_ann_ivf_det",
     "versioned_check_reject",
     "versioned_occ_retry",
     "versioned_schema_evolution",

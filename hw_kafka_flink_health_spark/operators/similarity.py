@@ -471,6 +471,88 @@ def srp_ann_topk(
     )
 
 
+def ivf_det_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN with every source of randomness pinned —
+    the coarse-quantizer sibling of `srp_ann_topk` in the value-oracled
+    ANN family, where `ivf_topk` (seeded kmeans) is the recall-tunable
+    production tier:
+
+    * centroids = the `n_centroids` corpus vectors with the
+      lexicographically smallest `md5(id)` — a deterministic,
+      engine-portable pseudo-random sample standing in for trained
+      centers (data-independent, so no iterative fit to replay);
+    * assignment = argmax cosine to a centroid, ranked by the same
+      round(sim, 6) + centroid-id tiebreak the exact tier uses for FP
+      determinism — this builds the inverted lists;
+    * probe = each query scores the centroid table (broadcast,
+      `n_centroids` rows) and searches its top `n_probe` lists only;
+      candidates join the inverted lists on centroid id — cost scales
+      with list sizes, never the full corpus per query;
+    * exact double-precision cosine re-ranks candidates, row_number
+      top-k.
+
+    Returns (query_id, neighbor_id, sim, rank).
+    """
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("ce"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col("cid").asc())
+        .limit(n_centroids)
+        .drop("__h")
+    )
+    sim_c = cosine_expr(F.col("ve"), F.col("ce"))
+
+    def nearest(df: DataFrame, role: str, top: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(role), F.col(vec_col).alias("ve"))
+            .crossJoin(F.broadcast(cent))
+            .select(role, "cid", sim_c.alias("csim"))
+        )
+        w = Window.partitionBy(role).orderBy(
+            F.round(F.col("csim"), 6).desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top)
+            .select(role, "cid")
+        )
+
+    inv_lists = nearest(corpus, "neighbor_id", 1)
+    probes = nearest(queries, "query_id", n_probe)
+    cand = (
+        probes.join(inv_lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ne"))
+    sims = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qe"), F.col("ne")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.similarity import (
     cosine_topk,
+    ivf_det_topk,
     lsh_ann_topk,
     neardup_pairs_blocked,
     srp_ann_topk,
@@ -124,6 +125,74 @@ def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = srp_ann_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank"
+    )
+
+
+@register(
+    "embedding_ann_ivf_det",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 10
+    ), ascore AS (
+      SELECT v.vec_id, c.cid,
+             list_inner_product(v.e, c.ce) /
+               (sqrt(list_inner_product(v.e, v.e)) *
+                sqrt(list_inner_product(c.ce, c.ce))) AS csim
+      FROM v CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(csim, 6) DESC, cid) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(csim, 6) DESC, cid) AS rn
+        FROM ascore WHERE vec_id < 20
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM probes p JOIN assigned a USING (cid)
+      WHERE a.neighbor_id <> p.query_id
+    ), sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_inner_product(a.e, b.e) /
+               (sqrt(list_inner_product(a.e, a.e)) *
+                sqrt(list_inner_product(b.e, b.e))) AS sim
+      FROM cand c
+      JOIN v a ON a.vec_id = c.query_id
+      JOIN v b ON b.vec_id = c.neighbor_id
+    ), r AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(sim, 6) DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def embedding_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, fully value-oracled
+    (`operators/similarity.py:ivf_det_topk`): centroids are the 10
+    corpus vectors with the smallest md5(id) (a deterministic
+    engine-portable sample — no kmeans fit to replay), inverted lists
+    come from an argmax-cosine assignment with the round(sim,6) +
+    centroid-id tiebreak, each query probes its top-2 lists, and exact
+    cosine re-ranks the candidates. DuckDB replays centroids, lists,
+    probes, and ranking identically. The seeded kmeans tier
+    (`embedding_ann_ivf`) remains the trained-quantizer path with its
+    recall test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_det_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
     return out.select(
         "query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank"
     )

@@ -463,6 +463,29 @@ def test_srp_ann_finds_planted_duplicate(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_ivf_det_finds_planted_duplicate(spark):
+    """Deterministic IVF: an exact copy of a corpus vector gets the same
+    argmax-cosine centroid assignment, so the copy's top-probe list must
+    contain the original — rank 1, cosine 1.0, run-to-run identical."""
+    from hw_kafka_flink_health_spark.operators.similarity import ivf_det_topk
+    from hw_kafka_flink_health_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    copy = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(99999).cast(emb.schema["vec_id"].dataType).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    corpus = emb.unionByName(copy.select(emb.columns))
+    queries = corpus.filter(F.col("vec_id") == 99999)
+    got = ivf_det_topk(corpus, queries, k=3).collect()
+    top = [r for r in got if r["rank"] == 1]
+    assert len(top) == 1 and top[0]["neighbor_id"] == 3, got
+    assert abs(top[0]["sim"] - 1.0) < 1e-9
+    again = ivf_det_topk(corpus, queries, k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_hll_overlap_inclusion_exclusion_bound(spark):
     """Sketch-algebra overlap estimates vs exact intersections: with 15
     users per segment the HLL estimates are near-exact; assert every

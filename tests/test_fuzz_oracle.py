@@ -89,6 +89,7 @@ RECENT = [
     "dedup_incremental_neardup",
     "dedup_sketch_quality_report",
     "embedding_ann_srp",
+    "embedding_ann_ivf_det",
 ]
 
 
