@@ -382,6 +382,16 @@ def _minhash_det_bands(
     long (s0·p + s1 < 2^62)."""
     if num_perm % rows_per_band != 0:
         raise ValueError("num_perm must be a multiple of rows_per_band")
+    if rows_per_band > 2:
+        # the band key packs rows_per_band signature values base-p into
+        # ONE long; p^2 < 2^62 fits, p^3 overflows int64 — Spark would
+        # wrap silently (spurious band collisions) while a SQL replay
+        # errors, breaking the engine-portability contract. Reject at the
+        # API boundary; wider bands need a different key encoding.
+        raise ValueError(
+            "rows_per_band > 2 overflows the packed int64 band key "
+            f"(p={MINHASH_P}); use rows_per_band in (1, 2)"
+        )
     n_bands = num_perm // rows_per_band
     sh = shingle_table(df, text_col, id_col, shingle_n).filter(F.size("sh") > 0)
     x = (

@@ -230,7 +230,10 @@ def bloom_probe(
     positions are set. No false negatives ever; false-positive rate
     ~(1 - e^{-kn/m})^k, pinned by test. The bloom side broadcasts (<=
     n_bits rows); probing is a left join + count match — no shuffle of
-    the probe side beyond its own aggregate."""
+    the probe side beyond its own aggregate. NULL probe keys are dropped,
+    mirroring `bloom_build`'s NULL filter: NULL has no membership
+    verdict (it was never inserted and hashing it would just hash the
+    seed)."""
     kcol = F.col(key).cast("string")
     hf = _seeded_hash(hash)
     positions = F.array(
@@ -239,7 +242,9 @@ def bloom_probe(
             for d in range(n_hashes)
         ]
     )
-    probes = keys.select(F.col(key).alias("key"), F.explode(positions).alias("pos"))
+    probes = keys.filter(F.col(key).isNotNull()).select(
+        F.col(key).alias("key"), F.explode(positions).alias("pos")
+    )
     marked = probes.join(
         F.broadcast(bloom.withColumn("__hit", F.lit(1))), "pos", "left"
     )

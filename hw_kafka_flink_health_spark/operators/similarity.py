@@ -410,7 +410,14 @@ def srp_ann_topk(
         qv = F.transform(
             F.col(vec_col), lambda x: F.floor(x.cast("double") * scale)
         )
-        staged = df.select(F.col(id_col).alias(role), qv.alias("_qv"))
+        # Only vectors of exactly the corpus dimension participate: a
+        # ragged/NULL vector would NULL-pad the zip_with below, poisoning
+        # every dot product to NULL (sig 0 — a spurious bucket), while a
+        # SQL replay would compute a partial sum. Dropping them keeps the
+        # Spark result and the oracle bit-identical.
+        staged = df.filter(F.size(F.col(vec_col)) == dim).select(
+            F.col(id_col).alias(role), qv.alias("_qv")
+        )
         dots = staged.select(
             role,
             *[
@@ -418,7 +425,10 @@ def srp_ann_topk(
                     F.zip_with(
                         F.col("_qv"),
                         F.array(*[F.lit(mat[i][j]) for i in range(dim)]),
-                        lambda a, s: a * s.cast("long"),
+                        # NULL elements count as 0, matching SQL SUM's
+                        # NULL-skipping over the exploded replay
+                        lambda a, s: F.coalesce(a, F.lit(0).cast("bigint"))
+                        * s.cast("long"),
                     ),
                     F.lit(0).cast("long"),
                     lambda acc, v: acc + v,

@@ -234,43 +234,57 @@ def commit_snapshot(
 
     new_files = _stage_parquet(df, table_dir, "data", version)
 
-    for _attempt in range(max_retries + 1):
-        files = list(new_files)
-        dv = []
-        base = version - 1
-        if mode == "append" and base >= 0:
-            # the base manifest exists even if its writer has not flipped
-            # the pointer yet (claims publish content-complete manifests)
-            with open(_manifest_path(table_dir, base)) as f:
-                base_manifest = json.load(f)
-            files = base_manifest["files"] + files
-            # append preserves the base's deletion vectors — dropping them
-            # would resurrect every previously deleted row (overwrite
-            # correctly discards them: the table is being replaced)
-            dv = list(base_manifest.get("dv", []))
-        manifest = {"version": version, "files": files}
-        if dv:
-            manifest["dv"] = dv
-        if batch_id is not None:
-            # transactional-sink support: the manifest records which stream
-            # batch produced this version, so a replayed batch is detected
-            # and skipped (exactly-once) — see last_committed_batch
-            manifest["batch_id"] = batch_id
-        if _publish_manifest(table_dir, version, manifest):
-            _advance_pointer(table_dir, version)
-            return version
-        # lost the claim: another writer owns this version number
-        if expect_version is not None:
+    # Any exit without a published manifest must unstage the data files —
+    # not just the two VersionConflictError paths: an unexpected raise
+    # mid-retry (e.g. the base manifest read failing) would otherwise
+    # leak orphans until a TTL vacuum. Once the claim has published, the
+    # manifest references new_files and they must NOT be removed, even
+    # if the pointer advance then fails.
+    published = False
+    try:
+        for _attempt in range(max_retries + 1):
+            files = list(new_files)
+            dv = []
+            base = version - 1
+            if mode == "append" and base >= 0:
+                # the base manifest exists even if its writer has not
+                # flipped the pointer yet (claims publish content-complete
+                # manifests)
+                with open(_manifest_path(table_dir, base)) as f:
+                    base_manifest = json.load(f)
+                files = base_manifest["files"] + files
+                # append preserves the base's deletion vectors — dropping
+                # them would resurrect every previously deleted row
+                # (overwrite correctly discards them: the table is being
+                # replaced)
+                dv = list(base_manifest.get("dv", []))
+            manifest = {"version": version, "files": files}
+            if dv:
+                manifest["dv"] = dv
+            if batch_id is not None:
+                # transactional-sink support: the manifest records which
+                # stream batch produced this version, so a replayed batch
+                # is detected and skipped (exactly-once) — see
+                # last_committed_batch
+                manifest["batch_id"] = batch_id
+            if _publish_manifest(table_dir, version, manifest):
+                published = True
+                _advance_pointer(table_dir, version)
+                return version
+            # lost the claim: another writer owns this version number
+            if expect_version is not None:
+                raise VersionConflictError(
+                    f"version {version} of {table_dir} was committed "
+                    f"concurrently (base {expect_version} is stale)"
+                )
+            version += 1
+        raise VersionConflictError(
+            f"gave up after {max_retries} contended commits to {table_dir}"
+        )
+    except BaseException:
+        if not published:
             _unstage(table_dir, new_files)
-            raise VersionConflictError(
-                f"version {version} of {table_dir} was committed concurrently "
-                f"(base {expect_version} is stale)"
-            )
-        version += 1
-    _unstage(table_dir, new_files)
-    raise VersionConflictError(
-        f"gave up after {max_retries} contended commits to {table_dir}"
-    )
+        raise
 
 
 def read_snapshot(
@@ -331,54 +345,42 @@ def vacuum(
                     shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
             except FileNotFoundError:
                 pass  # concurrent vacuum / commit finished cleanup first
-    # A prior vacuum with a smaller keep_last may already have dropped the
-    # older manifests in this range — retain only what is still reachable
-    # instead of failing on the missing ones.
+    # ONE manifest scan builds both retention sets (a prior vacuum with a
+    # smaller keep_last may already have dropped older manifests in the
+    # keep window — missing ones are simply skipped):
+    # * keep (v >= retain_floor): the keep_last trailing versions AND any
+    #   IN-FLIGHT claim (v > latest — claimed, content-complete, pointer
+    #   not yet advanced; sweeping it would brick the commit. A crashed
+    #   claimant's zombie version is passed by the pointer eventually,
+    #   at which point ordinary retention reclaims it. The claimed
+    #   manifest is also the append base for the NEXT claim, so even a
+    #   TTL sweep here would race appenders).
+    # * referenced_any: every file ANY manifest on disk references —
+    #   computed BEFORE manifests are deleted, so expired history is
+    #   distinguishable from never-referenced (possibly mid-publish)
+    #   files, which get the orphan-TTL guard below.
+    retain_floor = max(0, latest - keep_last + 1)
     keep_versions = []
     keep_files: set[str] = set()
-    for v in range(max(0, latest - keep_last + 1), latest + 1):
+    referenced_any: set[str] = set()
+    for name in os.listdir(table_dir):
+        if not name.startswith("manifest-v"):
+            continue
+        v = int(name.split("manifest-v")[1].split(".")[0])
         try:
-            with open(_manifest_path(table_dir, v)) as f:
+            with open(os.path.join(table_dir, name)) as f:
                 m = json.load(f)
-                keep_files.update(m["files"])
-                keep_files.update(m.get("dv", []))
         except FileNotFoundError:
             continue
-        keep_versions.append(v)
-    # IN-FLIGHT commits: a manifest with version > latest has been CLAIMED
-    # (content-complete by the publish protocol) but its writer has not
-    # advanced the pointer yet — sweeping it would brick the commit (the
-    # writer advances the pointer to a version whose manifest/data are
-    # gone). Retain such manifests and their files unconditionally: if the
-    # claimant crashed, the next commit skips past the zombie version and
-    # the pointer eventually passes it, at which point ordinary retention
-    # reclaims it. (The claimed manifest is also the append base for the
-    # NEXT version's claim, so even a TTL sweep here would race appenders.)
-    for name in os.listdir(table_dir):
-        if name.startswith("manifest-v"):
-            v = int(name.split("manifest-v")[1].split(".")[0])
-            if v > latest:
-                try:
-                    with open(os.path.join(table_dir, name)) as f:
-                        m = json.load(f)
-                except (FileNotFoundError, ValueError):
-                    continue
-                keep_files.update(m["files"])
-                keep_files.update(m.get("dv", []))
-                keep_versions.append(v)
-    # every file any manifest on disk references — computed BEFORE old
-    # manifests are deleted, so expired history is distinguishable from
-    # never-referenced (possibly in-flight) files
-    referenced_any: set[str] = set(keep_files)
-    for name in os.listdir(table_dir):
-        if name.startswith("manifest-v"):
-            try:
-                with open(os.path.join(table_dir, name)) as f:
-                    m = json.load(f)
-                referenced_any.update(m["files"])
-                referenced_any.update(m.get("dv", []))
-            except (FileNotFoundError, ValueError):
-                continue
+        except ValueError:
+            if retain_floor <= v <= latest:
+                raise  # a corrupt RETAINED manifest is not vacuumable state
+            continue
+        refs = set(m["files"]) | set(m.get("dv", []))
+        referenced_any.update(refs)
+        if v >= retain_floor:
+            keep_files.update(refs)
+            keep_versions.append(v)
     deleted = []
     for name in sorted(os.listdir(table_dir)):
         if (

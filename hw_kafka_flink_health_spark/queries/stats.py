@@ -846,6 +846,7 @@ def quantile_sketch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT c_custkey AS key FROM customer WHERE c_nationkey = 1
     ), probes AS (
       SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_custkey IS NOT NULL
     ), bloom AS (
       SELECT DISTINCT
              ('0x' || substr(md5(CAST(m.key AS VARCHAR) || '|'

@@ -22,7 +22,6 @@ from hw_kafka_flink_health_spark.operators.dedup import (
     exact_dedup,
     fingerprint_expr,
     minhash_det_pairs,
-    minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash63,
 )

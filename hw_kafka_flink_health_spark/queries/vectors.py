@@ -65,6 +65,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ), el AS (
       SELECT vec_id, e, unnest(range(len(e))) AS i FROM v
+      WHERE len(e) = (SELECT max(len(e)) FROM v)
     ), q AS (
       SELECT vec_id, i,
              CAST(floor(e[CAST(i + 1 AS INTEGER)] * 1000) AS BIGINT) AS qx

@@ -146,14 +146,28 @@ def write_kafka_stream(
             # local fixture; 1024 partitions is plenty), [0..32] the
             # within-partition row counter (mono-id's documented low 33
             # bits). Offsets order rows within (batch, partition); readers
-            # replay whole files and never seek by offset.
+            # replay whole files and never seek by offset. The packing
+            # bounds are ENFORCED, not assumed: batch_id >= 2^20 would
+            # spill into the sign bit (negative, non-monotonic offsets)
+            # and a 1025th partition would collide with partition 0 — both
+            # fail loudly instead of silently corrupting uniqueness.
+            if batch_id >= 1 << 20:
+                raise ValueError(
+                    f"emulated kafka sink: batch_id {batch_id} overflows the "
+                    "20-bit offset packing field (supports < 1048576 batches "
+                    "per checkpoint lineage)"
+                )
             rows = (
                 batch_df.selectExpr(
                     "base64(CAST(value AS BINARY)) AS value_b64",
                     "CAST(spark_partition_id() AS INT) AS partition",
                     f"shiftleft(CAST({batch_id} AS LONG), 43)"
-                    " + shiftleft(CAST(spark_partition_id() % 1024 AS LONG), 33)"
-                    " + (monotonically_increasing_id() & 8589934591) AS offset",
+                    " + shiftleft(CAST(spark_partition_id() AS LONG), 33)"
+                    " + (monotonically_increasing_id() & 8589934591)"
+                    " + coalesce(CAST(assert_true(spark_partition_id() < 1024,"
+                    " 'emulated kafka sink: >= 1024 partitions in one batch"
+                    " overflows the 10-bit offset packing field')"
+                    " AS LONG), 0) AS offset",
                     "unix_millis(current_timestamp()) AS ts_ms",
                 )
             )

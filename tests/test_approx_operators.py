@@ -486,6 +486,39 @@ def test_ivf_det_finds_planted_duplicate(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_srp_ann_drops_ragged_vectors(spark):
+    """A vector whose length differs from the corpus dimension must be
+    EXCLUDED (not NULL-poisoned into band 0): zip_with against the
+    dim-length sign array would pad with NULLs and a SQL replay would
+    compute a partial sum — dropping is the only bit-identical rule."""
+    from hw_kafka_flink_health_spark.operators.similarity import srp_ann_topk
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0, 3.0, 4.0]),
+        (3, [9.0, 9.0]),  # ragged: must not appear on either side
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = srp_ann_topk(df, df, k=5)
+    ids = {r["query_id"] for r in got.collect()} | {
+        r["neighbor_id"] for r in got.collect()
+    }
+    assert 3 not in ids
+    assert (1, 2) in {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+
+
+def test_minhash_det_rejects_wide_bands():
+    """rows_per_band >= 3 would overflow the packed int64 band key
+    (p^3 > 2^63) — Spark wraps silently while SQL errors, so the API
+    must reject it."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.dedup import minhash_det_pairs
+
+    with pytest.raises(ValueError, match="rows_per_band"):
+        minhash_det_pairs(None, "text", "doc_id", num_perm=24, rows_per_band=3)
+
+
 def test_hll_overlap_inclusion_exclusion_bound(spark):
     """Sketch-algebra overlap estimates vs exact intersections: with 15
     users per segment the HLL estimates are near-exact; assert every

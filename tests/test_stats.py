@@ -208,6 +208,15 @@ def test_bloom_no_false_negatives_fpr_and_merge(spark):
     b = {r.pos for r in bloom.collect()}
     assert a == b
 
+    # NULL probe keys get NO verdict row (mirrors bloom_build's NULL
+    # filter) — previously the NULL row survived probing but silently
+    # vanished in downstream equi-joins, diverging from SQL oracles
+    with_null = spark.createDataFrame(
+        [("key_1",), (None,), ("absent_x",)], "key string"
+    )
+    out = bloom_probe(bloom, with_null).collect()
+    assert sorted(r.key for r in out) == ["absent_x", "key_1"]
+
 
 def test_ams_f2_estimate_within_bound_and_linear(spark):
     """AMS F2 on planted frequencies: the median-of-estimators estimate
