@@ -178,6 +178,14 @@ HEADLINE = [
     "versioned_check_reject",
     "versioned_occ_retry",
     "versioned_schema_evolution",
+    # round-6 pack b: stats layer (chi-square, Benford, Kaplan-Meier),
+    # OHLC bars, cross-doc dup-span screen, nearest as-of
+    "stats_chi_square_independence",
+    "orders_benford_digits",
+    "stats_kaplan_meier_reorder",
+    "timeseries_ohlc_vwap",
+    "text_cross_doc_dup_spans",
+    "join_asof_nearest",
 ]
 
 

@@ -28,14 +28,25 @@ def asof_join(
     value_cols: list[str],
     *,
     right_ts_alias: str = "asof_ts",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with ts <= left.ts.
+    """For each left row, attach the nearest right row in time.
 
-    Matches DuckDB/pandas ``merge_asof`` backward semantics (ties included:
-    a right row at exactly left.ts matches). Left rows keep all their
+    ``direction`` matches pandas ``merge_asof``: "backward" takes the
+    latest right row with ts <= left.ts, "forward" the earliest with
+    ts >= left.ts, "nearest" whichever of the two is closer in absolute
+    time (ties -> the earlier/backward row, pandas' rule). Ties at equal
+    timestamps match in every direction. Left rows keep all their
     columns; right values arrive as `value_cols` plus `right_ts_alias`
-    (null when no prior right row exists).
+    (null when no qualifying right row exists).
+
+    All three directions are the SAME plan shape: one union, one shuffle
+    on the key, one sort — "nearest" just reads two running fills off the
+    one sorted exchange instead of one (no second shuffle, no self-join;
+    the naive nearest-via-range-join is a quadratic blowup at 100 TB).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     # Tag and union; right rows sort before left rows at equal timestamps
     # so an exactly-simultaneous right row is visible to the left row (<=).
     right_types = dict(right.dtypes)
@@ -58,23 +69,56 @@ def asof_join(
     )
     unioned = l_tagged.select(r_tagged.columns).unionByName(r_tagged)
 
-    w = (
+    # Backward fill: right rows sort BEFORE left at equal ts so <= is
+    # inclusive. Forward fill: right rows sort AFTER left at equal ts so
+    # >= is inclusive (frame starts at the current row).
+    wb = (
         Window.partitionBy(on)
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in value_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+    cols = ["*"]
+    if direction in ("backward", "nearest"):
+        cols += [
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in value_cols
+        ] + [F.last("__r_ts", ignorenulls=True).over(wb).alias("__b_ts")]
+    if direction in ("forward", "nearest"):
+        cols += [
+            F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__fw_{c}")
+            for c in value_cols
+        ] + [F.first("__r_ts", ignorenulls=True).over(wf).alias("__fw_ts")]
+    filled = unioned.select(*cols)
+    if direction == "backward":
+        pick = {c: F.col(f"__b_{c}") for c in value_cols} | {"ts": F.col("__b_ts")}
+    elif direction == "forward":
+        pick = {c: F.col(f"__fw_{c}") for c in value_cols} | {"ts": F.col("__fw_ts")}
+    else:
+        # nearest: backward wins ties (pandas merge_asof nearest keeps the
+        # earlier row on equal distance); a missing side loses outright.
+        # micros via an explicit TIMESTAMP cast: unix_micros rejects
+        # TIMESTAMP_NTZ, and ANSI mode rejects timestamp->long casts;
+        # the session TZ is pinned UTC so the NTZ->TZ cast is stable.
+        def _us(c: str):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+
+        back_wins = F.when(F.col("__fw_ts").isNull(), F.lit(True)).otherwise(
+            F.col("__b_ts").isNotNull()
+            & ((_us("__ts") - _us("__b_ts")) <= (_us("__fw_ts") - _us("__ts")))
+        )
+        pick = {
+            c: F.when(back_wins, F.col(f"__b_{c}")).otherwise(F.col(f"__fw_{c}"))
+            for c in value_cols
+        } | {"ts": F.when(back_wins, F.col("__b_ts")).otherwise(F.col("__fw_ts"))}
     return filled.filter(F.col("__is_left") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
-        F.col("__f_ts").alias(right_ts_alias),
+        *[pick[c].alias(c) for c in value_cols],
+        pick["ts"].alias(right_ts_alias),
     )
 
 

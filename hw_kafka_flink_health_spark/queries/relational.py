@@ -432,6 +432,68 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT p.event_id, c.ts AS bts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ), f AS (
+      SELECT p.event_id, c.ts AS fts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_ms(CAST(p.ts AS TIMESTAMP)) AS purchase_ms,
+           epoch_ms(CAST(
+             CASE
+               WHEN fts IS NULL THEN bts
+               WHEN bts IS NULL THEN fts
+               WHEN epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(bts AS TIMESTAMP))
+                    <= epoch_us(CAST(fts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))
+                 THEN bts
+               ELSE fts
+             END AS TIMESTAMP)) AS nearest_click_ms
+    FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST join: each purchase gets the click closest in time,
+    before or after, ties -> the earlier click (pandas merge_asof
+    direction='nearest' semantics). Same union+window plan as the
+    backward as-of — ONE shuffle and ONE sort produce both the backward
+    and forward running fills, then a scalar pick chooses per row. The
+    oracle composes DuckDB's native backward (<=) and forward (>=) ASOF
+    joins with the same tie rule. The range-join alternative (join on
+    user + |delta| min) is a quadratic blowup per hot user — never do
+    that at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        value_cols=[],
+        right_ts_alias="click_ts",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ms"),
+        F.unix_millis(F.col("click_ts").cast("timestamp")).alias(
+            "nearest_click_ms"
+        ),
+    )
+
+
+@register(
     "agg_distinct",
     oracle="""
     SELECT l_returnflag,

@@ -1256,3 +1256,254 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("kmv_estimate"),
     )
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, hour(ts) // 6 AS hour_band,
+             count(*)::BIGINT AS observed
+      FROM events
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, hour_band, observed,
+             sum(observed) OVER (PARTITION BY event_type)::BIGINT AS row_total,
+             sum(observed) OVER (PARTITION BY hour_band)::BIGINT AS col_total,
+             sum(observed) OVER ()::BIGINT AS n
+      FROM cells
+    )
+    SELECT event_type, hour_band, observed,
+           round(CAST(row_total AS DOUBLE) * col_total / n, 6) AS expected,
+           round(
+             (observed - CAST(row_total AS DOUBLE) * col_total / n)
+             * (observed - CAST(row_total AS DOUBLE) * col_total / n)
+             / (CAST(row_total AS DOUBLE) * col_total / n), 6
+           ) AS chi2_contrib
+    FROM tot
+    """,
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and time-of-day
+    band (6-hour buckets): the contingency table with per-cell expected
+    counts and chi-square contributions — the feature-vs-feature
+    dependence screen a data-quality pipeline runs before trusting a
+    stratified sample. Scale shape: ONE shuffle builds the R x C cell
+    table (map-side combine does the heavy lifting); the row/column/grand
+    totals are windows over that tiny cell table, costing nothing — never
+    re-scan the raw events for marginals. All marginals stay exact
+    bigints; the expected/contribution doubles derive from the same
+    integers in both engines and are rounded to absorb libm jitter.
+    Extension surface (SURVEY.md §2.C stats layer) — no reference
+    counterpart (its only aggregate is a toy alert count)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.hour("ts").cast("long") / 6).cast("long").alias("hour_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("hour_band")
+    wn = Window.partitionBy()
+    t = cells.select(
+        "event_type",
+        "hour_band",
+        "observed",
+        F.sum("observed").over(wr).cast("long").alias("row_total"),
+        F.sum("observed").over(wc).cast("long").alias("col_total"),
+        F.sum("observed").over(wn).cast("long").alias("n"),
+    )
+    e = F.col("row_total").cast("double") * F.col("col_total") / F.col("n")
+    return t.select(
+        "event_type",
+        "hour_band",
+        "observed",
+        F.round(e, 6).alias("expected"),
+        F.round((F.col("observed") - e) * (F.col("observed") - e) / e, 6).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
+@register(
+    "orders_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit,
+             count(*)::BIGINT AS cnt
+      FROM orders
+      WHERE o_totalprice > 0
+      GROUP BY 1
+    )
+    SELECT digit, cnt,
+           round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (), 6) AS obs_frac,
+           round(log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 6) AS benford_frac
+    FROM d
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: first-significant-digit
+    distribution vs the log10(1 + 1/d) expectation — the classic fraud /
+    synthetic-data smell test. The digit is extracted in EXACT integer
+    space (price -> cents bigint -> leading character of its decimal
+    rendering): a floor(log10(x)) extraction would misclassify values
+    sitting one ulp below a power of ten, and double->string formatting
+    differs across engines, while integer rendering is universal. One
+    shuffle to the 9-row digit table; the total is a window over it.
+    Extension surface (SURVEY.md §2.C stats layer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return d.select(
+        "digit",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(Window.partitionBy()), 6
+        ).alias("obs_frac"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("long")), 6).alias(
+            "benford_frac"
+        ),
+    )
+
+
+@register(
+    "stats_kaplan_meier_reorder",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ), r AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM o
+    ), cust AS (
+      SELECT o_custkey,
+             min(CASE WHEN rn = 1 THEN o_orderdate END) AS t1,
+             min(CASE WHEN rn = 2 THEN o_orderdate END) AS t2
+      FROM r GROUP BY 1
+    ), h AS (
+      SELECT max(o_orderdate) AS horizon, count(*) FROM o
+    ), obs AS (
+      SELECT CASE WHEN t2 IS NOT NULL
+                  THEN date_diff('day', CAST(t1 AS DATE), CAST(t2 AS DATE))
+                  ELSE date_diff('day', CAST(t1 AS DATE), CAST(horizon AS DATE))
+             END AS t,
+             CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM cust, h
+    ), tot AS (
+      SELECT count(*)::BIGINT AS n_total FROM obs
+    ), g AS (
+      SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c
+      FROM obs GROUP BY t
+    ), k AS (
+      SELECT t, d, c,
+             n_total - coalesce(sum(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0)::BIGINT AS n_risk
+      FROM g, tot
+    )
+    SELECT CAST(t AS BIGINT) AS time_days, d AS n_events, c AS n_censored,
+           n_risk,
+           round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+                        ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+                                   THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                                   ELSE 0.0 END) OVER (
+                            ORDER BY t ROWS UNBOUNDED PRECEDING))
+                 END, 6) AS survival
+    FROM k
+    """,
+)
+def stats_kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-second-order per customer,
+    with REAL right-censoring: one-order customers are censored at the
+    end of the observation window (max order date), so the estimator's
+    at-risk bookkeeping is genuine, not an ECDF in disguise. Shape: one
+    window pass ranks each customer's orders (first/second), one
+    aggregate per customer, then ALL survival math happens on the tiny
+    per-day life table — running at-risk counts and the cumulative
+    product via exp(sum(ln)) windows over a few hundred rows, with the
+    d = n_risk absorbing state handled exactly (a raw ln(0) is -inf in
+    one engine and NULL in the other). At 100 TB the heavy part is the
+    per-customer rank — one shuffle on customer — and the life table
+    stays driver-trivial without ever being collected."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderdate").isNotNull()).select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    cust = (
+        o.withColumn("rn", rn)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("t1"),
+            F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("t2"),
+        )
+    )
+    h = o.agg(F.max("o_orderdate").alias("horizon"))
+    obs = cust.crossJoin(F.broadcast(h)).select(
+        F.when(
+            F.col("t2").isNotNull(),
+            F.datediff(F.to_date("t2"), F.to_date("t1")),
+        )
+        .otherwise(F.datediff(F.to_date("horizon"), F.to_date("t1")))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    g = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    wprev = (
+        Window.partitionBy()
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    dead = F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)).over(wcum)
+    lnsum = F.sum(
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(wcum)
+    return k.select(
+        F.col("t").alias("time_days"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "n_risk",
+        F.round(
+            F.when(dead == 1, F.lit(0.0)).otherwise(F.exp(lnsum)), 6
+        ).alias("survival"),
+    )

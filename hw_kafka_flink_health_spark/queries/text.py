@@ -2074,3 +2074,62 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("sum_words"),
         F.max("n_words").cast("long").alias("max_words"),
     )
+
+
+@register(
+    "text_cross_doc_dup_spans",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), e AS (
+        SELECT doc_id, unnest(sh) AS gram FROM t
+    ), dfreq AS (
+        SELECT gram, count(*)::BIGINT AS df FROM e GROUP BY gram
+    )
+    SELECT e.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           round(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS shared_frac
+    FROM e JOIN dfreq USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def text_cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage: for each doc, the
+    fraction of its distinct word 5-grams that also occur in at least one
+    OTHER document — the exact-substring contamination signal behind
+    "train on unique spans only" dedup policies (Lee et al. 2022's screen
+    at n-gram granularity). Unlike pairwise near-dup (`dedup_ngram_jaccard`),
+    this never forms doc pairs: doc frequency per gram is a COUNT
+    (map-side combinable, hot grams cost one counter — no f^2 bucket
+    blowup), joined back to the postings. Two shuffles on the gram hash,
+    one on doc_id — linear in corpus size, which is what makes it the
+    100 TB screen while pairwise variants need banding/caps."""
+    from hw_kafka_flink_health_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingle_table(docs, "text", "doc_id", 5)
+        .select(F.col("doc").alias("doc_id"), F.explode("sh").alias("gram"))
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("shared_frac"),
+        )
+    )

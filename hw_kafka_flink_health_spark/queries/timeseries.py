@@ -673,3 +673,79 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "timeseries_ohlc_vwap",
+    oracle="""
+    WITH priced AS (
+      SELECT date_trunc('month', l_shipdate) AS bar_month,
+             l_extendedprice / l_quantity AS unit_price,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS qty,
+             row_number() OVER (
+               PARTITION BY date_trunc('month', l_shipdate)
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ) AS rn_a,
+             row_number() OVER (
+               PARTITION BY date_trunc('month', l_shipdate)
+               ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+             ) AS rn_d
+      FROM lineitem
+      WHERE l_quantity > 0
+    )
+    SELECT bar_month,
+           round(max(CASE WHEN rn_a = 1 THEN unit_price END), 6) AS open,
+           round(max(unit_price), 6) AS high,
+           round(min(unit_price), 6) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN unit_price END), 6) AS close,
+           sum(qty)::BIGINT AS volume,
+           count(*)::BIGINT AS n_trades,
+           round(sum(price_cents) / 100.0 / sum(qty), 6) AS vwap
+    FROM priced
+    GROUP BY bar_month
+    """,
+)
+def timeseries_ohlc_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly OHLC bars + volume-weighted average price over line items
+    (unit price = extended price / quantity, volume = quantity) — the
+    canonical time-series downsample every market/telemetry pipeline
+    runs. Determinism at scale: open/close come from row_number over a
+    TOTAL order (shipdate, orderkey, linenumber) so ties cannot flip the
+    bar across engines or retries; the VWAP numerator is summed in EXACT
+    integer cents (doubles with two decimals are inexact and their sum is
+    order-dependent across 32 partitions — integers are not), with ONE
+    double division at the end. Both window passes share the same
+    month-partition exchange, and the final aggregate rides it too: one
+    shuffle total. A 100 TB run would swap row_number for min_by/max_by
+    on the same total-order struct to avoid materializing ranks, same
+    plan shape otherwise."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    month = F.date_trunc("month", F.col("l_shipdate"))
+    asc = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    desc = [c.desc() for c in asc]
+    priced = li.select(
+        month.alias("bar_month"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.row_number()
+        .over(Window.partitionBy(month).orderBy(*asc))
+        .alias("rn_a"),
+        F.row_number()
+        .over(Window.partitionBy(month).orderBy(*desc))
+        .alias("rn_d"),
+    )
+    return priced.groupBy("bar_month").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("unit_price"))), 6).alias(
+            "open"
+        ),
+        F.round(F.max("unit_price"), 6).alias("high"),
+        F.round(F.min("unit_price"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("unit_price"))), 6).alias(
+            "close"
+        ),
+        F.sum("qty").cast("long").alias("volume"),
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.round(F.sum("price_cents") / 100.0 / F.sum("qty"), 6).alias("vwap"),
+    )

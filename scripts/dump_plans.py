@@ -75,6 +75,12 @@ SHOWCASE = {
     "approx_distinct_kmv": "KMV distinct: one distinct + rank window on the same group exchange; the estimate is oracle-checkable because md5 is its randomness",
     "weighted_median_price": "weighted median: running + total weight share one group exchange; crossing row via conditional min, no second scan",
     "max_concurrent_sessions": "sweep-line peak concurrency: sessionize windows on user exchange, then distributed prefix sum (range shuffle + offset broadcast) — no single-task global window",
+    "stats_chi_square_independence": "chi-square screen: ONE map-side-combined agg builds the R x C cell table; all marginals are windows over those few rows — the raw table is never re-scanned",
+    "orders_benford_digits": "Benford audit: exact-integer digit extraction in the scan's codegen span, one 9-row agg, windowed total",
+    "stats_kaplan_meier_reorder": "Kaplan-Meier: one customer-exchange rank window + per-customer agg; all survival math (at-risk, exp/sum-ln product) rides the tiny life table",
+    "timeseries_ohlc_vwap": "OHLC/VWAP bars: both rank windows AND the final agg share one month exchange; VWAP numerator summed as exact integer cents",
+    "text_cross_doc_dup_spans": "cross-doc dup-span screen: postings + doc-frequency COUNT join-back — linear, no pair generation, hot grams cost one counter",
+    "join_asof_nearest": "nearest as-of: backward AND forward running fills off ONE union+window exchange — no range join, no second shuffle",
 }
 
 
@@ -162,6 +168,127 @@ LSH ~0.98 (cheap win), IVF 0.61 at probe=4/16 (tunable linearly in
 probes), PQ 0.33 (ADC quantization error dominates at 64 dims — PQ is
 the memory tier, not the recall tier; production pairs it with an exact
 re-rank of the top ~10k codes).
+
+## Round-5 re-measure of the r3->r4 "regression" set (VERDICT r4 item 2)
+
+`scripts/bench_regression_ab.py`: 5 repetitions at sf0.1, order-interleaved so
+machine-load drift hits every query equally, with `q1_pricing_summary` as a
+load control. Measured 2026-08-14 on the shared machine:
+
+| query | reps (s) | median | min | r3 driver | r4 driver |
+|---|---|---|---|---|---|
+| q1_pricing_summary (control) | 1.684, 0.446, 0.401, 0.488, 0.412 | 0.446 | 0.401 | — | — |
+| rollup_hour_day | 1.066, 0.516, 0.476, 0.470, 0.494 | 0.494 | 0.470 | 0.396 | 0.631 |
+| dpp_partitioned_revenue | 1.321, 0.811, 0.747, 0.732, 0.770 | 0.770 | 0.732 | 0.695 | 0.920 |
+| dedup_clusters | 5.504, 3.696, 3.460, 3.674, 3.420 | 3.674 | 3.420 | 2.985 | 3.922 |
+| privacy_k_anonymity | 0.717, 0.548, 0.611, 0.646, 0.684 | 0.646 | 0.548 | 0.552 | 0.730 |
+
+Conclusion: **variance, plans identical.** Every median lands BETWEEN the r3 and
+r4 driver-recorded values; the control query shows the same ~20–30% drift vs its
+own recorded best (0.401 min here vs 0.37 in SCALING.md), i.e. the machine — not
+the code — moved. Plan evidence: normalized `explain("formatted")` digests
+(plan-ids/expr-ids stripped) pinned this round —
+`rollup_hour_day ab04f73f44a8` (6 exchanges, hourly exchange reused by the day
+grain via AQE), `dpp_partitioned_revenue fed9880772f5` (8 exchanges,
+dynamicpruningexpression still on the fact scan), `privacy_k_anonymity
+52cacb78b2fe` (4 exchanges); `dedup_clusters` is iterative (per-round plans), its
+round count is convergence-bound and unchanged. git confirms no commit since r3
+touched any of the four query definitions.
+
+## Round-5 additions: lakehouse DML plan evidence
+
+- **Deletion-vector read** (`read_snapshot` on a table with `dv` sidecars,
+  100k rows / 1k deleted, measured this round): the merge-on-read anti-join
+  plans as `BroadcastHashJoin ... LeftAnti` with **zero hash exchanges** — the
+  sparse vector broadcasts and the data scan is never shuffled. At 100 TB the
+  vector side stays proportional to deletes, not table size; a pathological
+  dense-delete table degrades to a shuffled anti-join (AQE's call) and is the
+  signal to compact (which PURGES the vectors physically).
+- **Z-order pruning** (sf test, 16 files over 20k rows, decorrelated dims):
+  a 10% slab predicate on EITHER clustered column alone opens ≤ 8/16 files,
+  the conjunctive 2-D probe ≤ 6/16 (`tests/test_versioned.py::
+  test_zorder_prunes_on_every_clustered_dimension` asserts the file counts
+  via `_metadata.file_path`). The Z-value itself is a single codegen'd
+  Project of shift/and/or expressions (`tests/test_plans.py::
+  test_zvalue_expression_is_jvm_side_codegen`) — no Python, no extra pass.
+- **MERGE** (`merge_into`): one staged write for tombstones + one for
+  incoming rows; the matched-position derivation is a left-semi join of the
+  row-identified scan against the (deduplicated) source keys. Cost is
+  O(matched + source); the data files of the base version are never opened
+  for write. Scaling: `versioned_merge_upsert` alpha 0.14 over the
+  0.01→0.1 decade (SCALING.md).
+- **OCC**: version claims are one os.link each — contention costs a retry
+  loop over manifest files only, never re-staging data (the staged parquet
+  parts are version-agnostic payload; only the manifest re-publishes).
+
+## Streaming state-store posture (round-6): RocksDB opt-in + amplification measured
+
+The engine default stays Spark's HDFS-backed in-memory provider; at real
+scale streaming state must move off-heap. `session.py:get_spark(state_store=
+"rocksdb")` (or `SPARK_GRAFT_STATE_STORE=rocksdb`) switches every streaming
+query to the bundled RocksDB provider with changelog checkpointing (per-batch
+deltas instead of full SST snapshot uploads). Engagement is verified, not
+assumed: `tests/test_streaming.py::test_streaming_under_rocksdb_state_store`
+asserts identical alert output AND rocksdb custom metrics in the query
+progress.
+
+**State amplification, measured** (20k events / 50 keys / one watermark-open
+tail, this container): a 60 s window sliding by 10 s holds **350 state rows
+vs 50 tumbling (7.0×)** and **2.24 MB vs 0.40 MB provider memory (5.6×)** —
+every event buffers into `window/slide` copies. That multiplier is why the
+heap-backed default caps out: at 100× key cardinality a sliding CEP/window
+job's state is `keys × window/slide × open-windows`, which belongs in
+RocksDB (off-heap, spillable, incrementally checkpointed), while tumbling
+aggregations with modest key counts can keep the cheaper in-memory provider.
+Commit latency at this toy scale is within noise (640 ms vs 673 ms per
+batch) — the native store costs nothing here and removes the ceiling.
+
+## Sketch oracle tier (round-6): md5-replayable CMS / AMS / Bloom / MinHash-incremental
+
+Every hash-based sketch operator now carries two hash families
+(`operators/frequency.py:_seeded_hash`): the production default stays
+`xxhash64(key, seed)` (JVM codegen, engine-specific), and an opt-in
+`md5` tier derives the same-width non-negative 60-bit value from
+`md5(key || '|' || seed)` — reproducible bit-for-bit in DuckDB. The
+registered queries run the md5 tier, which is what moved
+`approx_topk_cms`, `approx_f2_tokens`, `bloom_prefilter_orders`,
+`dedup_incremental_neardup` (via the new asymmetric
+`minhash_det_incremental_candidates`), and `dedup_sketch_quality_report`
+from rows-only to full value-hash oracles. Plan shape is unchanged by
+the tier swap: same posexplode + map-side-combined aggregate, the
+shuffle still carries O(d·w) / O(e·c) / O(n_bits) rows whatever the key
+cardinality. The md5 expression costs ~2-3× the xxhash codegen path per
+row — at 100 TB you run the xxhash tier and keep the md5 tier for
+oracle audits on sampled slices (the same two-tier posture as
+SimHash/winnowing).
+
+## Deterministic SRP ANN (round-6): the value-oracled ANN family member
+
+`operators/similarity.py:srp_ann_topk` — hyperplane (sign-random-
+projection) LSH with every randomness source pinned: ±1 hyperplanes are
+md5-parity coins over (dim, bit) pairs, vectors are integer-quantized
+(`floor(x·1000)`) so the 16 signature dot products are exact int64
+folds with no float-summation-order hazard, 4-bit banding generates
+candidates, and exact double cosine re-ranks candidates only. Plan
+(verified via explain): signature is ONE narrow codegen projection (16
+zip_with/aggregate folds over literal arrays — no explode, no join for
+the signature), candidates come from a broadcast band join, top-k runs
+under WindowGroupLimit (rank pushdown — no full sort). The seeded ANN
+tiers (BucketedRandomProjectionLSH / IVF / PQ) remain the
+speed/recall-tunable paths; `embedding_ann_srp` is the one whose whole
+pipeline DuckDB replays (CORRECTNESS-gate class), and its planted-
+duplicate guarantee (identical vector ⇒ all bands collide ⇒ rank 1) is
+pinned in tests/test_approx_operators.py.
+
+## Beyond-sf0.1 probe (round-6): FP-Growth alpha flattens
+
+`scripts/probe_sf02_basket.py` built a doubled-basket sf0.2 (lineitem
+unioned with an order-key-shifted copy — twice the baskets, same item
+universe) and interleave-timed `basket_frequent_itemsets` against
+sf0.1: **3.77 s → 5.46 s, alpha 0.54 over the 0.1→0.2 doubling** — the
+0.64 alpha of the 0.01→0.1 decade FLATTENS past sf0.1, confirming the
+cost is ml-fit fixed overhead plus a sub-linear data term, not a
+steepening curve.
 """
 
 

@@ -32,6 +32,13 @@ TABLES = (
 # every query the round-5 full-catalog fuzz audit caught diverging (each
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
+    # round-6 additions
+    "stats_chi_square_independence",
+    "orders_benford_digits",
+    "timeseries_ohlc_vwap",
+    "text_cross_doc_dup_spans",
+    "join_asof_nearest",
+    "stats_kaplan_meier_reorder",
     "agg_corr_covar_skew",
     "attribution_linear_touch",
     "autocorr_user_lag1",

@@ -251,3 +251,43 @@ def test_ams_f2_estimate_within_bound_and_linear(spark):
     a = {(r.est, r.counter): r.val for r in merged.collect()}
     b = {(r.est, r.counter): r.val for r in ams_f2_sketch(df, "v").collect()}
     assert a == b
+
+
+def test_kaplan_meier_hand_computed(spark, tmp_path):
+    """KM estimator on a 5-customer micro-table with hand-computed
+    survival: 2 events at t=10 (S=0.6), a censor at 15 (no factor), an
+    event+censor at 20 (S=0.6*(1-1/2)=0.3). Guards the at-risk and
+    product bookkeeping itself — the DuckDB oracle only proves both
+    engines agree, not that the formula is KM."""
+    import datetime as dt
+
+    from hw_kafka_flink_health_spark.queries.stats import (
+        stats_kaplan_meier_reorder,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+
+    def day(n):
+        return d0 + dt.timedelta(days=n)
+
+    rows = [
+        (1, 101, day(0)), (2, 101, day(10)),   # event t=10
+        (3, 102, day(0)), (4, 102, day(10)),   # event t=10
+        (5, 103, day(0)),                      # censored at horizon: t=20
+        (6, 104, day(0)), (7, 104, day(20)),   # event t=20 (sets horizon)
+        (8, 105, day(5)),                      # censored: t=15
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["time_days"]: r
+        for r in stats_kaplan_meier_reorder(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {10, 15, 20}
+    assert (got[10]["n_events"], got[10]["n_censored"], got[10]["n_risk"]) == (2, 0, 5)
+    assert got[10]["survival"] == 0.6
+    assert (got[15]["n_events"], got[15]["n_censored"], got[15]["n_risk"]) == (0, 1, 3)
+    assert got[15]["survival"] == 0.6
+    assert (got[20]["n_events"], got[20]["n_censored"], got[20]["n_risk"]) == (1, 1, 2)
+    assert got[20]["survival"] == 0.3
