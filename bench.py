@@ -186,6 +186,10 @@ HEADLINE = [
     "timeseries_ohlc_vwap",
     "text_cross_doc_dup_spans",
     "join_asof_nearest",
+    "dedup_ngram_containment",
+    "privacy_t_closeness",
+    "events_cusum_changepoint",
+    "agg_mode_exact",
 ]
 
 

@@ -160,6 +160,82 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: the asymmetric near-dup measure
+    C(A->B) = |A∩B| / |A| that catches quotes/excerpts/supersets, which
+    Jaccard structurally misses (a 10-gram quote inside a 10 000-gram
+    doc has Jaccard ~0.001 but containment 1.0). Emits both directions
+    per undirected pair, keeping pairs where EITHER reaches `threshold`;
+    `min_shingles` drops trivially-tiny docs whose containment is noise.
+
+    Same single-shuffle postings->buckets->upper-triangle physical shape
+    as `ngram_jaccard_pairs` (the common/n1/n2 counts are identical —
+    only the final scalar differs), so the same hot-shingle cap applies.
+    """
+    # identical pair-count pipeline; the duplication stops at the final
+    # scalar, which is the cheap part — see ngram_jaccard_pairs for the
+    # plan rationale of every step
+    src = df
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    sh = shingle_table(src, text_col, id_col, n)
+    postings = (
+        sh.select(
+            "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select("doc", "n", F.xxhash64("shingle").alias("h"))
+    )
+    buckets = (
+        postings.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_shingle_freq is not None:
+        buckets = buckets.filter(F.size("ds") <= max_shingle_freq)
+    pair = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x.doc AS doc1, x.n AS n1, y.doc AS doc2, y.n AS n2))))"
+            )
+        ).alias("p")
+    ).select("p.doc1", "p.n1", "p.doc2", "p.n2")
+    pairs = pair.groupBy("doc1", "doc2").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    c12 = F.col("common") / F.col("n1")
+    c21 = F.col("common") / F.col("n2")
+    return (
+        pairs.filter(
+            (F.col("n1") >= min_shingles) & (F.col("n2") >= min_shingles)
+        )
+        .select(
+            "doc1",
+            "doc2",
+            c12.alias("containment_1_in_2"),
+            c21.alias("containment_2_in_1"),
+        )
+        .filter(
+            F.greatest("containment_1_in_2", "containment_2_in_1")
+            >= threshold
+        )
+    )
+
+
 def simhash63(
     df: DataFrame, text_col: str, id_col: str, *, hash: str = "xxhash64"
 ) -> DataFrame:

@@ -1730,3 +1730,55 @@ def approx_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty, count(*)::BIGINT AS cnt
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY l_returnflag, l_linestatus
+               ORDER BY cnt DESC, qty) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, l_linestatus, qty AS mode_qty, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a DETERMINISTIC tie rule (highest count,
+    then smallest value) — the builtin `mode()` aggregate leaves ties
+    engine/partition-dependent, which is exactly what a reproducible
+    pipeline cannot have. Two-level shape: value-level counts (map-side
+    combined — the shuffle carries one row per distinct value, not per
+    row) then a top-1 window per group; both shuffles are on tiny
+    aggregated tables. NULL values carry no mode vote."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("cnt").desc(), F.col("qty")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

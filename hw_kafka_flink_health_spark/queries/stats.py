@@ -1507,3 +1507,153 @@ def stats_kaplan_meier_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(dead == 1, F.lit(0.0)).otherwise(F.exp(lnsum)), 6
         ).alias("survival"),
     )
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(floor(value / 50.0) AS BIGINT) AS band
+      FROM events WHERE value IS NOT NULL
+    ), gband AS (
+      SELECT band AS g_band, count(*)::BIGINT AS gcnt FROM base GROUP BY 1
+    ), gtot AS (
+      SELECT sum(gcnt)::BIGINT AS gtotal, count(*)::BIGINT AS m FROM gband
+    ), cls AS (
+      SELECT event_type, hr, count(*)::BIGINT AS class_size
+      FROM base GROUP BY 1, 2
+    ), cb AS (
+      SELECT event_type AS cb_type, hr AS cb_hr, band AS cb_band,
+             count(*)::BIGINT AS cnt
+      FROM base GROUP BY 1, 2, 3
+    ), grid AS (
+      -- EXACT integer mass difference, scaled by class_size*gtotal:
+      -- dqi = cnt*gtotal - gcnt*class_size
+      SELECT cls.event_type, cls.hr, cls.class_size, gband.g_band AS band,
+             coalesce(cb.cnt, 0) * gtot.gtotal
+               - gband.gcnt * cls.class_size AS dqi,
+             gtot.gtotal AS gtotal, gtot.m AS m
+      FROM cls CROSS JOIN gband CROSS JOIN gtot
+      LEFT JOIN cb ON cb.cb_type IS NOT DISTINCT FROM cls.event_type
+                  AND cb.cb_hr IS NOT DISTINCT FROM cls.hr
+                  AND cb.cb_band = gband.g_band
+    ), cum AS (
+      SELECT event_type, hr, class_size, gtotal, m,
+             sum(dqi) OVER (PARTITION BY event_type, hr
+                            ORDER BY band ROWS UNBOUNDED PRECEDING) AS c
+      FROM grid
+    ), agg AS (
+      SELECT event_type, hr, class_size, gtotal, m,
+             sum(abs(c))::BIGINT AS sum_abs
+      FROM cum GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT event_type, epoch_ms(hr) AS hour_ms, class_size,
+           CASE WHEN m = 1 THEN 0
+                ELSE CAST(floor(CAST(sum_abs AS DOUBLE)
+                       / (class_size * gtotal * (m - 1)) * 1000000 + 0.5)
+                     AS BIGINT) END AS emd_micro,
+           CASE WHEN m > 1 AND sum_abs * 5 > class_size * gtotal * (m - 1)
+                THEN 1 ELSE 0 END AS above_t
+    FROM agg
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-closeness audit — completing the k-anonymity / l-diversity /
+    t-closeness trio: per quasi-identifier class (event type x hour),
+    the Earth Mover's Distance between the class's sensitive-attribute
+    distribution (ordered value bands) and the global one; a class can
+    be large (k-safe) and diverse (l-safe) yet still leak because its
+    value mix skews far from the population. EMD over an ordered
+    attribute is the mean |running (class - global) mass difference|.
+
+    Numeric discipline: the mass differences are kept as EXACT integers
+    (cnt*gtotal - gcnt*class_size — the ratios share a denominator), so
+    the whole distance is one integer sum with a single double division
+    at the end, emitted in integer micro-units via an explicit
+    floor(x*1e6+0.5) — engines' round() half-rules disagree on boundary
+    doubles and these small-denominator rationals HIT the boundary (a
+    real divergence this query's first draft caught). The >0.2 flag is
+    the exact integer comparison sum*5 > denom. Shape: two stacked aggs
+    on the raw table, then all distance math on the dense classes x
+    bands grid built by cross-joining the tiny broadcast band dimension
+    — the raw table is scanned once and never re-joined."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("band"),
+    )
+    gband = base.groupBy(F.col("band").alias("g_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("gcnt")
+    )
+    gtot = gband.agg(
+        F.sum("gcnt").cast("long").alias("gtotal"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    cls = base.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    cb = base.groupBy(
+        F.col("event_type").alias("cb_type"),
+        F.col("hr").alias("cb_hr"),
+        F.col("band").alias("cb_band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    grid = (
+        cls.crossJoin(F.broadcast(gband))
+        .crossJoin(F.broadcast(gtot))
+        .join(
+            cb,
+            on=[
+                F.col("event_type").eqNullSafe(F.col("cb_type")),
+                F.col("hr").eqNullSafe(F.col("cb_hr")),
+                F.col("cb_band") == F.col("g_band"),
+            ],
+            how="left",
+        )
+        .select(
+            "event_type",
+            "hr",
+            "class_size",
+            F.col("g_band").alias("band"),
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)) * F.col("gtotal")
+                - F.col("gcnt") * F.col("class_size")
+            ).alias("dqi"),
+            "gtotal",
+            "m",
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type", "hr")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "event_type",
+        "hr",
+        "class_size",
+        "gtotal",
+        "m",
+        F.sum("dqi").over(wcum).alias("c"),
+    )
+    agg = cum.groupBy("event_type", "hr", "class_size", "gtotal", "m").agg(
+        F.sum(F.abs(F.col("c"))).cast("long").alias("sum_abs")
+    )
+    den = F.col("class_size") * F.col("gtotal") * (F.col("m") - 1)
+    emd_micro = F.when(F.col("m") == 1, F.lit(0).cast("long")).otherwise(
+        F.floor(F.col("sum_abs").cast("double") / den * 1000000 + 0.5).cast(
+            "long"
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.unix_millis(F.col("hr").cast("timestamp")).alias("hour_ms"),
+        "class_size",
+        emd_micro.alias("emd_micro"),
+        F.when(
+            (F.col("m") > 1) & (F.col("sum_abs") * 5 > den), 1
+        )
+        .otherwise(0)
+        .alias("above_t"),
+    )

@@ -2133,3 +2133,55 @@ def text_cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), e AS (
+        SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t
+    ), p AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               count(*) AS common, any_value(a.n) AS n1, any_value(b.n) AS n2
+        FROM e a JOIN e b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(common::DOUBLE / n1, 4) AS containment_1_in_2,
+           round(common::DOUBLE / n2, 4) AS containment_2_in_1
+    FROM p
+    WHERE n1 >= 5 AND n2 >= 5
+      AND greatest(common::DOUBLE / n1, common::DOUBLE / n2) >= 0.5
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(A->B) = |A∩B| / |A| over
+    distinct word trigrams, both directions, keeping pairs where either
+    side reaches 0.5 — the quote/excerpt/superset detector Jaccard
+    structurally misses (a verbatim excerpt inside a long doc scores
+    ~0 Jaccard but 1.0 containment; every serious pretraining dedup
+    stack runs both). Same single-shuffle postings -> per-shingle
+    buckets -> JVM-side upper-triangle pair plan as
+    `dedup_ngram_jaccard` (`operators/dedup.py:ngram_containment_pairs`);
+    only the final scalar differs. min_shingles=5 drops trivially tiny
+    docs whose containment is noise."""
+    from hw_kafka_flink_health_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, min_shingles=5
+    )
+    return out.select(
+        "doc1",
+        "doc2",
+        F.round("containment_1_in_2", 4).alias("containment_1_in_2"),
+        F.round("containment_2_in_1", 4).alias("containment_2_in_1"),
+    )

@@ -710,42 +710,118 @@ def timeseries_ohlc_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly OHLC bars + volume-weighted average price over line items
     (unit price = extended price / quantity, volume = quantity) — the
     canonical time-series downsample every market/telemetry pipeline
-    runs. Determinism at scale: open/close come from row_number over a
+    runs. Determinism at scale: open/close are min_by/max_by over a
     TOTAL order (shipdate, orderkey, linenumber) so ties cannot flip the
     bar across engines or retries; the VWAP numerator is summed in EXACT
     integer cents (doubles with two decimals are inexact and their sum is
     order-dependent across 32 partitions — integers are not), with ONE
-    double division at the end. Both window passes share the same
-    month-partition exchange, and the final aggregate rides it too: one
-    shuffle total. A 100 TB run would swap row_number for min_by/max_by
-    on the same total-order struct to avoid materializing ranks, same
-    plan shape otherwise."""
+    double division at the end. Everything is ONE map-side-combined hash
+    aggregate — no per-bar sort anywhere (the oracle's row_number
+    formulation sorts every bar; at 100 TB a bar holds billions of rows
+    and that sort would BE the job)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     month = F.date_trunc("month", F.col("l_shipdate"))
-    asc = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
-    desc = [c.desc() for c in asc]
+    # total order within the bar: (shipdate, orderkey, linenumber)
+    okey = F.struct("l_shipdate", "l_orderkey", "l_linenumber")
     priced = li.select(
         month.alias("bar_month"),
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
         F.col("l_quantity").cast("long").alias("qty"),
-        F.row_number()
-        .over(Window.partitionBy(month).orderBy(*asc))
-        .alias("rn_a"),
-        F.row_number()
-        .over(Window.partitionBy(month).orderBy(*desc))
-        .alias("rn_d"),
+        okey.alias("okey"),
     )
+    # min_by/max_by over the total-order struct: open/close come out of
+    # the same HASH aggregate as everything else — one shuffle, NO
+    # per-partition sort (the oracle's row_number formulation would sort
+    # every bar; at 100 TB a bar holds billions of rows and the sort IS
+    # the job). Deterministic because okey is a total order.
     return priced.groupBy("bar_month").agg(
-        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("unit_price"))), 6).alias(
-            "open"
-        ),
+        F.round(F.min_by("unit_price", F.col("okey")), 6).alias("open"),
         F.round(F.max("unit_price"), 6).alias("high"),
         F.round(F.min("unit_price"), 6).alias("low"),
-        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("unit_price"))), 6).alias(
-            "close"
-        ),
+        F.round(F.max_by("unit_price", F.col("okey")), 6).alias("close"),
         F.sum("qty").cast("long").alias("volume"),
         F.count(F.lit(1)).cast("long").alias("n_trades"),
         F.round(F.sum("price_cents") / 100.0 / F.sum("qty"), 6).alias("vwap"),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             sum(c)::BIGINT AS total, count(*)::BIGINT AS n_days
+      FROM daily GROUP BY 1
+    ), cusum AS (
+      -- deviations scaled by n_days stay EXACT integers:
+      -- dev_i = c_i*n - total  (n * (c_i - mean))
+      SELECT d.event_type, d.day, s.n_days,
+             sum(d.c * s.n_days - s.total) OVER (
+               PARTITION BY d.event_type
+               ORDER BY d.day ROWS UNBOUNDED PRECEDING
+             )::BIGINT AS cu
+      FROM daily d JOIN stats s USING (event_type)
+    ), ranked AS (
+      SELECT event_type, day, n_days, cu,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cu) DESC, day) AS rn
+      FROM cusum
+    )
+    SELECT event_type, epoch_ms(day) AS change_day_ms, n_days,
+           cu AS cusum_scaled, abs(cu) AS cusum_abs
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of daily volume from the series mean peaks —
+    the classic single-changepoint locator for level shifts in
+    monitoring pipelines (the running-windows `events_level_shift` is
+    its local-contrast sibling; CUSUM finds the GLOBAL break). The
+    deviations are scaled by n_days (dev = c*n - total) so the running
+    sum is exact integer arithmetic end to end — no float drift over a
+    100 TB-long series and nothing for engines to disagree on. One
+    shuffle to daily counts, a broadcast-sized per-type stats join, and
+    both windows ride one event_type exchange; argmax ties break to the
+    earliest day deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        F.sum(F.col("c") * F.col("n_days") - F.col("total"))
+        .over(wcum)
+        .cast("long")
+        .alias("cu"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cu")).desc(), F.col("day")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.unix_millis(F.col("day").cast("timestamp")).alias("change_day_ms"),
+            "n_days",
+            F.col("cu").alias("cusum_scaled"),
+            F.abs(F.col("cu")).alias("cusum_abs"),
+        )
     )

@@ -78,9 +78,12 @@ SHOWCASE = {
     "stats_chi_square_independence": "chi-square screen: ONE map-side-combined agg builds the R x C cell table; all marginals are windows over those few rows — the raw table is never re-scanned",
     "orders_benford_digits": "Benford audit: exact-integer digit extraction in the scan's codegen span, one 9-row agg, windowed total",
     "stats_kaplan_meier_reorder": "Kaplan-Meier: one customer-exchange rank window + per-customer agg; all survival math (at-risk, exp/sum-ln product) rides the tiny life table",
-    "timeseries_ohlc_vwap": "OHLC/VWAP bars: both rank windows AND the final agg share one month exchange; VWAP numerator summed as exact integer cents",
+    "timeseries_ohlc_vwap": "OHLC/VWAP bars: ONE hash aggregate — open/close via min_by/max_by over the total-order struct, no per-bar sort; VWAP numerator in exact integer cents",
     "text_cross_doc_dup_spans": "cross-doc dup-span screen: postings + doc-frequency COUNT join-back — linear, no pair generation, hot grams cost one counter",
     "join_asof_nearest": "nearest as-of: backward AND forward running fills off ONE union+window exchange — no range join, no second shuffle",
+    "dedup_ngram_containment": "asymmetric containment: same postings->buckets->upper-triangle single-shuffle core as jaccard; only the final scalar differs",
+    "privacy_t_closeness": "t-closeness EMD: raw table scanned once into two stacked aggs; distance math on the dense grid from a broadcast band dimension, all integer-exact",
+    "events_cusum_changepoint": "CUSUM: daily agg + broadcast stats join; cumulative and argmax windows share one event_type exchange, integer-exact deviations",
 }
 
 

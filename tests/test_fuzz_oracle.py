@@ -33,6 +33,10 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-6 additions
+    "dedup_ngram_containment",
+    "privacy_t_closeness",
+    "events_cusum_changepoint",
+    "agg_mode_exact",
     "stats_chi_square_independence",
     "orders_benford_digits",
     "timeseries_ohlc_vwap",

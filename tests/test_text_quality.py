@@ -38,3 +38,33 @@ def test_compression_ratio_monotone_and_exact(spark):
     assert got[0].zlib_ratio < got[1].zlib_ratio < got[2].zlib_ratio
     assert got[2].zlib_ratio > 0.5  # hex stream barely compresses
     assert got[0].zlib_ratio < 0.1  # repetition collapses
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A verbatim 12-token excerpt inside a 60-token doc: containment of
+    the excerpt is 1.0 while Jaccard is far below any useful threshold —
+    the exact asymmetry the operator exists for."""
+    from hw_kafka_flink_health_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_words = [f"w{i}" for i in range(60)]
+    excerpt = long_words[20:32]
+    df = spark.createDataFrame(
+        [(1, " ".join(long_words)), (2, " ".join(excerpt))],
+        "doc_id long, text string",
+    )
+    got = ngram_containment_pairs(
+        df, "text", "doc_id", n=3, threshold=0.8, min_shingles=1
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc1"], r["doc2"]) == (1, 2)
+    # doc2 (the excerpt) is fully contained in doc1
+    assert r["containment_2_in_1"] == 1.0
+    assert r["containment_1_in_2"] < 0.25
+    # jaccard at the same cutoff sees nothing
+    assert (
+        ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.8).count() == 0
+    )
