@@ -190,6 +190,9 @@ HEADLINE = [
     "privacy_t_closeness",
     "events_cusum_changepoint",
     "agg_mode_exact",
+    "basket_rules_lift",
+    "mlprep_class_balance_weights",
+    "text_source_token_tvd",
 ]
 
 

@@ -1259,3 +1259,88 @@ def orders_priority_mix_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tvd, 6).alias("tvd"),
         F.when(tvd > 0.05, 1).otherwise(0).alias("drifted"),
     )
+
+
+@register(
+    "basket_rules_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS part_bucket
+      FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey)::BIGINT AS n_baskets FROM items
+    ), supp AS (
+      SELECT part_bucket, count(*)::BIGINT AS s FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.part_bucket AS p1, b.part_bucket AS p2,
+             count(*)::BIGINT AS s_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.part_bucket < b.part_bucket
+      GROUP BY 1, 2
+      HAVING count(*) >= 20
+    )
+    SELECT p1, p2, s_ab,
+           CAST(floor(CAST(s_ab AS DOUBLE) / sa.s * 1000000 + 0.5) AS BIGINT)
+             AS conf_micro,
+           CAST(floor(CAST(s_ab AS DOUBLE) * n.n_baskets / (sa.s * sb.s)
+                      * 1000000 + 0.5) AS BIGINT) AS lift_micro
+    FROM pairs JOIN supp sa ON sa.part_bucket = pairs.p1
+               JOIN supp sb ON sb.part_bucket = pairs.p2
+               CROSS JOIN n
+    """,
+)
+def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the basket pairs: confidence(p1 -> p2) and
+    lift — the a-priori second pass that turns raw co-occurrence support
+    into actionable rules (lift > 1e6 micro-units = positively
+    associated). Item supports are a tiny aggregate BROADCAST back onto
+    the pair table; the basket self-join is keyed on the order so pair
+    fan-out stays bounded by basket width, never corpus-quadratic. All
+    counts exact; the two ratios are single double divisions emitted in
+    integer micro-units (floor(x*1e6+0.5) — identical IEEE ops in both
+    engines, immune to round() half-rule divergence)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
+    ).distinct()
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    supp = items.groupBy("part_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.part_bucket") < F.col("b.part_bucket")),
+        )
+        .groupBy(
+            F.col("a.part_bucket").alias("p1"),
+            F.col("b.part_bucket").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("s_ab"))
+        .filter(F.col("s_ab") >= 20)
+    )
+    sa = supp.select(F.col("part_bucket").alias("p1"), F.col("s").alias("s1"))
+    sb = supp.select(F.col("part_bucket").alias("p2"), F.col("s").alias("s2"))
+    out = (
+        pairs.join(F.broadcast(sa), "p1")
+        .join(F.broadcast(sb), "p2")
+        .crossJoin(F.broadcast(n))
+    )
+    conf = F.col("s_ab").cast("double") / F.col("s1")
+    lift = (
+        F.col("s_ab").cast("double")
+        * F.col("n_baskets")
+        / (F.col("s1") * F.col("s2"))
+    )
+    return out.select(
+        "p1",
+        "p2",
+        "s_ab",
+        F.floor(conf * 1000000 + 0.5).cast("long").alias("conf_micro"),
+        F.floor(lift * 1000000 + 0.5).cast("long").alias("lift_micro"),
+    )

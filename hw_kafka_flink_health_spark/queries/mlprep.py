@@ -742,3 +742,49 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk_text").cast("long").alias("chunk_len"),
         F.md5("chunk_text").alias("chunk_fp"),
     )
+
+
+@register(
+    "mlprep_class_balance_weights",
+    oracle="""
+    WITH lab AS (
+      SELECT label, count(*)::BIGINT AS n_label
+      FROM embeddings WHERE label IS NOT NULL GROUP BY label
+    ), tot AS (
+      SELECT sum(n_label)::BIGINT AS n_total, count(*)::BIGINT AS n_classes
+      FROM lab
+    )
+    SELECT label, n_label,
+           CAST(floor(CAST(n_total AS DOUBLE) / (n_classes * n_label)
+                      * 1000000 + 0.5) AS BIGINT) AS weight_micro
+    FROM lab CROSS JOIN tot
+    """,
+)
+def mlprep_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced' heuristic:
+    n_total / (n_classes * n_label)) — the per-label sampling/loss weight
+    every imbalanced-label training run computes first. One map-side
+    combined aggregate to label counts; the totals are a broadcast 1-row
+    join over the tiny label table; the weight is a single double
+    division emitted in integer micro-units (floor(x*1e6+0.5), immune to
+    engine round() half-rule divergence). NULL labels get no weight row
+    — they carry no class signal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = (
+        emb.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_label"))
+    )
+    tot = lab.agg(
+        F.sum("n_label").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    w = (
+        F.col("n_total").cast("double")
+        / (F.col("n_classes") * F.col("n_label"))
+    )
+    return lab.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_label",
+        F.floor(w * 1000000 + 0.5).cast("long").alias("weight_micro"),
+    )

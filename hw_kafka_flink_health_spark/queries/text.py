@@ -2185,3 +2185,114 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment_1_in_2", 4).alias("containment_1_in_2"),
         F.round("containment_2_in_1", 4).alias("containment_2_in_1"),
     )
+
+
+@register(
+    "text_source_token_tvd",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE source IS NOT NULL
+    ), cnt AS (
+      SELECT source, tok, count(*)::BIGINT AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, sum(c)::BIGINT AS t FROM cnt GROUP BY 1
+    ), grid AS (
+      SELECT v.tok, s.source, s.t, coalesce(cnt.c, 0) AS c
+      FROM (SELECT DISTINCT tok FROM cnt) v
+      CROSS JOIN tot s
+      LEFT JOIN cnt ON cnt.source = s.source AND cnt.tok = v.tok
+    )
+    SELECT a.source AS source_1, b.source AS source_2,
+           any_value(a.t) AS n_tokens_1, any_value(b.t) AS n_tokens_2,
+           CAST(floor(CAST(sum(abs(a.c * b.t - b.c * a.t)) AS DOUBLE)
+                      / (2.0 * any_value(a.t) * any_value(b.t))
+                      * 1000000 + 0.5) AS BIGINT) AS tvd_micro
+    FROM grid a JOIN grid b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def text_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between corpus sources: total-variation distance
+    between every source pair's token distributions — the screen that
+    tells a mixing pipeline when one source's language has shifted away
+    from another's (new crawl snapshot, new domain mix). Numerics: TVD
+    over a shared vocabulary is sum |c1*T2 - c2*T1| — EXACT integers all
+    the way (cross-multiplied to the common denominator), one double
+    division at the end, emitted in integer micro-units. Shape: token
+    counts (map-side combined, the only big shuffle), a dense vocab x
+    source grid from a broadcast source dimension, and a self-join on
+    token whose fan-out is |pairs| (~S^2/2), never corpus-sized. At
+    extreme scale c*T can exceed int64 — switch the cross-product to
+    decimal there; the plan shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    cnt = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    vocab = cnt.select("tok").distinct()
+    grid = (
+        vocab.crossJoin(
+            F.broadcast(tot.select(F.col("source").alias("g_source"), "t"))
+        )
+        .join(
+            cnt.select(
+                F.col("source").alias("c_source"),
+                F.col("tok").alias("c_tok"),
+                "c",
+            ),
+            on=[
+                F.col("g_source") == F.col("c_source"),
+                F.col("tok") == F.col("c_tok"),
+            ],
+            how="left",
+        )
+        .select(
+            "tok",
+            F.col("g_source").alias("source"),
+            "t",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    a = grid.select(
+        F.col("tok"),
+        F.col("source").alias("source_1"),
+        F.col("t").alias("t1"),
+        F.col("c").alias("c1"),
+    )
+    b = grid.select(
+        F.col("tok").alias("tok_b"),
+        F.col("source").alias("source_2"),
+        F.col("t").alias("t2"),
+        F.col("c").alias("c2"),
+    )
+    j = a.join(
+        b,
+        (F.col("tok") == F.col("tok_b"))
+        & (F.col("source_1") < F.col("source_2")),
+    )
+    out = j.groupBy("source_1", "source_2").agg(
+        F.first("t1").cast("long").alias("n_tokens_1"),
+        F.first("t2").cast("long").alias("n_tokens_2"),
+        F.sum(F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")))
+        .cast("long")
+        .alias("num"),
+    )
+    tvd = F.col("num").cast("double") / (
+        2.0 * F.col("n_tokens_1") * F.col("n_tokens_2")
+    )
+    return out.select(
+        "source_1",
+        "source_2",
+        "n_tokens_1",
+        "n_tokens_2",
+        F.floor(tvd * 1000000 + 0.5).cast("long").alias("tvd_micro"),
+    )

@@ -84,6 +84,8 @@ SHOWCASE = {
     "dedup_ngram_containment": "asymmetric containment: same postings->buckets->upper-triangle single-shuffle core as jaccard; only the final scalar differs",
     "privacy_t_closeness": "t-closeness EMD: raw table scanned once into two stacked aggs; distance math on the dense grid from a broadcast band dimension, all integer-exact",
     "events_cusum_changepoint": "CUSUM: daily agg + broadcast stats join; cumulative and argmax windows share one event_type exchange, integer-exact deviations",
+    "text_source_token_tvd": "source vocabulary drift: one big token-count shuffle; dense vocab x source grid off a broadcast dimension; pairwise TVD integer-exact to one final division",
+    "basket_rules_lift": "association rules: pair supports keyed on the order (basket-width-bounded fan-out); item supports broadcast back; conf/lift in integer micro-units",
 }
 
 

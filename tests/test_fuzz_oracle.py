@@ -33,6 +33,9 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-6 additions
+    "basket_rules_lift",
+    "mlprep_class_balance_weights",
+    "text_source_token_tvd",
     "dedup_ngram_containment",
     "privacy_t_closeness",
     "events_cusum_changepoint",
