@@ -193,6 +193,17 @@ HEADLINE = [
     "basket_rules_lift",
     "mlprep_class_balance_weights",
     "text_source_token_tvd",
+    # round-6 pack c: inference tests, recursive CTEs, RANGE frames,
+    # drawdown
+    "stats_mannwhitney_u",
+    "stats_ks_two_sample",
+    "stats_spearman_rho",
+    "stats_anova_f",
+    "stats_welch_ttest",
+    "recursive_month_spine_revenue",
+    "recursive_part_hierarchy_rollup",
+    "window_range_interval_frame",
+    "orders_drawdown_daily",
 ]
 
 

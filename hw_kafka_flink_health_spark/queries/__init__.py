@@ -6,7 +6,9 @@ from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     geo,
     graph,
     incremental,
+    inference,
     mlprep,
+    recursive,
     reference,
     relational,
     retrieval,

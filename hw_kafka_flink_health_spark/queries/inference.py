@@ -1,0 +1,424 @@
+"""Two-sample / k-sample statistical inference over `orders`: Welch's
+t-test, Mann-Whitney U, two-sample Kolmogorov-Smirnov, Spearman rank
+correlation, one-way ANOVA.
+
+Extension surface (SURVEY.md §2.C, scalar/statistics family): the
+reference computes no inferential statistics at all (its only aggregate
+is a windowed avg/min/max, `/root/reference/src/flink_job.py:104-128`);
+this is the A/B-test / drift-detection layer a data platform runs on top
+of the same tables. Every test here is EXACT (no sampling, no
+approximation) and expressed so the heavy part is one hash aggregation:
+
+* moment-based tests (Welch, ANOVA) reduce to per-group count/mean/var —
+  one shuffle, one row out, trivially 100 TB-safe;
+* rank-based tests (Mann-Whitney, KS, Spearman) need ranks, which at
+  scale must NOT mean a global sort of raw rows: we aggregate to
+  DISTINCT VALUES first (groupBy value → counts per group), then run the
+  ordered cumulative pass over that far smaller value table. Ranks of
+  tied values use the standard average-rank convention, computed from
+  cumulative counts rather than row-level rank() — identical algebra,
+  and the single-partition ordered pass touches |distinct values| rows,
+  not |rows|. (Spearman keeps per-row ranks but partitions by group, so
+  each group sorts independently — and its window is rank()+tie-shift,
+  which Catalyst evaluates in one sort per partition.)
+
+All five are value-oracled: the DuckDB twin runs the same algebra, and
+double jitter is absorbed by the registry rounding convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+_URGENT = "1-URGENT"
+_LOW = "5-LOW"
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT count(o_totalprice) FILTER (o_orderpriority = '{_URGENT}')::BIGINT AS n_a,
+             count(o_totalprice) FILTER (o_orderpriority = '{_LOW}')::BIGINT AS n_b,
+             avg(o_totalprice) FILTER (o_orderpriority = '{_URGENT}') AS m_a,
+             avg(o_totalprice) FILTER (o_orderpriority = '{_LOW}')    AS m_b,
+             var_samp(o_totalprice) FILTER (o_orderpriority = '{_URGENT}') AS v_a,
+             var_samp(o_totalprice) FILTER (o_orderpriority = '{_LOW}')    AS v_b
+      FROM orders WHERE o_orderpriority IN ('{_URGENT}', '{_LOW}')
+    )
+    SELECT n_a, n_b, round(m_a, 2) AS mean_a, round(m_b, 2) AS mean_b,
+           round((m_a - m_b) / nullif(sqrt(v_a / n_a + v_b / n_b), 0),
+                 4) AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+                 / nullif(pow(v_a / n_a, 2) / nullif(n_a - 1, 0)
+                          + pow(v_b / n_b, 2) / nullif(n_b - 1, 0), 0),
+                 2) AS welch_df
+    FROM g
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: URGENT vs LOW order values.
+
+    Moment test = conditional aggregates in ONE pass (count/avg/var_samp
+    with FILTER semantics via when()), so the physical plan is a single
+    partial+final hash aggregate over the filtered scan — the 100 TB cost
+    is the scan itself. t and the Welch-Satterthwaite df are driver-free
+    scalar algebra on the one-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_orderpriority") == _URGENT
+    b = F.col("o_orderpriority") == _LOW
+    price = F.col("o_totalprice")
+    g = (
+        orders.filter(a | b)
+        .agg(
+            F.count(F.when(a, price)).cast("long").alias("n_a"),
+            F.count(F.when(b, price)).cast("long").alias("n_b"),
+            F.avg(F.when(a, price)).alias("m_a"),
+            F.avg(F.when(b, price)).alias("m_b"),
+            F.var_samp(F.when(a, price)).alias("v_a"),
+            F.var_samp(F.when(b, price)).alias("v_b"),
+        )
+    )
+    se2_a = F.col("v_a") / F.col("n_a")
+    se2_b = F.col("v_b") / F.col("n_b")
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 2).alias("mean_a"),
+        F.round("m_b", 2).alias("mean_b"),
+        # try_divide: two all-tied groups give variance 0 → 0/0 must be
+        # NULL, not an ANSI error; n=1 groups give a 0 df denominator.
+        F.round(
+            F.try_divide(F.col("m_a") - F.col("m_b"), F.sqrt(se2_a + se2_b)), 4
+        ).alias("t_stat"),
+        F.round(
+            F.try_divide(
+                F.pow(se2_a + se2_b, F.lit(2)),
+                F.try_divide(F.pow(se2_a, F.lit(2)), F.col("n_a") - 1)
+                + F.try_divide(F.pow(se2_b, F.lit(2)), F.col("n_b") - 1),
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "stats_anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, count(o_totalprice)::BIGINT AS n,
+             avg(o_totalprice) AS m, var_samp(o_totalprice) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    t AS (
+      SELECT sum(n)::BIGINT AS big_n, count(*)::BIGINT AS k,
+             sum(n * m) / sum(n) AS gm
+      FROM g
+    )
+    SELECT t.k, t.big_n,
+           round(sum(g.n * pow(g.m - t.gm, 2)), 2) AS ss_between,
+           round(sum((g.n - 1) * g.v), 2) AS ss_within,
+           round((sum(g.n * pow(g.m - t.gm, 2)) / nullif(t.k - 1, 0))
+                 / nullif(sum((g.n - 1) * g.v) / nullif(t.big_n - t.k, 0), 0),
+                 4) AS f_stat,
+           round(sum(g.n * pow(g.m - t.gm, 2))
+                 / nullif(sum(g.n * pow(g.m - t.gm, 2))
+                          + sum((g.n - 1) * g.v), 0),
+                 4) AS eta_sq
+    FROM g, t
+    GROUP BY t.k, t.big_n
+    """,
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five order priorities.
+
+    Decomposes into per-group (n, mean, var_samp) — one hash aggregate —
+    then a 5-row reduction against the 1-row grand stats (cross join of
+    two tiny aggregates, the `stats.py:299` pattern). SSB/SSW/F/eta² are
+    pure algebra on sufficient statistics; nothing rescans the data, so
+    at 100 TB this costs exactly one grouped pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.filter(F.col("o_totalprice").isNotNull()).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.var_samp("o_totalprice").alias("v"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+    )
+    ssb = F.sum(F.col("n") * F.pow(F.col("m") - F.col("gm"), F.lit(2)))
+    ssw = F.sum((F.col("n") - 1) * F.col("v"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("k", "big_n")
+        .agg(
+            F.round(ssb, 2).alias("ss_between"),
+            F.round(ssw, 2).alias("ss_within"),
+            # try_divide at every step: k=1 (one group), N=k (1-row groups)
+            # and ssw=0 (all-tied values) are all legal degenerate inputs
+            # that must yield NULL, not an ANSI error — oracle mirrors via
+            # nullif.
+            F.round(
+                F.try_divide(
+                    F.try_divide(ssb, F.col("k") - 1),
+                    F.try_divide(ssw, F.col("big_n") - F.col("k")),
+                ),
+                4,
+            ).alias("f_stat"),
+            F.round(F.try_divide(ssb, ssb + ssw), 4).alias("eta_sq"),
+        )
+    )
+
+
+@register(
+    "stats_mannwhitney_u",
+    oracle=f"""
+    WITH byval AS (
+      SELECT o_totalprice AS v,
+             count(*) FILTER (o_orderpriority = '{_URGENT}')::BIGINT AS ca,
+             count(*) FILTER (o_orderpriority = '{_LOW}')::BIGINT    AS cb,
+             count(*)::BIGINT AS c
+      FROM orders WHERE o_orderpriority IN ('{_URGENT}', '{_LOW}')
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ca, cb, c,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS avgrank
+      FROM byval
+    ),
+    agg AS (
+      SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+             sum(ca * avgrank) AS r_a,
+             sum(c * c * c - c)::BIGINT AS tie_term
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           round(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_a,
+           round(n_a * n_b - (r_a - n_a * (n_a + 1) / 2.0), 2) AS u_b,
+           round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / nullif(sqrt(n_a * n_b / 12.0
+                        * ((n_a + n_b + 1)
+                           - tie_term / nullif(CAST(n_a + n_b AS DOUBLE)
+                                               * (n_a + n_b - 1), 0))), 0),
+                 4) AS z_stat
+    FROM agg
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum), URGENT vs LOW order values,
+    with average ranks for ties and the tie-corrected normal z.
+
+    The scale trick: ranks come from DISTINCT VALUES, not rows. groupBy
+    value collapses N rows to V value-rows (one shuffle); the ordered
+    cumulative pass (avgrank = rows-before + (ties+1)/2) runs over V
+    rows in a single partition — V is bounded by value cardinality, and
+    the rank of every tied row is recovered algebraically (ca·avgrank),
+    so no row-level global sort ever happens."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_orderpriority") == _URGENT
+    byval = (
+        orders.filter(
+            (a | (F.col("o_orderpriority") == _LOW))
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.count(F.when(a, 1)).cast("long").alias("ca"),
+            F.count(F.when(~a, 1)).cast("long").alias("cb"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.withColumn(
+        "avgrank",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)) + (F.col("c") + 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("avgrank")).alias("r_a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = F.col("r_a") - n_a * (n_a + 1) / 2.0
+    big_n = n_a + n_b
+    # try_divide guards the N<=1 (tie ratio) and empty-group (sigma=0)
+    # degenerates — NULL z, mirrored by the oracle's nullif.
+    sigma2 = (
+        n_a
+        * n_b
+        / 12.0
+        * (
+            (big_n + 1)
+            - F.try_divide(
+                F.col("tie_term"), big_n.cast("double") * (big_n - 1)
+            )
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 2).alias("u_a"),
+        F.round(n_a * n_b - u_a, 2).alias("u_b"),
+        F.round(
+            F.try_divide(u_a - n_a * n_b / 2.0, F.sqrt(sigma2)), 4
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH byval AS (
+      SELECT o_totalprice AS v,
+             count(*) FILTER (o_orderpriority = '{_URGENT}')::BIGINT AS ca,
+             count(*) FILTER (o_orderpriority = '{_LOW}')::BIGINT    AS cb
+      FROM orders WHERE o_orderpriority IN ('{_URGENT}', '{_LOW}')
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ),
+    cums AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v)::BIGINT AS ca_cum,
+             sum(cb) OVER (ORDER BY v)::BIGINT AS cb_cum,
+             sum(ca) OVER ()::BIGINT AS n_a,
+             sum(cb) OVER ()::BIGINT AS n_b
+      FROM byval
+    ),
+    best AS (
+      SELECT n_a, n_b, abs(ca_cum * n_b - cb_cum * n_a) AS d_num, v
+      FROM cums
+      ORDER BY d_num DESC, v ASC
+      LIMIT 1
+    )
+    SELECT n_a, n_b,
+           round(d_num / nullif(CAST(n_a AS DOUBLE) * n_b, 0), 6) AS ks_d,
+           round(d_num / nullif(CAST(n_a AS DOUBLE) * n_b, 0)
+                 * sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), 4)
+             AS ks_scaled,
+           round(v, 2) AS ks_location
+    FROM best
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between URGENT and LOW order-value
+    distributions, plus the location where the ECDF gap peaks.
+
+    Same distinct-value reduction as Mann-Whitney: ECDF steps only at
+    observed values, so cumulative counts over the value table ARE the
+    ECDFs. The argmax is computed on the INTEGER numerator
+    |ca_cum·n_b − cb_cum·n_a| (exact, no float comparison), with ties
+    broken to the smallest value — deterministic across engines, pinned
+    by the value hash. One shuffle to values, one small ordered pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_orderpriority") == _URGENT
+    byval = (
+        orders.filter(
+            (a | (F.col("o_orderpriority") == _LOW))
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.count(F.when(a, 1)).cast("long").alias("ca"),
+            F.count(F.when(~a, 1)).cast("long").alias("cb"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cums = byval.select(
+        "v",
+        F.sum("ca").over(wcum).cast("long").alias("ca_cum"),
+        F.sum("cb").over(wcum).cast("long").alias("cb_cum"),
+        F.sum("ca").over(wall).cast("long").alias("n_a"),
+        F.sum("cb").over(wall).cast("long").alias("n_b"),
+    )
+    d_num = F.abs(F.col("ca_cum") * F.col("n_b") - F.col("cb_cum") * F.col("n_a"))
+    # argmax with min-v tiebreak via struct max on (d_num, -v): d_num is an
+    # exact integer, so the comparison is deterministic cross-engine.
+    best = cums.select(
+        "n_a",
+        "n_b",
+        F.struct(d_num.alias("d_num"), (-F.col("v")).alias("neg_v")).alias("s"),
+    ).groupBy("n_a", "n_b").agg(F.max("s").alias("m"))
+    d = F.col("m.d_num")
+    na_d = F.col("n_a").cast("double")
+    # try_divide: a fixture with only one of the two groups present gives
+    # n_a·n_b = 0 → NULL D, mirrored by the oracle's nullif.
+    return best.select(
+        "n_a",
+        "n_b",
+        F.round(F.try_divide(d, na_d * F.col("n_b")), 6).alias("ks_d"),
+        F.round(
+            F.try_divide(d, na_d * F.col("n_b"))
+            * F.sqrt(na_d * F.col("n_b") / (F.col("n_a") + F.col("n_b"))),
+            4,
+        ).alias("ks_scaled"),
+        F.round(-F.col("m.neg_v"), 2).alias("ks_location"),
+    )
+
+
+@register(
+    "stats_spearman_rho",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+               + (count(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1)
+                 / 2.0 AS r_price,
+             rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+               + (count(*) OVER (PARTITION BY o_orderpriority, o_orderdate) - 1)
+                 / 2.0 AS r_date
+      FROM orders
+    )
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(covar_samp(r_price, r_date)
+                 / nullif(stddev_samp(r_price) * stddev_samp(r_date), 0),
+                 4) AS spearman_rho
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and order date,
+    per priority group, with average ranks for ties.
+
+    Average rank = rank() + (tie_count − 1)/2 — two window functions
+    sharing ONE partition-by-priority exchange (Catalyst reuses the
+    exchange; each group sorts independently, so no global sort). rho is
+    then Pearson on ranks via covar_samp/stddevs, guarded with
+    try_divide so a zero-variance group (all-tied fuzz data) yields NULL
+    instead of an ANSI divide error — mirrored by the oracle's nullif."""
+    orders = load_table(spark, sf_dir, "orders")
+    by = F.col("o_orderpriority")
+    rp = F.rank().over(Window.partitionBy(by).orderBy("o_totalprice")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(by, F.col("o_totalprice"))) - 1
+    ) / 2.0
+    rd = F.rank().over(Window.partitionBy(by).orderBy("o_orderdate")) + (
+        F.count(F.lit(1)).over(Window.partitionBy(by, F.col("o_orderdate"))) - 1
+    ) / 2.0
+    ranked = orders.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select("o_orderpriority", rp.alias("r_price"), rd.alias("r_date"))
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("r_price", "r_date"),
+                F.stddev_samp("r_price") * F.stddev_samp("r_date"),
+            ),
+            4,
+        ).alias("spearman_rho"),
+    )

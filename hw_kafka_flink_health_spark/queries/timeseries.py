@@ -825,3 +825,108 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cu")).alias("cusum_abs"),
         )
     )
+
+
+@register(
+    "window_range_interval_frame",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           (count(*) OVER w)::BIGINT AS cnt_1h,
+           round(avg(value) OVER w, 4) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-one-hour event count and mean value per user via a RANGE
+    (value-bounded) window frame — the frame every ROWS-based rolling
+    query gets WRONG on irregular event spacing (ROWS n PRECEDING counts
+    events, not time). RANGE on epoch seconds bounds the frame by
+    timestamp distance, so each row sees exactly the events in
+    [ts-3600s, ts].
+
+    One exchange on user_id + one per-partition sort; Spark evaluates the
+    value frame with a sliding two-pointer pass over the sorted run — no
+    self-join, no explode, O(rows) per partition amortized. Epoch is
+    FLOORED to whole seconds on both engines (sub-second timestamps would
+    otherwise diverge: Spark's long cast truncates, DuckDB's epoch()
+    keeps the fraction); RANGE includes all peers of the boundary second
+    identically in both."""
+    ev = load_table(spark, sf_dir, "events")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; hop through
+    # TIMESTAMP (session is pinned UTC, so NTZ wall time == UTC instant,
+    # matching DuckDB's naive epoch()).
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_s.alias("ts_s"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cnt_1h"),
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )
+
+
+@register(
+    "orders_drawdown_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    cums AS (
+      SELECT day, revenue, sum(revenue) OVER (ORDER BY day) AS cum
+      FROM daily
+    ),
+    run AS (
+      SELECT day, revenue, cum, max(cum) OVER (ORDER BY day) AS peak
+      FROM cums
+    )
+    SELECT day, revenue,
+           round(cum, 2) AS cum_revenue,
+           round(peak - cum, 2) AS drawdown,
+           round((peak - cum) / nullif(peak, 0), 6) AS drawdown_frac
+    FROM run
+    """,
+)
+def orders_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak-to-current drawdown of cumulative daily revenue — the
+    standard monitoring curve for any cumulative KPI (revenue, tokens
+    ingested, rows committed).
+
+    Shuffle budget: one hash aggregate to days, then ordered windows over
+    the DAY table (~2.4k rows regardless of fact size — the unpartitioned
+    sort is over the aggregate, never the raw rows, so 100 TB of orders
+    still reduces to the same tiny series). The cumulative sum runs over
+    the ROUNDED daily revenue so both engines add identical values in
+    identical order — bitwise-deterministic doubles, no summation-order
+    jitter for the hash to trip on. try_divide/nullif guard the
+    peak-zero degenerate (all-negative or empty fuzz data)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select(
+        "day",
+        "revenue",
+        F.sum("revenue").over(wc).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(wc))
+    return run.select(
+        "day",
+        "revenue",
+        F.round("cum", 2).alias("cum_revenue"),
+        F.round(F.col("peak") - F.col("cum"), 2).alias("drawdown"),
+        F.round(F.try_divide(F.col("peak") - F.col("cum"), F.col("peak")), 6).alias(
+            "drawdown_frac"
+        ),
+    )

@@ -32,6 +32,16 @@ TABLES = (
 # every query the round-5 full-catalog fuzz audit caught diverging (each
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
+    # round-6 inference/recursive/window-frame pack
+    "stats_welch_ttest",
+    "stats_anova_f",
+    "stats_mannwhitney_u",
+    "stats_ks_two_sample",
+    "stats_spearman_rho",
+    "recursive_month_spine_revenue",
+    "recursive_part_hierarchy_rollup",
+    "window_range_interval_frame",
+    "orders_drawdown_daily",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
