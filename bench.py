@@ -204,6 +204,9 @@ HEADLINE = [
     "recursive_part_hierarchy_rollup",
     "window_range_interval_frame",
     "orders_drawdown_daily",
+    "geo_knn_suppliers",
+    "gini_by_segment",
+    "lorenz_revenue_deciles",
 ]
 
 

@@ -187,3 +187,80 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lat"), 4).alias("avg_lat"),
         F.round(F.avg("lon"), 4).alias("avg_lon"),
     )
+
+
+@register(
+    "geo_knn_suppliers",
+    oracle=f"""
+    WITH probes AS (
+      SELECT n_nationkey AS probe_id, {_COORD_SQL.format(key="n_nationkey", salt="nation")}
+      FROM nation WHERE n_nationkey < 5
+    ), pts AS (
+      SELECT s_suppkey, {_COORD_SQL.format(key="s_suppkey", salt="supp")}
+      FROM supplier
+    ), dists AS (
+      SELECT p.probe_id, c.s_suppkey,
+             {_HAVERSINE_SQL.format(plat="p.lat", plon="p.lon", clat="c.lat", clon="c.lon")} AS d
+      FROM probes p, pts c
+    ), ranked AS (
+      SELECT probe_id, s_suppkey, d,
+             row_number() OVER (PARTITION BY probe_id ORDER BY d, s_suppkey) AS rk
+      FROM dists
+    )
+    SELECT probe_id, rk AS rank, s_suppkey, round(d, 3) AS dist_km
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def geo_knn_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 nearest suppliers to each of 5 probe points, exact, via
+    distributed two-phase top-k.
+
+    KNN has no a-priori radius to grid-prune with, so the scalable exact
+    shape is: broadcast the tiny probe side, compute candidate distances
+    in the scan's map stage, then take top-k TWICE — first within salt
+    buckets (pmod(suppkey, 32): each bucket's window sees ~1/32 of the
+    candidates, all map-side parallel), then over the ≤ probes·32·k
+    survivors. The second window touches 480 rows regardless of supplier
+    count, so no single reducer ever sees the full candidate set — the
+    classic salted top-k that survives 100 TB where a bare
+    row_number()-over-probe_id window funnels everything into 5
+    partitions. Ties break on (distance, suppkey); the distance algebra
+    is operand-order-identical to the oracle, so doubles compare equal
+    cross-engine."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    probes = nation.filter(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey").alias("probe_id"),
+        _lat(F.col("n_nationkey"), "nation").alias("plat"),
+        _lon(F.col("n_nationkey"), "nation").alias("plon"),
+    )
+    pts = supp.select(
+        "s_suppkey",
+        _lat(F.col("s_suppkey"), "supp").alias("slat"),
+        _lon(F.col("s_suppkey"), "supp").alias("slon"),
+    )
+    dists = pts.join(F.broadcast(probes)).select(
+        "probe_id",
+        "s_suppkey",
+        haversine_km(
+            F.col("plat"), F.col("plon"), F.col("slat"), F.col("slon")
+        ).alias("d"),
+        F.pmod(F.col("s_suppkey"), F.lit(32)).alias("salt"),
+    )
+    w_local = Window.partitionBy("probe_id", "salt").orderBy("d", "s_suppkey")
+    survivors = dists.withColumn("lrk", F.row_number().over(w_local)).filter(
+        F.col("lrk") <= 3
+    )
+    w_final = Window.partitionBy("probe_id").orderBy("d", "s_suppkey")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "probe_id",
+            F.col("rk").cast("long").alias("rank"),
+            "s_suppkey",
+            F.round("d", 3).alias("dist_km"),
+        )
+    )

@@ -1657,3 +1657,159 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("above_t"),
     )
+
+
+@register(
+    "gini_by_segment",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice IS NOT NULL
+    ),
+    byval AS (
+      SELECT segment, v, count(*)::BIGINT AS cnt
+      FROM joined GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, v, cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY segment ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS avgrank
+      FROM byval
+    )
+    SELECT segment, sum(cnt)::BIGINT AS n,
+           round(2.0 * sum(cnt * avgrank * v)
+                   / nullif(sum(cnt) * sum(cnt * v), 0)
+                 - (sum(cnt) + 1.0) / sum(cnt), 6) AS gini
+    FROM ranked
+    GROUP BY segment
+    """,
+)
+def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of order values per customer market
+    segment (mid-rank formula, ties at their average rank):
+    G = 2·Σrᵢxᵢ/(n·Σxᵢ) − (n+1)/n.
+
+    Same distinct-value reduction as the rank tests in
+    `queries/inference.py`: the join output collapses to (segment,
+    value) counts in one shuffle, the rank pass is a per-segment window
+    over value groups (each segment sorts independently), and the final
+    row per segment is a hash aggregate. Nothing global-sorts raw rows,
+    so 100 TB of orders costs one join + one grouped pass + one
+    bounded-width window."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("v"))
+    )
+    byval = joined.groupBy("segment", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wseg = (
+        Window.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = byval.withColumn(
+        "avgrank",
+        F.coalesce(F.sum("cnt").over(wseg), F.lit(0)) + (F.col("cnt") + 1) / 2.0,
+    )
+    n = F.sum("cnt")
+    return ranked.groupBy("segment").agg(
+        n.cast("long").alias("n"),
+        F.round(
+            F.try_divide(
+                2.0 * F.sum(F.col("cnt") * F.col("avgrank") * F.col("v")),
+                n * F.sum(F.col("cnt") * F.col("v")),
+            )
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "lorenz_revenue_deciles",
+    oracle="""
+    WITH byval AS (
+      SELECT o_totalprice AS v, count(*)::BIGINT AS cnt
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             sum(cnt) OVER () AS n
+      FROM byval
+    ),
+    bucketed AS (
+      SELECT least(CAST(floor(10 * cum_before / n) AS BIGINT), 9) AS decile,
+             cnt, cnt * v AS rev
+      FROM ranked
+    ),
+    by_decile AS (
+      SELECT decile, sum(cnt)::BIGINT AS n_orders,
+             round(sum(rev), 2) AS revenue
+      FROM bucketed GROUP BY 1
+    )
+    SELECT decile, n_orders, revenue,
+           round(revenue / nullif(sum(revenue) OVER (), 0), 6) AS rev_share,
+           round(sum(revenue) OVER (ORDER BY decile)
+                 / nullif(sum(revenue) OVER (), 0), 6) AS cum_share
+    FROM by_decile
+    """,
+)
+def lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in deciles: bottom-10%-of-orders through
+    top-10%-of-orders revenue shares, cumulated — the 'top decile of
+    orders carries X% of revenue' concentration report.
+
+    Deciles are assigned by an INTEGER rule on cumulative counts over
+    distinct values (floor(10·cum_before/n), all tied values share a
+    decile) rather than ntile(), whose arbitrary tie placement would let
+    the two engines split equal values across bucket boundaries
+    differently. Distinct-value reduction again: windows run over the
+    value groups, the decile aggregate is 10 rows, and the share windows
+    are over those 10."""
+    orders = load_table(spark, sf_dir, "orders")
+    byval = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = byval.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    bucketed = ranked.select(
+        F.least(
+            F.floor(10 * F.col("cum_before") / F.col("n")).cast("long"), F.lit(9)
+        ).alias("decile"),
+        "cnt",
+        (F.col("cnt") * F.col("v")).alias("rev"),
+    )
+    by_decile = bucketed.groupBy("decile").agg(
+        F.sum("cnt").cast("long").alias("n_orders"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wrun = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return by_decile.select(
+        "decile",
+        "n_orders",
+        "revenue",
+        F.round(
+            F.try_divide(F.col("revenue"), F.sum("revenue").over(wtot)), 6
+        ).alias("rev_share"),
+        F.round(
+            F.try_divide(F.sum("revenue").over(wrun), F.sum("revenue").over(wtot)),
+            6,
+        ).alias("cum_share"),
+    )

@@ -42,6 +42,9 @@ RECENT = [
     "recursive_part_hierarchy_rollup",
     "window_range_interval_frame",
     "orders_drawdown_daily",
+    "geo_knn_suppliers",
+    "gini_by_segment",
+    "lorenz_revenue_deciles",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
