@@ -520,3 +520,48 @@ def test_winnowing_gram_hash_evaluates_once_per_row(spark):
         .toString()
     )
     assert plan.count("md5(") == 1, plan.count("md5(")
+
+
+def test_geo_knn_partial_topk_prune_and_broadcast(spark):
+    plan = plan_of(spark, "geo_knn_suppliers")
+    # probes broadcast; candidate generation is never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "CartesianProduct" not in plan
+    # top-k is pruned BEFORE each exchange (salt bucket + final): Spark 4's
+    # WindowGroupLimit partial pass must appear on both window stages, so
+    # no reducer ever materializes the full candidate set
+    assert plan.count("WindowGroupLimit") >= 3, plan
+
+
+def test_mannwhitney_distinct_value_reduction(spark):
+    plan = plan_of(spark, "stats_mannwhitney_u")
+    # one hash shuffle to distinct values; the ordered cumulative pass is
+    # a single-partition window over the VALUE table only
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    # scan pruned to the two participating columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) <= 2, m and m.group(1)
+
+
+def test_range_interval_frame_is_range_not_rows(spark):
+    plan = plan_of(spark, "window_range_interval_frame")
+    # the frame must be a value-RANGE frame on epoch seconds — a ROWS
+    # frame here would silently count events instead of time
+    assert "specifiedwindowframe(RangeFrame, -3600" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one user_id exchange
+
+
+def test_drawdown_windows_ride_the_day_aggregate(spark):
+    plan = plan_of(spark, "orders_drawdown_daily")
+    # one hash shuffle to days; cumulative windows run over the day table
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_recursive_hierarchy_joins_after_recursion(spark):
+    plan = plan_of(spark, "recursive_part_hierarchy_rollup")
+    # the rollup joins part prices ONCE, outside the loop, as a broadcast;
+    # the iteration itself is narrow (no shuffle inside the recursion)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # final groupBy only
