@@ -207,6 +207,8 @@ HEADLINE = [
     "geo_knn_suppliers",
     "gini_by_segment",
     "lorenz_revenue_deciles",
+    "eval_auc_roc",
+    "eval_pr_curve",
 ]
 
 

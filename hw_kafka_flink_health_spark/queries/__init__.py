@@ -3,6 +3,7 @@
 from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     analytics,
     cep,
+    evalmetrics,
     geo,
     graph,
     incremental,

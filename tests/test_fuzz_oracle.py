@@ -45,6 +45,10 @@ RECENT = [
     "geo_knn_suppliers",
     "gini_by_segment",
     "lorenz_revenue_deciles",
+    "eval_auc_roc",
+    "eval_confusion_thresholds",
+    "eval_pr_curve",
+    "eval_calibration_bins",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
