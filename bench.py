@@ -209,6 +209,9 @@ HEADLINE = [
     "lorenz_revenue_deciles",
     "eval_auc_roc",
     "eval_pr_curve",
+    "stats_mutual_information",
+    "drift_psi_events",
+    "stats_cuped_adjusted_diff",
 ]
 
 

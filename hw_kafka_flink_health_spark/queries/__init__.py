@@ -4,6 +4,7 @@ from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     analytics,
     cep,
     evalmetrics,
+    experiment,
     geo,
     graph,
     incremental,

@@ -1,0 +1,299 @@
+"""Experimentation & drift-monitoring queries: mutual information /
+Cramér's V between categorical features, PSI distribution drift, and a
+CUPED variance-reduced A/B readout.
+
+Extension surface (SURVEY.md §2.C, statistics/LLM-pipeline family): the
+monitoring layer every production model and data pipeline runs — feature
+relevance (MI), input drift (PSI), and experiment readouts (CUPED) — all
+exact, all expressed as one or two hash aggregates plus scalar algebra on
+sufficient statistics (the `queries/inference.py` posture: nothing
+rescans or globally sorts raw rows). Logarithms appear only in OUTPUT
+values (rounded, so cross-engine libm ulp jitter is absorbed), never in
+group keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+_PIVOT = "2024-01-16"  # events span 2024-01; first half = covariate period
+
+
+@register(
+    "stats_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT p_brand AS x, p_type AS y, count(*)::BIGINT AS nxy
+      FROM part GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT x, y, nxy,
+             sum(nxy) OVER (PARTITION BY x) AS nx,
+             sum(nxy) OVER (PARTITION BY y) AS ny,
+             sum(nxy) OVER () AS n
+      FROM joint
+    )
+    SELECT max(n)::BIGINT AS n,
+           count(DISTINCT x)::BIGINT AS r,
+           count(DISTINCT y)::BIGINT AS c,
+           round(sum((nxy / CAST(n AS DOUBLE))
+                     * ln(nxy * CAST(n AS DOUBLE) / (nx * ny))), 6) AS mi_nats,
+           round(sqrt(sum(pow(nxy - nx * ny / CAST(n AS DOUBLE), 2)
+                          / (nx * ny / CAST(n AS DOUBLE)))
+                      / nullif(max(n) * least(count(DISTINCT x) - 1,
+                                              count(DISTINCT y) - 1), 0)),
+                 6) AS cramers_v
+    FROM marg
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) and Cramér's V between part brand and
+    part type — the exact feature-association report an ML-prep pipeline
+    uses to rank categorical features.
+
+    One hash aggregate to the r×c joint contingency table (≤150 cells
+    here, bounded by feature cardinality at any data size); margins are
+    windows over that tiny table, MI/chi²/V are scalar algebra on it.
+    The ln() sits in an output aggregate behind round(6) — never in a
+    comparison or key — so libm ulp drift cannot flip the hash."""
+    part = load_table(spark, sf_dir, "part")
+    joint = part.groupBy(
+        F.col("p_brand").alias("x"), F.col("p_type").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    marg = joint.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("nxy")
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+    )
+    n_d = F.col("n").cast("double")
+    exp = F.col("nx") * F.col("ny") / n_d
+    chi2 = F.sum(F.pow(F.col("nxy") - exp, F.lit(2)) / exp)
+    return marg.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count_distinct("x").cast("long").alias("r"),
+        F.count_distinct("y").cast("long").alias("c"),
+        F.round(
+            F.sum(
+                (F.col("nxy") / n_d)
+                * F.log(F.col("nxy") * n_d / (F.col("nx") * F.col("ny")))
+            ),
+            6,
+        ).alias("mi_nats"),
+        F.round(
+            F.sqrt(
+                F.try_divide(
+                    chi2,
+                    F.max("n")
+                    * F.least(
+                        F.count_distinct("x") - 1, F.count_distinct("y") - 1
+                    ),
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "drift_psi_events",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT value AS v, CAST(ts < TIMESTAMP '{_PIVOT}' AS INTEGER) AS in_a
+      FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM tagged
+    ),
+    binned AS (
+      SELECT least(CAST(floor((v - lo) / nullif(hi - lo, 0) * 10) AS BIGINT), 9)
+               AS bin,
+             in_a
+      FROM tagged, bounds
+    ),
+    per_bin AS (
+      SELECT bin,
+             sum(in_a)::BIGINT AS n_a,
+             sum(1 - in_a)::BIGINT AS n_b,
+             sum(sum(in_a)) OVER ()::BIGINT AS tot_a,
+             sum(sum(1 - in_a)) OVER ()::BIGINT AS tot_b
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n_a, n_b,
+           round(greatest(coalesce(n_a / nullif(CAST(tot_a AS DOUBLE), 0), 0.0),
+                          1e-6), 6) AS p_a,
+           round(greatest(coalesce(n_b / nullif(CAST(tot_b AS DOUBLE), 0), 0.0),
+                          1e-6), 6) AS p_b,
+           round((greatest(coalesce(n_b / nullif(CAST(tot_b AS DOUBLE), 0), 0.0),
+                           1e-6)
+                  - greatest(coalesce(n_a / nullif(CAST(tot_a AS DOUBLE), 0), 0.0),
+                             1e-6))
+                 * ln(greatest(coalesce(n_b / nullif(CAST(tot_b AS DOUBLE), 0), 0.0),
+                               1e-6)
+                      / greatest(coalesce(n_a / nullif(CAST(tot_a AS DOUBLE), 0),
+                                          0.0), 1e-6)),
+                 6) AS psi_term
+    FROM per_bin
+    """,
+)
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    first half of the month (baseline A) vs second half (current B) —
+    the standard model-input drift monitor (PSI > 0.2 ⇒ investigate).
+
+    Equal-width decile bins over the combined min/max (integer floor
+    rule, both engines bin boundary values identically; the 1-row bounds
+    aggregate broadcasts). One pass tags and bins every event, one hash
+    aggregate per bin, and the probability floors (1e-6) make empty-bin
+    terms finite — mirrored exactly in the oracle. Per-bin psi_term rows
+    sum to the headline PSI."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("v"),
+        (F.col("ts").cast("timestamp") < F.lit(_PIVOT).cast("timestamp"))
+        .cast("int")
+        .alias("in_a"),
+    )
+    bounds = tagged.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = tagged.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0))
+                * 10
+            ).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+        "in_a",
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("in_a").cast("long").alias("n_a"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+        )
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.sum("n_a").over(wall).cast("long").alias("tot_a"),
+            F.sum("n_b").over(wall).cast("long").alias("tot_b"),
+        )
+    )
+    # an entirely-empty period (tot = 0, e.g. a one-row fixture) must
+    # yield the floor probability, not an ANSI divide error — mirrored by
+    # the oracle's coalesce(nullif(...)) chain
+    p_a = F.greatest(
+        F.coalesce(
+            F.try_divide(F.col("n_a"), F.col("tot_a").cast("double")), F.lit(0.0)
+        ),
+        F.lit(1e-6),
+    )
+    p_b = F.greatest(
+        F.coalesce(
+            F.try_divide(F.col("n_b"), F.col("tot_b").cast("double")), F.lit(0.0)
+        ),
+        F.lit(1e-6),
+    )
+    return per_bin.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round((p_b - p_a) * F.log(p_b / p_a), 6).alias("psi_term"),
+    )
+
+
+@register(
+    "stats_cuped_adjusted_diff",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                       'ab')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+                  AS INTEGER) AS arm,
+             avg(value) FILTER (ts < TIMESTAMP '{_PIVOT}') AS x,
+             avg(value) FILTER (ts >= TIMESTAMP '{_PIVOT}') AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    complete AS (
+      SELECT arm, x, y FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+    ),
+    theta AS (
+      SELECT covar_samp(y, x) / nullif(var_samp(x), 0) AS th,
+             avg(x) AS mean_x
+      FROM complete
+    )
+    SELECT arm, count(*)::BIGINT AS n,
+           round(avg(y), 4) AS mean_y,
+           round(avg(y - th * (x - mean_x)), 4) AS mean_y_cuped,
+           round(var_samp(y), 4) AS var_y,
+           round(var_samp(y - th * (x - mean_x)), 4) AS var_y_cuped
+    FROM complete, theta
+    GROUP BY arm
+    """,
+)
+def stats_cuped_adjusted_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: users hash-split 50/50 (the
+    md5-unit idiom — deterministic, replayable), outcome y = second-half
+    mean event value, covariate x = the user's own FIRST-half mean.
+    y_cuped = y − θ(x − x̄) with θ = cov(y,x)/var(x) strips the
+    between-user variance that x explains, shrinking the readout's CI
+    without biasing the arm difference (E[x] is assignment-independent).
+
+    Shuffle budget: one per-user aggregate (conditional avg per period),
+    a 1-row θ aggregate broadcast back, one per-arm aggregate. The
+    degenerate var(x)=0 corpus gives NULL θ → NULL adjusted columns in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    pivot = F.lit(_PIVOT).cast("timestamp")
+    ts = F.col("ts").cast("timestamp")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    per_user = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.avg(F.when(ts < pivot, F.col("value"))).alias("x"),
+            F.avg(F.when(ts >= pivot, F.col("value"))).alias("y"),
+        )
+        .withColumn("arm", (u < 0.5).cast("int"))
+    )
+    complete = per_user.filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).select("arm", "x", "y")
+    theta = complete.agg(
+        F.try_divide(F.covar_samp("y", "x"), F.var_samp("x")).alias("th"),
+        F.avg("x").alias("mean_x"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mean_x"))
+    return (
+        complete.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(F.avg(adj), 4).alias("mean_y_cuped"),
+            F.round(F.var_samp("y"), 4).alias("var_y"),
+            F.round(F.var_samp(adj), 4).alias("var_y_cuped"),
+        )
+    )

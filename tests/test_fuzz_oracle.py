@@ -49,6 +49,9 @@ RECENT = [
     "eval_confusion_thresholds",
     "eval_pr_curve",
     "eval_calibration_bins",
+    "stats_mutual_information",
+    "drift_psi_events",
+    "stats_cuped_adjusted_diff",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
