@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
 
@@ -61,16 +62,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.least(
         F.greatest((F.col("n_chars") - 100) / 500.0, F.lit(0.05)), F.lit(0.95)
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("lbl"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u = hash_unit(F.col("doc_id"), "lbl")
     return docs.filter(F.col("n_chars").isNotNull()).select(
         (u < p).cast("int").alias("label"), p.alias("score")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
 
@@ -224,7 +225,7 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS INTEGER) AS arm,
              avg(value) FILTER (ts < TIMESTAMP '{_PIVOT}') AS x,
              avg(value) FILTER (ts >= TIMESTAMP '{_PIVOT}') AS y
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
       GROUP BY user_id
     ),
     complete AS (
@@ -259,18 +260,11 @@ def stats_cuped_adjusted_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pivot = F.lit(_PIVOT).cast("timestamp")
     ts = F.col("ts").cast("timestamp")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    # NULL user_id rows are excluded (concat-with-NULL semantics differ
+    # across engines, and an unattributable event belongs to no arm)
+    u = hash_unit(F.col("user_id"), "ab")
     per_user = (
-        ev.filter(F.col("value").isNotNull())
+        ev.filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
             F.avg(F.when(ts < pivot, F.col("value"))).alias("x"),

@@ -20,7 +20,7 @@ lon 179° must see candidates at -179°.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.queries._registry import register
@@ -229,7 +229,6 @@ def geo_knn_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine."""
     nation = load_table(spark, sf_dir, "nation")
     supp = load_table(spark, sf_dir, "supplier")
-    from pyspark.sql import Window
 
     probes = nation.filter(F.col("n_nationkey") < 5).select(
         F.col("n_nationkey").alias("probe_id"),

@@ -200,7 +200,7 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
              sum(ca * avgrank) AS r_a,
-             sum(c * c * c - c)::BIGINT AS tie_term
+             sum(CAST(c AS DOUBLE) * c * c - c) AS tie_term
       FROM ranked
     )
     SELECT n_a, n_b,
@@ -248,9 +248,11 @@ def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
         F.sum(F.col("ca") * F.col("avgrank")).alias("r_a"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
-        .cast("long")
-        .alias("tie_term"),
+        # cube in double: a value repeating >2.09M times would overflow
+        # int64 c^3 under ANSI; the term is consumed in double anyway
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     u_a = F.col("r_a") - n_a * (n_a + 1) / 2.0
@@ -382,6 +384,7 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                + (count(*) OVER (PARTITION BY o_orderpriority, o_orderdate) - 1)
                  / 2.0 AS r_date
       FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
     )
     SELECT o_orderpriority, count(*)::BIGINT AS n,
            round(covar_samp(r_price, r_date)

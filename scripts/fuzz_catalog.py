@@ -61,8 +61,18 @@ def build(spark, scenario: str, base: str | None = None) -> str:
         elif scenario == "nulls":
             df = load_table(spark, SF, t).limit(5)
             if t == "events":
-                df = df.withColumn("event_type", F.lit(None).cast("string")).withColumn(
-                    "value", F.when(F.col("event_id") % 2 == 0, F.col("value"))
+                # NULL user_id too (round-6 review: the md5-unit arm
+                # assignment diverges across engines on NULL keys unless
+                # queries filter them — make the class un-regressable)
+                df = (
+                    df.withColumn("event_type", F.lit(None).cast("string"))
+                    .withColumn(
+                        "value", F.when(F.col("event_id") % 2 == 0, F.col("value"))
+                    )
+                    .withColumn(
+                        "user_id",
+                        F.when(F.col("event_id") % 5 != 0, F.col("user_id")),
+                    )
                 )
             if t == "orders":
                 df = df.withColumn(
@@ -80,6 +90,9 @@ def build(spark, scenario: str, base: str | None = None) -> str:
             if t == "documents":
                 df = df.withColumn(
                     "lang", F.when(F.col("doc_id") % 4 != 0, F.col("lang"))
+                ).withColumn(
+                    "n_chars",
+                    F.when(F.col("doc_id") % 3 != 0, F.col("n_chars")),
                 )
         elif scenario == "ties":
             one = load_table(spark, SF, t).limit(1)

@@ -53,8 +53,9 @@ def test_auc_matches_numpy(spark, scored_pd):
     auc = _auc_numpy(scored_pd.label.to_numpy(), scored_pd.score.to_numpy())
     assert 0.0 <= row.auc <= 1.0
     assert row.auc == pytest.approx(auc, abs=1e-5)
-    # the ASCII-ratio feature genuinely separates English: AUC must beat
-    # chance by a wide margin, else the worked example is meaningless
+    # the length-ramp true-probability construction genuinely separates
+    # the classes: AUC must beat chance by a wide margin, else the worked
+    # example is meaningless
     assert row.auc > 0.7
 
 

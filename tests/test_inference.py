@@ -184,9 +184,12 @@ def test_range_frame_matches_pandas(spark):
         for _, r in g.iterrows():
             in_win = g[(g.ts_s >= r.ts_s - 3600) & (g.ts_s <= r.ts_s)]
             assert got.loc[r.event_id, "cnt_1h"] == len(in_win)
-            assert got.loc[r.event_id, "avg_1h"] == pytest.approx(
-                round(float(in_win.value.mean()), 4), abs=1e-6
-            )
+            expect = in_win.value.mean()
+            actual = got.loc[r.event_id, "avg_1h"]
+            if pd.isna(expect):  # all-NULL window: engines emit NULL avg
+                assert pd.isna(actual)
+            else:
+                assert actual == pytest.approx(round(float(expect), 4), abs=1e-6)
 
 
 def test_drawdown_invariants(spark):
