@@ -212,6 +212,8 @@ HEADLINE = [
     "stats_mutual_information",
     "drift_psi_events",
     "stats_cuped_adjusted_diff",
+    "mlprep_target_encoding_kfold",
+    "events_prefixspan_patterns",
 ]
 
 

@@ -812,7 +812,8 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rolling_active_users",
     oracle="""
-    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+                WHERE user_id IS NOT NULL),
     a AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
     w AS (SELECT a.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
           FROM a JOIN ud u ON u.day BETWEEN a.day - 6 AND a.day
@@ -832,7 +833,13 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-scan each day's users 7 times. Window-ends are restricted to
     observed days by the inner join with the DAU side."""
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # NULL users are not active users: count(DISTINCT user_id) in the
+    # oracle would drop them from WAU while count(*) kept them in DAU
+    ud = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     wau = (
         ud.select("day", "user_id", F.explode(F.expr("sequence(0, 6)")).alias("off"))
@@ -1343,4 +1350,96 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_ab",
         F.floor(conf * 1000000 + 0.5).cast("long").alias("conf_micro"),
         F.floor(lift * 1000000 + 0.5).cast("long").alias("lift_micro"),
+    )
+
+
+@register(
+    "events_prefixspan_patterns",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ),
+    n AS (SELECT count(DISTINCT user_id) AS nu FROM ev),
+    u AS (
+      -- named-struct min/max = lexicographic (ts, event_id) — the same
+      -- total order the Spark side sorts sequences by, deterministic
+      -- even when timestamps tie (arg_min's tie choice is unspecified)
+      SELECT user_id, event_type,
+             count(*)::BIGINT AS cnt,
+             min({'t': ts, 'i': event_id}) AS first_s,
+             max({'t': ts, 'i': event_id}) AS last_s
+      FROM ev GROUP BY 1, 2
+    ),
+    len1 AS (
+      SELECT event_type AS pattern, count(*)::BIGINT AS freq FROM u GROUP BY 1
+    ),
+    len2 AS (
+      SELECT a.event_type || '->' || b.event_type AS pattern,
+             count(*)::BIGINT AS freq
+      FROM u a JOIN u b ON a.user_id = b.user_id
+      WHERE CASE WHEN a.event_type = b.event_type THEN a.cnt >= 2
+                 ELSE a.first_s < b.last_s
+            END
+      GROUP BY 1
+    )
+    SELECT pattern, freq
+    FROM (SELECT * FROM len1 UNION ALL SELECT * FROM len2) p
+    CROSS JOIN n
+    -- Spark ml PrefixSpan: minCount = ceil(minSupport * n) in IEEE double
+    WHERE freq >= CAST(ceil(CAST(0.3 AS DOUBLE) * nu) AS BIGINT)
+    """,
+)
+def events_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns (length ≤ 2) of per-user event-type
+    journeys via pyspark.ml's PrefixSpan — the distributed
+    projected-database walk, no candidate-generation explosion.
+
+    Each user is one sequence of single-event itemsets ordered by
+    (ts, event_id); a pattern a→b is supported by a user iff some a
+    PRECEDES some b (gaps allowed — the subsequence semantics that make
+    this different from the CEP 'followed-by' adjacency queries). The
+    exact SQL oracle is possible because bounded-length subsequence
+    existence collapses to first/last-occurrence algebra: a→b ⟺
+    first(a) < last(b) (and a→a ⟺ count(a) ≥ 2) — so DuckDB never
+    enumerates subsequences, and the length-≤2 bound is what keeps the
+    oracle exact (the same trick as the FP-Growth size-≤3 bound).
+    Patterns flatten to strings (driver canonicalizer takes no arrays).
+
+    Scale: one shuffle builds per-user sequences (sort_array of collected
+    structs — per-partition sort, no global order), PrefixSpan projects
+    recursively on executors; minSupport prunes at every level."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("ts"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("t"),
+                    )
+                )
+            ).alias("ordered")
+        )
+        .select(
+            F.transform(F.col("ordered"), lambda x: F.array(x["t"])).alias(
+                "sequence"
+            )
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=0.3, maxPatternLength=2, sequenceCol="sequence"
+    )
+    pats = ps.findFrequentSequentialPatterns(seqs)
+    return pats.select(
+        F.concat_ws(
+            "->", F.transform(F.col("sequence"), lambda s: s[0])
+        ).alias("pattern"),
+        F.col("freq").cast("long").alias("freq"),
     )

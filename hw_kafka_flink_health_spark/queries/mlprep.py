@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.mlprep import (
+    hash_unit,
     normalize_text_expr,
     stratified_sample,
     train_valid_test_split,
@@ -787,4 +788,81 @@ def mlprep_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "n_label",
         F.floor(w * 1000000 + 0.5).cast("long").alias("weight_micro"),
+    )
+
+
+@register(
+    "mlprep_target_encoding_kfold",
+    oracle="""
+    WITH folds AS (
+      SELECT o_orderpriority AS cat, o_totalprice AS y,
+             CAST(floor(CAST(concat('0x', substr(md5(concat(
+                    CAST(o_orderkey AS VARCHAR), 'te-fold')), 1, 8)) AS BIGINT)
+                  / 4294967296.0 * 5) AS BIGINT) AS fold
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    per_cell AS (
+      SELECT cat, fold, count(*)::BIGINT AS n, sum(y) AS s
+      FROM folds GROUP BY 1, 2
+    ),
+    per_cat AS (
+      SELECT cat, fold, n, s,
+             sum(n) OVER (PARTITION BY cat) AS cat_n,
+             sum(s) OVER (PARTITION BY cat) AS cat_s
+      FROM per_cell
+    )
+    SELECT cat, fold, n AS n_in_fold,
+           round((cat_s - s) / nullif(CAST(cat_n - n AS DOUBLE), 0), 4)
+             AS encoding,
+           round(cat_s / CAST(cat_n AS DOUBLE), 4) AS leaky_encoding
+    FROM per_cat
+    """,
+)
+def mlprep_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding of order priority against
+    order value: the encoding a fold's rows receive is the category mean
+    computed from the OTHER four folds — (Σcat − Σfold)/(ncat − nfold) —
+    which is the out-of-fold estimate CatBoost-style pipelines use so a
+    row never sees its own target. The leaky all-data mean is emitted
+    alongside for comparison (the thing this op exists to avoid).
+
+    Scale shape: folds are a deterministic md5-unit draw (replayable in
+    the oracle), the heavy pass is ONE hash aggregate to (category,
+    fold) cells — k·|categories| rows — and the leave-one-fold-out
+    algebra is windows over that tiny table. No per-fold rescan, no
+    join back to rows; applying the encoding downstream is a broadcast
+    join of this output."""
+    orders = load_table(spark, sf_dir, "orders")
+    fold = F.floor(hash_unit(F.col("o_orderkey"), "te-fold") * 5).cast("long")
+    folds = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderpriority").alias("cat"),
+        F.col("o_totalprice").alias("y"),
+        fold.alias("fold"),
+    )
+    per_cell = folds.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").alias("s")
+    )
+    wcat = Window.partitionBy("cat")
+    per_cat = per_cell.select(
+        "cat",
+        "fold",
+        "n",
+        "s",
+        F.sum("n").over(wcat).alias("cat_n"),
+        F.sum("s").over(wcat).alias("cat_s"),
+    )
+    return per_cat.select(
+        "cat",
+        "fold",
+        F.col("n").alias("n_in_fold"),
+        F.round(
+            F.try_divide(
+                F.col("cat_s") - F.col("s"),
+                (F.col("cat_n") - F.col("n")).cast("double"),
+            ),
+            4,
+        ).alias("encoding"),
+        F.round(F.col("cat_s") / F.col("cat_n").cast("double"), 4).alias(
+            "leaky_encoding"
+        ),
     )

@@ -755,7 +755,7 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pii_pseudonymize",
     oracle="""
     SELECT event_id,
-           substr(md5(concat('tenant-salt:', CAST(user_id AS VARCHAR))), 1, 16)
+           substr(md5('tenant-salt:' || CAST(user_id AS VARCHAR)), 1, 16)
              AS user_token,
            event_type, epoch_ms(ts) AS ts_ms
     FROM events
@@ -1195,7 +1195,7 @@ def approx_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT event_type,
              CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
                   AS BIGINT) AS hv
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), r AS (
       SELECT event_type, hv,
              row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
@@ -1228,7 +1228,9 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), never materializing a global distinct — the estimate line
     is unchanged because the k smallest hashes are the same set."""
     ev = load_table(spark, sf_dir, "events")
-    h = ev.select(
+    # NULL keys are excluded — distinct-count semantics ignore NULL, and
+    # the md5-of-NULL expression diverges across engines anyway
+    h = ev.filter(F.col("user_id").isNotNull()).select(
         "event_type",
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")

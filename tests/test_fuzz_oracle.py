@@ -52,6 +52,8 @@ RECENT = [
     "stats_mutual_information",
     "drift_psi_events",
     "stats_cuped_adjusted_diff",
+    "mlprep_target_encoding_kfold",
+    "events_prefixspan_patterns",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
