@@ -67,6 +67,12 @@ def _duck(sql: str) -> str:
 def _spark_sql(
     spark: SparkSession, sf_dir: str, sql: str, tables: dict[str, str]
 ) -> DataFrame:
+    # headroom over the 100-level default: the month spine is ~80 levels
+    # on this corpus but a 2x-wider date range would hit the wall; the
+    # row limit (default 1M) is the real runaway backstop, so raising the
+    # level cap is safe. DuckDB's default max_recursive_cte_iterations is
+    # unbounded, so only Spark needs the knob.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "400")
     binds = {}
     for ph, name in tables.items():
         view = f"__rec_{name}"
