@@ -13,6 +13,7 @@ from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     recursive,
     reference,
     relational,
+    resampling,
     retrieval,
     runtime_filters,
     stats,

@@ -1443,3 +1443,215 @@ def events_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pattern"),
         F.col("freq").cast("long").alias("freq"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_signup
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             epoch_ms(min(t_signup)) AS s_ms,
+             epoch_ms(min(CASE WHEN event_type = 'purchase' AND ts >= t_signup
+                               THEN ts END)) AS p_ms
+      FROM marked GROUP BY user_id
+    )
+    SELECT epoch_ms(date_trunc('MONTH', to_timestamp(s_ms / 1000.0))) AS cohort_ms,
+           CAST(count(s_ms) AS BIGINT) AS n_users,
+           CAST(count(p_ms) AS BIGINT) AS n_converted,
+           CAST(floor(count(p_ms) * 1000000.0 / nullif(count(s_ms), 0))
+                AS BIGINT) AS conv_rate_micro,
+           round(quantile_cont(CAST(floor((p_ms - s_ms) / 1000.0) AS BIGINT),
+                               0.5), 1) AS p50_latency_s,
+           round(quantile_cont(CAST(floor((p_ms - s_ms) / 1000.0) AS BIGINT),
+                               0.9), 1) AS p90_latency_s
+    FROM per_user
+    GROUP BY epoch_ms(date_trunc('MONTH', to_timestamp(s_ms / 1000.0)))
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-grain conversion latency: for each signup-month cohort, how
+    many users signed up, how many converted (first purchase at-or-after
+    their first signup), and the p50/p90 signup-to-purchase latency.
+
+    The per-user funnel collapse is the funnel_conversion shape — ONE
+    exchange on user_id shared by the window pass and the groupBy — and
+    the cohort rollup aggregates the per-user table (|users| rows, not
+    |events|), so the second shuffle moves only user-grain data. Exact
+    interpolated percentiles run per cohort group (percentile ==
+    quantile_cont); latencies are integer seconds via the epoch-ms floor
+    idiom, so interpolation arithmetic is identical in both engines.
+    Users who never signed up form the NULL-cohort row (n_users = 0) —
+    the guard nullif/try_divide keeps their rate NULL, not an ANSI
+    error."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts = F.col("ts")
+    marked = ev.withColumn(
+        "t_signup", F.min(F.when(F.col("event_type") == "signup", ts)).over(w)
+    )
+    per_user = marked.groupBy("user_id").agg(
+        F.unix_millis(F.min("t_signup").cast("timestamp")).alias("s_ms"),
+        F.unix_millis(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (ts >= F.col("t_signup")),
+                    ts,
+                )
+            ).cast("timestamp")
+        ).alias("p_ms"),
+    )
+    lat = F.floor((F.col("p_ms") - F.col("s_ms")) / 1000.0).cast("bigint")
+    return (
+        per_user.withColumn("lat_s", lat)
+        .withColumn(
+            "cohort_ms",
+            F.unix_millis(
+                F.date_trunc("month", F.timestamp_seconds(F.col("s_ms") / 1000.0))
+            ),
+        )
+        .groupBy("cohort_ms")
+        .agg(
+            F.count("s_ms").cast("bigint").alias("n_users"),
+            F.count("p_ms").cast("bigint").alias("n_converted"),
+            F.floor(
+                F.try_divide(F.count("p_ms") * 1000000.0, F.count("s_ms"))
+            )
+            .cast("bigint")
+            .alias("conv_rate_micro"),
+            F.round(F.expr("percentile(lat_s, 0.5)"), 1).alias("p50_latency_s"),
+            F.round(F.expr("percentile(lat_s, 0.9)"), 1).alias("p90_latency_s"),
+        )
+    )
+
+
+_FS_M = 0.95  # pinned per-field m-probability (P(agree | true match))
+
+
+@register(
+    "linkage_fellegi_sunter",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey AS ckey, c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+             right(c_name, 2) AS dig
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey AS skey, s_nationkey AS nat,
+             CAST(floor(s_acctbal / 1000.0) AS BIGINT) AS band,
+             right(s_name, 2) AS dig
+      FROM supplier
+    ), sizes AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM c)
+               * (SELECT CAST(count(*) AS BIGINT) FROM s) AS all_pairs
+    ), u_band AS (
+      SELECT coalesce(sum(cf.cnt * sf2.cnt), 0) / nullif(CAST(all_pairs AS DOUBLE), 0) AS u
+      FROM (SELECT band, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY band) cf
+      JOIN (SELECT band, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY band) sf2
+        USING (band)
+      CROSS JOIN sizes GROUP BY all_pairs
+    ), u_dig AS (
+      SELECT coalesce(sum(cf.cnt * sf2.cnt), 0) / nullif(CAST(all_pairs AS DOUBLE), 0) AS u
+      FROM (SELECT dig, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY dig) cf
+      JOIN (SELECT dig, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY dig) sf2
+        USING (dig)
+      CROSS JOIN sizes GROUP BY all_pairs
+    ), pairs AS (
+      SELECT CASE WHEN c.band = s.band THEN 1 ELSE 0 END AS a_band,
+             CASE WHEN c.dig = s.dig THEN 1 ELSE 0 END AS a_dig
+      FROM c JOIN s ON c.nat = s.nat
+    )
+    SELECT a_band, a_dig, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(u_band.u, 6) AS u_band,
+           round(u_dig.u, 6) AS u_dig,
+           round(
+             (CASE WHEN a_band = 1
+                   THEN ln({_FS_M} / nullif(u_band.u, 0))
+                   ELSE ln((1 - {_FS_M}) / nullif(1 - u_band.u, 0)) END
+              + CASE WHEN a_dig = 1
+                     THEN ln({_FS_M} / nullif(u_dig.u, 0))
+                     ELSE ln((1 - {_FS_M}) / nullif(1 - u_dig.u, 0)) END)
+             / ln(2.0), 4) AS score_bits
+    FROM pairs CROSS JOIN u_band CROSS JOIN u_dig
+    GROUP BY a_band, a_dig, u_band.u, u_dig.u
+    """,
+)
+def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: customer-vs-supplier
+    candidate pairs blocked on nationkey, scored by per-field agreement
+    weights log2(m/u) / log2((1-m)/(1-u)) with u-probabilities ESTIMATED
+    FROM THE DATA (u = P(agree | random pair) = sum of cross-products of
+    the two sides' value frequencies — computed exactly in integer space
+    over frequency tables, never by sampling pairs). m is pinned at 0.95
+    (no labeled truth exists in TPC-H). Output is the agreement-pattern
+    summary (4 rows: band x digit agree/disagree) with pair counts and
+    the F-S match weight in bits.
+
+    Scale posture: u-estimation joins two per-value frequency tables
+    (|distinct values| rows); candidate generation is the blocked join,
+    never a cross product; and the final aggregate groups the pairs by
+    2-bit pattern, so nothing driver-side ever sees a pair list. ln()
+    appears only inside round(..., 4) outputs per the libm convention."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("band"),
+        F.expr("right(c_name, 2)").alias("dig"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nat"),
+        F.floor(F.col("s_acctbal") / 1000.0).cast("bigint").alias("band"),
+        F.expr("right(s_name, 2)").alias("dig"),
+    )
+    all_pairs = (
+        cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+        .crossJoin(supp.agg(F.count(F.lit(1)).cast("bigint").alias("n_s")))
+        .select((F.col("n_c") * F.col("n_s")).alias("all_pairs"))
+    )
+
+    def u_of(field: str, out: str) -> DataFrame:
+        cf = cust.groupBy(field).agg(F.count(F.lit(1)).cast("bigint").alias("cnt_c"))
+        sf2 = supp.groupBy(field).agg(F.count(F.lit(1)).cast("bigint").alias("cnt_s"))
+        return (
+            cf.join(sf2, field)
+            .crossJoin(F.broadcast(all_pairs))
+            .groupBy("all_pairs")
+            .agg(F.coalesce(F.sum(F.col("cnt_c") * F.col("cnt_s")), F.lit(0)).alias("agree"))
+            .select(
+                F.try_divide(
+                    F.col("agree"), F.col("all_pairs").cast("double")
+                ).alias(out)
+            )
+        )
+
+    pairs = cust.alias("c").join(supp.alias("s"), "nat").select(
+        F.when(F.col("c.band") == F.col("s.band"), 1).otherwise(0).alias("a_band"),
+        F.when(F.col("c.dig") == F.col("s.dig"), 1).otherwise(0).alias("a_dig"),
+    )
+    m = F.lit(_FS_M)
+    ub = F.col("u_b")
+    ud = F.col("u_d")
+    w_band = F.when(
+        F.col("a_band") == 1, F.log(m / F.nullif(ub, F.lit(0.0)))
+    ).otherwise(F.log((1 - m) / F.nullif(1 - ub, F.lit(0.0))))
+    w_dig = F.when(
+        F.col("a_dig") == 1, F.log(m / F.nullif(ud, F.lit(0.0)))
+    ).otherwise(F.log((1 - m) / F.nullif(1 - ud, F.lit(0.0))))
+    return (
+        pairs.crossJoin(F.broadcast(u_of("band", "u_b")))
+        .crossJoin(F.broadcast(u_of("dig", "u_d")))
+        .groupBy("a_band", "a_dig", "u_b", "u_d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "a_band",
+            "a_dig",
+            "n_pairs",
+            F.round(ub, 6).alias("u_band"),
+            F.round(ud, 6).alias("u_dig"),
+            F.round((w_band + w_dig) / F.log(F.lit(2.0)), 4).alias("score_bits"),
+        )
+    )

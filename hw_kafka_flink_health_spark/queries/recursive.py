@@ -114,3 +114,54 @@ def recursive_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     loop — the rollup joins part prices once, after). Restricting output
     to ancestors 1..15 reports the top four levels of the tree."""
     return _spark_sql(spark, sf_dir, _PART_HIERARCHY_SQL, {"part": "part"})
+
+
+# Holt's linear-trend (double) exponential smoothing. EWMA has a closed
+# form (events_ewma), but Holt's COUPLED level/trend recursion does not —
+# it is the canonical "genuinely iterative numeric method" and exactly
+# what WITH RECURSIVE's one-row-per-step mode is for. The recursion runs
+# over the MONTH-grain aggregate (depth = months in the date range, ~84
+# here), never over raw rows: at 100 TB the scan+aggregate is the
+# distributed cost and the smoothing pass is O(months) regardless of
+# table size. Money is summed in integer cents so the series entering
+# the recursion is bitwise-identical in both engines, and every
+# recursive step is the same literal arithmetic expression — level and
+# trend stay bitwise-equal through all iterations (rounding only at
+# output).
+_HOLT_SQL = """
+WITH RECURSIVE months AS (
+  SELECT date_trunc('MONTH', o_orderdate) AS m,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM {orders} GROUP BY date_trunc('MONTH', o_orderdate)
+), idx AS (
+  SELECT m, c / CAST(100.0 AS DOUBLE) AS y,
+         CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS i
+  FROM months
+), holt(i, m, y, lvl, trd) AS (
+  SELECT i, m, y, y, CAST(0.0 AS DOUBLE) FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.m, x.y,
+         CAST(0.4 AS DOUBLE) * x.y + CAST(0.6 AS DOUBLE) * (h.lvl + h.trd),
+         CAST(0.3 AS DOUBLE)
+           * ((CAST(0.4 AS DOUBLE) * x.y
+               + CAST(0.6 AS DOUBLE) * (h.lvl + h.trd)) - h.lvl)
+           + CAST(0.7 AS DOUBLE) * h.trd
+  FROM holt h JOIN idx x ON x.i = h.i + 1
+)
+SELECT i AS step, round(y, 2) AS revenue, round(lvl, 2) AS level,
+       round(trd, 2) AS trend, round(lvl + trd, 2) AS forecast_next
+FROM holt
+"""
+
+
+@register("recursive_holt_linear_trend", oracle=_duck(_HOLT_SQL))
+def recursive_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of monthly revenue via WITH
+    RECURSIVE (alpha=0.4, beta=0.3): level_t = a*y_t + (1-a)*(level+trend),
+    trend_t = b*(level_t - level) + (1-b)*trend, one recursion step per
+    month. The join inside the recursive term touches the ~84-row `idx`
+    CTE, not the fact table — orders is scanned once by the anchor-side
+    aggregate. Emits the full fitted series plus the one-step-ahead
+    forecast; value-oracled exactly (integer-cent inputs, identical
+    step arithmetic — see module-level note)."""
+    return _spark_sql(spark, sf_dir, _HOLT_SQL, {"orders": "orders"})

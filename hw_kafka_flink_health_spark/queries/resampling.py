@@ -1,0 +1,297 @@
+"""Distributed resampling inference: Poisson bootstrap confidence
+intervals and a hash-randomization (Monte-Carlo permutation) test.
+
+Extension surface (SURVEY.md §2.C, statistics family): the reference
+computes only a windowed avg/min/max (`/root/reference/src/flink_job.py:104-128`);
+uncertainty quantification on top of the same tables is what an
+experimentation platform adds. Both operators here use THE distributed
+resampling trick: a replicate is never a materialized copy of the data —
+each row carries a deterministic per-(row, replicate) weight derived
+from an md5 draw, and the explode over replicate ids feeds straight
+into a partial hash aggregate, so the B-times-larger exploded relation
+exists only inside map-side combine (the shuffle moves ≤ B rows per
+input partition, never B× the data). That is exactly how the Poisson
+bootstrap is run on petabyte logs: one scan, B counters per partition.
+
+Determinism/portability: the per-(row, replicate) uniform is the
+engine-portable md5-unit draw (`operators/mlprep.py:hash_unit` twin),
+all money math is integer cents, and every replicate statistic is a
+single division of bitwise-identical operands — so the DuckDB twin
+reproduces every replicate EXACTLY, and the oracles are full value
+hashes with no tolerance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+_B_BOOT = 100
+_B_PERM = 200
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), pasted as
+# exact double literals so Spark and DuckDB compare against the very
+# same values. P(K > 7) < 1.1e-5; the tail collapses to w=8.
+_POISSON_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+]
+
+
+def _poisson_weight_sql(u: str) -> str:
+    """CASE expression mapping a uniform draw to a Poisson(1) variate.
+
+    Identical text runs in both engines; literal thresholds parse to the
+    same IEEE doubles, so the branch taken is identical too.
+    """
+    branches = " ".join(
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POISSON_CDF)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+def _md5_unit_duck(key: str) -> str:
+    """DuckDB rendering of the md5-unit uniform draw in [0,1)."""
+    return (
+        f"CAST(concat('0x', substr(md5({key}), 1, 8)) AS BIGINT) / 4294967296.0"
+    )
+
+
+def _md5_unit_spark(key: str) -> str:
+    """Spark rendering of the SAME draw (conv() — Spark rejects 0x-string
+    casts). Both produce the identical 32-bit integer / 2^32 double."""
+    return (
+        f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS DOUBLE)"
+        " / 4294967296.0"
+    )
+
+
+_BOOT_KEY = "concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING), ':boot')"
+_BOOT_KEY_DUCK = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':boot'"
+
+
+@register(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH cents AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), rep AS (
+      SELECT b,
+             sum(w * c) AS wc, sum(w) AS wn
+      FROM (
+        SELECT c, t.b,
+               { _poisson_weight_sql(_md5_unit_duck(_BOOT_KEY_DUCK)) } AS w
+        FROM cents CROSS JOIN range({_B_BOOT}) t(b)
+      ) z
+      GROUP BY b
+    ), means AS (
+      SELECT b, wc / (100.0 * wn) AS m FROM rep WHERE wn > 0
+    ), pt AS (
+      SELECT round(sum(c) / nullif(100.0 * count(*), 0), 2) AS sample_mean,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM cents
+    )
+    SELECT pt.n_orders, pt.sample_mean,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           round(avg(m), 2) AS boot_mean,
+           round(quantile_cont(m, 0.025), 2) AS ci_lo,
+           round(quantile_cont(m, 0.975), 2) AS ci_hi,
+           round(stddev_samp(m), 2) AS boot_se
+    FROM means CROSS JOIN pt
+    GROUP BY pt.n_orders, pt.sample_mean
+    """,
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean order value via the Poisson bootstrap.
+
+    The classical bootstrap (sample n rows with replacement, B times)
+    is unrunnable at 100 TB — it needs global coordination per
+    replicate. The Poisson bootstrap replaces multinomial resampling
+    with an independent Poisson(1) weight per (row, replicate):
+    replicate means are then pure weighted aggregates, embarrassingly
+    parallel, one scan total. The explode over B replicate ids is
+    consumed by map-side partial aggregation (hash agg on `b` directly
+    above the generator), so the shuffle carries B rows per partition —
+    the exploded relation is never materialized or exchanged.
+
+    Exactness: weights come from the md5-unit draw against pinned
+    Poisson CDF literals, money is integer cents, so each replicate
+    mean is one division of identical operands in both engines — the
+    quantile/stddev inputs are bitwise-identical doubles and the CI is
+    value-hash-checked, not tolerance-checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    exploded = cents.select(
+        "o_orderkey",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_BOOT - 1))).alias("b"),
+    ).withColumn("w", F.expr(_poisson_weight_sql(_md5_unit_spark(_BOOT_KEY))))
+    rep = exploded.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("c")).alias("wc"), F.sum("w").alias("wn")
+    )
+    means = rep.filter(F.col("wn") > 0).select(
+        (F.col("wc") / (100.0 * F.col("wn"))).alias("m")
+    )
+    pt = cents.agg(
+        F.round(
+            F.try_divide(F.sum("c"), 100.0 * F.count(F.lit(1))), 2
+        ).alias("sample_mean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return (
+        means.crossJoin(F.broadcast(pt))
+        .groupBy("n_orders", "sample_mean")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+            F.round(F.avg("m"), 2).alias("boot_mean"),
+            F.round(F.expr("percentile(m, 0.025)"), 2).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975)"), 2).alias("ci_hi"),
+            F.round(F.stddev_samp("m"), 2).alias("boot_se"),
+        )
+        .select(
+            "n_orders",
+            "sample_mean",
+            "n_replicates",
+            "boot_mean",
+            "ci_lo",
+            "ci_hi",
+            "boot_se",
+        )
+    )
+
+
+_URGENT = "1-URGENT"
+_LOW = "5-LOW"
+_PERM_KEY = "concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING), ':perm')"
+_PERM_KEY_DUCK = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':perm'"
+
+
+@register(
+    "stats_permutation_diff_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             CASE WHEN o_orderpriority = '{_URGENT}' THEN 1 ELSE 0 END AS grp
+      FROM orders WHERE o_orderpriority IN ('{_URGENT}', '{_LOW}')
+    ), obs AS (
+      SELECT sum(c * grp) / nullif(100.0 * sum(grp), 0)
+             - sum(c * (1 - grp)) / nullif(100.0 * sum(1 - grp), 0) AS d,
+             sum(grp) / nullif(CAST(count(*) AS DOUBLE), 0) AS p_a,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM base
+    ), rep AS (
+      SELECT b,
+             sum(CASE WHEN u < obs.p_a THEN c END)
+               / nullif(100.0 * count(CASE WHEN u < obs.p_a THEN 1 END), 0)
+             - sum(CASE WHEN u >= obs.p_a THEN c END)
+               / nullif(100.0 * count(CASE WHEN u >= obs.p_a THEN 1 END), 0) AS d
+      FROM (
+        SELECT c, t.b,
+               { _md5_unit_duck(_PERM_KEY_DUCK) } AS u
+        FROM base CROSS JOIN range({_B_PERM}) t(b)
+      ) z CROSS JOIN obs
+      GROUP BY b, obs.p_a
+    )
+    SELECT obs.n_rows,
+           round(obs.d, 2) AS obs_diff,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           CAST(1 + count(*) FILTER (abs(rep.d) >= abs(obs.d)) AS BIGINT)
+             AS n_extreme_plus1,
+           round((1 + count(*) FILTER (abs(rep.d) >= abs(obs.d)))
+                 / (1.0 + count(*)), 4) AS p_value
+    FROM rep CROSS JOIN obs
+    GROUP BY obs.n_rows, obs.d
+    """,
+)
+def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation test for the URGENT-vs-LOW mean-value gap.
+
+    The exact permutation test is a factorial enumeration; the scale
+    version relabels rows at random B times and counts replicates at
+    least as extreme as the observed difference. Relabeling is the
+    deterministic md5 draw against the OBSERVED group proportion (so
+    expected group sizes match the real design), which makes every
+    replicate replayable in any engine — no RNG, no seed plumbing.
+    Same execution shape as the bootstrap: explode over B feeds a
+    partial hash aggregate; one scan, B counters per partition, and a
+    B-row shuffle. The p-value uses the (1+k)/(1+B) add-one rule so it
+    is never exactly zero.
+
+    Exactness: integer-cent sums and single divisions of identical
+    operands make every replicate difference bitwise-identical across
+    engines; the >= comparison against the observed difference is then
+    exact, so n_extreme and the p-value are value-hash-checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderpriority").isin(_URGENT, _LOW)
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        F.when(F.col("o_orderpriority") == _URGENT, 1).otherwise(0).alias("grp"),
+    )
+    g = F.col("grp")
+    obs = base.agg(
+        (
+            F.try_divide(F.sum(F.col("c") * g), 100.0 * F.sum(g))
+            - F.try_divide(F.sum(F.col("c") * (1 - g)), 100.0 * F.sum(1 - g))
+        ).alias("d"),
+        F.try_divide(F.sum(g), F.count(F.lit(1)).cast("double")).alias("p_a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    exploded = (
+        base.select(
+            "o_orderkey",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(_B_PERM - 1))).alias("b"),
+        )
+        .withColumn("u", F.expr(_md5_unit_spark(_PERM_KEY)))
+        .crossJoin(F.broadcast(obs.select("p_a")))
+    )
+    in_a = F.col("u") < F.col("p_a")
+    rep = exploded.groupBy("b", "p_a").agg(
+        (
+            F.try_divide(
+                F.sum(F.when(in_a, F.col("c"))), 100.0 * F.count(F.when(in_a, 1))
+            )
+            - F.try_divide(
+                F.sum(F.when(~in_a, F.col("c"))), 100.0 * F.count(F.when(~in_a, 1))
+            )
+        ).alias("d")
+    )
+    extreme = F.abs(F.col("d")) >= F.abs(F.col("obs_d"))
+    return (
+        rep.crossJoin(
+            F.broadcast(
+                obs.select(F.col("d").alias("obs_d"), "n_rows")
+            )
+        )
+        .groupBy("n_rows", "obs_d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+            (1 + F.count(F.when(extreme, 1))).cast("bigint").alias("n_extreme_plus1"),
+            F.round(
+                (1 + F.count(F.when(extreme, 1))) / (1.0 + F.count(F.lit(1))), 4
+            ).alias("p_value"),
+        )
+        .select(
+            "n_rows",
+            F.round(F.col("obs_d"), 2).alias("obs_diff"),
+            "n_replicates",
+            "n_extreme_plus1",
+            "p_value",
+        )
+    )
