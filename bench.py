@@ -214,6 +214,16 @@ HEADLINE = [
     "stats_cuped_adjusted_diff",
     "mlprep_target_encoding_kfold",
     "events_prefixspan_patterns",
+    # round-6 pack d: resampling inference, probabilistic linkage, cohort
+    # latency. recursive_holt_linear_trend is deliberately NOT here: its
+    # cost is ~constant UnionLoop scheduler overhead (one micro-job per
+    # month step, SF-independent — see PLANS.md), which would add ~20 s
+    # of fixed noise to the headline total without measuring data-path
+    # throughput; SCALING.md carries its (flat) profile instead.
+    "stats_poisson_bootstrap_ci",
+    "stats_permutation_diff_test",
+    "linkage_fellegi_sunter",
+    "funnel_time_to_convert",
 ]
 
 

@@ -18,6 +18,7 @@ carry full value oracles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
@@ -121,24 +122,19 @@ def recursive_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFra
 # it is the canonical "genuinely iterative numeric method" and exactly
 # what WITH RECURSIVE's one-row-per-step mode is for. The recursion runs
 # over the MONTH-grain aggregate (depth = months in the date range, ~84
-# here), never over raw rows: at 100 TB the scan+aggregate is the
-# distributed cost and the smoothing pass is O(months) regardless of
-# table size. Money is summed in integer cents so the series entering
-# the recursion is bitwise-identical in both engines, and every
-# recursive step is the same literal arithmetic expression — level and
-# trend stay bitwise-equal through all iterations (rounding only at
-# output).
-_HOLT_SQL = """
-WITH RECURSIVE months AS (
-  SELECT date_trunc('MONTH', o_orderdate) AS m,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
-  FROM {orders} GROUP BY date_trunc('MONTH', o_orderdate)
-), idx AS (
-  SELECT m, c / CAST(100.0 AS DOUBLE) AS y,
-         CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS i
-  FROM months
-), holt(i, m, y, lvl, trd) AS (
-  SELECT i, m, y, y, CAST(0.0 AS DOUBLE) FROM idx WHERE i = 1
+# here), never over raw rows. Crucial scale detail: Spark does NOT
+# materialize non-recursive CTEs referenced from a recursive term — an
+# inline `idx` CTE would be re-aggregated from the fact table on EVERY
+# iteration (~84 scans of orders). The Spark path therefore
+# localCheckpoints the month series first and the recursion joins the
+# materialized ~84-row table; DuckDB materializes CTEs, so the oracle
+# keeps the whole thing as one statement. Money is summed in integer
+# cents so the series entering the recursion is bitwise-identical in
+# both engines, and the recursive step is the SAME literal arithmetic
+# text in both — level and trend stay bitwise-equal through all
+# iterations (rounding only at output).
+_HOLT_STEP_SQL = """holt(i, m, y, lvl, trd) AS (
+  SELECT i, m, y, y, CAST(0.0 AS DOUBLE) FROM {idx} WHERE i = 1
   UNION ALL
   SELECT x.i, x.m, x.y,
          CAST(0.4 AS DOUBLE) * x.y + CAST(0.6 AS DOUBLE) * (h.lvl + h.trd),
@@ -146,22 +142,51 @@ WITH RECURSIVE months AS (
            * ((CAST(0.4 AS DOUBLE) * x.y
                + CAST(0.6 AS DOUBLE) * (h.lvl + h.trd)) - h.lvl)
            + CAST(0.7 AS DOUBLE) * h.trd
-  FROM holt h JOIN idx x ON x.i = h.i + 1
+  FROM holt h JOIN {idx} x ON x.i = h.i + 1
 )
 SELECT i AS step, round(y, 2) AS revenue, round(lvl, 2) AS level,
        round(trd, 2) AS trend, round(lvl + trd, 2) AS forecast_next
-FROM holt
-"""
+FROM holt"""
+
+_HOLT_ORACLE = (
+    """
+WITH RECURSIVE months AS (
+  SELECT date_trunc('MONTH', o_orderdate) AS m,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY date_trunc('MONTH', o_orderdate)
+), idx AS (
+  SELECT m, c / CAST(100.0 AS DOUBLE) AS y,
+         CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS i
+  FROM months
+), """
+    + _HOLT_STEP_SQL.format(idx="idx")
+)
 
 
-@register("recursive_holt_linear_trend", oracle=_duck(_HOLT_SQL))
+@register("recursive_holt_linear_trend", oracle=_HOLT_ORACLE)
 def recursive_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double exponential smoothing of monthly revenue via WITH
     RECURSIVE (alpha=0.4, beta=0.3): level_t = a*y_t + (1-a)*(level+trend),
     trend_t = b*(level_t - level) + (1-b)*trend, one recursion step per
-    month. The join inside the recursive term touches the ~84-row `idx`
-    CTE, not the fact table — orders is scanned once by the anchor-side
-    aggregate. Emits the full fitted series plus the one-step-ahead
-    forecast; value-oracled exactly (integer-cent inputs, identical
-    step arithmetic — see module-level note)."""
-    return _spark_sql(spark, sf_dir, _HOLT_SQL, {"orders": "orders"})
+    month. The heavy part — scan + month aggregate of the fact table —
+    runs ONCE and is localCheckpointed; the recursion's per-step join
+    touches only the materialized ~84-row series (see module note on why
+    inlining the CTE would re-scan orders every iteration). Emits the
+    full fitted series plus the one-step-ahead forecast; value-oracled
+    exactly (integer-cent inputs, identical step-arithmetic text)."""
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "400")
+    orders = load_table(spark, sf_dir, "orders")
+    months = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"))
+    idx = months.select(
+        "m",
+        (F.col("c") / F.lit(100.0).cast("double")).alias("y"),
+        F.row_number().over(W.orderBy("m")).cast("bigint").alias("i"),
+    ).localCheckpoint()
+    idx.createOrReplaceTempView("__rec_holt_idx")
+    return spark.sql(
+        "WITH RECURSIVE " + _HOLT_STEP_SQL.format(idx="__rec_holt_idx")
+    )

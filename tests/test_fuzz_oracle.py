@@ -54,6 +54,12 @@ RECENT = [
     "stats_cuped_adjusted_diff",
     "mlprep_target_encoding_kfold",
     "events_prefixspan_patterns",
+    # round-6 resampling / linkage / recursion pack
+    "stats_poisson_bootstrap_ci",
+    "stats_permutation_diff_test",
+    "recursive_holt_linear_trend",
+    "funnel_time_to_convert",
+    "linkage_fellegi_sunter",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",

@@ -565,3 +565,44 @@ def test_recursive_hierarchy_joins_after_recursion(spark):
     # the iteration itself is narrow (no shuffle inside the recursion)
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # final groupBy only
+
+
+def test_poisson_bootstrap_explode_feeds_partial_agg(spark):
+    plan = plan_of(spark, "stats_poisson_bootstrap_ci")
+    # the B-replicate explode must be consumed by MAP-SIDE partial
+    # aggregation: no exchange between Generate and partial_sum — the
+    # only replicate-keyed shuffle carries B counter rows per partition,
+    # never the exploded relation itself
+    seg = plan[plan.index("partial_sum") : plan.index("Generate explode")]
+    assert "Exchange" not in seg, seg
+    # two exchanges total: replicate counters (b) + the 1-row final agg
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_funnel_time_to_convert_shares_user_exchange(spark):
+    plan = plan_of(spark, "funnel_time_to_convert")
+    # the window pass and the per-user collapse share ONE user_id
+    # exchange; the cohort rollup shuffles user-grain rows only
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    scan = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scan and len(scan.group(1).split(",")) == 3, scan and scan.group(1)
+
+
+def test_holt_recursion_never_rescans_the_fact_table(spark):
+    plan = plan_of(spark, "recursive_holt_linear_trend")
+    # the recursion must iterate over the localCheckpointed month series:
+    # an inline idx CTE would re-aggregate orders from parquet on EVERY
+    # UnionLoop iteration (~84 fact-table scans)
+    assert "UnionLoop" in plan, plan
+    assert "parquet" not in plan, plan
+
+
+def test_fellegi_sunter_u_estimation_is_broadcast(spark):
+    plan = plan_of(spark, "linkage_fellegi_sunter")
+    # the 1-row u-probability aggregates join the pair stream as
+    # broadcasts; the candidate join itself is blocked on nationkey
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") >= 2, plan
+    # pairs are aggregated by 2-bit pattern before any collection: the
+    # final agg groups tiny keys, no pair list ever leaves the executors
+    assert "partial_count" in plan, plan
