@@ -224,6 +224,9 @@ HEADLINE = [
     "stats_permutation_diff_test",
     "linkage_fellegi_sunter",
     "funnel_time_to_convert",
+    "attribution_shapley",
+    "stats_did_estimator",
+    "stats_msprt_always_valid",
 ]
 
 

@@ -1655,3 +1655,116 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((w_band + w_dig) / F.log(F.lit(2.0)), 4).alias("score_bits"),
         )
     )
+
+
+# channel bits for the Shapley coalition mask (purchase is the conversion
+# event, every other event type is an attributable touchpoint channel)
+_SHAP_CHANNELS = [("view", 1), ("click", 2), ("signup", 4), ("error", 8)]
+# Shapley coalition weights for n=4 in exact 24ths: |T|!(n-|T|-1)!/n!
+_SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+@register(
+    "attribution_shapley",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_p
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), masks_u AS (
+      SELECT e.user_id,
+             sum(DISTINCT CASE e.event_type
+                 WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                 WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END) AS mask
+      FROM events e JOIN per_user p ON e.user_id = p.user_id
+      WHERE p.t_p IS NOT NULL AND e.ts < p.t_p
+      GROUP BY e.user_id
+    ), conv AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM masks_u GROUP BY mask
+    ), t AS (SELECT CAST(range AS BIGINT) AS tm FROM range(16)),
+    v AS (
+      SELECT t.tm, coalesce(sum(conv.cnt), 0) AS v
+      FROM t LEFT JOIN conv ON (conv.mask & t.tm) = conv.mask
+      GROUP BY t.tm
+    ), ch AS (
+      SELECT * FROM (VALUES ('view', CAST(1 AS BIGINT)), ('click', CAST(2 AS BIGINT)),
+                            ('signup', CAST(4 AS BIGINT)), ('error', CAST(8 AS BIGINT)))
+             AS x(channel, bit)
+    )
+    SELECT ch.channel,
+           CAST(sum(CASE bit_count(t.tm) WHEN 0 THEN 6 WHEN 1 THEN 2
+                    WHEN 2 THEN 2 WHEN 3 THEN 6 END
+                    * (v1.v - v0.v)) AS BIGINT) AS phi_24ths,
+           round(sum(CASE bit_count(t.tm) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 WHEN 3 THEN 6 END
+                     * (v1.v - v0.v)) / 24.0, 4) AS shapley_conversions
+    FROM ch JOIN t ON (t.tm & ch.bit) = 0
+    JOIN v v0 ON v0.tm = t.tm
+    JOIN v v1 ON v1.tm = (t.tm | ch.bit)
+    GROUP BY ch.channel
+    """,
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution over 4 channels.
+
+    The coalition game: v(T) = conversions whose pre-purchase touchpoint
+    set is contained in T (the standard simplified-Shapley marketing
+    model); phi_i = sum over coalitions T not containing i of
+    |T|!(n-|T|-1)!/n! * (v(T+i) - v(T)). The factorial weights are
+    pinned as exact 24ths so the whole computation stays in INTEGER
+    space — the single division by 24 happens at output, making the
+    value oracle exact (no float path at all).
+
+    Scale shape: users collapse to a 4-bit mask (one events exchange),
+    masks collapse to at most 16 (mask, count) rows, and everything
+    after — the subset-lattice zeta transform v(T) and the Shapley sum —
+    runs on 16-row tables (broadcast joins, constant cost at any SF).
+    The linear/first/last-touch family (attribution_linear_touch) reads
+    the same per-user collapse; Shapley is the game-theoretic upgrade
+    marketers actually want but engines rarely ship exactly."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_p")
+    )
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    masks_u = (
+        ev.join(per_user, "user_id")
+        .filter(F.col("t_p").isNotNull() & (F.col("ts") < F.col("t_p")))
+        .select("user_id", bit.alias("b"))
+        .groupBy("user_id")
+        .agg(F.sum_distinct(F.col("b")).alias("mask"))
+    )
+    conv = masks_u.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    t = spark.range(16).select(F.col("id").alias("tm"))
+    v = (
+        t.join(F.broadcast(conv), F.expr("(mask & tm) = mask"), "left")
+        .groupBy("tm")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(_SHAP_CHANNELS, "channel string, bit long")
+    w24 = F.expr(
+        "CASE bit_count(tm) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+    )
+    return (
+        ch.join(F.broadcast(t), F.expr("(tm & bit) = 0"))
+        .join(F.broadcast(v.selectExpr("tm AS tm0", "v AS v0")), F.expr("tm0 = tm"))
+        .join(
+            F.broadcast(v.selectExpr("tm AS tm1", "v AS v1")),
+            F.expr("tm1 = (tm | bit)"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(w24 * (F.col("v1") - F.col("v0")))
+            .cast("bigint")
+            .alias("phi_24ths"),
+            F.round(
+                F.sum(w24 * (F.col("v1") - F.col("v0"))) / 24.0, 4
+            ).alias("shapley_conversions"),
+        )
+    )

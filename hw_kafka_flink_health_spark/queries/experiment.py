@@ -291,3 +291,207 @@ def stats_cuped_adjusted_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_samp(adj), 4).alias("var_y_cuped"),
         )
     )
+
+
+@register(
+    "stats_did_estimator",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                   'did')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+                  AS INTEGER) AS treat,
+             CAST(ts >= TIMESTAMP '{{pivot}}' AS INTEGER) AS post,
+             value
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), cells AS (
+      SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS m, var_samp(value) AS v
+      FROM base GROUP BY treat, post
+    ), wide AS (
+      SELECT
+        max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m_t1,
+        max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m_t0,
+        max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m_c1,
+        max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m_c0,
+        max(CASE WHEN treat = 1 AND post = 1 THEN v / n END) AS s_t1,
+        max(CASE WHEN treat = 1 AND post = 0 THEN v / n END) AS s_t0,
+        max(CASE WHEN treat = 0 AND post = 1 THEN v / n END) AS s_c1,
+        max(CASE WHEN treat = 0 AND post = 0 THEN v / n END) AS s_c0,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           round(m_t1 - m_t0, 4) AS delta_treat,
+           round(m_c1 - m_c0, 4) AS delta_control,
+           round((m_t1 - m_t0) - (m_c1 - m_c0), 4) AS did,
+           round(sqrt(s_t1 + s_t0 + s_c1 + s_c0), 4) AS se_did
+    FROM wide
+    """.replace("{pivot}", _PIVOT),
+)
+def stats_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treatment = deterministic md5 hash
+    split of users, periods split at the data midpoint, outcome = event
+    value. DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre)
+    removes both the arm-level baseline difference and the common time
+    trend; the SE is the independent-cells Welch form sqrt(sum var/n).
+
+    One conditional hash aggregate produces the 2x2 cells; everything
+    after is 4-row algebra — the 100 TB cost is the scan. The var/n
+    terms divide per-cell, so an empty cell yields NULL columns (not an
+    ANSI error) in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    pivot = F.lit(_PIVOT).cast("timestamp")
+    base = (
+        ev.filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            (hash_unit(F.col("user_id"), "did") < 0.5).cast("int").alias("treat"),
+            (F.col("ts").cast("timestamp") >= pivot).cast("int").alias("post"),
+            "value",
+        )
+    )
+    cells = base.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+
+    def cell(tr: int, po: int, col: str):
+        return F.max(
+            F.when((F.col("treat") == tr) & (F.col("post") == po), F.col(col))
+        )
+
+    wide = cells.withColumn("vn", F.try_divide(F.col("v"), F.col("n"))).agg(
+        cell(1, 1, "m").alias("m_t1"),
+        cell(1, 0, "m").alias("m_t0"),
+        cell(0, 1, "m").alias("m_c1"),
+        cell(0, 0, "m").alias("m_c0"),
+        cell(1, 1, "vn").alias("s_t1"),
+        cell(1, 0, "vn").alias("s_t0"),
+        cell(0, 1, "vn").alias("s_c1"),
+        cell(0, 0, "vn").alias("s_c0"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        F.round(F.col("m_t1") - F.col("m_t0"), 4).alias("delta_treat"),
+        F.round(F.col("m_c1") - F.col("m_c0"), 4).alias("delta_control"),
+        F.round(
+            (F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0")), 4
+        ).alias("did"),
+        F.round(
+            F.sqrt(F.col("s_t1") + F.col("s_t0") + F.col("s_c1") + F.col("s_c0")),
+            4,
+        ).alias("se_did"),
+    )
+
+
+_TAU_SQ = 0.0001  # mSPRT mixture variance (tau = 1% absolute effect prior)
+
+
+@register(
+    "stats_msprt_always_valid",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                       'seq')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+                  AS INTEGER) AS arm,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS converted
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_t,
+             CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_c,
+             CAST(sum(converted) FILTER (arm = 1) AS BIGINT) AS x_t,
+             CAST(sum(converted) FILTER (arm = 0) AS BIGINT) AS x_c
+      FROM per_user
+    ), stat AS (
+      SELECT n_t, n_c, x_t, x_c,
+             x_t / nullif(CAST(n_t AS DOUBLE), 0)
+               - x_c / nullif(CAST(n_c AS DOUBLE), 0) AS diff,
+             ((x_t + x_c) / nullif(CAST(n_t + n_c AS DOUBLE), 0))
+               * (1 - (x_t + x_c) / nullif(CAST(n_t + n_c AS DOUBLE), 0))
+               * (1.0 / nullif(CAST(n_t AS DOUBLE), 0)
+                  + 1.0 / nullif(CAST(n_c AS DOUBLE), 0)) AS v
+      FROM agg
+    )
+    SELECT n_t, n_c, x_t, x_c, round(diff, 6) AS diff,
+           round(sqrt(v / (v + {_TAU_SQ!r}))
+                 * exp({_TAU_SQ!r} * diff * diff
+                       / nullif(2 * v * (v + {_TAU_SQ!r}), 0)), 6) AS lambda_inv_p,
+           round(least(1.0, sqrt((v + {_TAU_SQ!r}) / nullif(v, 0))
+                 * exp(-{_TAU_SQ!r} * diff * diff
+                       / nullif(2 * v * (v + {_TAU_SQ!r}), 0))), 6) AS p_always_valid
+    FROM stat
+    """,
+)
+def stats_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mSPRT always-valid p-value for the conversion-rate difference
+    between hash-split arms (the sequential-testing machinery that lets
+    an experimenter peek continuously without inflating false positives:
+    p = min(1, 1/Lambda_n) with the normal-mixture likelihood ratio
+    Lambda_n = sqrt(V/(V+tau^2)) * exp(tau^2*diff^2 / (2V(V+tau^2))),
+    mixture variance tau^2 pinned at 0.0001).
+
+    Per-user conversion flags collapse in one exchange; the test
+    statistic is 1-row algebra. sqrt/exp appear only inside rounded
+    outputs (libm convention); every division carries nullif/try_divide
+    so the degenerate all-one-arm or zero-variance corpus yields NULL,
+    not an ANSI error."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("arm", (hash_unit(F.col("user_id"), "seq") < 0.5).cast("int"))
+    )
+    a1 = F.col("arm") == 1
+    a0 = F.col("arm") == 0
+    agg = per_user.agg(
+        F.count(F.when(a1, 1)).cast("bigint").alias("n_t"),
+        F.count(F.when(a0, 1)).cast("bigint").alias("n_c"),
+        F.sum(F.when(a1, F.col("converted"))).cast("bigint").alias("x_t"),
+        F.sum(F.when(a0, F.col("converted"))).cast("bigint").alias("x_c"),
+    )
+    p_pool = F.try_divide(
+        F.col("x_t") + F.col("x_c"), (F.col("n_t") + F.col("n_c")).cast("double")
+    )
+    diff = F.try_divide(F.col("x_t"), F.col("n_t").cast("double")) - F.try_divide(
+        F.col("x_c"), F.col("n_c").cast("double")
+    )
+    v = (
+        p_pool
+        * (1 - p_pool)
+        * (
+            F.try_divide(F.lit(1.0), F.col("n_t").cast("double"))
+            + F.try_divide(F.lit(1.0), F.col("n_c").cast("double"))
+        )
+    )
+    tau = F.lit(_TAU_SQ)
+    stat = agg.withColumn("diff", diff).withColumn("v", v)
+    d = F.col("diff")
+    vv = F.col("v")
+    return stat.select(
+        "n_t",
+        "n_c",
+        "x_t",
+        "x_c",
+        F.round(d, 6).alias("diff"),
+        F.round(
+            F.sqrt(vv / (vv + tau))
+            * F.exp(F.try_divide(tau * d * d, 2 * vv * (vv + tau))),
+            6,
+        ).alias("lambda_inv_p"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.sqrt(F.try_divide(vv + tau, vv))
+                * F.exp(F.try_divide(-tau * d * d, 2 * vv * (vv + tau))),
+            ),
+            6,
+        ).alias("p_always_valid"),
+    )

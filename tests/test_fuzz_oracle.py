@@ -60,6 +60,9 @@ RECENT = [
     "recursive_holt_linear_trend",
     "funnel_time_to_convert",
     "linkage_fellegi_sunter",
+    "attribution_shapley",
+    "stats_did_estimator",
+    "stats_msprt_always_valid",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
