@@ -227,6 +227,8 @@ HEADLINE = [
     "attribution_shapley",
     "stats_did_estimator",
     "stats_msprt_always_valid",
+    "versioned_restore",
+    "eval_qini_uplift",
 ]
 
 

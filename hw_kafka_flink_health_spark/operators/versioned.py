@@ -1052,6 +1052,46 @@ def read_version_delta(
     )
 
 
+def restore_snapshot(
+    table_dir: str, to_version: int, *, max_retries: int = 20
+) -> int:
+    """RESTORE (Delta-style rollback): republish an older version's
+    content as the NEXT version. Metadata-only — the new manifest simply
+    references the target version's data files, deletion vectors, and
+    pruning stats, so the commit is O(manifest) regardless of table
+    size, the bad intermediate versions stay in history (auditable, and
+    still time-travelable until vacuum retention drops them), and the
+    pointer keeps moving FORWARD (readers never observe a version number
+    decrease — the monotonic-pointer invariant holds).
+
+    Uses the same optimistic claim loop as commit_snapshot: losing a
+    version number to a concurrent writer just re-claims the next one
+    (restore is declarative — "make latest look like v{N}" — so
+    re-publishing against a newer base is still exactly what the caller
+    asked for). Raises FileNotFoundError if the target manifest has been
+    vacuumed away."""
+    with open(_manifest_path(table_dir, to_version)) as f:
+        src = json.load(f)
+    prev = current_version(table_dir)
+    version = 0 if prev is None else prev + 1
+    for _attempt in range(max_retries + 1):
+        manifest = {
+            "version": version,
+            "files": list(src["files"]),
+            "restored_from": to_version,
+        }
+        for key in ("dv", "stats", "cluster_col"):
+            if key in src:
+                manifest[key] = src[key]
+        if _publish_manifest(table_dir, version, manifest):
+            _advance_pointer(table_dir, version)
+            return version
+        version += 1
+    raise VersionConflictError(
+        f"gave up after {max_retries} contended restores of {table_dir}"
+    )
+
+
 def scratch_table_dir(prefix: str) -> str:
     """Temp table dir for demo/driver queries, reclaimed at interpreter
     exit (atexit) — repeated bench/correctness runs otherwise accumulate

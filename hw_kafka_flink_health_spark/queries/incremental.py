@@ -790,3 +790,53 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_v0_rows"),
     )
+
+
+@register(
+    "versioned_restore",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY 1
+    """,
+)
+def versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE / rollback end to end: v0 commits a third of orders, v1
+    appends another third, v2 is a destructive DELETE of every order over
+    100k (the "oops"), v3 RESTOREs to v1 — a metadata-only commit whose
+    manifest re-references v1's files, so rollback cost is O(manifest)
+    no matter how large the table. The latest read must equal v1's
+    logical content exactly; the DuckDB oracle replays that content
+    INDEPENDENTLY from the source table (orderkey%3 in (0,1)), so a
+    restore that resurrects the deletion vectors, drops an appended
+    file, or publishes the wrong base breaks the value hash. History
+    preservation (v2 still shows the delete) is pinned in
+    tests/test_versioned.py."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        delete_where,
+        restore_snapshot,
+        read_snapshot,
+        scratch_table_dir,
+    )
+
+    table_dir = scratch_table_dir("spark_graft_versioned_restore_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 3 == 0), table_dir)
+    commit_snapshot(
+        orders.filter(F.col("o_orderkey") % 3 == 1), table_dir, mode="append"
+    )
+    delete_where(spark, table_dir, F.col("o_totalprice") > 100000)
+    restore_snapshot(table_dir, 1)
+    latest = read_snapshot(spark, table_dir)
+    return latest.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )

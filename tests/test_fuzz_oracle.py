@@ -63,6 +63,8 @@ RECENT = [
     "attribution_shapley",
     "stats_did_estimator",
     "stats_msprt_always_valid",
+    "versioned_restore",
+    "eval_qini_uplift",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",

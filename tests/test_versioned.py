@@ -992,3 +992,56 @@ def test_conflict_paths_unstage_their_files(spark, tmp_path):
     with pytest.raises(VersionConflictError, match="gave up"):
         commit_snapshot(spark.range(9, 12), t, max_retries=3)
     assert data_files() == before, "retry-exhaustion path leaked staged files"
+
+
+def test_restore_is_metadata_only_preserves_history_and_drops_dv(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        delete_where,
+        restore_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.range(10).selectExpr("id", "id * 3 AS v"), t)  # v0
+    commit_snapshot(
+        spark.range(10, 15).selectExpr("id", "id * 3 AS v"), t, mode="append"
+    )  # v1
+    delete_where(spark, t, F.col("id") >= 5)  # v2: destructive oops
+    assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(5))
+
+    files_before = {
+        f for f in os.listdir(t) if f.startswith("data-") and f.endswith(".parquet")
+    }
+    v3 = restore_snapshot(t, 1)
+    assert v3 == 3 and current_version(t) == 3
+
+    # metadata-only: not one new data file was written
+    files_after = {
+        f for f in os.listdir(t) if f.startswith("data-") and f.endswith(".parquet")
+    }
+    assert files_after == files_before
+
+    # latest == v1's logical content (the delete's dv must NOT leak in)
+    assert {r.id for r in read_snapshot(spark, t).collect()} == set(range(15))
+    # the manifest records provenance and shares v1's exact file list
+    with open(_manifest_path(t, 3)) as f:
+        m3 = json.load(f)
+    with open(_manifest_path(t, 1)) as f:
+        m1 = json.load(f)
+    assert m3["restored_from"] == 1 and m3["files"] == m1["files"]
+    assert "dv" not in m3
+
+    # history preserved: the bad v2 is still auditable by time travel
+    assert {r.id for r in read_snapshot(spark, t, version=2).collect()} == set(
+        range(5)
+    )
+
+    # restoring the restore (to the deleted state) also works — dv carried
+    v4 = restore_snapshot(t, 2)
+    assert {r.id for r in read_snapshot(spark, t, version=v4).collect()} == set(
+        range(5)
+    )
