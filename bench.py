@@ -229,6 +229,7 @@ HEADLINE = [
     "stats_msprt_always_valid",
     "versioned_restore",
     "eval_qini_uplift",
+    "text_rake_keywords",
 ]
 
 

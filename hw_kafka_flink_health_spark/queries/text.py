@@ -2296,3 +2296,145 @@ def text_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens_2",
         F.floor(tvd * 1000000 + 0.5).cast("long").alias("tvd_micro"),
     )
+
+
+# RAKE delimiter set: true stopwords in the corpus vocabulary plus a few
+# high-frequency function-ish words promoted to delimiters so candidate
+# phrases have realistic lengths (the stopword list is RAKE's tuning
+# knob; any literal set works identically in both engines).
+_RAKE_STOPS = ("the", "a", "of", "and", "to", "data", "join", "merge")
+_RAKE_MAX_LEN = 4
+_RAKE_TOP_K = 40
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text),
+               '[^a-z ]+', ' ', 'g')), ' +') AS ws
+      FROM documents
+    ), words AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, ws[pos] AS w,
+             CAST(ws[pos] IN {str(tuple(_RAKE_STOPS))} AS INTEGER) AS is_stop
+      FROM (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
+        FROM norm
+      ) u
+      WHERE ws[pos] <> ''
+    ), grouped AS (
+      SELECT doc_id, pos, w, grp FROM (
+        SELECT doc_id, pos, w, is_stop,
+               sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM words
+      ) g WHERE is_stop = 0
+    ), phr AS (
+      SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM grouped GROUP BY doc_id, grp
+      HAVING count(*) <= {_RAKE_MAX_LEN}
+    ), tok AS (
+      SELECT g.w, p.plen
+      FROM grouped g JOIN phr p ON g.doc_id = p.doc_id AND g.grp = p.grp
+    ), wstat AS (
+      SELECT w,
+             CAST(floor(sum(plen) * 1000000.0 / count(*)) AS BIGINT) AS score_micro
+      FROM tok GROUP BY w
+    ), scored AS (
+      SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(min(ps.score_micro) AS BIGINT) AS score_micro
+      FROM phr p JOIN (
+        SELECT g.doc_id, g.grp, CAST(sum(ws.score_micro) AS BIGINT) AS score_micro
+        FROM grouped g JOIN wstat ws ON g.w = ws.w
+        GROUP BY g.doc_id, g.grp
+      ) ps ON p.doc_id = ps.doc_id AND p.grp = ps.grp
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score_micro
+    FROM scored ORDER BY score_micro DESC, phrase LIMIT {_RAKE_TOP_K}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are the
+    maximal runs of non-delimiter words, each word is scored
+    degree/frequency over the candidate set (degree = sum of lengths of
+    phrases containing it — co-occurrence reach; frequency = raw count),
+    and a phrase scores the sum of its word scores. Complements tf-idf
+    (term weighting) and winnowing (fingerprints) with multi-word
+    keyphrase mining.
+
+    Engine-exact by construction: the phrase segmentation is the
+    relational ISLANDS idiom (cumulative delimiter count per document —
+    no regex-splitting subtleties), word scores are floored to integer
+    micro-units so phrase scores stay in exact integer space, and the
+    top-k cut ranks on (integer score, phrase) — a total order, immune
+    to float jitter. Shuffle budget: one doc-partition window for the
+    islands pass riding the posexplode, one aggregate per phrase table,
+    one broadcast-size word-stat join (|vocab| rows), one global top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]+", " ")),
+            " +",
+        ).alias("ws"),
+    )
+    words = (
+        norm.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+        .filter(F.col("w") != "")
+        .withColumn("is_stop", F.col("w").isin(*_RAKE_STOPS).cast("int"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # localCheckpoint: three consumers (phrase agg, degree join, score
+    # join) read the token table, and Catalyst does not share
+    # unmaterialized subplans — without it the explode+window pipeline
+    # runs three times (the r4 BM25 lesson)
+    grouped = (
+        words.withColumn("grp", F.sum("is_stop").over(wdoc))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pos", "w", "grp")
+        .localCheckpoint()
+    )
+    phr = (
+        grouped.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    tok = grouped.join(phr.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+    wstat = tok.groupBy("w").agg(
+        F.floor(F.sum("plen") * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("score_micro")
+    )
+    ps = (
+        grouped.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("score_micro").alias("score_micro"))
+    )
+    scored = (
+        phr.join(ps, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min(F.col("score_micro")).alias("score_micro"),
+        )
+    )
+    # top-k via orderBy+limit -> TakeOrderedAndProject: every partition
+    # keeps its local top-40 and only those reach the final merge — a
+    # global row_number window would drag ALL phrases to one partition
+    return (
+        scored.orderBy(F.col("score_micro").desc(), F.col("phrase"))
+        .limit(_RAKE_TOP_K)
+        .select("phrase", "n_occurrences", "score_micro")
+    )

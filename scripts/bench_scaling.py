@@ -124,6 +124,7 @@ PROBES = [
     "stats_msprt_always_valid",
     "versioned_restore",
     "eval_qini_uplift",
+    "text_rake_keywords",
 ]
 
 

@@ -65,6 +65,7 @@ RECENT = [
     "stats_msprt_always_valid",
     "versioned_restore",
     "eval_qini_uplift",
+    "text_rake_keywords",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",

@@ -606,3 +606,11 @@ def test_fellegi_sunter_u_estimation_is_broadcast(spark):
     # pairs are aggregated by 2-bit pattern before any collection: the
     # final agg groups tiny keys, no pair list ever leaves the executors
     assert "partial_count" in plan, plan
+
+
+def test_rake_topk_is_take_ordered_not_global_window(spark):
+    plan = plan_of(spark, "text_rake_keywords")
+    # the final cut must be a distributed top-k (local top-40 per
+    # partition merged), never a single-partition row_number pass over
+    # every candidate phrase
+    assert "TakeOrderedAndProject" in plan, plan
