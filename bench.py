@@ -230,6 +230,7 @@ HEADLINE = [
     "versioned_restore",
     "eval_qini_uplift",
     "text_rake_keywords",
+    "approx_jaccard_kmv",
 ]
 
 

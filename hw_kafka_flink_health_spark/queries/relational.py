@@ -1782,3 +1782,87 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "approx_jaccard_kmv",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), kmv AS (
+      SELECT event_type, list_sort(list(hv)) AS ks
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             list_sort(list_distinct(a.ks || b.ks))[1:64] AS uni,
+             list_intersect(a.ks, b.ks) AS both_ks
+      FROM kmv a JOIN kmv b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(len(uni) AS BIGINT) AS k_used,
+           CAST(len(list_intersect(uni, both_ks)) AS BIGINT) AS n_both,
+           CAST(floor(len(list_intersect(uni, both_ks)) * 1000000.0
+                      / nullif(len(uni), 0)) AS BIGINT) AS jaccard_micro
+    FROM pairs
+    """,
+)
+def approx_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience Jaccard similarity from KMV sketches — the
+    value-oracled twin of approx_overlap_hll. Per segment keep the k=64
+    smallest portable md5 user-hashes; for a pair, the k smallest of the
+    UNION of both sketches is a uniform sample of A∪B, and the fraction
+    of that sample present in BOTH sketches is the classic KMV Jaccard
+    estimator. Because the 'randomness' is the engine-portable md5 tier,
+    the estimate is bit-for-bit reproducible and fully value-hash
+    checked — the property HLL's opaque binary sketch can never give.
+
+    Scale: the distinct-(segment, hash) reduction is one exchange; the
+    k-smallest cut is a per-segment window over distinct hashes; after
+    that every pairwise comparison is array algebra on 64-element lists
+    (kilobytes per segment, broadcastable at any corpus size). Sketches
+    union mergeably — re-take the k smallest — so segment sketches
+    build once and answer every pair."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    r = h.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("hv")),
+    ).filter(F.col("rn") <= 64)
+    kmv = r.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("hv")).alias("ks")
+    )
+    a = kmv.select(F.col("event_type").alias("type_a"), F.col("ks").alias("ka"))
+    b = kmv.select(F.col("event_type").alias("type_b"), F.col("ks").alias("kb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        F.slice(F.array_sort(F.array_union("ka", "kb")), 1, 64).alias("uni"),
+        F.array_intersect("ka", "kb").alias("both_ks"),
+    )
+    n_both = F.size(F.array_intersect(F.col("uni"), F.col("both_ks")))
+    k_used = F.size(F.col("uni"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        k_used.cast("bigint").alias("k_used"),
+        n_both.cast("bigint").alias("n_both"),
+        F.floor(F.try_divide(n_both * 1000000.0, k_used))
+        .cast("bigint")
+        .alias("jaccard_micro"),
+    )

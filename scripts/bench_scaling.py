@@ -125,6 +125,7 @@ PROBES = [
     "versioned_restore",
     "eval_qini_uplift",
     "text_rake_keywords",
+    "approx_jaccard_kmv",
 ]
 
 

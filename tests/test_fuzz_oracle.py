@@ -66,6 +66,7 @@ RECENT = [
     "versioned_restore",
     "eval_qini_uplift",
     "text_rake_keywords",
+    "approx_jaccard_kmv",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
