@@ -1080,7 +1080,15 @@ def restore_snapshot(
             "files": list(src["files"]),
             "restored_from": to_version,
         }
-        for key in ("dv", "stats", "cluster_col"):
+        # carry EVERY content/metadata key of the target forward: dv
+        # (logical content), stats/cluster_col/stats2/zorder (pruning —
+        # dropping them would silently full-scan every pruned read), and
+        # batch_id (the streaming sink's exactly-once marker: the
+        # restored content IS the state as of that batch, so a resumed
+        # stream reprocesses exactly the batches after it instead of
+        # replaying from scratch — the same rule compact_snapshot
+        # follows)
+        for key in ("dv", "stats", "cluster_col", "stats2", "zorder", "batch_id"):
             if key in src:
                 manifest[key] = src[key]
         if _publish_manifest(table_dir, version, manifest):

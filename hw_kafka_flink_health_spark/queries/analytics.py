@@ -1460,7 +1460,7 @@ def events_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                                THEN ts END)) AS p_ms
       FROM marked GROUP BY user_id
     )
-    SELECT epoch_ms(date_trunc('MONTH', to_timestamp(s_ms / 1000.0))) AS cohort_ms,
+    SELECT epoch_ms(date_trunc('MONTH', make_timestamp(s_ms * 1000))) AS cohort_ms,
            CAST(count(s_ms) AS BIGINT) AS n_users,
            CAST(count(p_ms) AS BIGINT) AS n_converted,
            CAST(floor(count(p_ms) * 1000000.0 / nullif(count(s_ms), 0))
@@ -1470,7 +1470,7 @@ def events_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(CAST(floor((p_ms - s_ms) / 1000.0) AS BIGINT),
                                0.9), 1) AS p90_latency_s
     FROM per_user
-    GROUP BY epoch_ms(date_trunc('MONTH', to_timestamp(s_ms / 1000.0)))
+    GROUP BY epoch_ms(date_trunc('MONTH', make_timestamp(s_ms * 1000)))
     """,
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:

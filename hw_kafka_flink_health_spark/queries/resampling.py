@@ -90,16 +90,18 @@ _BOOT_KEY_DUCK = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':
              sum(w * c) AS wc, sum(w) AS wn
       FROM (
         SELECT c, t.b,
-               { _poisson_weight_sql(_md5_unit_duck(_BOOT_KEY_DUCK)) } AS w
-        FROM cents CROSS JOIN range({_B_BOOT}) t(b)
+               CASE WHEN t.b = -1 THEN 1
+                    ELSE { _poisson_weight_sql(_md5_unit_duck(_BOOT_KEY_DUCK)) }
+               END AS w
+        FROM cents CROSS JOIN range(-1, {_B_BOOT}) t(b)
       ) z
       GROUP BY b
     ), means AS (
-      SELECT b, wc / (100.0 * wn) AS m FROM rep WHERE wn > 0
+      SELECT b, wc / (100.0 * wn) AS m FROM rep WHERE b >= 0 AND wn > 0
     ), pt AS (
-      SELECT round(sum(c) / nullif(100.0 * count(*), 0), 2) AS sample_mean,
-             CAST(count(*) AS BIGINT) AS n_orders
-      FROM cents
+      SELECT round(wc / (100.0 * wn), 2) AS sample_mean,
+             CAST(wn AS BIGINT) AS n_orders
+      FROM rep WHERE b = -1 AND wn > 0
     )
     SELECT pt.n_orders, pt.sample_mean,
            CAST(count(*) AS BIGINT) AS n_replicates,
@@ -134,22 +136,34 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
+    # b = -1 is a pseudo-replicate with unit weights: it yields the plain
+    # sample mean from the SAME exploded pass, so the whole query is ONE
+    # scan of orders (a separate point-estimate aggregate would plan a
+    # second scan — Catalyst does not share unmaterialized subplans)
     exploded = cents.select(
         "o_orderkey",
         "c",
-        F.explode(F.sequence(F.lit(0), F.lit(_B_BOOT - 1))).alias("b"),
-    ).withColumn("w", F.expr(_poisson_weight_sql(_md5_unit_spark(_BOOT_KEY))))
-    rep = exploded.groupBy("b").agg(
-        F.sum(F.col("w") * F.col("c")).alias("wc"), F.sum("w").alias("wn")
+        F.explode(F.sequence(F.lit(-1), F.lit(_B_BOOT - 1))).alias("b"),
+    ).withColumn(
+        "w",
+        F.when(F.col("b") == -1, F.lit(1)).otherwise(
+            F.expr(_poisson_weight_sql(_md5_unit_spark(_BOOT_KEY)))
+        ),
     )
-    means = rep.filter(F.col("wn") > 0).select(
+    # rep is B+1 tiny rows with two consumers (replicate means + the
+    # pseudo-replicate point estimate); localCheckpoint pins the single
+    # scan — otherwise each consumer re-plans the explode+aggregate
+    rep = (
+        exploded.groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("c")).alias("wc"), F.sum("w").alias("wn"))
+        .localCheckpoint()
+    )
+    means = rep.filter((F.col("b") >= 0) & (F.col("wn") > 0)).select(
         (F.col("wc") / (100.0 * F.col("wn"))).alias("m")
     )
-    pt = cents.agg(
-        F.round(
-            F.try_divide(F.sum("c"), 100.0 * F.count(F.lit(1))), 2
-        ).alias("sample_mean"),
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    pt = rep.filter((F.col("b") == -1) & (F.col("wn") > 0)).select(
+        F.round(F.col("wc") / (100.0 * F.col("wn")), 2).alias("sample_mean"),
+        F.col("wn").cast("bigint").alias("n_orders"),
     )
     return (
         means.crossJoin(F.broadcast(pt))
@@ -244,6 +258,10 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderpriority") == _URGENT, 1).otherwise(0).alias("grp"),
     )
     g = F.col("grp")
+    # obs is one row with THREE consumers (p_a into the exploded stream,
+    # obs_d + n_rows into the final compare); localCheckpoint pins its
+    # scan+aggregate to run once — the query then scans orders exactly
+    # twice (observed stats, replicate stream), never four times
     obs = base.agg(
         (
             F.try_divide(F.sum(F.col("c") * g), 100.0 * F.sum(g))
@@ -251,7 +269,7 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         F.try_divide(F.sum(g), F.count(F.lit(1)).cast("double")).alias("p_a"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-    )
+    ).localCheckpoint()
     exploded = (
         base.select(
             "o_orderkey",

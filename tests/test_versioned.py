@@ -1045,3 +1045,42 @@ def test_restore_is_metadata_only_preserves_history_and_drops_dv(spark, tmp_path
     assert {r.id for r in read_snapshot(spark, t, version=v4).collect()} == set(
         range(5)
     )
+
+
+def test_restore_carries_batch_id_and_pruning_stats(spark, tmp_path):
+    import json
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        commit_snapshot_clustered,
+        last_committed_batch,
+        restore_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot_clustered(
+        spark.range(100).selectExpr("id", "id * 2 AS v"),
+        t,
+        cluster_col="id",
+        n_files=4,
+    )  # v0 with pruning stats
+    commit_snapshot(
+        spark.range(5).selectExpr("id + 1000 AS id", "id AS v"), t, batch_id=7
+    )  # v1: a streaming-sink overwrite carrying its batch marker
+    assert last_committed_batch(t) == 7
+
+    # restore to the clustered v0: pruning stats must survive so pruned
+    # reads keep skipping files instead of silently full-scanning
+    v2 = restore_snapshot(t, 0)
+    with open(_manifest_path(t, v2)) as f:
+        m2 = json.load(f)
+    with open(_manifest_path(t, 0)) as f:
+        m0 = json.load(f)
+    assert m2["stats"] == m0["stats"] and m2["cluster_col"] == m0["cluster_col"]
+    # v0 had no batch marker, so none must be invented
+    assert "batch_id" not in m2 and last_committed_batch(t) is None
+
+    # restore to the batch-marked v1: the exactly-once marker must carry,
+    # so a checkpoint replay of batch 7 is still structurally skipped
+    restore_snapshot(t, 1)
+    assert last_committed_batch(t) == 7
