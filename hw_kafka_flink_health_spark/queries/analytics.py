@@ -1768,3 +1768,191 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shapley_conversions"),
         )
     )
+
+
+@register(
+    "cohort_ltv_triangle",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('MONTH', ts)) AS cohort
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), purchases AS (
+      SELECT e.user_id, f.cohort,
+             (CAST(year(e.ts) AS BIGINT) * 12 + CAST(month(e.ts) AS BIGINT))
+             - (CAST(year(f.cohort) AS BIGINT) * 12
+                + CAST(month(f.cohort) AS BIGINT)) AS age_months,
+             CAST(floor(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    ), cohort_sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      FROM first_seen GROUP BY cohort
+    ), cells AS (
+      SELECT cohort, age_months,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers
+      FROM purchases GROUP BY cohort, age_months
+    )
+    SELECT epoch_ms(c.cohort) AS cohort_ms, c.age_months, s.n_users,
+           c.n_buyers, c.rev_cents,
+           CAST(sum(c.rev_cents) OVER (PARTITION BY c.cohort
+                ORDER BY c.age_months) AS BIGINT) AS cum_rev_cents,
+           CAST(floor(sum(c.rev_cents) OVER (PARTITION BY c.cohort
+                ORDER BY c.age_months) * 1.0 / nullif(s.n_users, 0))
+                AS BIGINT) AS cum_ltv_cents_per_user
+    FROM cells c JOIN cohort_sizes s ON c.cohort = s.cohort
+    """,
+)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the revenue sibling of the retention
+    triangle: users grouped by first-seen month, purchase revenue rolled
+    up by cohort x month-age, with the running cumulative and the
+    per-user LTV curve every growth team plots. Month-age is exact
+    integer calendar math (year*12+month differences — no epoch division
+    drift), money is integer cents, and the cumulative is a window over
+    the tiny cohort x age cell table, so the whole result is
+    integer-exact.
+
+    Scale: one exchange to user grain for first-seen, one join back on
+    user_id (both sides partitioned the same way), one cell aggregate;
+    the windows run over |cohorts x ages| rows — constant-ish at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    first_seen = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("month", ts)).alias("cohort"))
+    )
+    mnum = lambda c: (  # noqa: E731
+        F.year(c).cast("bigint") * 12 + F.month(c).cast("bigint")
+    )
+    purchases = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (mnum(ts) - mnum(F.col("cohort"))).alias("age_months"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    cohort_sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    cells = purchases.groupBy("cohort", "age_months").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+        F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint"))
+        .select(
+            F.unix_millis(F.col("cohort").cast("timestamp")).alias("cohort_ms"),
+            "age_months",
+            "n_users",
+            "n_buyers",
+            "rev_cents",
+            "cum_rev_cents",
+            F.floor(
+                F.try_divide(F.col("cum_rev_cents") * 1.0, F.col("n_users"))
+            )
+            .cast("bigint")
+            .alias("cum_ltv_cents_per_user"),
+        )
+    )
+
+
+# two-sided alpha=0.05, power=0.80 normal quantiles, pinned as literals
+_Z_ALPHA_2 = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+@register(
+    "stats_power_sample_size",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS converted
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             sum(converted) / nullif(CAST(count(*) AS DOUBLE), 0) AS p0
+      FROM per_user
+    ), grid AS (
+      SELECT CAST(unnest([10, 20, 50, 100]) AS BIGINT) AS mde_permille
+    )
+    SELECT g.mde_permille, b.n_users, round(b.p0, 6) AS baseline_rate,
+           CAST(ceil(
+             pow({_Z_ALPHA_2!r} + {_Z_BETA!r}, 2)
+             * (b.p0 * (1 - b.p0)
+                + (b.p0 + g.mde_permille / 1000.0)
+                  * (1 - b.p0 - g.mde_permille / 1000.0))
+             / nullif(pow(g.mde_permille / 1000.0, 2), 0)
+           ) AS BIGINT) AS n_per_arm,
+           CAST(ceil(
+             pow({_Z_ALPHA_2!r} + {_Z_BETA!r}, 2)
+             * (b.p0 * (1 - b.p0)
+                + (b.p0 + g.mde_permille / 1000.0)
+                  * (1 - b.p0 - g.mde_permille / 1000.0))
+             / nullif(pow(g.mde_permille / 1000.0, 2), 0)
+           ) * 2 AS BIGINT) AS n_total
+    FROM grid g CROSS JOIN base b
+    """,
+)
+def stats_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design power analysis: required sample size per arm to
+    detect an absolute lift of {10,20,50,100} per-mille over the OBSERVED
+    baseline conversion rate at alpha=0.05 (two-sided), power=0.80 — the
+    table a platform shows before anyone launches an A/B test. Standard
+    two-proportion formula n = (z_a + z_b)^2 (p0 q0 + p1 q1) / delta^2
+    with the normal quantiles pinned as literals (no inverse-CDF calls,
+    so both engines compute identical doubles; ceil lands on exact
+    integers well away from boundary dust).
+
+    One exchange to per-user flags, a 1-row baseline aggregate, then a
+    4-row literal grid cross join — scan-bound at any SF. Completes the
+    experimentation family's design side (mSPRT/DiD/CUPED/Qini analyze;
+    this sizes)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    base = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.try_divide(
+            F.sum("converted"), F.count(F.lit(1)).cast("double")
+        ).alias("p0"),
+    )
+    grid = spark.range(0).sparkSession.createDataFrame(
+        [(10,), (20,), (50,), (100,)], "mde_permille long"
+    )
+    z2 = F.pow(F.lit(_Z_ALPHA_2 + _Z_BETA), 2)
+    p0 = F.col("p0")
+    p1 = p0 + F.col("mde_permille") / 1000.0
+    n_arm = F.ceil(
+        F.try_divide(
+            z2 * (p0 * (1 - p0) + p1 * (1 - p1)),
+            F.pow(F.col("mde_permille") / 1000.0, 2),
+        )
+    ).cast("bigint")
+    return grid.crossJoin(F.broadcast(base)).select(
+        "mde_permille",
+        "n_users",
+        F.round(p0, 6).alias("baseline_rate"),
+        n_arm.alias("n_per_arm"),
+        (n_arm * 2).cast("bigint").alias("n_total"),
+    )

@@ -126,6 +126,8 @@ PROBES = [
     "eval_qini_uplift",
     "text_rake_keywords",
     "approx_jaccard_kmv",
+    "cohort_ltv_triangle",
+    "stats_power_sample_size",
 ]
 
 

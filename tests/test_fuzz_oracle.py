@@ -67,6 +67,8 @@ RECENT = [
     "eval_qini_uplift",
     "text_rake_keywords",
     "approx_jaccard_kmv",
+    "cohort_ltv_triangle",
+    "stats_power_sample_size",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
