@@ -1937,7 +1937,7 @@ def stats_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted"), F.count(F.lit(1)).cast("double")
         ).alias("p0"),
     )
-    grid = spark.range(0).sparkSession.createDataFrame(
+    grid = spark.createDataFrame(
         [(10,), (20,), (50,), (100,)], "mde_permille long"
     )
     z2 = F.pow(F.lit(_Z_ALPHA_2 + _Z_BETA), 2)

@@ -240,10 +240,12 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5 draw against the OBSERVED group proportion (so
     expected group sizes match the real design), which makes every
     replicate replayable in any engine — no RNG, no seed plumbing.
-    Same execution shape as the bootstrap: explode over B feeds a
-    partial hash aggregate; one scan, B counters per partition, and a
-    B-row shuffle. The p-value uses the (1+k)/(1+B) add-one rule so it
-    is never exactly zero.
+    Same replicate shape as the bootstrap: explode over B feeds a
+    partial hash aggregate, B counters per partition, a B-row shuffle.
+    Two scans total — the observed statistic must be aggregated BEFORE
+    relabeling (p_a feeds the draw), so obs is localCheckpointed and
+    broadcast rather than re-planned per consumer. The p-value uses the
+    (1+k)/(1+B) add-one rule so it is never exactly zero.
 
     Exactness: integer-cent sums and single divisions of identical
     operands make every replicate difference bitwise-identical across
