@@ -233,6 +233,9 @@ HEADLINE = [
     "approx_jaccard_kmv",
     "cohort_ltv_triangle",
     "stats_power_sample_size",
+    "benford_first_digit",
+    "orders_business_day_latency",
+    "inventory_fifo_cogs",
 ]
 
 

@@ -9,6 +9,7 @@ from hw_kafka_flink_health_spark.queries import (  # noqa: F401
     graph,
     incremental,
     inference,
+    ledger,
     mlprep,
     recursive,
     reference,

@@ -1,0 +1,318 @@
+"""Operational-ledger analytics over `orders`/`lineitem`: FIFO lot
+matching, business-day SLA latency, and a Benford first-digit fraud
+screen.
+
+Extension surface (SURVEY.md §2.C, relational/analytic family): the
+classic finance-ops SQL shapes a warehouse team runs daily, each chosen
+because its exact arithmetic survives a cross-engine value hash.
+
+Scale shapes:
+* FIFO matching uses the cumulative-interval trick: each supply lot and
+  each demand occupy a half-open interval on the per-part cumulative
+  quantity axis, and a lot feeds a demand iff their intervals overlap.
+  That turns the sequential "walk the queue" algorithm into two window
+  passes plus ONE range join keyed on `l_partkey` — per-part output is
+  O(supplies + demands), never the quadratic all-pairs, because each
+  demand overlaps a contiguous run of lots. At 100 TB the join is an
+  equi-join on partkey with a residual range predicate: it shuffles
+  both sides once on the same key and needs no driver state.
+* Business-day latency is a closed-form weekday count (no calendar
+  table, no per-day explode): weekdays-before-epoch-day arithmetic on
+  `datediff`, so the whole query is one join + one hash aggregate.
+* Benford groups by first digit of integer cents — 9 output rows, one
+  partial-aggregate scan; expected frequencies are pinned literal
+  doubles so no cross-engine log10 jitter enters the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.sources.files import load_table
+
+# log10(1 + 1/d) for d = 1..9, printed by CPython once and pinned as
+# literals so both engines compare against the identical double.
+_BENFORD_EXPECTED = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE_SQL = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {v!r}" for d, v in _BENFORD_EXPECTED.items()
+) + " END"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ), counted AS (
+      SELECT first_digit, CAST(count(*) AS BIGINT) AS observed
+      FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit, observed,
+           round(observed / CAST(sum(observed) OVER () AS DOUBLE), 6)
+             AS observed_ratio,
+           {_BENFORD_CASE_SQL} AS expected_ratio,
+           round(observed / CAST(sum(observed) OVER () AS DOUBLE)
+                 - {_BENFORD_CASE_SQL}, 6) AS deviation
+    FROM counted
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen on order totals — the
+    standard forensic test for fabricated amounts.
+
+    The digit comes from the decimal rendering of integer cents (both
+    engines print a BIGINT identically), never from log10 of a double,
+    and the expected Benford frequencies are pinned literals — so the
+    only floating op is the final observed/total ratio, a single
+    division of exact integers. One scan, 9-row output; the total-count
+    window over 9 grouped rows is free."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+    ).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    counted = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed")
+    )
+    total = F.sum("observed").over(Window.partitionBy()).cast("double")
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, v in _BENFORD_EXPECTED.items() for x in (d, v)]
+        ),
+        F.col("first_digit").cast("int"),
+    )
+    return counted.select(
+        "first_digit",
+        "observed",
+        F.round(F.col("observed") / total, 6).alias("observed_ratio"),
+        expected.alias("expected_ratio"),
+        F.round(F.col("observed") / total - expected, 6).alias("deviation"),
+    )
+
+
+# Weekdays in [0, d) for an epoch-day count d (1970-01-01 = Thursday):
+# 5 per full week plus a 7-way lookup for the remainder starting Thursday.
+_WEEKDAYS_REM_SQL = (
+    "CASE {d} % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2 "
+    "WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END"
+)
+
+
+def _weekdays_before_sql(d: str) -> str:
+    return f"(5 * (({d}) // 7) + {_WEEKDAYS_REM_SQL.format(d=f'({d})')})"
+
+
+def _weekdays_before_spark(d):
+    rem = d % 7
+    lookup = (
+        F.when(rem == 0, 0)
+        .when(rem == 1, 1)
+        .when(rem == 2, 2)
+        .when(rem == 3, 2)
+        .when(rem == 4, 2)
+        .when(rem == 5, 3)
+        .otherwise(4)
+    )
+    return 5 * F.floor(d / 7).cast("bigint") + lookup
+
+
+@register(
+    "orders_business_day_latency",
+    oracle=f"""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS ship_ts
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY l_orderkey
+    ), lat AS (
+      SELECT o.o_orderpriority,
+             {_weekdays_before_sql("datediff('day', DATE '1970-01-01', CAST(s.ship_ts AS DATE)) + 1")}
+             - {_weekdays_before_sql("datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) + 1")}
+               AS biz_days
+      FROM orders o JOIN first_ship s ON s.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(biz_days) AS BIGINT) AS min_biz_days,
+           CAST(max(biz_days) AS BIGINT) AS max_biz_days,
+           round(CAST(sum(biz_days) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 4) AS avg_biz_days,
+           CAST(count(*) FILTER (WHERE biz_days <= 5) AS BIGINT) AS within_5,
+           CAST(count(*) FILTER (WHERE biz_days > 20) AS BIGINT) AS over_20
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def orders_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment latency in BUSINESS days (weekends
+    excluded) per priority class — the SLA metric ops teams actually
+    report, and a date-math shape calendars usually force into a
+    calendar-table join.
+
+    Closed form instead: weekdays in (order_day, ship_day] equals
+    f(ship+1) - f(order+1) where f(d) counts weekdays before epoch-day
+    d — five per full week plus a 7-way remainder lookup anchored on
+    1970-01-01 being a Thursday. Pure integer arithmetic end to end
+    (the only double is the final average), no calendar explode, so the
+    query is one min-aggregate over lineitem, one equi-join, one hash
+    aggregate — every step shuffles on a key with full partial
+    aggregation."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    first_ship = (
+        lineitem.filter(F.col("l_shipdate").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("ship_ts"))
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    d_ship = F.datediff(F.col("ship_ts").cast("date"), epoch) + 1
+    d_ord = F.datediff(F.col("o_orderdate").cast("date"), epoch) + 1
+    lat = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .select(
+            "o_orderpriority",
+            (_weekdays_before_spark(d_ship) - _weekdays_before_spark(d_ord)).alias(
+                "biz_days"
+            ),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("biz_days").cast("bigint").alias("min_biz_days"),
+        F.max("biz_days").cast("bigint").alias("max_biz_days"),
+        F.round(
+            F.sum("biz_days").cast("bigint") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("avg_biz_days"),
+        F.sum(F.when(F.col("biz_days") <= 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("within_5"),
+        F.sum(F.when(F.col("biz_days") > 20, 1).otherwise(0))
+        .cast("bigint")
+        .alias("over_20"),
+    )
+
+
+@register(
+    "inventory_fifo_cogs",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty, l_extendedprice,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM lineitem
+      WHERE l_returnflag <> 'R'
+        AND l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+    ), demand AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM lineitem
+      WHERE l_returnflag = 'R'
+        AND l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+    )
+    SELECT s.l_partkey,
+           s.l_orderkey AS supply_orderkey, s.l_linenumber AS supply_line,
+           d.l_orderkey AS demand_orderkey, d.l_linenumber AS demand_line,
+           CAST(least(s.hi, d.hi) - greatest(s.hi - s.qty, d.hi - d.qty)
+                AS BIGINT) AS matched_qty,
+           CAST(least(s.hi, d.hi) - greatest(s.hi - s.qty, d.hi - d.qty)
+                AS DOUBLE)
+             * s.l_extendedprice / CAST(s.qty AS DOUBLE) AS cogs
+    FROM supply s JOIN demand d
+      ON s.l_partkey = d.l_partkey
+     AND s.hi - s.qty < d.hi AND d.hi - d.qty < s.hi
+    """,
+)
+def inventory_fifo_cogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching: consume supply lots (non-returned line items,
+    oldest shipment first) against returns in arrival order, emitting
+    per-(lot, demand) matched quantity and its cost-of-goods at the
+    lot's unit price — the allocation every inventory/cost ledger runs.
+
+    The sequential queue walk becomes set algebra via cumulative
+    intervals: lot i covers [hi-qty, hi) on the part's cumulative supply
+    axis, demand j covers the same on the demand axis, and FIFO matches
+    exactly the overlapping pairs with matched = min(hi_s, hi_d) -
+    max(lo_s, lo_d). Two window passes (one per side, each a single
+    partkey shuffle) and one partkey equi-join with a residual range
+    predicate; each demand overlaps a contiguous lot run, so output and
+    join work are O(lots + demands) per part. Quantities are exact
+    BIGINTs; the only floating math is matched x unit-price, one
+    multiply + divide per output row, identical in both engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qty = F.col("l_quantity").cast("bigint")
+
+    def side(df):
+        return df.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            qty.alias("qty"),
+            "l_extendedprice",
+            F.sum(qty).over(w).alias("hi"),
+        )
+
+    supply = side(lineitem.filter(F.col("l_returnflag") != "R")).alias("s")
+    demand = side(lineitem.filter(F.col("l_returnflag") == "R")).alias("d")
+
+    def s(c):
+        return F.col(f"s.{c}")
+
+    def d(c):
+        return F.col(f"d.{c}")
+
+    matched = F.least(s("hi"), d("hi")) - F.greatest(
+        s("hi") - s("qty"), d("hi") - d("qty")
+    )
+    return (
+        supply.join(
+            demand,
+            (s("l_partkey") == d("l_partkey"))
+            & (s("hi") - s("qty") < d("hi"))
+            & (d("hi") - d("qty") < s("hi")),
+        )
+        .select(
+            s("l_partkey").alias("l_partkey"),
+            s("l_orderkey").alias("supply_orderkey"),
+            s("l_linenumber").alias("supply_line"),
+            d("l_orderkey").alias("demand_orderkey"),
+            d("l_linenumber").alias("demand_line"),
+            matched.alias("matched_qty"),
+            (
+                matched.cast("double") * s("l_extendedprice") / s("qty").cast("double")
+            ).alias("cogs"),
+        )
+    )

@@ -128,6 +128,9 @@ PROBES = [
     "approx_jaccard_kmv",
     "cohort_ltv_triangle",
     "stats_power_sample_size",
+    "benford_first_digit",
+    "orders_business_day_latency",
+    "inventory_fifo_cogs",
 ]
 
 

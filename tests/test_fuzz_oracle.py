@@ -69,6 +69,9 @@ RECENT = [
     "approx_jaccard_kmv",
     "cohort_ltv_triangle",
     "stats_power_sample_size",
+    "benford_first_digit",
+    "orders_business_day_latency",
+    "inventory_fifo_cogs",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
