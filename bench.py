@@ -236,6 +236,8 @@ HEADLINE = [
     "benford_first_digit",
     "orders_business_day_latency",
     "inventory_fifo_cogs",
+    "eval_conformal_coverage",
+    "text_readability_flesch",
 ]
 
 

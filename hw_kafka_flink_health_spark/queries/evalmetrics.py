@@ -395,3 +395,106 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("qini"),
     )
+
+
+@register(
+    "eval_conformal_coverage",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR),
+                  'conf')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+                  AS INTEGER) AS is_cal
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ), cal_stats AS (
+      SELECT priority,
+             CAST(count(*) AS BIGINT) AS n_cal,
+             CAST(sum(cents) AS BIGINT) AS s_cal
+      FROM base WHERE is_cal = 1 GROUP BY priority
+    ), resid AS (
+      SELECT b.priority, b.is_cal, c.n_cal, c.s_cal,
+             abs(c.n_cal * b.cents - c.s_cal) AS r
+      FROM base b JOIN cal_stats c ON c.priority = b.priority
+    ), q AS (
+      SELECT priority,
+             CAST(quantile_disc(r, 0.9) AS DOUBLE) AS q_scaled
+      FROM resid WHERE is_cal = 1 GROUP BY priority
+    )
+    SELECT r.priority,
+           max(r.n_cal) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           max(q.q_scaled) / (max(r.n_cal) * 100.0) AS half_width_dollars,
+           CAST(count(*) FILTER (WHERE r.r <= q.q_scaled) AS BIGINT)
+             AS n_covered,
+           CAST(count(*) FILTER (WHERE r.r <= q.q_scaled) AS BIGINT)
+             / CAST(count(*) AS DOUBLE) AS coverage
+    FROM resid r JOIN q ON q.priority = r.priority
+    WHERE r.is_cal = 0
+    GROUP BY r.priority
+    """,
+)
+def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with empirical coverage — the
+    distribution-free uncertainty wrapper modern ML eval pipelines put
+    around any point model. Model-of-record here: per-priority mean order
+    total; calibration/test split by the deterministic md5-unit draw.
+
+    Exactness: residuals are kept in the scaled-integer form
+    |n_cal * cents - sum_cal| (one BIGINT per row, never a float mean),
+    the 90th-percentile conformal quantile is PERCENTILE_DISC over those
+    integers, and coverage on the test half is an integer comparison —
+    the only floating ops are two final single divisions, bitwise
+    identical in both engines. Scale shape: one scan feeds a 5-row
+    calibration aggregate that broadcast-joins back; the conformal
+    quantile is per-group exact percentile over the calibration rows
+    (single priority-key shuffle); nothing is driver-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (hash_unit(F.col("o_orderkey"), "conf") < 0.5).cast("int").alias("is_cal"),
+    )
+    cal_stats = (
+        base.filter(F.col("is_cal") == 1)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+            F.sum("cents").cast("bigint").alias("s_cal"),
+        )
+    )
+    resid = base.join(F.broadcast(cal_stats), "priority").select(
+        "priority",
+        "is_cal",
+        "n_cal",
+        F.abs(F.col("n_cal") * F.col("cents") - F.col("s_cal")).alias("r"),
+    )
+    q = (
+        resid.filter(F.col("is_cal") == 1)
+        .groupBy("priority")
+        .agg(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY r)")
+            .cast("double")
+            .alias("q_scaled")
+        )
+    )
+    test = resid.filter(F.col("is_cal") == 0).join(F.broadcast(q), "priority")
+    return test.groupBy("priority").agg(
+        F.max("n_cal").alias("n_cal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        (F.max("q_scaled") / (F.max("n_cal") * F.lit(100.0))).alias(
+            "half_width_dollars"
+        ),
+        F.sum(F.when(F.col("r") <= F.col("q_scaled"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_covered"),
+        (
+            F.sum(F.when(F.col("r") <= F.col("q_scaled"), 1).otherwise(0)).cast(
+                "bigint"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("coverage"),
+    )

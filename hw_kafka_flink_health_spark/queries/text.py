@@ -2438,3 +2438,99 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RAKE_TOP_K)
         .select("phrase", "n_occurrences", "score_micro")
     )
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+    WITH counts AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+             greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                      1) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS sy
+      FROM documents
+    ), scored AS (
+      SELECT source, w, s, sy,
+             CASE WHEN w = 0 THEN NULL
+                  ELSE 206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                       - 84.6 * (sy / CAST(w AS DOUBLE)) END AS score
+      FROM counts
+    ), banded AS (
+      SELECT source, w, s, sy,
+             CASE WHEN score IS NULL THEN 'empty'
+                  WHEN score >= 90.0 THEN 'very_easy'
+                  WHEN score >= 60.0 THEN 'plain'
+                  WHEN score >= 30.0 THEN 'difficult'
+                  ELSE 'very_difficult' END AS band
+      FROM scored
+    )
+    SELECT source, band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS sum_words,
+           CAST(sum(s) AS BIGINT) AS sum_sentences,
+           CAST(sum(sy) AS BIGINT) AS sum_syllables,
+           CASE WHEN CAST(sum(w) AS BIGINT) = 0 THEN NULL
+                ELSE 206.835
+                     - 1.015 * (CAST(sum(w) AS BIGINT)
+                                / CAST(CAST(sum(s) AS BIGINT) AS DOUBLE))
+                     - 84.6 * (CAST(sum(sy) AS BIGINT)
+                               / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE))
+           END AS band_corpus_score
+    FROM banded GROUP BY source, band
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the corpus-quality readability
+    screen a pretraining pipeline runs next to `text_quality`'s
+    length/punct ratios. Syllables use the standard vowel-group
+    heuristic (runs of [aeiouy]), words are letter runs, sentences are
+    terminal-punctuation runs — all three are single `regexp_count`
+    passes, JVM-side, zero Python.
+
+    Per doc the score is 206.835 - 1.015(words/sentences)
+    - 84.6(syllables/words) on three exact integers (two divisions,
+    deterministic in both engines), bucketed into the standard bands;
+    output is per (source, band): doc counts, exact count sums, and the
+    corpus-level score recomputed from the summed ratios (aggregating
+    the counts, NOT averaging per-doc floats — so the aggregate is
+    order-independent and hash-stable). One scan, one hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("bigint")
+    s = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")).cast("bigint"), F.lit(1)
+    )
+    sy = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("bigint")
+    counts = docs.select(
+        "source", w.alias("w"), s.alias("s"), sy.alias("sy")
+    )
+    score = F.when(F.col("w") == 0, F.lit(None).cast("double")).otherwise(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w") / F.col("s").cast("double"))
+        - F.lit(84.6) * (F.col("sy") / F.col("w").cast("double"))
+    )
+    banded = counts.withColumn(
+        "band",
+        F.when(score.isNull(), "empty")
+        .when(score >= 90.0, "very_easy")
+        .when(score >= 60.0, "plain")
+        .when(score >= 30.0, "difficult")
+        .otherwise("very_difficult"),
+    )
+    sw = F.sum("w").cast("bigint")
+    ss = F.sum("s").cast("bigint")
+    ssy = F.sum("sy").cast("bigint")
+    return banded.groupBy("source", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        sw.alias("sum_words"),
+        ss.alias("sum_sentences"),
+        ssy.alias("sum_syllables"),
+        F.when(sw == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.lit(206.835)
+            - F.lit(1.015) * (sw / ss.cast("double"))
+            - F.lit(84.6) * (ssy / sw.cast("double"))
+        )
+        .alias("band_corpus_score"),
+    )

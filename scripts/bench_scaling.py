@@ -131,6 +131,8 @@ PROBES = [
     "benford_first_digit",
     "orders_business_day_latency",
     "inventory_fifo_cogs",
+    "eval_conformal_coverage",
+    "text_readability_flesch",
 ]
 
 

@@ -72,6 +72,8 @@ RECENT = [
     "benford_first_digit",
     "orders_business_day_latency",
     "inventory_fifo_cogs",
+    "eval_conformal_coverage",
+    "text_readability_flesch",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
