@@ -233,11 +233,12 @@ HEADLINE = [
     "approx_jaccard_kmv",
     "cohort_ltv_triangle",
     "stats_power_sample_size",
-    "benford_first_digit",
     "orders_business_day_latency",
     "inventory_fifo_cogs",
     "eval_conformal_coverage",
     "text_readability_flesch",
+    "timeseries_acf_lags",
+    "timeseries_sax_words",
 ]
 
 

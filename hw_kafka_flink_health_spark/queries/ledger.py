@@ -1,6 +1,5 @@
 """Operational-ledger analytics over `orders`/`lineitem`: FIFO lot
-matching, business-day SLA latency, and a Benford first-digit fraud
-screen.
+matching and business-day SLA latency.
 
 Extension surface (SURVEY.md §2.C, relational/analytic family): the
 classic finance-ops SQL shapes a warehouse team runs daily, each chosen
@@ -19,9 +18,6 @@ Scale shapes:
 * Business-day latency is a closed-form weekday count (no calendar
   table, no per-day explode): weekdays-before-epoch-day arithmetic on
   `datediff`, so the whole query is one join + one hash aggregate.
-* Benford groups by first digit of integer cents — 9 output rows, one
-  partial-aggregate scan; expected frequencies are pinned literal
-  doubles so no cross-engine log10 jitter enters the hash.
 """
 
 from __future__ import annotations
@@ -31,85 +27,6 @@ from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
-
-# log10(1 + 1/d) for d = 1..9, printed by CPython once and pinned as
-# literals so both engines compare against the identical double.
-_BENFORD_EXPECTED = {
-    1: 0.3010299956639812,
-    2: 0.17609125905568124,
-    3: 0.12493873660829992,
-    4: 0.09691001300805642,
-    5: 0.07918124604762482,
-    6: 0.06694678963061322,
-    7: 0.05799194697768673,
-    8: 0.05115252244738129,
-    9: 0.04575749056067514,
-}
-
-_BENFORD_CASE_SQL = "CASE first_digit " + " ".join(
-    f"WHEN {d} THEN {v!r}" for d, v in _BENFORD_EXPECTED.items()
-) + " END"
-
-
-@register(
-    "benford_first_digit",
-    oracle=f"""
-    WITH digits AS (
-      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                              AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
-      FROM orders
-      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
-    ), counted AS (
-      SELECT first_digit, CAST(count(*) AS BIGINT) AS observed
-      FROM digits GROUP BY first_digit
-    )
-    SELECT first_digit, observed,
-           round(observed / CAST(sum(observed) OVER () AS DOUBLE), 6)
-             AS observed_ratio,
-           {_BENFORD_CASE_SQL} AS expected_ratio,
-           round(observed / CAST(sum(observed) OVER () AS DOUBLE)
-                 - {_BENFORD_CASE_SQL}, 6) AS deviation
-    FROM counted
-    """,
-)
-def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-significant-digit screen on order totals — the
-    standard forensic test for fabricated amounts.
-
-    The digit comes from the decimal rendering of integer cents (both
-    engines print a BIGINT identically), never from log10 of a double,
-    and the expected Benford frequencies are pinned literals — so the
-    only floating op is the final observed/total ratio, a single
-    division of exact integers. One scan, 9-row output; the total-count
-    window over 9 grouped rows is free."""
-    orders = load_table(spark, sf_dir, "orders")
-    digits = orders.filter(
-        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
-    ).select(
-        F.substring(
-            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
-        )
-        .cast("bigint")
-        .alias("first_digit")
-    )
-    counted = digits.groupBy("first_digit").agg(
-        F.count(F.lit(1)).cast("bigint").alias("observed")
-    )
-    total = F.sum("observed").over(Window.partitionBy()).cast("double")
-    expected = F.element_at(
-        F.create_map(
-            *[F.lit(x) for d, v in _BENFORD_EXPECTED.items() for x in (d, v)]
-        ),
-        F.col("first_digit").cast("int"),
-    )
-    return counted.select(
-        "first_digit",
-        "observed",
-        F.round(F.col("observed") / total, 6).alias("observed_ratio"),
-        expected.alias("expected_ratio"),
-        F.round(F.col("observed") / total - expected, 6).alias("deviation"),
-    )
-
 
 # Weekdays in [0, d) for an epoch-day count d (1970-01-01 = Thursday):
 # 5 per full week plus a 7-way lookup for the remainder starting Thursday.

@@ -930,3 +930,204 @@ def orders_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drawdown_frac"
         ),
     )
+
+
+_ACF_LAGS = 7
+
+
+@register(
+    "timeseries_acf_lags",
+    oracle=f"""
+    WITH series AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ), lags AS (
+      SELECT unnest(generate_series(1, {_ACF_LAGS})) AS k
+    ), pairs AS (
+      SELECT a.event_type, l.k, a.v AS av, b.v AS bv
+      FROM series a
+      CROSS JOIN lags l
+      JOIN series b
+        ON b.event_type IS NOT DISTINCT FROM a.event_type
+       AND b.rn = a.rn + l.k
+    ), sums AS (
+      SELECT event_type, k,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(av) AS BIGINT) AS sa,
+             CAST(sum(bv) AS BIGINT) AS sb,
+             CAST(sum(av * av) AS BIGINT) AS saa,
+             CAST(sum(bv * bv) AS BIGINT) AS sbb,
+             CAST(sum(av * bv) AS BIGINT) AS sab
+      FROM pairs GROUP BY event_type, k
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS lag, n,
+           (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+           / nullif(sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 0)
+             AS acf
+    FROM sums
+    """,
+)
+def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function at lags 1..7 per event-type series
+    (Pearson over the (x_t, x_{{t+k}}) pairs) — the seasonality/memory
+    fingerprint read before picking any forecasting model; extends
+    `autocorr_user_lag1` from one lag to the profile.
+
+    The Spark plan computes all 7 lags in a SINGLE window pass (7 lag()
+    expressions share one sort within the event_type partition), then
+    explodes to (lag, a, b) pairs — no self-join, the series is sorted
+    exactly once regardless of how many lags are asked for. The oracle
+    states the same semantics as a rn = rn+k self-join, which is the
+    slow-but-obvious form; values are identical because each side
+    reduces pairs to six exact BIGINT sums and assembles Pearson r in
+    DOUBLE with the identical expression text (products cast to double
+    BEFORE multiplying so nothing overflows int64 at any SF)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    v = F.floor(F.col("value") * 100).cast("bigint")
+    # one window pass: the current value plus all 7 lagged copies
+    lagged = ev.select(
+        "event_type",
+        v.alias("bv"),
+        *[F.lag(v, k).over(w).alias(f"a{k}") for k in range(1, _ACF_LAGS + 1)],
+    )
+    pairs = (
+        lagged.select(
+            "event_type",
+            "bv",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("bigint").alias("k"),
+                            F.col(f"a{k}").alias("av"),
+                        )
+                        for k in range(1, _ACF_LAGS + 1)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("event_type", F.col("p.k").alias("k"), F.col("p.av").alias("av"), "bv")
+        .filter(F.col("av").isNotNull())
+    )
+    sums = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("av").cast("bigint").alias("sa"),
+        F.sum("bv").cast("bigint").alias("sb"),
+        F.sum(F.col("av") * F.col("av")).cast("bigint").alias("saa"),
+        F.sum(F.col("bv") * F.col("bv")).cast("bigint").alias("sbb"),
+        F.sum(F.col("av") * F.col("bv")).cast("bigint").alias("sab"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sab") - d("sa") * d("sb")
+    den = F.sqrt(
+        (d("n") * d("saa") - d("sa") * d("sa"))
+        * (d("n") * d("sbb") - d("sb") * d("sb"))
+    )
+    return sums.select(
+        "event_type",
+        F.col("k").alias("lag"),
+        "n",
+        (num / F.nullif(den, F.lit(0.0))).alias("acf"),
+    )
+
+
+# SAX breakpoints for a 4-symbol alphabet: N(0,1) quartiles, pinned as
+# literals so both engines compare against identical doubles.
+_SAX_B = 0.6744897501960817
+
+
+@register(
+    "timeseries_sax_words",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)
+    ), stats AS (
+      SELECT event_type, day, x,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             CAST(sum(x * x) OVER (PARTITION BY event_type) AS BIGINT) AS ss
+      FROM daily
+    ), symbols AS (
+      SELECT event_type, day, n,
+             CASE
+               WHEN n * ss - s * s = 0 THEN 'b'
+               WHEN CAST(n * x - s AS DOUBLE)
+                    < -{_SAX_B!r} * sqrt(CAST(n * ss - s * s AS DOUBLE))
+                 THEN 'a'
+               WHEN n * x - s < 0 THEN 'b'
+               WHEN CAST(n * x - s AS DOUBLE)
+                    < {_SAX_B!r} * sqrt(CAST(n * ss - s * s AS DOUBLE))
+                 THEN 'c'
+               ELSE 'd'
+             END AS sym
+      FROM stats
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_days,
+           string_agg(sym, '' ORDER BY day) AS sax_word
+    FROM symbols GROUP BY event_type
+    """,
+)
+def timeseries_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic discretization of each event-type's daily-total
+    series: z-normalize within the series, map each day to one of four
+    symbols at the N(0,1) quartile breakpoints, and emit the series as a
+    compact word — the classic preprocessing for motif discovery /
+    similarity search over time series at scale.
+
+    Exactness without floating z-scores: the comparison
+    (x-mu)/sigma < b is algebraically n*x - S < b*sqrt(n*SS - S^2), so
+    symbols come from comparing an exact BIGINT against
+    literal-breakpoint x sqrt(exact BIGINT) — sqrt is IEEE
+    correctly-rounded, so both engines pick identical symbols; the
+    zero-variance series degenerates to all-'b' by an explicit integer
+    guard, not a NaN. Scale shape: one (type, day) hash aggregate over
+    raw events, window stats over the tiny daily relation, ordered
+    string_agg per type."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).cast("bigint").alias("x"))
+    wt = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+        F.sum("x").over(wt).cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(wt).cast("bigint").alias("ss"),
+    )
+    var_i = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    diff_i = F.col("n") * F.col("x") - F.col("s")
+    rhs = F.sqrt(var_i.cast("double"))
+    sym = (
+        F.when(var_i == 0, "b")
+        .when(diff_i.cast("double") < F.lit(-_SAX_B) * rhs, "a")
+        .when(diff_i < 0, "b")
+        .when(diff_i.cast("double") < F.lit(_SAX_B) * rhs, "c")
+        .otherwise("d")
+    )
+    symbols = stats.select("event_type", "day", "n", sym.alias("sym"))
+    return symbols.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "sym"))),
+                lambda st: st.getField("sym"),
+            ),
+            "",
+        ).alias("sax_word"),
+    )

@@ -69,11 +69,12 @@ RECENT = [
     "approx_jaccard_kmv",
     "cohort_ltv_triangle",
     "stats_power_sample_size",
-    "benford_first_digit",
     "orders_business_day_latency",
     "inventory_fifo_cogs",
     "eval_conformal_coverage",
     "text_readability_flesch",
+    "timeseries_acf_lags",
+    "timeseries_sax_words",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
