@@ -190,3 +190,148 @@ def recursive_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH RECURSIVE " + _HOLT_STEP_SQL.format(idx="__rec_holt_idx")
     )
+
+
+# Holt-Winters ADDITIVE seasonal smoothing (level + trend + 7-slot
+# seasonal state), the seasonal extension of recursive_holt_linear_trend.
+# The seasonal state rides through the recursion as a 7-element DOUBLE
+# array: ss[1] is the seasonal component due at the current step, and
+# each step rotates the array (drop head, append the re-estimated
+# component). Array PLUMBING differs by engine (element_at/slice/concat
+# vs [1]/list_slice/list_append) — that is fine, because plumbing moves
+# doubles without touching them; every ARITHMETIC op is the same literal
+# expression text in both engines, so level/trend/seasonal stay bitwise
+# equal through all ~113 iterations. Window: 59 days of 1995 keeps the
+# recursion depth at ~52 (each level is one micro-job of fixed scheduler
+# cost — depth, not data size, is the price) while covering 8 full
+# weekly cycles.
+def _hw_step(s1: str) -> tuple[str, str, str]:
+    lvl = (
+        f"(CAST(0.4 AS DOUBLE) * (x.y - {s1}) "
+        "+ CAST(0.6 AS DOUBLE) * (h.lvl + h.trd))"
+    )
+    trd = (
+        f"(CAST(0.3 AS DOUBLE) * ({lvl} - h.lvl) "
+        "+ CAST(0.7 AS DOUBLE) * h.trd)"
+    )
+    snew = f"(CAST(0.2 AS DOUBLE) * (x.y - {lvl}) + CAST(0.8 AS DOUBLE) * {s1})"
+    return lvl, trd, snew
+
+
+_HW_FINAL_SQL = """
+SELECT i AS step, d_ms AS day_ms, round(y, 2) AS revenue,
+       round(lvl, 2) AS level, round(trd, 2) AS trend,
+       round(sn, 2) AS seasonal, round(fit, 2) AS fitted
+FROM hw WHERE i > 7"""
+
+_HW_LVL_D, _HW_TRD_D, _HW_SNEW_D = _hw_step("h.ss[1]")
+_HW_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-03-01'
+  GROUP BY date_trunc('day', o_orderdate)
+), idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+         CAST(epoch_ms(d) AS BIGINT) AS d_ms,
+         c, c / CAST(100.0 AS DOUBLE) AS y
+  FROM daily
+), w7 AS (
+  SELECT i, c, CAST(sum(c) OVER () AS BIGINT) AS sc FROM idx WHERE i <= 7
+), anchor AS (
+  SELECT CAST(7 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS d_ms,
+         CAST(NULL AS DOUBLE) AS y,
+         max(sc) / CAST(700.0 AS DOUBLE) AS lvl,
+         CAST(0.0 AS DOUBLE) AS trd,
+         CAST(NULL AS DOUBLE) AS sn, CAST(NULL AS DOUBLE) AS fit,
+         list(c / CAST(100.0 AS DOUBLE) - sc / CAST(700.0 AS DOUBLE)
+              ORDER BY i) AS ss
+  FROM w7
+), hw AS (
+  SELECT * FROM anchor
+  UNION ALL
+  SELECT x.i, x.d_ms, x.y,
+         {_HW_LVL_D},
+         {_HW_TRD_D},
+         {_HW_SNEW_D},
+         h.lvl + h.trd + h.ss[1],
+         list_append(list_slice(h.ss, 2, 7), {_HW_SNEW_D})
+  FROM hw h JOIN idx x ON x.i = h.i + 1
+){_HW_FINAL_SQL}
+"""
+
+
+@register("recursive_holt_winters_daily", oracle=_HW_ORACLE)
+def recursive_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing of daily
+    revenue with a weekly (7-slot) season, via WITH RECURSIVE
+    (alpha=0.4, beta=0.3, gamma=0.2): the coupled level/trend/seasonal
+    recursion has no closed form, and the seasonal state travels as a
+    rotating 7-double array column. Initialization is the standard
+    first-cycle anchor: level = mean of the first week, trend 0,
+    seasonal = each day's deviation from that mean.
+
+    Scale shape follows the Holt lesson (module note): the daily
+    aggregate of the fact table runs ONCE and is localCheckpointed;
+    recursion depth is bounded by the 59-day window (~52 steps), never
+    by table size, and each step joins the materialized ~59-row series.
+    Exactness: integer-cent daily sums enter as bitwise-identical
+    doubles; the step arithmetic is the same literal text in both
+    engines (array access/rotation differs syntactically but only MOVES
+    values); rounding happens at output only."""
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "400")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"))
+    )
+    idx = daily.select(
+        F.row_number().over(W.orderBy("d")).cast("bigint").alias("i"),
+        F.unix_millis(F.col("d").cast("timestamp")).alias("d_ms"),
+        "c",
+        (F.col("c") / F.lit(100.0)).alias("y"),
+    ).localCheckpoint()
+    idx.createOrReplaceTempView("__hw_idx")
+    w7 = idx.filter(F.col("i") <= 7).select(
+        "i", "c", F.sum("c").over(W.partitionBy()).cast("bigint").alias("sc")
+    )
+    anchor = w7.groupBy().agg(
+        F.max("sc").alias("msc"),
+        F.array_sort(F.collect_list(F.struct("i", "c", "sc"))).alias("cl"),
+    ).select(
+        F.lit(7).cast("bigint").alias("i"),
+        F.lit(None).cast("bigint").alias("d_ms"),
+        F.lit(None).cast("double").alias("y"),
+        (F.col("msc") / F.lit(700.0)).alias("lvl"),
+        F.lit(0.0).alias("trd"),
+        F.lit(None).cast("double").alias("sn"),
+        F.lit(None).cast("double").alias("fit"),
+        F.transform(
+            "cl",
+            lambda s: s.getField("c") / F.lit(100.0)
+            - s.getField("sc") / F.lit(700.0),
+        ).alias("ss"),
+    ).localCheckpoint()
+    anchor.createOrReplaceTempView("__hw_anchor")
+    lvl_s, trd_s, snew_s = _hw_step("element_at(h.ss, 1)")
+    return spark.sql(f"""
+WITH RECURSIVE hw AS (
+  SELECT * FROM __hw_anchor
+  UNION ALL
+  SELECT x.i, x.d_ms, x.y,
+         {lvl_s},
+         {trd_s},
+         {snew_s},
+         h.lvl + h.trd + element_at(h.ss, 1),
+         concat(slice(h.ss, 2, 6), array({snew_s}))
+  FROM hw h JOIN __hw_idx x ON x.i = h.i + 1
+){_HW_FINAL_SQL}
+""")

@@ -134,6 +134,7 @@ PROBES = [
     "text_readability_flesch",
     "timeseries_acf_lags",
     "timeseries_sax_words",
+    "recursive_holt_winters_daily",
 ]
 
 

@@ -75,6 +75,7 @@ RECENT = [
     "text_readability_flesch",
     "timeseries_acf_lags",
     "timeseries_sax_words",
+    "recursive_holt_winters_daily",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
