@@ -239,6 +239,7 @@ HEADLINE = [
     "text_readability_flesch",
     "timeseries_acf_lags",
     "timeseries_sax_words",
+    "eval_isotonic_calibration",
 ]
 
 

@@ -498,3 +498,101 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("coverage"),
     )
+
+
+@register(
+    "eval_isotonic_calibration",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    bins AS (
+      SELECT CAST(floor(score * 20) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ), pref AS (
+      SELECT bin, n, pos,
+             CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      FROM bins
+    ), triples AS (
+      SELECT i.bin,
+             (j.cp - (k.cp - k.pos)) AS num,
+             (j.cn - (k.cn - k.n)) AS den,
+             k.bin AS kb
+      FROM pref i
+      JOIN pref k ON k.bin <= i.bin
+      JOIN pref j ON j.bin >= i.bin
+    ), inner_min AS (
+      SELECT bin, kb,
+             min(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS mn
+      FROM triples GROUP BY bin, kb
+    )
+    SELECT p.bin,
+           p.bin / CAST(20.0 AS DOUBLE) AS bin_lo,
+           p.n, p.pos,
+           p.pos / CAST(p.n AS DOUBLE) AS raw_rate,
+           f.iso_rate
+    FROM pref p
+    JOIN (SELECT bin, max(mn) AS iso_rate FROM inner_min GROUP BY bin) f
+      ON f.bin = p.bin
+    """,
+)
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the binned classifier scores: the
+    monotone-nondecreasing fit to the per-bin positive rates, computed
+    EXACTLY via the minimax identity iso(i) = max_{{k<=i}} min_{{j>=i}}
+    rate(k..j) — no sequential pool-adjacent-violators loop, no ml-lib
+    fit, so it is a pure relational query with a value oracle.
+
+    The identity runs over the 20-bin reduction, so the triple join is
+    O(B^3) with B fixed at 20 (8000 tiny rows) regardless of corpus
+    size — the only data-sized work is the one binning aggregate. Each
+    candidate rate is a single division of exact prefix-sum BIGINTs
+    (identical doubles in both engines), so min/max pick identical
+    values and the fitted curve hash-matches bitwise."""
+    scored = _scored(spark, sf_dir)
+    bins = scored.groupBy(
+        F.floor(F.col("score") * 20).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wc).cast("bigint").alias("cn"),
+        F.sum("pos").over(wc).cast("bigint").alias("cp"),
+    ).localCheckpoint()
+    i = pref.select(F.col("bin").alias("ib"))
+    k = pref.select(
+        F.col("bin").alias("kb"),
+        (F.col("cp") - F.col("pos")).alias("kcp0"),
+        (F.col("cn") - F.col("n")).alias("kcn0"),
+    )
+    j = pref.select(
+        F.col("bin").alias("jb"), F.col("cp").alias("jcp"), F.col("cn").alias("jcn")
+    )
+    triples = (
+        i.join(k, F.col("kb") <= F.col("ib"))
+        .join(j, F.col("jb") >= F.col("ib"))
+        .select(
+            F.col("ib").alias("bin"),
+            F.col("kb"),
+            (F.col("jcp") - F.col("kcp0")).alias("num"),
+            (F.col("jcn") - F.col("kcn0")).alias("den"),
+        )
+    )
+    inner_min = triples.groupBy("bin", "kb").agg(
+        F.min(F.col("num").cast("double") / F.col("den").cast("double")).alias("mn")
+    )
+    fit = inner_min.groupBy("bin").agg(F.max("mn").alias("iso_rate"))
+    return pref.join(fit, "bin").select(
+        "bin",
+        (F.col("bin") / F.lit(20.0)).alias("bin_lo"),
+        "n",
+        "pos",
+        (F.col("pos") / F.col("n").cast("double")).alias("raw_rate"),
+        "iso_rate",
+    )

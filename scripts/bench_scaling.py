@@ -135,6 +135,7 @@ PROBES = [
     "timeseries_acf_lags",
     "timeseries_sax_words",
     "recursive_holt_winters_daily",
+    "eval_isotonic_calibration",
 ]
 
 

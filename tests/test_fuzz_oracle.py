@@ -76,6 +76,7 @@ RECENT = [
     "timeseries_acf_lags",
     "timeseries_sax_words",
     "recursive_holt_winters_daily",
+    "eval_isotonic_calibration",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
