@@ -495,3 +495,74 @@ def stats_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_always_valid"),
     )
+
+
+@register(
+    "experiment_srm_check",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CAST(ts AS DATE)) AS day,
+             CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                                                            'srm')), 1, 8)) AS BIGINT)
+                       / 4294967296.0 < 0.5
+                  THEN 1 ELSE 0 END AS a
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ), d AS (
+      SELECT day, CAST(sum(a) AS BIGINT) AS na, CAST(sum(1 - a) AS BIGINT) AS nb
+      FROM f GROUP BY day
+    ), c AS (
+      SELECT day,
+             CAST(sum(na) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+             CAST(sum(nb) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      FROM d
+    )
+    SELECT epoch_ms(CAST(day AS TIMESTAMP)) AS day_ms, cum_a, cum_b,
+           CAST((cum_a - cum_b) * (cum_a - cum_b) AS DOUBLE) / (cum_a + cum_b) AS chi2,
+           CAST(CAST((cum_a - cum_b) * (cum_a - cum_b) AS DOUBLE) / (cum_a + cum_b)
+                > 3.841 AS BIGINT) AS srm_flag
+    FROM c
+    """,
+)
+def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative sample-ratio-mismatch monitor for a 50/50 A/B
+    assignment: units enter on their first-seen day, the per-arm counts
+    accumulate, and each day carries the 1-df chi-square statistic
+    ((n_a-n_b)^2/(n_a+n_b) for equal allocation) plus the 0.05-level
+    alarm flag. The statistic's operands are exact BIGINT counts, so the
+    single division is bitwise identical cross-engine — no rounding
+    needed. Shape: one shuffle on user_id for first-touch, then all SRM
+    math rides the tiny per-day table; at 100 TB the per-day life table
+    is a few thousand rows regardless of input size."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    arm = (hash_unit(F.col("user_id"), "srm") < 0.5).cast("int")
+    daily = (
+        first.withColumn("a", arm)
+        .groupBy("day")
+        .agg(
+            F.sum("a").cast("long").alias("na"),
+            F.sum(1 - F.col("a")).cast("long").alias("nb"),
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("na").over(wcum).cast("long").alias("cum_a"),
+        F.sum("nb").over(wcum).cast("long").alias("cum_b"),
+    )
+    diff2 = ((F.col("cum_a") - F.col("cum_b")) * (F.col("cum_a") - F.col("cum_b"))).cast(
+        "double"
+    )
+    chi2 = F.try_divide(diff2, (F.col("cum_a") + F.col("cum_b")).cast("double"))
+    return cum.select(
+        F.unix_millis(F.col("day").cast("timestamp")).alias("day_ms"),
+        "cum_a",
+        "cum_b",
+        chi2.alias("chi2"),
+        (chi2 > 3.841).cast("long").alias("srm_flag"),
+    )

@@ -866,3 +866,81 @@ def mlprep_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leaky_encoding"
         ),
     )
+
+
+@register(
+    "mlprep_quantile_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents WHERE n_chars IS NOT NULL
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pool FROM d
+    ), r AS (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS m
+      FROM d
+    ), idxed AS (
+      SELECT doc_id, source, n_chars,
+             (rk * n_pool + m - 1) // m AS idx
+      FROM r, tot
+    ), pool AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY n_chars
+    ), cums AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pool
+    )
+    SELECT i.doc_id, i.source, i.n_chars, c.v AS qnorm_chars
+    FROM idxed i JOIN cums c
+      ON i.idx > c.cum - c.cnt AND i.idx <= c.cum
+    """,
+)
+def mlprep_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the per-source document-length
+    distributions onto the pooled corpus distribution (the microarray /
+    batch-effect-removal classic, used in data pipelines to equalize
+    per-source length or score distributions before mixing): each doc's
+    within-source rank fraction rk/m maps to the ceil(rk*N/m)-th smallest
+    pooled value. All arithmetic is BIGINT (ceil via (a+b-1)//b), so the
+    mapping is exact; the idx->value lookup goes through the DISTINCT-
+    value cumulative table (one row per distinct length), joined on the
+    half-open count interval. Shape: one per-source rank pass (shuffle on
+    source), one distinct-value aggregate, and an interval join against
+    the compact cums side, which Spark broadcasts — at 100 TB the cums
+    table is |distinct values| rows, and the per-source window would move
+    to the two-level distinct-value rank idiom (rk*N <= ~1e18 bounds N at
+    ~1e9 per int64; beyond that the idx math goes DECIMAL)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_pool"))
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("m"),
+    )
+    idxed = r.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("(rk * n_pool + m - 1) DIV m").alias("idx"),
+    )
+    pool = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = pool.select(
+        "v", "cnt", F.sum("cnt").over(wv).cast("long").alias("cum")
+    )
+    return idxed.join(
+        F.broadcast(cums),
+        (F.col("idx") > F.col("cum") - F.col("cnt")) & (F.col("idx") <= F.col("cum")),
+    ).select("doc_id", "source", "n_chars", F.col("v").alias("qnorm_chars"))

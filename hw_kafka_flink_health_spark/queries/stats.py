@@ -1815,3 +1815,115 @@ def lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+@register(
+    "stats_nelson_aalen",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ms, event_type
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), u AS (
+      SELECT user_id,
+             min(ms) AS t0,
+             min(CASE WHEN event_type = 'error' THEN ms END) AS terr
+      FROM e GROUP BY user_id
+    ), h AS (
+      SELECT max(ms) AS horizon FROM e
+    ), obs AS (
+      SELECT CASE WHEN terr IS NOT NULL THEN (terr - t0) // 3600000
+                  ELSE (horizon - t0) // 3600000 END AS t,
+             CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u, h
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs
+    ), g AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+      FROM obs GROUP BY t
+    ), k AS (
+      SELECT t, d, c,
+             n_total - CAST(coalesce(sum(d + c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS n_risk
+      FROM g, tot
+    )
+    SELECT CAST(t AS BIGINT) AS time_hours, d AS n_events, c AS n_censored, n_risk,
+           round(sum(CAST(d AS DOUBLE) / n_risk)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS cum_hazard,
+           round(sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS hazard_var
+    FROM k
+    """,
+)
+def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator H(t) = sum_{t_i<=t} d_i/n_i
+    for time (hours) from a user's first event to their first 'error',
+    right-censored at the corpus horizon, with the Poisson-type variance
+    sum d_i/n_i^2. Complements the Kaplan-Meier query (stats.py) with the
+    counting-process view: H is the quantity additive-hazard models fit,
+    and exp(-H) is the Fleming-Harrington survival twin. Shape: one
+    shuffle on user_id, then every estimator term lives on the tiny
+    per-hour life table; the cumulative sums are ordered-window
+    accumulations over exact d/n ratios (rounded at 1e-6 to absorb
+    cross-engine ulp drift). At 100 TB the life table stays thousands of
+    rows, never collected."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+            "event_type",
+        )
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("ms").alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ms"))).alias("terr"),
+    )
+    h = ev.agg(F.max("ms").alias("horizon"))
+    obs = u.crossJoin(F.broadcast(h)).select(
+        # integer DIV, not double `/`: a double quotient can round UP across
+        # an hour boundary before the long cast; DuckDB's `//` floors.
+        F.when(
+            F.col("terr").isNotNull(),
+            F.expr("(terr - t0) DIV 3600000"),
+        )
+        .otherwise(F.expr("(horizon - t0) DIV 3600000"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("terr").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    g = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    k = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    return k.select(
+        F.col("t").alias("time_hours"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "n_risk",
+        F.round(
+            F.sum(F.col("d").cast("double") / F.col("n_risk")).over(wcum), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum(
+                F.col("d").cast("double")
+                / (F.col("n_risk").cast("double") * F.col("n_risk"))
+            ).over(wcum),
+            6,
+        ).alias("hazard_var"),
+    )
