@@ -240,6 +240,12 @@ HEADLINE = [
     "timeseries_acf_lags",
     "timeseries_sax_words",
     "eval_isotonic_calibration",
+    "experiment_srm_check",
+    "stats_nelson_aalen",
+    "mlprep_quantile_normalize",
+    "text_pmi_collocations",
+    "embedding_silhouette_points",
+    "regr_multiple_ols",
 ]
 
 

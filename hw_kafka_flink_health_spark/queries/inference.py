@@ -425,3 +425,119 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "regr_multiple_ols",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx1,
+             CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx2,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                      * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx11,
+             CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)
+                      * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx22,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                      * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx12,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx1y,
+             CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx2y
+      FROM lineitem
+      GROUP BY l_returnflag
+    ), c AS (
+      SELECT l_returnflag, n, sx1, sx2, sy,
+             CAST(n AS DOUBLE) * sx11 - CAST(sx1 AS DOUBLE) * sx1 AS a11,
+             CAST(n AS DOUBLE) * sx12 - CAST(sx1 AS DOUBLE) * sx2 AS a12,
+             CAST(n AS DOUBLE) * sx22 - CAST(sx2 AS DOUBLE) * sx2 AS a22,
+             CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy AS b1v,
+             CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy AS b2v
+      FROM m
+    ), s AS (
+      SELECT l_returnflag, n, sx1, sx2, sy,
+             a11 * a22 - a12 * a12 AS det, a11, a12, a22, b1v, b2v
+      FROM c
+    ), b AS (
+      SELECT l_returnflag, n, sx1, sx2, sy, det,
+             CASE WHEN det <> 0 THEN (b1v * a22 - b2v * a12) / det END AS beta1,
+             CASE WHEN det <> 0 THEN (b2v * a11 - b1v * a12) / det END AS beta2
+      FROM s
+    )
+    SELECT l_returnflag, n,
+           CASE WHEN det <> 0
+                THEN (sy - beta1 * sx1 - beta2 * sx2) / n END AS beta0_cents,
+           beta1 AS beta1_cents_per_qty,
+           beta2 AS beta2_cents_per_disc_pct
+    FROM b
+    """,
+)
+def regr_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares per return flag — price (cents)
+    regressed on quantity and discount points, solved in closed form by
+    Cramer's rule on the centered normal equations. Every sufficient
+    statistic is an EXACT BIGINT sum of integerized columns (floor(qty),
+    floor(100*discount), floor(100*price)); the centering, determinant,
+    and solve are then a fixed IEEE expression over those exact moments,
+    so both engines compute bit-identical coefficients with no rounding
+    slack. Degenerate design matrices (zero variance or collinear
+    features, e.g. the all-identical-rows fixture) yield det = 0 and
+    NULL coefficients instead of a throw. Shape: ONE map-side-combinable
+    hash aggregate over the fact table — 9 running sums — then scalar
+    algebra on a |groups|-row table; the textbook 100 TB regression
+    posture (no gram-matrix shuffle, no iterative solver)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.floor("l_quantity").cast("long")
+    x2 = F.floor(F.col("l_discount") * 100).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("sx1"),
+        F.sum(x2).cast("long").alias("sx2"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x1 * x1).cast("long").alias("sx11"),
+        F.sum(x2 * x2).cast("long").alias("sx22"),
+        F.sum(x1 * x2).cast("long").alias("sx12"),
+        F.sum(x1 * y).cast("long").alias("sx1y"),
+        F.sum(x2 * y).cast("long").alias("sx2y"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = nd * F.col("sx11") - F.col("sx1").cast("double") * F.col("sx1")
+    a12 = nd * F.col("sx12") - F.col("sx1").cast("double") * F.col("sx2")
+    a22 = nd * F.col("sx22") - F.col("sx2").cast("double") * F.col("sx2")
+    b1v = nd * F.col("sx1y") - F.col("sx1").cast("double") * F.col("sy")
+    b2v = nd * F.col("sx2y") - F.col("sx2").cast("double") * F.col("sy")
+    c = m.select(
+        "l_returnflag", "n", "sx1", "sx2", "sy",
+        a11.alias("a11"), a12.alias("a12"), a22.alias("a22"),
+        b1v.alias("b1v"), b2v.alias("b2v"),
+    ).withColumn("det", F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"))
+    beta1 = F.when(
+        F.col("det") != 0,
+        (F.col("b1v") * F.col("a22") - F.col("b2v") * F.col("a12")) / F.col("det"),
+    )
+    beta2 = F.when(
+        F.col("det") != 0,
+        (F.col("b2v") * F.col("a11") - F.col("b1v") * F.col("a12")) / F.col("det"),
+    )
+    b = c.select(
+        "l_returnflag", "n", "sx1", "sx2", "sy", "det",
+        beta1.alias("beta1"), beta2.alias("beta2"),
+    )
+    return b.select(
+        "l_returnflag",
+        "n",
+        F.when(
+            F.col("det") != 0,
+            (
+                F.col("sy")
+                - F.col("beta1") * F.col("sx1")
+                - F.col("beta2") * F.col("sx2")
+            )
+            / F.col("n"),
+        ).alias("beta0_cents"),
+        F.col("beta1").alias("beta1_cents_per_qty"),
+        F.col("beta2").alias("beta2_cents_per_disc_pct"),
+    )

@@ -2534,3 +2534,89 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("band_corpus_score"),
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), uni AS (
+      SELECT u.w, CAST(count(*) AS BIGINT) AS c1
+      FROM d, unnest(t) AS u(w) GROUP BY u.w
+    ), nu AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM uni
+    ), bg AS (
+      SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ), nb AS (
+      SELECT CAST(sum(c2) AS BIGINT) AS n_bg FROM bc
+    )
+    SELECT w1, w2, c2,
+           (CAST(c2 AS DOUBLE) / n_bg)
+             * (CAST(n_tok AS DOUBLE) / u1.c1)
+             * (CAST(n_tok AS DOUBLE) / u2.c1) AS pmi_ratio
+    FROM bc
+    JOIN uni u1 ON bc.w1 = u1.w
+    JOIN uni u2 ON bc.w2 = u2.w
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE c2 >= 5
+    ORDER BY pmi_ratio DESC, w1, w2
+    LIMIT 100
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by pointwise mutual information — the
+    classic collocation detector (Church & Hanks): ratio
+    p(w1,w2)/(p(w1)p(w2)) with a min-count-5 support floor. The PMI is
+    emitted as the raw probability RATIO, not its log: the log is
+    monotone, so the ranking is identical, and the ratio is a fixed
+    3-operation IEEE expression over exact BIGINT counts — bitwise
+    reproducible cross-engine, where ln() would lean on libm agreement.
+    Shape: two hash aggregates (unigram, bigram counts), two broadcast-
+    able scalar totals, a model-side join of the bigram table to the
+    unigram table on each side (co-partitioned on the word key), then a
+    global top-100 via TakeOrderedAndProject — no global sort ever
+    materializes the full collocation table."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", norm_tokens_expr("text").alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    n_tok = uni.agg(F.sum("c1").cast("long").alias("n_tok"))
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    n_bg = bc.agg(F.sum("c2").cast("long").alias("n_bg"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    ratio = (
+        (F.col("c2").cast("double") / F.col("n_bg"))
+        * (F.col("n_tok").cast("double") / F.col("c1a"))
+        * (F.col("n_tok").cast("double") / F.col("c1b"))
+    )
+    return (
+        bc.filter(F.col("c2") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bg))
+        .select("w1", "w2", "c2", ratio.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(100)
+    )

@@ -644,3 +644,121 @@ def embedding_label_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum(F.col("mv") * F.col("mv"))), 6).alias("pooled_norm"),
         F.count(F.lit(1)).cast("bigint").alias("n_dims"),
     )
+
+
+@register(
+    "embedding_silhouette_points",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+      FROM embeddings
+    ), pe AS (
+      SELECT vec_id, label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos
+      FROM q
+    ), cnt AS (
+      SELECT label AS clabel, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1
+    ), cent AS (
+      SELECT label AS clabel, pos, CAST(sum(v) AS BIGINT) AS s
+      FROM pe GROUP BY 1, 2
+    ), dist AS (
+      SELECT p.vec_id, p.label AS plabel, c.clabel,
+             sqrt(CAST(sum((p.v * n.n - c.s) * (p.v * n.n - c.s)) AS DOUBLE)) / n.n
+               AS dist
+      FROM pe p
+      JOIN cent c ON p.pos = c.pos
+      JOIN cnt n ON n.clabel = c.clabel
+      GROUP BY p.vec_id, p.label, c.clabel, n.n
+    ), agg AS (
+      SELECT vec_id, plabel AS label,
+             min(CASE WHEN clabel = plabel THEN dist END) AS own_dist,
+             min(CASE WHEN clabel <> plabel THEN dist END) AS nn_dist
+      FROM dist GROUP BY vec_id, plabel
+    )
+    SELECT vec_id, label,
+           round(own_dist, 9) AS own_dist,
+           round(nn_dist, 9) AS nn_dist,
+           CASE WHEN nn_dist IS NOT NULL AND greatest(own_dist, nn_dist) > 0
+                THEN round((nn_dist - own_dist) / greatest(own_dist, nn_dist), 9)
+                END AS silhouette
+    FROM agg
+    """,
+)
+def embedding_silhouette_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point simplified silhouette over the labeled embedding corpus
+    (the centroid-based silhouette used to audit cluster/label quality at
+    scale, where the classic all-pairs silhouette is quadratic): a =
+    distance to own-label centroid, b = nearest other-label centroid,
+    s = (b-a)/max(a,b). Exactness trick: components quantize to
+    floor(64x) BIGINTs, so every centroid distance is
+    sqrt(sum((x*n - S)^2))/n over EXACT integers (scaled by the label
+    count n to avoid the mean's division) — the only float ops are one
+    sqrt and one divide on identical operands, bitwise cross-engine
+    (beyond ~1e7 vectors the integer squares near int64; production
+    would mean-center in double there). Shape: centroids are one
+    (label, dim) aggregate (map-side combinable); each point then scores
+    against the broadcast L-row centroid table with JVM-side zip_with /
+    aggregate lambdas — no shuffle of the point side at all, the exact
+    posture an IVF assignment pass uses at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 64).cast("long")
+        ).alias("qv"),
+    )
+    cnt = q.groupBy(F.col("label").alias("clabel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cent = (
+        q.select("label", F.posexplode("qv").alias("pos", "v"))
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.sum("v").cast("long").alias("s"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+            ).alias("sv")
+        )
+        .join(cnt, "clabel")
+    )
+    dist = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("plabel"),
+        "clabel",
+        (
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "qv",
+                        "sv",
+                        lambda x, s: (x * F.col("n") - s) * (x * F.col("n") - s),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+            )
+            / F.col("n")
+        ).alias("dist"),
+    )
+    agg = dist.groupBy("vec_id", F.col("plabel").alias("label")).agg(
+        F.min(F.when(F.col("clabel") == F.col("plabel"), F.col("dist"))).alias(
+            "own_dist"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("plabel"), F.col("dist"))).alias(
+            "nn_dist"
+        ),
+    )
+    mx = F.greatest(F.col("own_dist"), F.col("nn_dist"))
+    return agg.select(
+        "vec_id",
+        "label",
+        F.round("own_dist", 9).alias("own_dist"),
+        F.round("nn_dist", 9).alias("nn_dist"),
+        F.when(
+            F.col("nn_dist").isNotNull() & (mx > 0),
+            F.round((F.col("nn_dist") - F.col("own_dist")) / mx, 9),
+        ).alias("silhouette"),
+    )

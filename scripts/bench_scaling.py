@@ -136,6 +136,12 @@ PROBES = [
     "timeseries_sax_words",
     "recursive_holt_winters_daily",
     "eval_isotonic_calibration",
+    "experiment_srm_check",
+    "stats_nelson_aalen",
+    "mlprep_quantile_normalize",
+    "text_pmi_collocations",
+    "embedding_silhouette_points",
+    "regr_multiple_ols",
 ]
 
 

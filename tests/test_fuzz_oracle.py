@@ -77,6 +77,12 @@ RECENT = [
     "timeseries_sax_words",
     "recursive_holt_winters_daily",
     "eval_isotonic_calibration",
+    "experiment_srm_check",
+    "stats_nelson_aalen",
+    "mlprep_quantile_normalize",
+    "text_pmi_collocations",
+    "embedding_silhouette_points",
+    "regr_multiple_ols",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
