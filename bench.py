@@ -246,6 +246,12 @@ HEADLINE = [
     "text_pmi_collocations",
     "embedding_silhouette_points",
     "regr_multiple_ols",
+    "graph_degree_assortativity",
+    "timeseries_ma_decomposition",
+    "join_relational_division",
+    "text_hapax_ratio",
+    "eval_decile_lift",
+    "mlprep_temperature_mixture",
 ]
 
 

@@ -596,3 +596,100 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") / F.col("n").cast("double")).alias("raw_rate"),
         "iso_rate",
     )
+
+
+@register(
+    "eval_decile_lift",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                   'lbl')), 1, 8)) AS BIGINT) / 4294967296.0
+                  < least(greatest((n_chars - 100) / 500.0, 0.05), 0.95)
+                  AS INTEGER) AS label,
+             least(greatest((n_chars - 100) / 500.0, 0.05), 0.95) AS score
+      FROM documents WHERE n_chars IS NOT NULL
+    ), deciled AS (
+      SELECT label,
+             CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
+      FROM scored
+    ), g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+      FROM deciled GROUP BY decile
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS pp FROM g
+    ), c AS (
+      SELECT decile, n, pos,
+             CAST(sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cp
+      FROM g
+    )
+    SELECT decile, n, pos,
+           CASE WHEN n * pp <> 0
+                THEN CAST(pos AS DOUBLE) * nn / (CAST(n AS DOUBLE) * pp) END AS lift,
+           CASE WHEN cn * pp <> 0
+                THEN CAST(cp AS DOUBLE) * nn / (CAST(cn AS DOUBLE) * pp)
+                END AS cum_lift
+    FROM c, tot
+    """,
+)
+def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for the synthetic classifier: rank by score
+    (doc_id tie-break pins ntile boundaries to a total order), split into
+    10 equal bins, and report per-decile and cumulative lift — positive
+    rate relative to the base rate, the campaign-targeting readout that
+    complements the ROC/PR/calibration family. All counts are exact
+    BIGINTs; each lift is one division of exact products (pos*N vs
+    n*P), NULL when the base rate is zero. Shape: the ntile is the only
+    ordered pass (at 100 TB it becomes the distinct-score cumulative
+    rank, as eval_auc_roc does); everything downstream lives on 10
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.least(
+        F.greatest((F.col("n_chars") - 100) / 500.0, F.lit(0.05)), F.lit(0.95)
+    )
+    u = hash_unit(F.col("doc_id"), "lbl")
+    scored = docs.filter(F.col("n_chars").isNotNull()).select(
+        "doc_id", (u < p).cast("int").alias("label"), p.alias("score")
+    )
+    deciled = scored.select(
+        "label",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("long")
+        .alias("decile"),
+    )
+    g = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("pos").cast("long").alias("pp")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).cast("long").alias("cn"),
+        F.sum("pos").over(wcum).cast("long").alias("cp"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "pos",
+        F.when(
+            F.col("n") * F.col("pp") != 0,
+            F.col("pos").cast("double")
+            * F.col("nn")
+            / (F.col("n").cast("double") * F.col("pp")),
+        ).alias("lift"),
+        F.when(
+            F.col("cn") * F.col("pp") != 0,
+            F.col("cp").cast("double")
+            * F.col("nn")
+            / (F.col("cn").cast("double") * F.col("pp")),
+        ).alias("cum_lift"),
+    )

@@ -338,3 +338,83 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpointed frontiers, so its lineage stays 1 level deep
         dist = dist.unionByName(frontier)
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT concat('c', CAST(o_custkey AS VARCHAR)) AS u,
+                      concat('s', CAST(l_suppkey AS VARCHAR)) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
+    ), j AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM j
+    )
+    SELECT m AS n_directed_edges,
+           CASE WHEN (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                THEN (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                END AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the undirected bipartite
+    customer-supplier graph: the Pearson correlation of endpoint degrees
+    over the doubled directed edge list. Every sufficient statistic is an
+    exact BIGINT sum (degrees are integers), so the centered products and
+    the final sqrt/divide are a fixed IEEE expression — bit-identical
+    cross-engine, with the zero-variance regular-graph case yielding NULL
+    instead of a divide-by-zero. Shape: one distinct-edge shuffle, one
+    degree aggregate, two hash joins of the edge list to the (small)
+    degree table, one moment aggregate to a single row — no windows, no
+    sorts; at 100 TB the degree side co-partitions with the edge key."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+        )
+        .distinct()
+    )
+    e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    j = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    vx = md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = md * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return m.select(
+        F.col("m").alias("n_directed_edges"),
+        F.when(vx * vy > 0, cov / F.sqrt(vx * vy)).alias("assortativity"),
+    )

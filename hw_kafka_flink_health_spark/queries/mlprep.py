@@ -944,3 +944,53 @@ def mlprep_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cums),
         (F.col("idx") > F.col("cum") - F.col("cnt")) & (F.col("idx") <= F.col("cum")),
     ).select("doc_id", "source", "n_chars", F.col("v").alias("qnorm_chars"))
+
+
+@register(
+    "mlprep_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs * sqrt(CAST(n_docs AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS m
+      FROM c
+    ), tot AS (
+      SELECT CAST(sum(m) AS BIGINT) AS tot FROM w
+    )
+    SELECT source, n_docs,
+           CAST(m AS DOUBLE) / tot AS weight,
+           (10000 * m) // tot AS docs_per_10k
+    FROM w, tot
+    """,
+)
+def mlprep_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (the multilingual /
+    multi-source sampling recipe: p_s proportional to c_s^alpha with
+    alpha = 3/4, which up-weights small sources relative to proportional
+    sampling without letting giants dominate). Exactness: 3/4 power is
+    computed as sqrt(n * sqrt(n)) — two correctly-rounded IEEE sqrts, no
+    libm pow — then floor-scaled to integer millionths so the total and
+    both shares are exact-integer arithmetic with one final division.
+    Shape: one count aggregate, a 1-row broadcast total, linear at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = c.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_docs") * F.sqrt(F.col("n_docs").cast("double")))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    tot = w.agg(F.sum("m").cast("long").alias("tot"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("m").cast("double") / F.col("tot")).alias("weight"),
+        F.expr("(10000 * m) DIV tot").alias("docs_per_10k"),
+    )

@@ -1866,3 +1866,51 @@ def approx_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("jaccard_micro"),
     )
+
+
+@register(
+    "join_relational_division",
+    oracle="""
+    WITH nb AS (
+      SELECT CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands FROM part
+    ), cb AS (
+      SELECT o_custkey,
+             CAST(count(DISTINCT p_brand) AS BIGINT) AS brands_bought,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey, brands_bought, n_items
+    FROM cb, nb
+    WHERE brands_bought = n_brands
+    """,
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (Codd's eighth operator — 'the suppliers who
+    supply ALL parts' classic, here: customers who have bought parts of
+    EVERY brand in the catalog), expressed by the set-cover counting
+    rewrite: count distinct matched divisors per dividend group and keep
+    groups matching the divisor cardinality. This is the scalable
+    formulation — the naive NOT EXISTS(EXCEPT) double-negative builds a
+    customers x brands cross product, while this is one 3-way equi-join
+    (fact-sized, key-partitioned) plus one distinct-count aggregate and
+    a broadcast 1-row divisor count. Returns each qualifying customer
+    with its brand coverage and item count."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    nb = part.agg(F.countDistinct("p_brand").cast("long").alias("n_brands"))
+    cb = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("p_brand").cast("long").alias("brands_bought"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+    return cb.crossJoin(F.broadcast(nb)).filter(
+        F.col("brands_bought") == F.col("n_brands")
+    ).select("o_custkey", "brands_bought", "n_items")

@@ -2620,3 +2620,54 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_ratio"), "w1", "w2")
         .limit(100)
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), tok AS (
+      SELECT source, u.w FROM d, unnest(t) AS u(w)
+    ), wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, w
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(count(*) AS DOUBLE) / sum(c) AS type_token_ratio,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS hapax_ratio
+    FROM wc GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness profile per source: token count, vocabulary
+    size, hapax legomena (once-only tokens), type-token ratio, and hapax
+    share — the Heaps'-law style signals a corpus audit uses to spot
+    boilerplate-heavy (low TTR) or OCR-garbage (hapax-inflated) sources
+    before training. Exact BIGINT counts; the two ratios are single
+    divisions. Shape: one (source, token) hash aggregate — map-side
+    combinable, the same count table a tf-idf pass builds — then a
+    source-level rollup; no windows, no sorts, linear at 100 TB."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(norm_tokens_expr("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("type_token_ratio"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_ratio"),
+    )

@@ -1131,3 +1131,106 @@ def timeseries_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("sax_word"),
     )
+
+
+@register(
+    "timeseries_ma_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1
+    ), w AS (
+      SELECT d, cents,
+             CAST(sum(cents) OVER (ORDER BY d
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend7,
+             CAST(count(*) OVER (ORDER BY d
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS cntw,
+             CAST((d + 3) % 7 AS BIGINT) AS dow
+      FROM daily
+    ), dev AS (
+      SELECT d, cents, dow,
+             CASE WHEN cntw = 7 THEN trend7 END AS trend7,
+             CASE WHEN cntw = 7 THEN 7 * cents - trend7 END AS dev7
+      FROM w
+    ), seas AS (
+      SELECT dow,
+             CAST(sum(dev7) AS DOUBLE) / (7.0 * count(dev7)) AS seasonal_cents
+      FROM dev WHERE dev7 IS NOT NULL GROUP BY dow
+    )
+    SELECT v.d * 86400000 AS day_ms, v.cents AS rev_cents, v.dow,
+           CAST(v.trend7 AS DOUBLE) / 7.0 AS trend_cents,
+           s.seasonal_cents,
+           CASE WHEN v.trend7 IS NOT NULL AND s.seasonal_cents IS NOT NULL
+                THEN CAST(v.dev7 AS DOUBLE) / 7.0 - s.seasonal_cents
+                END AS resid_cents
+    FROM dev v LEFT JOIN seas s ON v.dow = s.dow
+    """,
+)
+def timeseries_ma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average (only where the date-RANGE
+    frame holds a full 7 observed days — gaps make the edge days
+    honestly NULL), weekly seasonal index = per-weekday mean deviation,
+    remainder = series - trend - seasonal. Exactness: the series is
+    integer cents, and every windowed sum stays scaled by 7 (dev7 =
+    7*cents - trend7) so all cross-row aggregation happens on exact
+    BIGINTs; the only doubles are final divisions of identical operands.
+    Weekday comes from epoch-day arithmetic ((d+3)%7, Monday=0), not
+    engine dayofweek conventions. Shape: one hash aggregate to the
+    per-day table, then every window/join runs on |days| rows — at
+    100 TB the decomposition layer is thousands of rows regardless of
+    fact size, and the RANGE frame needs one ordered pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = Window.orderBy("d").rangeBetween(-3, 3)
+    w = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(wr).cast("long").alias("trend7"),
+        F.count(F.lit(1)).over(wr).cast("long").alias("cntw"),
+        ((F.col("d") + 3) % 7).cast("long").alias("dow"),
+    )
+    dev = w.select(
+        "d",
+        "cents",
+        "dow",
+        F.when(F.col("cntw") == 7, F.col("trend7")).alias("trend7"),
+        F.when(F.col("cntw") == 7, 7 * F.col("cents") - F.col("trend7")).alias(
+            "dev7"
+        ),
+    )
+    seas = (
+        dev.filter(F.col("dev7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum("dev7").cast("double")
+                / (F.lit(7.0) * F.count("dev7"))
+            ).alias("seasonal_cents")
+        )
+    )
+    return dev.join(F.broadcast(seas), "dow", "left").select(
+        (F.col("d") * 86400000).alias("day_ms"),
+        F.col("cents").alias("rev_cents"),
+        "dow",
+        (F.col("trend7").cast("double") / 7.0).alias("trend_cents"),
+        "seasonal_cents",
+        F.when(
+            F.col("trend7").isNotNull() & F.col("seasonal_cents").isNotNull(),
+            F.col("dev7").cast("double") / 7.0 - F.col("seasonal_cents"),
+        ).alias("resid_cents"),
+    )

@@ -83,6 +83,12 @@ RECENT = [
     "text_pmi_collocations",
     "embedding_silhouette_points",
     "regr_multiple_ols",
+    "graph_degree_assortativity",
+    "timeseries_ma_decomposition",
+    "join_relational_division",
+    "text_hapax_ratio",
+    "eval_decile_lift",
+    "mlprep_temperature_mixture",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
