@@ -1956,3 +1956,98 @@ def stats_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm.alias("n_per_arm"),
         (n_arm * 2).cast("bigint").alias("n_total"),
     )
+
+
+@register(
+    "events_interval_union_length",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), marked AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+               AS new_island
+      FROM marked
+    ), islanded AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM flagged
+    ), isl AS (
+      SELECT user_id, island,
+             CAST(min(s) AS BIGINT) AS is_s, CAST(max(e) AS BIGINT) AS is_e
+      FROM islanded GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(is_e - is_s) AS BIGINT) AS union_ms,
+           CAST(max(is_e) - min(is_s) AS BIGINT) AS span_ms,
+           CAST(sum(is_e - is_s) AS DOUBLE) / (max(is_e) - min(is_s)) AS coverage
+    FROM isl GROUP BY user_id
+    """,
+)
+def events_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union (coverage) per user: each event opens a 5-minute
+    presence interval; overlapping intervals merge by the gaps-and-
+    islands sweep (running max of interval ends marks island starts) and
+    the union length, island count, span, and coverage ratio come out in
+    exact epoch-millisecond BIGINTs — the 'total active time' metric
+    that naive sum-of-durations double-counts. span > 0 always (max_e >
+    min_s by construction), so the one division is safe. Shape: one
+    window pass partitioned by user (two layered frames: running-max
+    then running-sum — no window-in-window), one island aggregate, one
+    user rollup; at 100 TB each user's sweep is independent and the
+    shuffle key is user_id throughout."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    iv = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) + 300000).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(wprev).isNull() | (F.col("s") > F.max("e").over(wprev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islanded = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(wcum).cast("long").alias("island"),
+    )
+    isl = islanded.groupBy("user_id", "island").agg(
+        F.min("s").cast("long").alias("is_s"), F.max("e").cast("long").alias("is_e")
+    )
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("is_e") - F.col("is_s")).cast("long").alias("union_ms"),
+        (F.max("is_e") - F.min("is_s")).cast("long").alias("span_ms"),
+        (
+            F.sum(F.col("is_e") - F.col("is_s")).cast("double")
+            / (F.max("is_e") - F.min("is_s"))
+        ).alias("coverage"),
+    )

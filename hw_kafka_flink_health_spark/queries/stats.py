@@ -1927,3 +1927,124 @@ def stats_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hazard_var"),
     )
+
+
+@register(
+    "stats_beta_binomial_shrinkage",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 20 THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n, x,
+           CAST(x AS DOUBLE) / n AS raw_rate,
+           CAST(2 + x AS DOUBLE) / (10 + n) AS post_mean,
+           (CAST(2 + x AS DOUBLE) * (8 + n - x))
+             / ((CAST(10 + n AS DOUBLE) * (10 + n)) * (11 + n)) AS post_var
+    FROM g
+    """,
+)
+def stats_beta_binomial_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial shrinkage of per-segment success rates (prior
+    Beta(2, 8)): the empirical-Bayes readout that keeps small segments
+    from reporting extreme rates — posterior mean (a+x)/(a+b+n) and
+    variance ab'/((a+b+n)^2 (a+b+n+1)) with a' = a+x, b' = b+n-x. All
+    operands are exact BIGINT counts; each output is a fixed IEEE
+    division chain, bitwise identical cross-engine with no rounding
+    slack. Shape: one conditional hash aggregate, then scalar algebra on
+    |segments| rows — trivially 100 TB-safe."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 20, 1).otherwise(0)).cast("long").alias("x"),
+    )
+    n, x = F.col("n"), F.col("x")
+    return g.select(
+        "event_type",
+        "n",
+        "x",
+        (x.cast("double") / n).alias("raw_rate"),
+        ((x + 2).cast("double") / (n + 10)).alias("post_mean"),
+        (
+            ((x + 2).cast("double") * (F.lit(8) + n - x))
+            / (((n + 10).cast("double") * (n + 10)) * (n + 11))
+        ).alias("post_var"),
+    )
+
+
+@register(
+    "stats_user_burstiness",
+    oracle="""
+    WITH dc AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id, day
+    ), m AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM dc GROUP BY user_id
+    )
+    SELECT user_id, n_days, s1 AS n_events,
+           CASE WHEN s1 > 0 THEN
+             (CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n_days AS DOUBLE) * s1) END AS fano,
+           CASE WHEN n_days > 1
+                 AND sqrt(CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                       / sqrt(CAST(n_days AS DOUBLE) - 1) + CAST(s1 AS DOUBLE) / n_days
+                     > 0
+                THEN (sqrt(CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                        / (sqrt(CAST(n_days AS DOUBLE) - 1) * n_days)
+                      - CAST(s1 AS DOUBLE) / n_days)
+                     / (sqrt(CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                          / (sqrt(CAST(n_days AS DOUBLE) - 1) * n_days)
+                        + CAST(s1 AS DOUBLE) / n_days)
+                END AS burstiness
+    FROM m
+    """,
+)
+def stats_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity burstiness over daily event counts: the Fano
+    factor (variance-to-mean of the dispersion family, population
+    variance via exact integer moments) and the Goh-Barabasi burstiness
+    B = (sigma - mu)/(sigma + mu) with the sample sigma. Every cross-row
+    quantity is an exact BIGINT moment; sigma and the two ratios are a
+    fixed sqrt/divide chain on identical operands — deterministic
+    cross-engine, NULL where undefined (single observed day, empty
+    user). Shape: two hash aggregates ((user, day) then user); no
+    windows; linear at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    dc = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = dc.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    s1d = F.col("s1").cast("double")
+    css = nd * F.col("s2") - s1d * F.col("s1")
+    mu = s1d / F.col("n_days")
+    sigma = F.sqrt(css) / (F.sqrt(nd - 1) * F.col("n_days"))
+    return m.select(
+        "user_id",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        F.when(F.col("s1") > 0, css / (nd * F.col("s1"))).alias("fano"),
+        F.when(
+            (F.col("n_days") > 1)
+            & (F.sqrt(css) / F.sqrt(nd - 1) + mu > 0),
+            (sigma - mu) / (sigma + mu),
+        ).alias("burstiness"),
+    )

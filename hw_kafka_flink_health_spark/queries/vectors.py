@@ -4,7 +4,7 @@ Extension surface (SURVEY §2.C): embedding similarity mandated beyond the refer
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.similarity import (
@@ -761,4 +761,96 @@ def embedding_silhouette_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nn_dist").isNotNull() & (mx > 0),
             F.round((F.col("nn_dist") - F.col("own_dist")) / mx, 9),
         ).alias("silhouette"),
+    )
+
+
+@register(
+    "embedding_kmeans_step",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, qv AS sv
+      FROM q ORDER BY vec_id LIMIT 8
+    ), pe AS (
+      SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM q
+    ), se AS (
+      SELECT cid, unnest(sv) AS s, generate_subscripts(sv, 1) AS pos FROM seeds
+    ), d AS (
+      SELECT p.vec_id, s.cid,
+             CAST(sum((p.v - s.s) * (p.v - s.s)) AS BIGINT) AS d2
+      FROM pe p JOIN se s ON p.pos = s.pos
+      GROUP BY p.vec_id, s.cid
+    ), assign AS (
+      SELECT vec_id, min({'d': d2, 'c': cid}).c AS cid
+      FROM d GROUP BY vec_id
+    )
+    SELECT a.cid, p.pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p.v) AS BIGINT) AS s,
+           CAST(sum(p.v) AS DOUBLE) / count(*) AS mean_q
+    FROM assign a JOIN pe p ON a.vec_id = p.vec_id
+    GROUP BY a.cid, p.pos
+    """,
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT Lloyd iteration of k-means (k = 8, seeds = the 8
+    lowest-id vectors): assignment distances are squared L2 over the
+    floor(64x)-quantized integer vectors — pure BIGINT arithmetic, ties
+    broken to the lowest centroid id via the lexicographic min-struct —
+    and the update step emits per-(centroid, dim) exact count/sum plus
+    the mean (one division). This is the iterative-ML-as-relational-
+    algebra demonstrator: the engine-specific seeded KMeans (SemDeDup /
+    IVF tiers) stays for speed, but the step itself is value-oracled.
+    Shape: the 8-row seed table broadcasts; assignment is a zip_with/
+    aggregate over each point with NO point-side shuffle; the update is
+    one (cid, dim) hash aggregate — exactly how a distributed k-means
+    scales to 100 TB per iteration."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 64).cast("long")
+        ).alias("qv"),
+    )
+    seeds = (
+        q.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).cast("long").alias("cid"),
+            F.col("qv").alias("sv"),
+        )
+    )
+    d = q.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "qv",
+        "cid",
+        F.aggregate(
+            F.zip_with("qv", "sv", lambda x, s: (x - s) * (x - s)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    assign = d.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2").alias("d"), F.col("cid").alias("c")))["c"].alias(
+            "cid"
+        )
+    )
+    pe = q.select("vec_id", F.posexplode("qv").alias("pos0", "v")).select(
+        "vec_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "v"
+    )
+    return (
+        assign.join(pe, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_q"),
+        )
     )

@@ -148,6 +148,10 @@ PROBES = [
     "text_hapax_ratio",
     "eval_decile_lift",
     "mlprep_temperature_mixture",
+    "embedding_kmeans_step",
+    "stats_beta_binomial_shrinkage",
+    "stats_user_burstiness",
+    "events_interval_union_length",
 ]
 
 

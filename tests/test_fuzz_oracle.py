@@ -89,6 +89,10 @@ RECENT = [
     "text_hapax_ratio",
     "eval_decile_lift",
     "mlprep_temperature_mixture",
+    "embedding_kmeans_step",
+    "stats_beta_binomial_shrinkage",
+    "stats_user_burstiness",
+    "events_interval_union_length",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
