@@ -614,3 +614,41 @@ def test_rake_topk_is_take_ordered_not_global_window(spark):
     # partition merged), never a single-partition row_number pass over
     # every candidate phrase
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quantile_normalize_interval_join_broadcasts_cums(spark):
+    plan = plan_of(spark, "mlprep_quantile_normalize")
+    # the idx->pooled-value interval lookup must be a broadcast NLJ
+    # against the DISTINCT-VALUE cums table (and the 1-row total a
+    # broadcast cross) — never a shuffled join or cartesian of doc rows
+    assert plan.count("BroadcastNestedLoopJoin BuildRight") == 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_pmi_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "text_pmi_collocations")
+    # the final top-100 must merge local heaps, never globally sort the
+    # collocation table; the two scalar totals ride in as broadcasts and
+    # the unigram joins are hash joins on the word key
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") == 2, plan
+
+
+def test_multiple_ols_is_one_map_side_aggregate(spark):
+    plan = plan_of(spark, "regr_multiple_ols")
+    # nine running sums in ONE partial+final hash aggregate: exactly one
+    # exchange (on the group key), no window, no sort, no join anywhere
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_kmeans_step_broadcasts_seeds_no_point_shuffle(spark):
+    plan = plan_of(spark, "embedding_kmeans_step")
+    # the 8-row seed table broadcasts into the assignment (point side
+    # never shuffles before argmin); only the argmin groupBy and the
+    # (cid, dim) update aggregate exchange — and the seed pick itself is
+    # a distributed TakeOrdered, not a global sort
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
