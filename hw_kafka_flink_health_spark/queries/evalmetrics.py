@@ -693,3 +693,139 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cn").cast("double") * F.col("pp")),
         ).alias("cum_lift"),
     )
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label = 1 AND score >= 0.5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a11,
+             CAST(sum(CASE WHEN label = 1 AND score < 0.5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a10,
+             CAST(sum(CASE WHEN label = 0 AND score >= 0.5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a01,
+             CAST(sum(CASE WHEN label = 0 AND score < 0.5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a00
+      FROM scored
+    )
+    SELECT n, a11, a10, a01, a00,
+           CAST(a11 + a00 AS DOUBLE) / n AS po,
+           (CAST(a11 + a10 AS DOUBLE) * (a11 + a01)
+            + CAST(a01 + a00 AS DOUBLE) * (a10 + a00))
+             / (CAST(n AS DOUBLE) * n) AS pe,
+           CASE WHEN (CAST(a11 + a10 AS DOUBLE) * (a11 + a01)
+                      + CAST(a01 + a00 AS DOUBLE) * (a10 + a00))
+                     / (CAST(n AS DOUBLE) * n) <> 1.0
+                THEN (CAST(a11 + a00 AS DOUBLE) / n
+                      - (CAST(a11 + a10 AS DOUBLE) * (a11 + a01)
+                         + CAST(a01 + a00 AS DOUBLE) * (a10 + a00))
+                        / (CAST(n AS DOUBLE) * n))
+                     / (1.0 - (CAST(a11 + a10 AS DOUBLE) * (a11 + a01)
+                               + CAST(a01 + a00 AS DOUBLE) * (a10 + a00))
+                              / (CAST(n AS DOUBLE) * n))
+                END AS kappa
+    FROM cells
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the ground-truth label and the 0.5-threshold
+    classifier — chance-corrected agreement, the metric that exposes
+    'high accuracy' on imbalanced data. One conditional hash aggregate
+    yields the 2x2 table; observed/expected agreement and kappa are
+    fixed IEEE chains over exact BIGINT cells (NULL when expected
+    agreement is 1, i.e. a degenerate single-cell table). Scale: one
+    pass, one row out."""
+    scored = _scored(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    lab = F.col("label") == 1
+    cells = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(lab & pred, 1).otherwise(0)).cast("long").alias("a11"),
+        F.sum(F.when(lab & ~pred, 1).otherwise(0)).cast("long").alias("a10"),
+        F.sum(F.when(~lab & pred, 1).otherwise(0)).cast("long").alias("a01"),
+        F.sum(F.when(~lab & ~pred, 1).otherwise(0)).cast("long").alias("a00"),
+    )
+    n = F.col("n")
+    po = (F.col("a11") + F.col("a00")).cast("double") / n
+    pe = (
+        (F.col("a11") + F.col("a10")).cast("double") * (F.col("a11") + F.col("a01"))
+        + (F.col("a01") + F.col("a00")).cast("double") * (F.col("a10") + F.col("a00"))
+    ) / (n.cast("double") * n)
+    return cells.select(
+        "n",
+        "a11",
+        "a10",
+        "a01",
+        "a00",
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe != 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+@register(
+    "eval_brier_score",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(least(greatest(n_chars - 100, 25), 475) AS BIGINT) AS k,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                   'lbl')), 1, 8)) AS BIGINT) / 4294967296.0
+                  < least(greatest((n_chars - 100) / 500.0, 0.05), 0.95)
+                  AS BIGINT) AS y
+      FROM documents WHERE n_chars IS NOT NULL
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p,
+             CAST(sum((k - 500 * y) * (k - 500 * y)) AS BIGINT) AS ss
+      FROM s
+    )
+    SELECT n, p AS n_pos,
+           CAST(ss AS DOUBLE) / (250000.0 * n) AS brier,
+           CAST(p AS DOUBLE) * (n - p) / (CAST(n AS DOUBLE) * n) AS brier_ref,
+           CASE WHEN p > 0 AND p < n
+                THEN 1.0 - (CAST(ss AS DOUBLE) / (250000.0 * n))
+                           / (CAST(p AS DOUBLE) * (n - p)
+                              / (CAST(n AS DOUBLE) * n))
+                END AS skill_score
+    FROM m
+    """,
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Brier skill score vs the climatological base-rate
+    forecast. Exactness: the score is k/500 with k = clamp(n_chars-100,
+    25, 475) an integer, so sum((k - 500y)^2) is an exact BIGINT and the
+    Brier mean is ONE division — no float accumulation across rows at
+    all, where the naive mean((p-y)^2) would drift by summation order.
+    Skill is NULL for single-class corpora (reference score 0). Scale:
+    one conditional aggregate, one row."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    p = F.least(
+        F.greatest((F.col("n_chars") - 100) / 500.0, F.lit(0.05)), F.lit(0.95)
+    )
+    k = F.least(F.greatest(F.col("n_chars") - 100, F.lit(25)), F.lit(475)).cast(
+        "long"
+    )
+    y = (hash_unit(F.col("doc_id"), "lbl") < p).cast("long")
+    s = docs.select(k.alias("k"), y.alias("y"))
+    m = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+        F.sum((F.col("k") - 500 * F.col("y")) * (F.col("k") - 500 * F.col("y")))
+        .cast("long")
+        .alias("ss"),
+    )
+    n, pos = F.col("n"), F.col("p")
+    brier = F.col("ss").cast("double") / (250000.0 * n)
+    brier_ref = pos.cast("double") * (n - pos) / (n.cast("double") * n)
+    return m.select(
+        "n",
+        pos.alias("n_pos"),
+        brier.alias("brier"),
+        brier_ref.alias("brier_ref"),
+        F.when((pos > 0) & (pos < n), F.lit(1.0) - brier / brier_ref).alias(
+            "skill_score"
+        ),
+    )

@@ -2048,3 +2048,216 @@ def stats_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sigma - mu) / (sigma + mu),
         ).alias("burstiness"),
     )
+
+
+@register(
+    "stats_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1
+    ), med AS (
+      SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS m FROM daily
+    ), signs AS (
+      SELECT day, CASE WHEN cents > m THEN 1 ELSE 0 END AS s
+      FROM daily, med WHERE cents <> m
+    ), runs AS (
+      SELECT s,
+             CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                    OR lag(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ), agg AS (
+      SELECT CAST(sum(new_run) AS BIGINT) AS r,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           CASE WHEN n1 * n2 > 0 THEN
+             1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) END AS expected_runs,
+           CASE WHEN n1 * n2 > 0 AND n1 + n2 > 1
+                 AND (2.0 * CAST(n1 AS DOUBLE) * n2)
+                     * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2) > 0
+                THEN (r - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+                     / sqrt(((2.0 * CAST(n1 AS DOUBLE) * n2)
+                             * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2))
+                            / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                               * (n1 + n2 - 1)))
+                END AS z
+    FROM agg
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue around
+    its median (the regime-shift screen: too few runs = trending, too
+    many = oscillating). Median-equal days drop (the standard
+    convention); runs count via the lag-change flag; the normal
+    approximation's mean and variance are fixed IEEE chains over exact
+    BIGINT counts (NULL z for degenerate one-sided series). Scale: the
+    fact table collapses to one row per day in the first aggregate;
+    everything after rides the tiny day series, and the median is
+    percentile_disc over integer cents — identical element choice in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    med = daily.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select("day", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    wlag = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wlag).isNull() | (F.lag("s").over(wlag) != F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2 = F.col("n2")
+    nn = F.col("n1") + F.col("n2")
+    exp_r = F.lit(1.0) + 2.0 * n1d * n2 / nn
+    two_n1n2 = 2.0 * n1d * n2
+    var = (two_n1n2 * (two_n1n2 - F.col("n1") - n2)) / (
+        nn.cast("double") * nn * (nn - 1)
+    )
+    return agg.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        n2.alias("n_below"),
+        F.when(F.col("n1") * n2 > 0, exp_r).alias("expected_runs"),
+        F.when(
+            (F.col("n1") * n2 > 0)
+            & (nn > 1)
+            & (two_n1n2 * (two_n1n2 - F.col("n1") - n2) > 0),
+            (F.col("r") - exp_r) / F.sqrt(var),
+        ).alias("z"),
+    )
+
+
+@register(
+    "stats_friedman_test",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), kk AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM x
+    ), blocks AS (
+      SELECT day FROM x, kk GROUP BY day, k HAVING count(*) = k
+    ), xb AS (
+      SELECT x.day, x.event_type, x.v FROM x JOIN blocks b ON x.day = b.day
+    ), vg AS (
+      SELECT day, v, CAST(count(*) AS BIGINT) AS c FROM xb GROUP BY day, v
+    ), vr AS (
+      SELECT day, v,
+             coalesce(CAST(sum(c) OVER (PARTITION BY day ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+               + (c + 1) / 2.0 AS avgrank
+      FROM vg
+    ), rk AS (
+      SELECT xb.event_type, vr.avgrank
+      FROM xb JOIN vr ON xb.day = vr.day AND xb.v = vr.v
+    ), rsum AS (
+      SELECT event_type, sum(avgrank) AS r_sum,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM rk GROUP BY event_type
+    ), chi AS (
+      SELECT CAST(sum(r_sum * r_sum) AS DOUBLE) AS ssr,
+             max(n_blocks) AS n, CAST(count(*) AS BIGINT) AS k
+      FROM rsum
+    )
+    SELECT r.event_type, r.r_sum, r.n_blocks, c.k,
+           CASE WHEN c.n > 0 AND c.k > 1
+                THEN 12.0 * c.ssr / (CAST(c.n AS DOUBLE) * c.k * (c.k + 1))
+                     - 3.0 * c.n * (c.k + 1)
+                END AS chi2
+    FROM rsum r, chi c
+    """,
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across event types blocked by day (the
+    k-related-samples nonparametric ANOVA): within each complete block
+    (days observing every treatment), treatments get average ranks of
+    their daily totals; the chi-square statistic compares rank-sum
+    spread. Exactness: daily totals are integer milli-units; average
+    ranks come from the distinct-value cumulative idiom, and ties of
+    consecutive integer positions always average to HALF-integers —
+    dyadic doubles whose sums and squares stay exact, so the statistic
+    is bit-identical with zero rounding slack. Scale: one (day, type)
+    aggregate, then all ranking happens per-day on k-row groups."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    x = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("v")
+    )
+    kk = x.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    blocks = (
+        x.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == F.col("k"))
+        .select("day")
+    )
+    xb = x.join(blocks, "day")
+    vg = xb.groupBy("day", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wday = (
+        Window.partitionBy("day")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vr = vg.select(
+        "day",
+        "v",
+        (
+            F.coalesce(F.sum("c").over(wday), F.lit(0)).cast("long")
+            + (F.col("c") + 1) / 2.0
+        ).alias("avgrank"),
+    )
+    rk = xb.join(vr, ["day", "v"]).select("event_type", "avgrank")
+    rsum = rk.groupBy("event_type").agg(
+        F.sum("avgrank").alias("r_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    chi = rsum.agg(
+        F.sum(F.col("r_sum") * F.col("r_sum")).cast("double").alias("ssr"),
+        F.max("n_blocks").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return rsum.crossJoin(F.broadcast(chi)).select(
+        "event_type",
+        "r_sum",
+        "n_blocks",
+        "k",
+        F.when(
+            (F.col("n") > 0) & (F.col("k") > 1),
+            12.0 * F.col("ssr") / (F.col("n").cast("double") * F.col("k") * (F.col("k") + 1))
+            - 3.0 * F.col("n") * (F.col("k") + 1),
+        ).alias("chi2"),
+    )

@@ -152,6 +152,10 @@ PROBES = [
     "stats_beta_binomial_shrinkage",
     "stats_user_burstiness",
     "events_interval_union_length",
+    "eval_cohens_kappa",
+    "eval_brier_score",
+    "stats_runs_test",
+    "stats_friedman_test",
 ]
 
 

@@ -93,6 +93,10 @@ RECENT = [
     "stats_beta_binomial_shrinkage",
     "stats_user_burstiness",
     "events_interval_union_length",
+    "eval_cohens_kappa",
+    "eval_brier_score",
+    "stats_runs_test",
+    "stats_friedman_test",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
