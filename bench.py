@@ -260,6 +260,11 @@ HEADLINE = [
     "eval_brier_score",
     "stats_runs_test",
     "stats_friedman_test",
+    "growth_accounting_weekly",
+    "dedup_source_overlap_matrix",
+    "orders_bullwhip_ratio",
+    "embedding_power_iteration",
+    "mlprep_dedup_aware_split",
 ]
 
 

@@ -2051,3 +2051,117 @@ def events_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("is_e") - F.min("is_s"))
         ).alias("coverage"),
     )
+
+
+@register(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS w
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), fw AS (
+      SELECT user_id, min(w) AS f FROM uw GROUP BY user_id
+    ), cur AS (
+      SELECT u.user_id, u.w,
+             CASE WHEN u.w = f.f THEN 'new'
+                  WHEN p.user_id IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM uw u
+      JOIN fw f ON u.user_id = f.user_id
+      LEFT JOIN uw p ON p.user_id = u.user_id AND p.w = u.w - 1
+    ), weeks AS (
+      SELECT DISTINCT w FROM uw
+    ), churn AS (
+      SELECT u.w + 1 AS w, CAST(count(*) AS BIGINT) AS churned
+      FROM uw u
+      JOIN weeks wk ON wk.w = u.w + 1
+      LEFT JOIN uw nx ON nx.user_id = u.user_id AND nx.w = u.w + 1
+      WHERE nx.user_id IS NULL
+      GROUP BY u.w + 1
+    ), counts AS (
+      SELECT w,
+             CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resurrected
+      FROM cur GROUP BY w
+    )
+    SELECT c.w * 7 AS week_epoch_day,
+           c.n_new, c.n_retained, c.n_resurrected,
+           CAST(coalesce(ch.churned, 0) AS BIGINT) AS n_churned,
+           CASE WHEN coalesce(ch.churned, 0) > 0
+                THEN CAST(c.n_new + c.n_resurrected AS DOUBLE) / ch.churned
+                END AS quick_ratio
+    FROM counts c LEFT JOIN churn ch ON c.w = ch.w
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    decomposition of active users, plus the quick ratio
+    (new+resurrected)/churned): the standard product-growth ledger in
+    which DAU/WAU deltas become attributable flows. Weeks are epoch-day
+    DIV 7 buckets (engine-portable, no week-start conventions); every
+    flow is an exact BIGINT count from (user, week)-grain set logic —
+    first-week = new, prior-week presence = retained, gap-return =
+    resurrected, presence-then-absence = churned (attributed to the
+    week of absence, only for observed weeks). Shape: one distinct
+    (user, week) reduction, then self-joins co-partitioned on user_id;
+    the weekly ledger is |weeks| rows at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    uw = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) DIV 7"
+        ).alias("w"),
+    ).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("w").alias("f"))
+    prev = uw.select("user_id", (F.col("w") + 1).alias("w"), F.lit(1).alias("had_prev"))
+    cur = (
+        uw.join(fw, "user_id")
+        .join(prev, ["user_id", "w"], "left")
+        .select(
+            "w",
+            F.when(F.col("w") == F.col("f"), "new")
+            .when(F.col("had_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    weeks = uw.select("w").distinct()
+    nxt = uw.select("user_id", (F.col("w") - 1).alias("w"), F.lit(1).alias("has_next"))
+    churn = (
+        uw.join(nxt, ["user_id", "w"], "left")
+        .filter(F.col("has_next").isNull())
+        .select("user_id", (F.col("w") + 1).alias("w"))
+        .join(weeks, "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    counts = cur.groupBy("w").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    return counts.join(churn, "w", "left").select(
+        (F.col("w") * 7).alias("week_epoch_day"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("churned"), F.lit(0)).cast("long").alias("n_churned"),
+        F.when(
+            F.coalesce(F.col("churned"), F.lit(0)) > 0,
+            (F.col("n_new") + F.col("n_resurrected")).cast("double")
+            / F.col("churned"),
+        ).alias("quick_ratio"),
+    )

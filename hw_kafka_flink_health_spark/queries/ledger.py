@@ -233,3 +233,101 @@ def inventory_fifo_cogs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cogs"),
         )
     )
+
+
+@register(
+    "orders_bullwhip_ratio",
+    oracle="""
+    WITH om AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), sm AS (
+      SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               // 100000 AS x
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+    ), mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2
+      FROM om
+    ), ms AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2
+      FROM sm
+    )
+    SELECT mo.n AS n_order_months, ms.n AS n_ship_months,
+           CASE WHEN mo.n > 0 THEN
+             (CAST(mo.n AS DOUBLE) * mo.s2 - CAST(mo.s1 AS DOUBLE) * mo.s1)
+               / (CAST(mo.n AS DOUBLE) * mo.n) END AS var_orders,
+           CASE WHEN ms.n > 0 THEN
+             (CAST(ms.n AS DOUBLE) * ms.s2 - CAST(ms.s1 AS DOUBLE) * ms.s1)
+               / (CAST(ms.n AS DOUBLE) * ms.n) END AS var_shipments,
+           CASE WHEN ms.n > 0 AND mo.n > 0
+                 AND (CAST(ms.n AS DOUBLE) * ms.s2 - CAST(ms.s1 AS DOUBLE) * ms.s1)
+                     / (CAST(ms.n AS DOUBLE) * ms.n) > 0
+                THEN ((CAST(mo.n AS DOUBLE) * mo.s2 - CAST(mo.s1 AS DOUBLE) * mo.s1)
+                        / (CAST(mo.n AS DOUBLE) * mo.n))
+                     / ((CAST(ms.n AS DOUBLE) * ms.s2 - CAST(ms.s1 AS DOUBLE) * ms.s1)
+                        / (CAST(ms.n AS DOUBLE) * ms.n))
+                END AS bullwhip
+    FROM mo, ms
+    """,
+)
+def orders_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect ratio: variance of monthly ORDER value over
+    variance of monthly SHIPPED value — the supply-chain amplification
+    diagnostic (ratio > 1 means demand signals amplify upstream).
+    Monthly series are exact integer thousand-dollar units (cents sum
+    then integer DIV 100000 — a unit choice, documented, that keeps
+    x^2 moments far inside int64 at any SF); population variances are
+    fixed IEEE chains on exact moments, NULL-guarded for empty/zero-
+    variance sides. Shape: two month-grain aggregates, two 1-row moment
+    rollups, one scalar join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def monthly(df, datecol, amtcol):
+        return (
+            df.filter(F.col(datecol).isNotNull())
+            .groupBy(F.date_trunc("month", F.to_date(datecol)).alias("m"))
+            .agg(
+                F.expr(
+                    f"CAST(sum(CAST(floor({amtcol} * 100) AS BIGINT)) AS BIGINT)"
+                    " DIV 100000"
+                ).alias("x")
+            )
+        )
+
+    def moments(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+        )
+
+    mo = moments(monthly(orders, "o_orderdate", "o_totalprice")).select(
+        F.col("n").alias("no"), F.col("s1").alias("so1"), F.col("s2").alias("so2")
+    )
+    ms = moments(monthly(li, "l_shipdate", "l_extendedprice")).select(
+        F.col("n").alias("ns"), F.col("s1").alias("ss1"), F.col("s2").alias("ss2")
+    )
+    j = mo.crossJoin(F.broadcast(ms))
+    var_o = (
+        F.col("no").cast("double") * F.col("so2")
+        - F.col("so1").cast("double") * F.col("so1")
+    ) / (F.col("no").cast("double") * F.col("no"))
+    var_s = (
+        F.col("ns").cast("double") * F.col("ss2")
+        - F.col("ss1").cast("double") * F.col("ss1")
+    ) / (F.col("ns").cast("double") * F.col("ns"))
+    return j.select(
+        F.col("no").alias("n_order_months"),
+        F.col("ns").alias("n_ship_months"),
+        F.when(F.col("no") > 0, var_o).alias("var_orders"),
+        F.when(F.col("ns") > 0, var_s).alias("var_shipments"),
+        F.when((F.col("ns") > 0) & (F.col("no") > 0) & (var_s > 0), var_o / var_s).alias(
+            "bullwhip"
+        ),
+    )

@@ -994,3 +994,79 @@ def mlprep_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m").cast("double") / F.col("tot")).alias("weight"),
         F.expr("(10000 * m) DIV tot").alias("docs_per_10k"),
     )
+
+
+@register(
+    "mlprep_dedup_aware_split",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), e AS (
+        SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM t
+    ), p AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               count(*) AS common, any_value(a.n) AS n1, any_value(b.n) AS n2
+        FROM e a JOIN e b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.2
+    ), edges AS (
+        SELECT doc1 AS u, doc2 AS v FROM p
+        UNION SELECT doc2, doc1 FROM p
+    ), reach AS (
+        SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u AS node, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ), cl AS (
+        SELECT node, CAST(min(r) AS BIGINT) AS rep FROM reach GROUP BY node
+    ), assigned AS (
+        SELECT d.doc_id, CAST(coalesce(cl.rep, d.doc_id) AS BIGINT) AS rep
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+    )
+    SELECT doc_id, rep,
+           CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'valid' ELSE 'test' END
+             AS split
+    FROM (
+      SELECT doc_id, rep,
+             CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10 AS b
+      FROM assigned
+    ) s
+    """,
+)
+def mlprep_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: every near-duplicate CLUSTER
+    moves as a unit (the split key is the cluster's canonical min-id
+    representative, singletons key on themselves), so no near-dup pair
+    can straddle train and eval — the contamination mode a plain
+    per-document hash split cannot prevent. Composes the >= 0.2 Jaccard
+    connected components (min-label propagation, the oracle replays the
+    declarative recursive fixpoint) with the md5-bucket 80/10/10 idiom
+    ON THE REPRESENTATIVE. Shape: the pair pipeline dominates (banded,
+    never all-pairs); the split itself is one broadcast-able cluster-map
+    join plus stateless hashing."""
+    from hw_kafka_flink_health_spark.operators.dedup import connected_components
+    from hw_kafka_flink_health_spark.queries.text import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    cl = connected_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("rep"),
+    )
+    assigned = docs.select("doc_id").join(cl, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("rep"), F.col("doc_id")).cast("long").alias("rep")
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("rep").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return assigned.select(
+        "doc_id",
+        "rep",
+        F.when(b < 8, "train").when(b < 9, "valid").otherwise("test").alias("split"),
+    )

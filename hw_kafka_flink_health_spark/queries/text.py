@@ -2671,3 +2671,37 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("hapax_ratio"),
     )
+
+
+@register(
+    "dedup_source_overlap_matrix",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT source, md5(text) AS h
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_hashes
+    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix: for every source
+    pair, how many distinct content hashes they share — the corpus-
+    governance readout that tells you which feeds are re-crawling the
+    same material (and where cross-source dedup will shrink the mix).
+    Shape: one (source, md5) distinct reduction, then a self-equi-join
+    on the hash key — co-partitioned, output bounded by |sources|^2;
+    the classic all-pairs-of-documents trap never appears because the
+    join key is the content hash, not the document."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h = docs.select("source", F.md5("text").alias("h")).distinct()
+    a = h.select(F.col("source").alias("source_a"), "h")
+    b = h.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_hashes"))
+    )

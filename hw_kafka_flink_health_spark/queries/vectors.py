@@ -854,3 +854,76 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_q"),
         )
     )
+
+
+@register(
+    "embedding_power_iteration",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), pe AS (
+      SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM q
+    ), cm AS (
+      SELECT a.pos AS d, b.pos AS e, CAST(sum(a.v * b.v) AS BIGINT) AS c
+      FROM pe a JOIN pe b ON a.vec_id = b.vec_id
+      GROUP BY a.pos, b.pos
+    ), v1 AS (
+      SELECT d AS e, c AS x FROM cm WHERE e = 1
+    ), v2 AS (
+      SELECT cm.d, CAST(sum(cm.c * v1.x) AS BIGINT) AS y
+      FROM cm JOIN v1 ON cm.e = v1.e
+      GROUP BY cm.d
+    )
+    SELECT v2.d AS pos, v1f.x AS v1, v2.y AS v2
+    FROM v2 JOIN (SELECT d AS pos, c AS x FROM cm WHERE e = 1) v1f
+      ON v2.d = v1f.pos
+    """,
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two EXACT power-iteration steps toward the top eigenvector of the
+    (uncentered) Gram matrix of the quantized embedding corpus: C = X'X
+    over floor(64x) integers via one (dim, dim) co-moment aggregate, v1 =
+    C e_1 (first column), v2 = C v1 — all BIGINT matrix algebra, so the
+    iterate that a distributed PCA/Lanczos pass would compute is
+    value-oracled with zero float slack (the normalization step is a
+    scalar the caller applies; magnitudes stay < 2^63 through ~1e5
+    vectors at 64 dims). Shape: the co-moment is ONE self-join on vec_id
+    exploded to (dim, dim) pairs — map-side combinable, output bounded
+    at dims^2 = 4096 rows — and both iteration steps run on that tiny
+    matrix; at 100 TB only the co-moment pass touches data, exactly how
+    tall-skinny distributed PCA works."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 64).cast("long")
+        ).alias("qv"),
+    )
+    pe = q.select("vec_id", F.posexplode("qv").alias("p0", "v")).select(
+        "vec_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "v"
+    )
+    a = pe.select("vec_id", F.col("pos").alias("d"), F.col("v").alias("va"))
+    b = pe.select("vec_id", F.col("pos").alias("e"), F.col("v").alias("vb"))
+    cm = (
+        a.join(b, "vec_id")
+        .groupBy("d", "e")
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("c"))
+    )
+    cm = cm.localCheckpoint()  # consumed by v1 (twice) and v2
+    v1 = cm.filter(F.col("e") == 1).select(F.col("d").alias("e"), F.col("c").alias("x"))
+    v2 = (
+        cm.join(F.broadcast(v1), "e")
+        .groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("x")).cast("long").alias("y"))
+    )
+    v1f = cm.filter(F.col("e") == 1).select(
+        F.col("d").alias("pos"), F.col("c").alias("x")
+    )
+    return v2.join(v1f, v2["d"] == v1f["pos"]).select(
+        "pos", F.col("x").alias("v1"), F.col("y").alias("v2")
+    )

@@ -97,6 +97,11 @@ RECENT = [
     "eval_brier_score",
     "stats_runs_test",
     "stats_friedman_test",
+    "growth_accounting_weekly",
+    "dedup_source_overlap_matrix",
+    "orders_bullwhip_ratio",
+    "embedding_power_iteration",
+    "mlprep_dedup_aware_split",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
