@@ -265,6 +265,9 @@ HEADLINE = [
     "orders_bullwhip_ratio",
     "embedding_power_iteration",
     "mlprep_dedup_aware_split",
+    "skyline_suppliers_2d",
+    "events_boxplot_tukey",
+    "rfm_segment_migration",
 ]
 
 

@@ -2165,3 +2165,152 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("churned"),
         ).alias("quick_ratio"),
     )
+
+
+@register(
+    "events_boxplot_tukey",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS x
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), q AS (
+      SELECT event_type,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS BIGINT) AS q1,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS q2,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY x) AS BIGINT) AS q3,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY event_type
+    )
+    SELECT q.event_type, q.n, q.q1, q.q2, q.q3,
+           q.q3 - q.q1 AS iqr,
+           CAST(sum(CASE WHEN v.x < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_outliers,
+           CAST(sum(CASE WHEN v.x > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_outliers
+    FROM q JOIN v ON q.event_type = v.event_type
+    GROUP BY q.event_type, q.n, q.q1, q.q2, q.q3
+    """,
+)
+def events_boxplot_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-plot statistics with Tukey fences per event type: exact
+    discrete quartiles (percentile_disc over integer milli-units picks
+    identical elements in both engines), the IQR, and the count of
+    points beyond the 1.5-IQR fences — the screening profile a data-
+    quality dashboard renders per column. The fences are doubles but
+    compare against exact integers (fixed IEEE ops on identical
+    operands). Shape: one quartile aggregate per group, one broadcast
+    join back for the fence counts; the second pass shares the
+    event_type partitioning. At 100 TB percentile_disc per group would
+    swap to the distinct-value cumulative rank idiom (exact_quantiles)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("x")
+    )
+    q = v.groupBy("event_type").agg(
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS BIGINT)").alias("q1"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT)").alias("q2"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY x) AS BIGINT)").alias("q3"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        v.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1", "q2", "q3")
+        .agg(
+            F.sum(F.when(F.col("x") < lo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(F.col("x") > hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "q1",
+            "q2",
+            "q3",
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )
+
+
+@register(
+    "rfm_segment_migration",
+    oracle="""
+    WITH p1 AS (
+      SELECT user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND CAST(ts AS DATE) < DATE '2024-01-16'
+      GROUP BY user_id
+    ), p2 AS (
+      SELECT user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND CAST(ts AS DATE) >= DATE '2024-01-16'
+      GROUP BY user_id
+    ), s1 AS (
+      SELECT user_id,
+             CAST(ntile(4) OVER (ORDER BY m DESC, user_id) AS BIGINT) AS seg
+      FROM p1
+    ), s2 AS (
+      SELECT user_id,
+             CAST(ntile(4) OVER (ORDER BY m DESC, user_id) AS BIGINT) AS seg
+      FROM p2
+    )
+    SELECT CAST(coalesce(s1.seg, 0) AS BIGINT) AS seg_from,
+           CAST(coalesce(s2.seg, 0) AS BIGINT) AS seg_to,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    GROUP BY 1, 2
+    """,
+)
+def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value segment migration matrix: spend-quartile segment in
+    the first half of the observation window vs the second (segment 0 =
+    absent that period) — the retention-marketing flow diagram behind
+    'how many VIPs lapsed'. Quartiles are ntile(4) over exact integer
+    cents with user_id-pinned boundaries; the matrix is a FULL OUTER
+    join of the two segment maps (exercising the outer-join null-key
+    path) aggregated to at most 25 cells. Shape: two filtered aggregates
+    + two small ordered passes + one user-keyed outer join."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    pivot = F.lit("2024-01-16").cast("date")
+
+    def seg(df):
+        return df.select(
+            "user_id",
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("m"), "user_id"))
+            .cast("long")
+            .alias("seg"),
+        )
+
+    p1 = (
+        ev.filter(F.to_date("ts") < pivot)
+        .groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("m"))
+    )
+    p2 = (
+        ev.filter(F.to_date("ts") >= pivot)
+        .groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("m"))
+    )
+    s1 = seg(p1).select("user_id", F.col("seg").alias("seg_from"))
+    s2 = seg(p2).select("user_id", F.col("seg").alias("seg_to"))
+    return (
+        s1.join(s2, "user_id", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("seg_from"), F.lit(0)).cast("long").alias("seg_from"),
+            F.coalesce(F.col("seg_to"), F.lit(0)).cast("long").alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

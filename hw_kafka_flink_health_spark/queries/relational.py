@@ -1914,3 +1914,75 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cb.crossJoin(F.broadcast(nb)).filter(
         F.col("brands_bought") == F.col("n_brands")
     ).select("o_custkey", "brands_bought", "n_items")
+
+
+@register(
+    "skyline_suppliers_2d",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                             AS BIGINT) AS y
+      FROM lineitem GROUP BY l_suppkey
+    ), pts0 AS (
+      SELECT s.s_suppkey,
+             CAST(floor(s.s_acctbal * 100) AS BIGINT) AS x,
+             CAST(coalesce(r.y, 0) AS BIGINT) AS y
+      FROM supplier s LEFT JOIN rev r ON s.s_suppkey = r.l_suppkey
+      WHERE s.s_acctbal IS NOT NULL
+    ), pts AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(min(s_suppkey) AS BIGINT) AS exemplar
+      FROM pts0 GROUP BY x, y
+    ), swept AS (
+      SELECT x, y, n_suppliers, exemplar,
+             max(y) OVER (ORDER BY x DESC, y DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_y
+      FROM pts
+    )
+    SELECT x AS acctbal_cents, y AS revenue_cents, n_suppliers, exemplar
+    FROM swept WHERE prev_max_y IS NULL OR y > prev_max_y
+    """,
+)
+def skyline_suppliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto-frontier) operator: the suppliers not
+    strictly dominated on (account balance, lifetime revenue) — the
+    classic 'skyline query' from the DB literature, solved by the exact
+    single-pass sweep: reduce to DISTINCT (x, y) points, sort by x DESC
+    then y DESC, and keep a point iff its y strictly exceeds the running
+    max of all preceding (higher-x) points. Distinct-point reduction
+    first makes coincident points (ties fixture) correctly mutual-non-
+    dominating survivors and bounds the ordered pass at |distinct
+    points|, not |suppliers| — the standard scale posture; coordinates
+    are exact integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    pts0 = (
+        sup.filter(F.col("s_acctbal").isNotNull())
+        .join(rev, sup["s_suppkey"] == rev["l_suppkey"], "left")
+        .select(
+            "s_suppkey",
+            F.floor(F.col("s_acctbal") * 100).cast("long").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    pts = pts0.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.min("s_suppkey").cast("long").alias("exemplar"),
+    )
+    wsweep = Window.orderBy(F.desc("x"), F.desc("y")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = pts.withColumn("prev_max_y", F.max("y").over(wsweep))
+    return swept.filter(
+        F.col("prev_max_y").isNull() | (F.col("y") > F.col("prev_max_y"))
+    ).select(
+        F.col("x").alias("acctbal_cents"),
+        F.col("y").alias("revenue_cents"),
+        "n_suppliers",
+        "exemplar",
+    )

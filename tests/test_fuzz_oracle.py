@@ -102,6 +102,9 @@ RECENT = [
     "orders_bullwhip_ratio",
     "embedding_power_iteration",
     "mlprep_dedup_aware_split",
+    "skyline_suppliers_2d",
+    "events_boxplot_tukey",
+    "rfm_segment_migration",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
