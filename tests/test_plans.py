@@ -567,16 +567,24 @@ def test_recursive_hierarchy_joins_after_recursion(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # final groupBy only
 
 
-def test_poisson_bootstrap_explode_feeds_partial_agg(spark):
+def test_poisson_bootstrap_reuses_one_replicate_pass(spark):
+    # Since the scan-reuse fix (030959e) the explode+partial-aggregate
+    # pass is localCheckpointed: the replicate-counter table materializes
+    # ONCE and both consumers (CI aggregate, b=-1 point estimate) read
+    # the checkpoint. The final plan must therefore show checkpoint
+    # scans and NO re-planned explode — a Generate here would mean each
+    # consumer re-runs the B-replicate pass over the fact table.
     plan = plan_of(spark, "stats_poisson_bootstrap_ci")
-    # the B-replicate explode must be consumed by MAP-SIDE partial
-    # aggregation: no exchange between Generate and partial_sum — the
-    # only replicate-keyed shuffle carries B counter rows per partition,
-    # never the exploded relation itself
-    seg = plan[plan.index("partial_sum") : plan.index("Generate explode")]
-    assert "Exchange" not in seg, seg
-    # two exchanges total: replicate counters (b) + the 1-row final agg
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "Generate" not in plan and "FileScan" not in plan, plan
+    # the 1-row point estimate broadcasts into the replicate stream; the
+    # only exchange is the final tiny CI aggregate
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the explode -> map-side partial invariant itself is pinned upstream:
+    # the checkpointed subtree is built from explode(sequence(-1, B-1))
+    # feeding one groupBy (queries/resampling.py), and the value oracle +
+    # tests/test_resampling.py replay every replicate exactly
 
 
 def test_funnel_time_to_convert_shares_user_exchange(spark):
