@@ -59,24 +59,18 @@ def _poisson_weight_sql(u: str) -> str:
     return f"CASE {branches} ELSE 8 END"
 
 
-def _md5_unit_duck(key: str) -> str:
-    """DuckDB rendering of the md5-unit uniform draw in [0,1)."""
-    return (
-        f"CAST(concat('0x', substr(md5({key}), 1, 8)) AS BIGINT) / 4294967296.0"
-    )
+# One md5 digest is 32 hex chars = FOUR independent 8-hex (32-bit) draws.
+# Replicate b therefore reads slice (b % 4) of md5(key:(b DIV 4)) — 4x
+# fewer md5 evaluations for the same number of replicates, with the same
+# engine portability (both engines slice the identical digest). The
+# hashlib replay in tests/test_resampling.py mirrors the slicing; the
+# slice expressions are written inline at each use (the column `h` holds
+# the already-computed digest, `s` the slice index 0..3).
 
-
-def _md5_unit_spark(key: str) -> str:
-    """Spark rendering of the SAME draw (conv() — Spark rejects 0x-string
-    casts). Both produce the identical 32-bit integer / 2^32 double."""
-    return (
-        f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS DOUBLE)"
-        " / 4294967296.0"
-    )
-
-
-_BOOT_KEY = "concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING), ':boot')"
-_BOOT_KEY_DUCK = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':boot'"
+_BOOT_KEY_G = "concat(CAST(o_orderkey AS STRING), ':', CAST(g AS STRING), ':boot')"
+_BOOT_KEY_G_DUCK = (
+    "CAST(o_orderkey AS VARCHAR) || ':' || CAST(g AS VARCHAR) || ':boot'"
+)
 
 
 @register(
@@ -85,16 +79,22 @@ _BOOT_KEY_DUCK = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':
     WITH cents AS (
       SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
       FROM orders
-    ), rep AS (
-      SELECT b,
-             sum(w * c) AS wc, sum(w) AS wn
+    ), hs AS (
+      SELECT c, gg.g AS g, md5({_BOOT_KEY_G_DUCK}) AS h
+      FROM cents CROSS JOIN range(0, {_B_BOOT // 4}) gg(g)
+    ), draws AS (
+      SELECT c, b, { _poisson_weight_sql("u") } AS w
       FROM (
-        SELECT c, t.b,
-               CASE WHEN t.b = -1 THEN 1
-                    ELSE { _poisson_weight_sql(_md5_unit_duck(_BOOT_KEY_DUCK)) }
-               END AS w
-        FROM cents CROSS JOIN range(-1, {_B_BOOT}) t(b)
-      ) z
+        SELECT c, CAST(4 * g + ss.s AS BIGINT) AS b,
+               CAST(concat('0x', substr(h, CAST(1 + 8 * ss.s AS INTEGER), 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM hs CROSS JOIN range(0, 4) ss(s)
+      ) uu
+      UNION ALL
+      SELECT c, CAST(-1 AS BIGINT) AS b, 1 AS w FROM cents
+    ), rep AS (
+      SELECT b, sum(w * c) AS wc, sum(w) AS wn
+      FROM draws
       GROUP BY b
     ), means AS (
       SELECT b, wc / (100.0 * wn) AS m FROM rep WHERE b >= 0 AND wn > 0
@@ -132,23 +132,47 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile/stddev inputs are bitwise-identical doubles and the CI is
     value-hash-checked, not tolerance-checked."""
     orders = load_table(spark, sf_dir, "orders")
+    # the B-replicate generate stage multiplies each input row ~B/4
+    # times; a small parquet (1-2 scan partitions) would otherwise pin
+    # that whole expansion to 1-2 cores. One cheap round-robin shuffle of
+    # the 2-column projection spreads the generator across the cluster —
+    # at real scale the scan already has enough partitions and this
+    # repartition is a near-no-op rebalance.
     cents = orders.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     # b = -1 is a pseudo-replicate with unit weights: it yields the plain
-    # sample mean from the SAME exploded pass, so the whole query is ONE
-    # scan of orders (a separate point-estimate aggregate would plan a
-    # second scan — Catalyst does not share unmaterialized subplans)
-    exploded = cents.select(
+    # sample mean from the SAME pass, so the whole query is ONE logical
+    # scan of orders (the union branches both read the cents projection).
+    # The md5 runs once per (row, g) 4-replicate GROUP, then each of the
+    # four 8-hex slices becomes one replicate's draw.
+    hs = cents.select(
         "o_orderkey",
         "c",
-        F.explode(F.sequence(F.lit(-1), F.lit(_B_BOOT - 1))).alias("b"),
-    ).withColumn(
-        "w",
-        F.when(F.col("b") == -1, F.lit(1)).otherwise(
-            F.expr(_poisson_weight_sql(_md5_unit_spark(_BOOT_KEY)))
-        ),
+        F.explode(F.sequence(F.lit(0), F.lit(_B_BOOT // 4 - 1))).alias("g"),
+    ).withColumn("h", F.expr(f"md5({_BOOT_KEY_G})"))
+    draws = (
+        hs.select(
+            "c", "h", F.col("g"), F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
+        )
+        .select(
+            "c",
+            (4 * F.col("g") + F.col("s")).cast("long").alias("b"),
+            # u staged as its own column: the Poisson CASE references it 8
+            # times, and a staged column guarantees ONE conv/substring per
+            # row regardless of codegen subexpression-elimination behavior
+            F.expr(
+                "CAST(conv(substring(h, CAST(1 + 8 * s AS INT), 8), 16, 10)"
+                " AS DOUBLE) / 4294967296.0"
+            ).alias("u"),
+        )
+        .select(
+            "c", "b", F.expr(_poisson_weight_sql("u")).alias("w")
+        )
+    )
+    exploded = draws.unionAll(
+        cents.select("c", F.lit(-1).cast("long").alias("b"), F.lit(1).alias("w"))
     )
     # rep is B+1 tiny rows with two consumers (replicate means + the
     # pseudo-replicate point estimate); localCheckpoint pins the single
@@ -189,8 +213,10 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URGENT = "1-URGENT"
 _LOW = "5-LOW"
-_PERM_KEY = "concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING), ':perm')"
-_PERM_KEY_DUCK = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':perm'"
+_PERM_KEY_G = "concat(CAST(o_orderkey AS STRING), ':', CAST(g AS STRING), ':perm')"
+_PERM_KEY_G_DUCK = (
+    "CAST(o_orderkey AS VARCHAR) || ':' || CAST(g AS VARCHAR) || ':perm'"
+)
 
 
 @register(
@@ -214,9 +240,13 @@ _PERM_KEY_DUCK = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':
              - sum(CASE WHEN u >= obs.p_a THEN c END)
                / nullif(100.0 * count(CASE WHEN u >= obs.p_a THEN 1 END), 0) AS d
       FROM (
-        SELECT c, t.b,
-               { _md5_unit_duck(_PERM_KEY_DUCK) } AS u
-        FROM base CROSS JOIN range({_B_PERM}) t(b)
+        SELECT c, CAST(4 * g + ss.s AS BIGINT) AS b,
+               CAST(concat('0x', substr(h, CAST(1 + 8 * ss.s AS INTEGER), 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM (
+          SELECT c, gg.g AS g, md5({_PERM_KEY_G_DUCK}) AS h
+          FROM base CROSS JOIN range(0, {_B_PERM // 4}) gg(g)
+        ) hs CROSS JOIN range(0, 4) ss(s)
       ) z CROSS JOIN obs
       GROUP BY b, obs.p_a
     )
@@ -252,12 +282,15 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the >= comparison against the observed difference is then
     exact, so n_extreme and the p-value are value-hash-checked."""
     orders = load_table(spark, sf_dir, "orders")
-    base = orders.filter(
-        F.col("o_orderpriority").isin(_URGENT, _LOW)
-    ).select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-        F.when(F.col("o_orderpriority") == _URGENT, 1).otherwise(0).alias("grp"),
+    base = (
+        orders.filter(F.col("o_orderpriority").isin(_URGENT, _LOW))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+            F.when(F.col("o_orderpriority") == _URGENT, 1).otherwise(0).alias("grp"),
+        )
+        # spread the B-replicate generate stage (see bootstrap note)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     g = F.col("grp")
     # obs is one row with THREE consumers (p_a into the exploded stream,
@@ -276,9 +309,18 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             "o_orderkey",
             "c",
-            F.explode(F.sequence(F.lit(0), F.lit(_B_PERM - 1))).alias("b"),
+            F.explode(F.sequence(F.lit(0), F.lit(_B_PERM // 4 - 1))).alias("g"),
         )
-        .withColumn("u", F.expr(_md5_unit_spark(_PERM_KEY)))
+        .withColumn("h", F.expr(f"md5({_PERM_KEY_G})"))
+        .select("c", "h", "g", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"))
+        .select(
+            "c",
+            (4 * F.col("g") + F.col("s")).cast("long").alias("b"),
+            F.expr(
+                "CAST(conv(substring(h, CAST(1 + 8 * s AS INT), 8), 16, 10)"
+                " AS DOUBLE) / 4294967296.0"
+            ).alias("u"),
+        )
         .crossJoin(F.broadcast(obs.select("p_a")))
     )
     in_a = F.col("u") < F.col("p_a")

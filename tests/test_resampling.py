@@ -33,6 +33,13 @@ def _unit(key: str) -> float:
     return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 4294967296.0
 
 
+def _unit4(key_g: str, s: int) -> float:
+    """Slice s (0..3) of one md5 digest — the 4-draws-per-hash scheme the
+    resampling queries use (replicate b reads slice b%4 of key:(b//4))."""
+    h = hashlib.md5(key_g.encode()).hexdigest()
+    return int(h[8 * s : 8 * s + 8], 16) / 4294967296.0
+
+
 def _poisson(u: float) -> int:
     for k, t in enumerate(_POISSON_CDF):
         if u < t:
@@ -56,7 +63,7 @@ def test_poisson_bootstrap_ci_matches_hashlib_replay(spark, orders_pd):
     for b in range(100):
         wc = wn = 0
         for k, c in zip(keys, cents):
-            w = _poisson(_unit(f"{k}:{b}:boot"))
+            w = _poisson(_unit4(f"{k}:{b // 4}:boot", b % 4))
             wc += w * int(c)
             wn += w
         if wn > 0:
@@ -91,7 +98,7 @@ def test_permutation_test_matches_hashlib_replay(spark, orders_pd):
     p_a = grp.sum() / len(sub)
     n_extreme = 0
     for b in range(200):
-        u = np.array([_unit(f"{k}:{b}:perm") for k in keys])
+        u = np.array([_unit4(f"{k}:{b // 4}:perm", b % 4) for k in keys])
         in_a = u < p_a
         if in_a.sum() == 0 or (~in_a).sum() == 0:
             continue
