@@ -67,9 +67,17 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(doc, sh) with tokens staged as a real column between selects —
-    avoids per-element re-evaluation of split() inside the shingle lambda."""
-    staged = df.select(
-        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
+    avoids per-element re-evaluation of split() inside the shingle lambda.
+    The projection is rebalanced only when the scan is under-partitioned
+    (a 1-2-partition small parquet would pin the downstream shingle
+    explode to 1-2 cores); well-partitioned inputs pass through with no
+    added shuffle."""
+    from hw_kafka_flink_health_spark.sources.files import rebalance_if_narrow
+
+    staged = rebalance_if_narrow(
+        df.select(
+            F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
+        )
     )
     return staged.select("doc", word_shingles(F.col("__toks"), n).alias("sh"))
 

@@ -385,6 +385,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts; at 100 TB the degree side co-partitions with the edge key."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # the distinct edge list feeds FOUR consumers (both union branches,
+    # both sides' degree lookups) — without materialization Catalyst
+    # re-runs the orders-lineitem join + distinct per consumer
+    # (subplans are not shared); the checkpointed list is O(edges),
+    # 2 columns
     e0 = (
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
@@ -392,6 +397,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
         )
         .distinct()
+        .localCheckpoint()
     )
     e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy(F.col("u").alias("node")).agg(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.queries._registry import register
-from hw_kafka_flink_health_spark.sources.files import load_table
+from hw_kafka_flink_health_spark.sources.files import load_table, rebalance_if_narrow
 
 _B_BOOT = 100
 _B_PERM = 200
@@ -134,14 +134,14 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     # the B-replicate generate stage multiplies each input row ~B/4
     # times; a small parquet (1-2 scan partitions) would otherwise pin
-    # that whole expansion to 1-2 cores. One cheap round-robin shuffle of
-    # the 2-column projection spreads the generator across the cluster —
-    # at real scale the scan already has enough partitions and this
-    # repartition is a near-no-op rebalance.
-    cents = orders.select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # that whole expansion to 1-2 cores — rebalance only in that case
+    # (well-partitioned real-scale scans pass through shuffle-free)
+    cents = rebalance_if_narrow(
+        orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+    )
     # b = -1 is a pseudo-replicate with unit weights: it yields the plain
     # sample mean from the SAME pass, so the whole query is ONE logical
     # scan of orders (the union branches both read the cents projection).
@@ -282,15 +282,12 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the >= comparison against the observed difference is then
     exact, so n_extreme and the p-value are value-hash-checked."""
     orders = load_table(spark, sf_dir, "orders")
-    base = (
-        orders.filter(F.col("o_orderpriority").isin(_URGENT, _LOW))
-        .select(
+    base = rebalance_if_narrow(
+        orders.filter(F.col("o_orderpriority").isin(_URGENT, _LOW)).select(
             "o_orderkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
             F.when(F.col("o_orderpriority") == _URGENT, 1).otherwise(0).alias("grp"),
         )
-        # spread the B-replicate generate stage (see bootstrap note)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     g = F.col("grp")
     # obs is one row with THREE consumers (p_a into the exploded stream,

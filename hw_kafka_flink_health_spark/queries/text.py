@@ -2112,6 +2112,9 @@ def text_cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB screen while pairwise variants need banding/caps."""
     from hw_kafka_flink_health_spark.operators.dedup import shingle_table
 
+    # shingle_table rebalances under-partitioned scans itself (both
+    # consumers of `grams` re-run the explode; a 1-partition scan would
+    # pin both to one core)
     docs = load_table(spark, sf_dir, "documents")
     grams = (
         shingle_table(docs, "text", "doc_id", 5)

@@ -48,6 +48,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the plan is under-partitioned.
+
+    Generator-heavy stages (explode over replicate ids / shingles) multiply
+    each input row tens-to-hundreds of times; a small parquet scans as 1-2
+    partitions and would pin that whole expansion to 1-2 cores. When the
+    scan already has >= defaultParallelism partitions (any real-scale
+    table), this returns the input UNCHANGED — no shuffle is ever added to
+    a well-partitioned plan, which matters because the rebalanced
+    projection may carry heavy columns (document text) that must not be
+    re-shuffled wholesale at 100 TB."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}
 
