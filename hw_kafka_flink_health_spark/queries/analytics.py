@@ -2314,3 +2314,60 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@register(
+    "revenue_yoy_same_month",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_part('year', CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+             CAST(date_part('month', CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT c.y, c.mo, c.cents AS rev_cents, p.cents AS prev_year_cents,
+           CASE WHEN p.cents > 0
+                THEN (CAST(c.cents AS DOUBLE) - p.cents) / p.cents END AS yoy_growth
+    FROM m c LEFT JOIN m p ON p.y = c.y - 1 AND p.mo = c.mo
+    """,
+)
+def revenue_yoy_same_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth by calendar month — the seasonal-
+    baseline comparison (this June vs last June) that a plain
+    month-over-month delta conflates with seasonality. Exact integer
+    cents; the self-join on (year-1, month) is the idiomatic seasonal
+    lag when the series may have gaps (a LAG(12) window would silently
+    compare against the wrong month across a gap). One month-grain
+    aggregate, then a tiny self-join; NULL growth where the base year is
+    absent or zero."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.year(F.to_date("o_orderdate")).cast("long").alias("y"),
+            F.month(F.to_date("o_orderdate")).cast("long").alias("mo"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    p = m.select(
+        (F.col("y") + 1).alias("y"), F.col("mo"), F.col("cents").alias("prev_year_cents")
+    )
+    return (
+        m.join(F.broadcast(p), ["y", "mo"], "left")
+        .select(
+            "y",
+            "mo",
+            F.col("cents").alias("rev_cents"),
+            "prev_year_cents",
+            F.when(
+                F.col("prev_year_cents") > 0,
+                (F.col("cents").cast("double") - F.col("prev_year_cents"))
+                / F.col("prev_year_cents"),
+            ).alias("yoy_growth"),
+        )
+    )

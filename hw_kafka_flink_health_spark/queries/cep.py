@@ -259,3 +259,74 @@ def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.filter(F.col("run_len") >= 3).select(
         "user_id", "run_len", "start_ms", "end_ms"
     )
+
+
+@register(
+    "events_process_conformance",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    ), allowed(f, t) AS (
+      VALUES ('signup', 'view'), ('signup', 'click'),
+             ('view', 'click'), ('view', 'view'), ('view', 'error'),
+             ('click', 'purchase'), ('click', 'view'), ('click', 'click'),
+             ('purchase', 'view'), ('error', 'view')
+    ), marked AS (
+      SELECT user_id, prev, event_type,
+             CASE WHEN a.f IS NULL THEN 1 ELSE 0 END AS violation
+      FROM seq LEFT JOIN allowed a ON seq.prev = a.f AND seq.event_type = a.t
+      WHERE prev IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(violation) AS BIGINT) AS n_violations,
+           CAST(sum(violation) AS DOUBLE) / count(*) AS violation_rate
+    FROM marked GROUP BY user_id
+    """,
+)
+def events_process_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance check: each user's event stream is
+    replayed against a declared transition whitelist (the reference
+    process model), and every observed consecutive transition outside the
+    model counts as a violation — the token-replay fitness readout of
+    conformance checking, reduced to one lag window plus a broadcast
+    anti-lookup against the tiny model table. Counts are exact BIGINTs,
+    the rate one division. Shape: one user-keyed window pass, one
+    broadcast join; per-user sequences replay independently at any
+    scale."""
+    allowed = spark.createDataFrame(
+        [
+            ("signup", "view"), ("signup", "click"),
+            ("view", "click"), ("view", "view"), ("view", "error"),
+            ("click", "purchase"), ("click", "view"), ("click", "click"),
+            ("purchase", "view"), ("error", "view"),
+        ],
+        ["f", "t"],
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    marked = seq.join(
+        F.broadcast(allowed),
+        (seq["prev"] == allowed["f"]) & (seq["event_type"] == allowed["t"]),
+        "left",
+    ).select(
+        "user_id", F.when(F.col("f").isNull(), 1).otherwise(0).alias("violation")
+    )
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum("violation").cast("long").alias("n_violations"),
+        (F.sum("violation").cast("double") / F.count(F.lit(1))).alias(
+            "violation_rate"
+        ),
+    )

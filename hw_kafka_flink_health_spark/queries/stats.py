@@ -2261,3 +2261,130 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 3.0 * F.col("n") * (F.col("k") + 1),
         ).alias("chi2"),
     )
+
+
+@register(
+    "stats_two_proportion_ztest",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                        '2pz')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+                  THEN 1 ELSE 0 END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), u AS (
+      SELECT arm, user_id, max(conv) AS converted FROM g GROUP BY arm, user_id
+    ), s AS (
+      SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS x2
+      FROM u
+    )
+    SELECT n1, x1, n2, x2,
+           CASE WHEN n1 > 0 THEN CAST(x1 AS DOUBLE) / n1 END AS p1,
+           CASE WHEN n2 > 0 THEN CAST(x2 AS DOUBLE) / n2 END AS p2,
+           CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2
+                THEN (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                     / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                            * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                            * (1.0 / n1 + 1.0 / n2))
+                END AS z
+    FROM s
+    """,
+)
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on user-level conversion (md5-unit
+    50/50 arm assignment, conversion = any purchase event) — the
+    workhorse A/B significance readout next to the CUPED/mSPRT/DiD
+    family. All counts are exact BIGINTs; the pooled-variance z is a
+    fixed IEEE chain, NULL-guarded for empty arms and degenerate all/none
+    conversion. Shape: one (arm, user) collapse, one 4-cell conditional
+    rollup, scalar algebra on one row."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
+
+    g = ev.select(
+        (hash_unit(F.col("user_id"), "2pz") < 0.5).cast("int").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+        "user_id",
+    )
+    u = g.groupBy("arm", "user_id").agg(F.max("conv").alias("converted"))
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    n1, x1, n2, x2 = F.col("n1"), F.col("x1"), F.col("n2"), F.col("x2")
+    pp = (x1 + x2).cast("double") / (n1 + n2)
+    return s.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.when(n1 > 0, x1.cast("double") / n1).alias("p1"),
+        F.when(n2 > 0, x2.cast("double") / n2).alias("p2"),
+        F.when(
+            (n1 > 0) & (n2 > 0) & (x1 + x2 > 0) & (x1 + x2 < n1 + n2),
+            (x1.cast("double") / n1 - x2.cast("double") / n2)
+            / F.sqrt(
+                pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+            ),
+        ).alias("z"),
+    )
+
+
+@register(
+    "orders_interpurchase_percentiles",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders WHERE o_orderdate IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p25,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p50,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p75,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) AS BIGINT) AS p90
+    FROM seq WHERE gap IS NOT NULL
+    """,
+)
+def orders_interpurchase_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: exact discrete quartiles +
+    p90 of the day gaps between each customer's consecutive orders — the
+    repurchase-cycle profile behind churn-window and CLV assumptions.
+    Gaps come from one per-customer lag window (orderkey tie-break pins
+    same-day sequences); percentile_disc over integer day counts picks
+    identical elements in both engines. Shape: one customer-keyed window
+    pass, one global quantile aggregate (which at 100 TB would move to
+    the distinct-value cumulative rank idiom, the exact_quantiles
+    pattern)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.lag(F.to_date("o_orderdate")).over(w),
+            ).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap) AS BIGINT)").alias("p25"),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)").alias("p50"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT)").alias("p75"),
+        F.expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) AS BIGINT)").alias("p90"),
+    )

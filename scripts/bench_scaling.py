@@ -164,6 +164,10 @@ PROBES = [
     "skyline_suppliers_2d",
     "events_boxplot_tukey",
     "rfm_segment_migration",
+    "events_process_conformance",
+    "revenue_yoy_same_month",
+    "stats_two_proportion_ztest",
+    "orders_interpurchase_percentiles",
 ]
 
 

@@ -105,6 +105,10 @@ RECENT = [
     "skyline_suppliers_2d",
     "events_boxplot_tukey",
     "rfm_segment_migration",
+    "events_process_conformance",
+    "revenue_yoy_same_month",
+    "stats_two_proportion_ztest",
+    "orders_interpurchase_percentiles",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
