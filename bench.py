@@ -272,6 +272,7 @@ HEADLINE = [
     "revenue_yoy_same_month",
     "stats_two_proportion_ztest",
     "orders_interpurchase_percentiles",
+    "versioned_tag_read",
 ]
 
 

@@ -115,33 +115,27 @@ def _staged_rows(table_dir: str, files: list) -> int:
     )
 
 
-def _advance_pointer(table_dir: str, version: int) -> None:
-    """Move `_latest` forward to `version` unless it already points past
-    it — the pointer is MONOTONIC (without the check, a slow v5 writer
-    could rename over a v6 pointer and readers would time-travel
-    backwards). A spin lock file makes check+rename atomic; on a real
-    deployment this is the metastore/object-store CAS operation."""
+def _acquire_lock(lock: str) -> tuple[int, bytes]:
+    """Acquire a spin lock file; returns (fd, holder token).
+
+    A holder token makes release safe after a steal: release only removes
+    the lock while this token is still inside it, so a holder that stalls
+    past the 30 s staleness bound and gets stolen can never delete a
+    SUCCESSOR holder's fresh lock (which would let a third writer in).
+    Liveness: a crashed holder would otherwise deadlock every future
+    acquirer — a lock older than 30 s is abandoned and stolen by ATOMIC
+    RENAME, never a direct remove (rename succeeds for exactly one
+    stealer, so a loser can't delete a FRESH lock someone else just
+    re-acquired)."""
     import time as _time
 
-    lock = os.path.join(table_dir, "_latest.lock")
     token = uuid.uuid4().hex.encode()
     for _ in range(5000):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            # holder token: release only removes the lock while this token
-            # is still inside it, so a holder that stalls past the 30 s
-            # staleness bound and gets stolen can never delete a SUCCESSOR
-            # holder's fresh lock (which would let a third writer in).
             os.write(fd, token)
-            break
+            return fd, token
         except FileExistsError:
-            # liveness: a writer that crashed between acquire and release
-            # would otherwise deadlock every future commit. The critical
-            # section is two tiny file ops (ms), so a lock older than 30 s
-            # is abandoned — steal it by ATOMIC RENAME, never a direct
-            # remove: rename succeeds for exactly one stealer, so a loser
-            # can't delete a FRESH lock someone else just re-acquired
-            # (which would let two writers into the critical section).
             try:
                 if _time.time() - os.path.getmtime(lock) > 30.0:
                     corpse = lock + f".stale-{uuid.uuid4().hex}"
@@ -151,8 +145,34 @@ def _advance_pointer(table_dir: str, version: int) -> None:
             except FileNotFoundError:
                 continue  # holder just released (or another stealer won)
             _time.sleep(0.002)
-    else:
-        raise TimeoutError(f"could not acquire pointer lock in {table_dir}")
+    raise TimeoutError(f"could not acquire lock {lock}")
+
+
+def _release_lock(lock: str, fd: int, token: bytes) -> None:
+    """Release only if the lock still holds our token (see _acquire_lock).
+    The residual check→remove window only matters if THIS holder stalls
+    >30 s again inside it — the same bound the steal protocol accepts."""
+    os.close(fd)
+    try:
+        with open(lock, "rb") as lf:
+            still_mine = lf.read() == token
+    except FileNotFoundError:
+        still_mine = False
+    if still_mine:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass  # a stealer raced the check; the lock is theirs now
+
+
+def _advance_pointer(table_dir: str, version: int) -> None:
+    """Move `_latest` forward to `version` unless it already points past
+    it — the pointer is MONOTONIC (without the check, a slow v5 writer
+    could rename over a v6 pointer and readers would time-travel
+    backwards). A spin lock file makes check+rename atomic; on a real
+    deployment this is the metastore/object-store CAS operation."""
+    lock = os.path.join(table_dir, "_latest.lock")
+    fd, token = _acquire_lock(lock)
     try:
         cur = current_version(table_dir)
         if cur is None or cur < version:
@@ -161,22 +181,7 @@ def _advance_pointer(table_dir: str, version: int) -> None:
                 f.write(str(version))
             os.rename(tmp, _latest_pointer(table_dir))
     finally:
-        os.close(fd)
-        # ownership check before release: after a steal the path either no
-        # longer exists (stealer renamed it away) or holds the successor's
-        # token — both mean the lock is not ours to remove. The residual
-        # check→remove window only matters if THIS holder stalls >30 s again
-        # inside it, the same bound the steal protocol already accepts.
-        try:
-            with open(lock, "rb") as lf:
-                still_mine = lf.read() == token
-        except FileNotFoundError:
-            still_mine = False
-        if still_mine:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass  # a stealer raced the check; the lock is theirs now
+        _release_lock(lock, fd, token)
 
 
 def _latest_pointer(table_dir: str) -> str:
@@ -287,16 +292,89 @@ def commit_snapshot(
         raise
 
 
+def _tags_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_tags.json")
+
+
+def list_tags(table_dir: str) -> dict:
+    """name -> version map of all tags (empty if none created yet)."""
+    try:
+        with open(_tags_path(table_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def create_tag(
+    table_dir: str, name: str, version: int | None = None, *, overwrite: bool = False
+) -> int:
+    """Pin a human-named TAG to a version (latest by default) — the
+    Iceberg/Delta named-snapshot primitive. Tagged versions are exempt
+    from vacuum retention: their manifests and data files survive any
+    keep_last window until the tag is deleted, so 'the corpus we trained
+    run X on' stays reproducible while ordinary history expires.
+    Concurrency: the tag map is rewritten atomically (tmp + rename)
+    under the same steal-safe lock protocol the pointer uses, so two
+    taggers can never lose each other's update."""
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if not os.path.exists(_manifest_path(table_dir, v)):
+        raise FileNotFoundError(f"version {v} has no manifest in {table_dir}")
+    lock = os.path.join(table_dir, "_tags.lock")
+    fd, token = _acquire_lock(lock)
+    try:
+        tags = list_tags(table_dir)
+        if name in tags and not overwrite:
+            raise ValueError(f"tag {name!r} already exists (-> v{tags[name]})")
+        tags[name] = v
+        tmp = _tags_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.rename(tmp, _tags_path(table_dir))
+    finally:
+        _release_lock(lock, fd, token)
+    return v
+
+
+def delete_tag(table_dir: str, name: str) -> None:
+    """Drop a tag; its version re-enters ordinary vacuum retention."""
+    lock = os.path.join(table_dir, "_tags.lock")
+    fd, token = _acquire_lock(lock)
+    try:
+        tags = list_tags(table_dir)
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} in {table_dir}")
+        del tags[name]
+        tmp = _tags_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.rename(tmp, _tags_path(table_dir))
+    finally:
+        _release_lock(lock, fd, token)
+
+
 def read_snapshot(
-    spark: SparkSession, table_dir: str, *, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot (latest by default; any retained version by
-    number — time travel). The manifest's file list is resolved ONCE at
-    plan time, so the DataFrame is immutable under concurrent commits.
-    mergeSchema is always on: an appended version may mix files written
-    under an older, narrower schema with newer wide ones (schema
-    evolution) — old files surface the new columns as NULL, and a
-    version pinned BEFORE the evolution never sees them at all."""
+    number — time travel; or by TAG name). The manifest's file list is
+    resolved ONCE at plan time, so the DataFrame is immutable under
+    concurrent commits. mergeSchema is always on: an appended version may
+    mix files written under an older, narrower schema with newer wide
+    ones (schema evolution) — old files surface the new columns as NULL,
+    and a version pinned BEFORE the evolution never sees them at all."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        tags = list_tags(table_dir)
+        if tag not in tags:
+            raise KeyError(f"no tag {tag!r} in {table_dir}")
+        version = tags[tag]
     v = current_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
@@ -360,6 +438,10 @@ def vacuum(
     #   distinguishable from never-referenced (possibly mid-publish)
     #   files, which get the orphan-TTL guard below.
     retain_floor = max(0, latest - keep_last + 1)
+    # tagged versions are pinned OUTSIDE the keep_last window: a tag is a
+    # named promise of reproducibility, so its manifest and files survive
+    # any retention setting until the tag itself is deleted
+    tagged = set(list_tags(table_dir).values())
     keep_versions = []
     keep_files: set[str] = set()
     referenced_any: set[str] = set()
@@ -373,12 +455,12 @@ def vacuum(
         except FileNotFoundError:
             continue
         except ValueError:
-            if retain_floor <= v <= latest:
+            if retain_floor <= v <= latest or v in tagged:
                 raise  # a corrupt RETAINED manifest is not vacuumable state
             continue
         refs = set(m["files"]) | set(m.get("dv", []))
         referenced_any.update(refs)
-        if v >= retain_floor:
+        if v >= retain_floor or v in tagged:
             keep_files.update(refs)
             keep_versions.append(v)
     deleted = []

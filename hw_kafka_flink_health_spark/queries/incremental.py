@@ -840,3 +840,51 @@ def versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents"),
     )
+
+
+@register(
+    "versioned_tag_read",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY 1
+    """,
+)
+def versioned_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-snapshot TAGS end to end (`operators/versioned.py:create_tag`):
+    v0 commits the training corpus and gets tagged 'train-run-1'; two
+    overwrites later, a keep_last=1 vacuum expires all untagged history —
+    but the tag pins v0's manifest and files outside the retention
+    window, so the read-by-tag still reproduces the exact corpus that
+    run trained on (the Iceberg/Delta named-snapshot reproducibility
+    contract). The oracle replays v0's logical content independently
+    from the source table, so a vacuum that sweeps a tagged file, a tag
+    resolving to the wrong version, or a read that sees newer data all
+    break the value hash."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        create_tag,
+        read_snapshot,
+        scratch_table_dir,
+        vacuum,
+    )
+
+    table_dir = scratch_table_dir("spark_graft_versioned_tag_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 3 == 0), table_dir)  # v0
+    create_tag(table_dir, "train-run-1")
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 3 == 1), table_dir)  # v1
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 3 == 2), table_dir)  # v2
+    vacuum(table_dir, keep_last=1, orphan_ttl_seconds=0.0)
+    pinned = read_snapshot(spark, table_dir, tag="train-run-1")
+    return pinned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )

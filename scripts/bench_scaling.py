@@ -168,6 +168,7 @@ PROBES = [
     "revenue_yoy_same_month",
     "stats_two_proportion_ztest",
     "orders_interpurchase_percentiles",
+    "versioned_tag_read",
 ]
 
 

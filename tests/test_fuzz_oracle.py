@@ -109,6 +109,7 @@ RECENT = [
     "revenue_yoy_same_month",
     "stats_two_proportion_ztest",
     "orders_interpurchase_percentiles",
+    "versioned_tag_read",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",

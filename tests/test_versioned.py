@@ -1084,3 +1084,52 @@ def test_restore_carries_batch_id_and_pruning_stats(spark, tmp_path):
     # so a checkpoint replay of batch 7 is still structurally skipped
     restore_snapshot(t, 1)
     assert last_committed_batch(t) == 7
+
+
+def test_tag_pins_version_against_vacuum(spark, tmp_path):
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        create_tag,
+        delete_tag,
+        list_tags,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.range(4).selectExpr("id"), t)  # v0
+    create_tag(t, "train-run-1")  # pins v0 (latest at tag time)
+    commit_snapshot(spark.range(10, 13).selectExpr("id"), t)  # v1
+    commit_snapshot(spark.range(20, 22).selectExpr("id"), t)  # v2
+    assert list_tags(t) == {"train-run-1": 0}
+
+    # retention would drop v0 and v1; the tag must keep v0 whole
+    vacuum(t, keep_last=1, orphan_ttl_seconds=0.0)
+    assert os.path.exists(os.path.join(t, "manifest-v0.json"))
+    assert not os.path.exists(os.path.join(t, "manifest-v1.json"))
+    assert {r.id for r in read_snapshot(spark, t, tag="train-run-1").collect()} == {
+        0, 1, 2, 3,
+    }
+    # latest is untouched
+    assert {r.id for r in read_snapshot(spark, t).collect()} == {20, 21}
+
+    # dropping the tag re-enters ordinary retention
+    delete_tag(t, "train-run-1")
+    vacuum(t, keep_last=1, orphan_ttl_seconds=0.0)
+    assert not os.path.exists(os.path.join(t, "manifest-v0.json"))
+
+
+def test_tag_name_rules_and_overwrite(spark, tmp_path):
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import create_tag, list_tags
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.range(2).selectExpr("id"), t)  # v0
+    commit_snapshot(spark.range(3).selectExpr("id"), t)  # v1
+    create_tag(t, "baseline", version=0)
+    with pytest.raises(ValueError):  # duplicate without overwrite
+        create_tag(t, "baseline", version=1)
+    create_tag(t, "baseline", version=1, overwrite=True)
+    assert list_tags(t)["baseline"] == 1
+    with pytest.raises(FileNotFoundError):  # tagging a missing version
+        create_tag(t, "ghost", version=99)
+    with pytest.raises(KeyError):  # reading an unknown tag
+        read_snapshot(spark, t, tag="nope")
