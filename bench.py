@@ -273,6 +273,9 @@ HEADLINE = [
     "stats_two_proportion_ztest",
     "orders_interpurchase_percentiles",
     "versioned_tag_read",
+    "privacy_generalization_ladder",
+    "cohort_net_revenue_retention",
+    "stats_hill_tail_index",
 ]
 
 

@@ -2371,3 +2371,90 @@ def revenue_yoy_same_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yoy_growth"),
         )
     )
+
+
+@register(
+    "cohort_net_revenue_retention",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             min(CAST(date_part('year', CAST(o_orderdate AS DATE)) AS BIGINT))
+               AS cohort_y
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY o_custkey
+    ), rev AS (
+      SELECT o.o_custkey, f.cohort_y,
+             CAST(date_part('year', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS y,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+      WHERE o.o_orderdate IS NOT NULL
+    ), agg AS (
+      SELECT cohort_y,
+             CAST(sum(CASE WHEN y = cohort_y THEN cents ELSE 0 END) AS BIGINT)
+               AS base_cents,
+             CAST(sum(CASE WHEN y = cohort_y + 1 THEN cents ELSE 0 END) AS BIGINT)
+               AS next_cents,
+             CAST(count(DISTINCT CASE WHEN y = cohort_y THEN o_custkey END)
+                  AS BIGINT) AS base_customers,
+             CAST(count(DISTINCT CASE WHEN y = cohort_y + 1 THEN o_custkey END)
+                  AS BIGINT) AS retained_customers
+      FROM rev GROUP BY cohort_y
+    )
+    SELECT cohort_y, base_customers, retained_customers, base_cents, next_cents,
+           CASE WHEN base_cents > 0
+                THEN CAST(next_cents AS DOUBLE) / base_cents END AS nrr
+    FROM agg
+    """,
+)
+def cohort_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention by acquisition-year cohort: the revenue a
+    cohort's customers generate in their SECOND year divided by their
+    first-year revenue — the SaaS board metric that folds churn,
+    contraction, and expansion into one exact ratio (here on exact
+    integer cents, so the division is the only float op). Shape: one
+    first-touch aggregate, one customer-keyed join back (co-partitioned),
+    one cohort rollup with conditional sums — no windows; linear at any
+    scale."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    fo = orders.groupBy("o_custkey").agg(
+        F.min(F.year(F.to_date("o_orderdate")).cast("long")).alias("cohort_y")
+    )
+    rev = orders.join(fo, "o_custkey").select(
+        "o_custkey",
+        "cohort_y",
+        F.year(F.to_date("o_orderdate")).cast("long").alias("y"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    agg = rev.groupBy("cohort_y").agg(
+        F.sum(F.when(F.col("y") == F.col("cohort_y"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("base_cents"),
+        F.sum(
+            F.when(F.col("y") == F.col("cohort_y") + 1, F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("next_cents"),
+        F.countDistinct(
+            F.when(F.col("y") == F.col("cohort_y"), F.col("o_custkey"))
+        )
+        .cast("long")
+        .alias("base_customers"),
+        F.countDistinct(
+            F.when(F.col("y") == F.col("cohort_y") + 1, F.col("o_custkey"))
+        )
+        .cast("long")
+        .alias("retained_customers"),
+    )
+    return agg.select(
+        "cohort_y",
+        "base_customers",
+        "retained_customers",
+        "base_cents",
+        "next_cents",
+        F.when(
+            F.col("base_cents") > 0,
+            F.col("next_cents").cast("double") / F.col("base_cents"),
+        ).alias("nrr"),
+    )

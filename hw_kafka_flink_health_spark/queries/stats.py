@@ -2388,3 +2388,154 @@ def orders_interpurchase_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap) AS BIGINT)").alias("p75"),
         F.expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) AS BIGINT)").alias("p90"),
     )
+
+
+@register(
+    "privacy_generalization_ladder",
+    oracle="""
+    WITH l0 AS (
+      SELECT CAST(0 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS group_size
+      FROM events
+      GROUP BY event_type, date_trunc('hour', ts), CAST(floor(value / 50.0) AS BIGINT)
+    ), l1 AS (
+      SELECT CAST(1 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS group_size
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts), CAST(floor(value / 200.0) AS BIGINT)
+    ), l2 AS (
+      SELECT CAST(2 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS group_size
+      FROM events
+      GROUP BY event_type, CAST(floor(value / 1000.0) AS BIGINT)
+    ), all_l AS (
+      SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2
+    ), per AS (
+      SELECT level,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(group_size) AS BIGINT) AS min_group,
+             CAST(sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_k,
+             CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+                  AS BIGINT) AS rows_suppressed
+      FROM all_l GROUP BY level
+    ), pick AS (
+      SELECT min(level) AS chosen FROM per WHERE groups_below_k = 0
+    )
+    SELECT p.level, p.n_groups, p.min_group, p.groups_below_k, p.rows_suppressed,
+           CAST(CASE WHEN p.level = pick.chosen THEN 1 ELSE 0 END AS BIGINT)
+             AS chosen
+    FROM per p, pick
+    """,
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Samarati-style generalization ladder for k-anonymity: evaluate a
+    fixed 3-rung quasi-identifier coarsening (hour/50-band -> day/
+    200-band -> type-only/1000-band) and pick the LEAST general rung
+    whose every equivalence class reaches k=5 — the minimal-information-
+    loss release policy, with the suppression cost (rows in sub-k
+    groups) reported per rung. Exact integer counts throughout. Shape:
+    three hash aggregates over the same scan (each a different grouping
+    grain), a 3-row rollup, and a broadcast scalar pick."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def level(lvl, *keys):
+        return (
+            ev.groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+            .select(F.lit(lvl).cast("long").alias("level"), "group_size")
+        )
+
+    all_l = (
+        level(0, "event_type", F.date_trunc("hour", "ts"),
+              F.floor(F.col("value") / 50.0).cast("long"))
+        .unionAll(level(1, "event_type", F.date_trunc("day", "ts"),
+                        F.floor(F.col("value") / 200.0).cast("long")))
+        .unionAll(level(2, "event_type",
+                        F.floor(F.col("value") / 1000.0).cast("long")))
+    )
+    per = all_l.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("group_size").cast("long").alias("min_group"),
+        F.sum(F.when(F.col("group_size") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_k"),
+        F.sum(F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_suppressed"),
+    )
+    pick = per.filter(F.col("groups_below_k") == 0).agg(
+        F.min("level").alias("chosen_level")
+    )
+    return per.crossJoin(F.broadcast(pick)).select(
+        "level",
+        "n_groups",
+        "min_group",
+        "groups_below_k",
+        "rows_suppressed",
+        F.when(F.col("level") == F.col("chosen_level"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("chosen"),
+    )
+
+
+@register(
+    "stats_hill_tail_index",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ), top AS (
+      SELECT x, row_number() OVER (ORDER BY x DESC) AS rk
+      FROM c ORDER BY x DESC LIMIT 51
+    ), thr AS (
+      SELECT x AS xk FROM top WHERE rk = 51
+    ), hill AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             round(avg(ln(CAST(t.x AS DOUBLE) / thr.xk)), 6) AS hill_mean_log
+      FROM top t, thr WHERE t.rk <= 50
+    )
+    SELECT k, hill_mean_log,
+           CASE WHEN hill_mean_log > 0 THEN round(1.0 / hill_mean_log, 6) END
+             AS tail_index_alpha
+    FROM hill
+    """,
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of the events-per-user
+    distribution (k = 50 upper order statistics): mean log-excess over
+    the k+1-st largest count, inverted to alpha — the standard
+    heavy-tail diagnostic behind skew-aware partitioning decisions
+    (alpha < 2 means unbounded variance: plan for salting). Counts are
+    exact integers; each log takes an identical exact ratio in both
+    engines, and the 50-term mean is rounded at 1e-6 to absorb
+    summation-order ulp drift. Shape: one user aggregate, a distributed
+    top-51 (TakeOrdered), then scalar math on 51 rows. Below 51 users
+    the threshold set is empty and both engines agree on the degenerate
+    one-row (k=0, NULL) result."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    top = (
+        c.orderBy(F.desc("x"))
+        .limit(51)
+        .select(
+            "x", F.row_number().over(Window.orderBy(F.desc("x"))).alias("rk")
+        )
+    )
+    thr = top.filter(F.col("rk") == 51).select(F.col("x").alias("xk"))
+    hill = (
+        top.filter(F.col("rk") <= 50)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.round(
+                F.avg(F.log(F.col("x").cast("double") / F.col("xk"))), 6
+            ).alias("hill_mean_log"),
+        )
+    )
+    return hill.select(
+        "k",
+        "hill_mean_log",
+        F.when(
+            F.col("hill_mean_log") > 0, F.round(1.0 / F.col("hill_mean_log"), 6)
+        ).alias("tail_index_alpha"),
+    )

@@ -169,6 +169,9 @@ PROBES = [
     "stats_two_proportion_ztest",
     "orders_interpurchase_percentiles",
     "versioned_tag_read",
+    "privacy_generalization_ladder",
+    "cohort_net_revenue_retention",
+    "stats_hill_tail_index",
 ]
 
 

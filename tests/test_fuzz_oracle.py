@@ -110,6 +110,9 @@ RECENT = [
     "stats_two_proportion_ztest",
     "orders_interpurchase_percentiles",
     "versioned_tag_read",
+    "privacy_generalization_ladder",
+    "cohort_net_revenue_retention",
+    "stats_hill_tail_index",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
