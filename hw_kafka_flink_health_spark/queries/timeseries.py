@@ -1234,3 +1234,97 @@ def timeseries_ma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dev7").cast("double") / 7.0 - F.col("seasonal_cents"),
         ).alias("resid_cents"),
     )
+
+
+@register(
+    "events_error_mtbf",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ms
+      FROM events
+      WHERE event_type = 'error' AND user_id IS NOT NULL AND ts IS NOT NULL
+    ), g AS (
+      SELECT user_id,
+             ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS gap
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_ms,
+           CAST(max(gap) AS BIGINT) AS max_gap_ms,
+           CAST(sum(gap) AS DOUBLE) / count(gap) AS mtbf_ms
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_error_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean time between failures per user: exact epoch-ms gaps between
+    consecutive 'error' events (one per-user lag window), rolled up to
+    count/min/max/mean — the reliability-engineering readout (MTBF) over
+    the same stream the alerting pipeline watches. Gaps and their sums
+    are exact BIGINT ms; the mean is one division. Same-ms error pairs
+    yield legitimate 0 gaps. Shape: one user-keyed window pass over the
+    error subset (filter pushed to the scan), one aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    e = ev.select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms")
+    g = e.select(
+        "user_id", (F.col("ms") - F.lag("ms").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_ms"),
+        F.max("gap").cast("long").alias("max_gap_ms"),
+        (F.sum("gap").cast("double") / F.count("gap")).alias("mtbf_ms"),
+    )
+
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_part('month', CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS grand FROM m
+    )
+    SELECT mo, cents AS rev_cents,
+           CASE WHEN grand > 0
+                THEN 12.0 * cents / grand END AS seasonal_index
+    FROM m, tot
+    """,
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index: each month's all-years revenue
+    share scaled by 12, so 1.0 = a perfectly average month — the
+    classical multiplicative seasonal index a demand planner divides out
+    before trending. Exact integer cents with ONE division per month
+    (12.0*cents/grand — no per-year ratio averaging, so no float
+    accumulation at all). Shape: one month-grain aggregate, one 1-row
+    broadcast total."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.month(F.to_date("o_orderdate")).cast("long").alias("mo"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = m.agg(F.sum("cents").cast("long").alias("grand"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "mo",
+        F.col("cents").alias("rev_cents"),
+        F.when(
+            F.col("grand") > 0, F.lit(12.0) * F.col("cents") / F.col("grand")
+        ).alias("seasonal_index"),
+    )

@@ -172,6 +172,8 @@ PROBES = [
     "privacy_generalization_ladder",
     "cohort_net_revenue_retention",
     "stats_hill_tail_index",
+    "events_error_mtbf",
+    "orders_seasonality_index",
 ]
 
 

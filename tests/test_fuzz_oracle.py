@@ -113,6 +113,8 @@ RECENT = [
     "privacy_generalization_ladder",
     "cohort_net_revenue_retention",
     "stats_hill_tail_index",
+    "events_error_mtbf",
+    "orders_seasonality_index",
     # round-6 additions
     "basket_rules_lift",
     "mlprep_class_balance_weights",
