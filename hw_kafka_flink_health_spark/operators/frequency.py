@@ -107,6 +107,7 @@ def cms_build(
     depth: int = 4,
     width: int = 1024,
     hash: str = "xxhash64",
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """Count-min sketch over a key column: a (depth × width) counter table
     as a tiny DataFrame (seed, bucket, cnt) — the mergeable approximate
@@ -122,19 +123,33 @@ def cms_build(
     (`cms_merge` — exactly associative), so per-hour sketches roll up to
     per-day without touching rows again.
 
+    `weight`: optional per-row count. CMS is a LINEAR sketch, so building
+    from pre-aggregated (key, weight) pairs with `sum(weight)` is
+    bit-identical to building from the raw occurrences — and when the
+    caller already has (or also needs) per-key counts, this prices the
+    d hash computations per DISTINCT key instead of per occurrence. At
+    token scale that is the difference between hashing ~10^11 occurrences
+    and hashing ~10^7 vocabulary entries.
+
     Guarantee (standard CMS): estimate >= true count always; estimate <=
     true + eps*N with probability 1-delta for eps=e/width, delta=e^-depth.
     """
     kcol = F.col(key) if isinstance(key, str) else key
     hf = _seeded_hash(hash)
-    keyed = df.select(kcol.cast("string").alias("key")).filter(F.col("key").isNotNull())
+    if weight is None:
+        wcol = F.lit(1).cast("long")
+    else:
+        wcol = (F.col(weight) if isinstance(weight, str) else weight).cast("long")
+    keyed = df.select(
+        kcol.cast("string").alias("key"), wcol.alias("__w")
+    ).filter(F.col("key").isNotNull())
     buckets = F.array(
         *[(hf(F.col("key"), d) % width).cast("int") for d in range(depth)]
     )
     return (
-        keyed.select(F.posexplode(buckets).alias("seed", "bucket"))
+        keyed.select(F.posexplode(buckets).alias("seed", "bucket"), "__w")
         .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("__w").cast("long").alias("cnt"))
     )
 
 

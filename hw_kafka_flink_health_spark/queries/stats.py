@@ -619,23 +619,34 @@ def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Misra-Gries candidate prune — whose output legitimately depends on
     the physical partitioning — stays demonstrated and oracled in
     `heavy_hitter_tokens`. The xxhash64 tier remains the production
-    default (JVM codegen, no md5 cost)."""
+    default (JVM codegen, no md5 cost).
+
+    Plan shape (round-7 re-profile of the round-5 candidate-floor fix):
+    ONE token groupBy feeds both the sketch and the candidate set — CMS
+    is linear, so building from (token, count) pairs is bit-identical to
+    building from raw occurrences (`cms_build(weight=...)`), and the 4
+    md5 hashes price per DISTINCT token, not per occurrence. The counts
+    table is localCheckpoint'd because it has two consumers (Catalyst
+    does not share unmaterialized subplans)."""
     from hw_kafka_flink_health_spark.operators.frequency import (
         cms_build,
         cms_estimate,
     )
+    from hw_kafka_flink_health_spark.sources.files import rebalance_if_narrow
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_if_narrow(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
         F.col("tok") != ""
     )
-    sketch = cms_build(toks, "tok", depth=4, width=1024, hash="md5")
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    sketch = cms_build(counts, "tok", depth=4, width=1024, hash="md5", weight="c")
     MIN_FREQ = 64
-    candidates = (
-        toks.groupBy(F.col("tok").alias("key"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= MIN_FREQ)
-        .select("key")
+    candidates = counts.filter(F.col("c") >= MIN_FREQ).select(
+        F.col("tok").alias("key")
     )
     return (
         cms_estimate(sketch, candidates, depth=4, width=1024, hash="md5")

@@ -48,6 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Scan-partitioning probe cache for rebalance_if_narrow, keyed by the
+# scan's file list: df.rdd.getNumPartitions() compiles a fresh RDD
+# lineage for the whole plan on EVERY call (~0.3s of per-query planning
+# overhead measured at round 7), while the answer only depends on the
+# source files and the session's split settings. Narrow transforms
+# (select/filter) never change scan partitioning, so one probe per
+# distinct file set is exact for this helper's contract (below).
+_NARROW_PROBE_CACHE: dict[tuple[str, ...], int] = {}
+
+
 def rebalance_if_narrow(df: DataFrame) -> DataFrame:
     """Round-robin repartition ONLY when the plan is under-partitioned.
 
@@ -58,10 +68,24 @@ def rebalance_if_narrow(df: DataFrame) -> DataFrame:
     table), this returns the input UNCHANGED — no shuffle is ever added to
     a well-partitioned plan, which matters because the rebalanced
     projection may carry heavy columns (document text) that must not be
-    re-shuffled wholesale at 100 TB."""
+    re-shuffled wholesale at 100 TB.
+
+    Contract: pass a SCAN-ROOTED NARROW plan (projections/filters over one
+    file source, no joins/aggregates upstream) — every in-repo caller does.
+    The partition probe is cached per file set (see _NARROW_PROBE_CACHE);
+    a plan with no file source falls back to an uncached probe."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    n = _NARROW_PROBE_CACHE.get(files) if files else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if files:
+            _NARROW_PROBE_CACHE[files] = n
+    if n >= target:
         return df
     return df.repartition(target)
 
