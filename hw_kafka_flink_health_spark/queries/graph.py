@@ -316,28 +316,45 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # increasing order, so only LAST round's newly-reached nodes need to
     # join the edge list (identical min-hop answers to the oracle's
     # reached-set recursion — extra candidates there only ever produce
-    # larger dists that min() drops). Both per-round joins broadcast the
-    # small side (frontier; reached set), so the checkpointed edge table
-    # is probed in place and NEVER shuffles — at 100 TB that means one
-    # edge materialization total, rounds cost O(frontier) each.
+    # larger dists that min() drops). The FRONTIER join broadcasts the
+    # small side (frontiers shrink after the expansion peak), so the
+    # checkpointed edge table is probed in place and NEVER shuffles — at
+    # 100 TB that means one edge materialization total. The anti-join
+    # against the REACHED set is deliberately un-hinted: dist grows
+    # monotonically toward every reached node, and a forced broadcast
+    # there is a driver/executor OOM at real graph cardinalities (round-6
+    # verdict). AQE still picks broadcast while dist is small and falls
+    # back to a shuffled anti-join of two reached-set-bounded tables —
+    # the edge table is not involved either way (plan-asserted in
+    # tests/test_plans.py::test_bfs_edge_table_never_shuffles).
     dist = spark.createDataFrame(
         [(_BFS_SOURCE, 0)], "node string, dist int"
     ).localCheckpoint()
     frontier = dist
     for i in range(_BFS_ROUNDS):
-        hop = (
-            ed.join(F.broadcast(frontier), ed["src"] == frontier["node"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        new = hop.join(F.broadcast(dist), "node", "left_anti").select(
-            "node", F.lit(i + 1).alias("dist")
-        )
+        new = _bfs_round(ed, frontier, dist, i)
         frontier = new.localCheckpoint()
         # dist needs no checkpoint of its own: it is a union of already-
         # checkpointed frontiers, so its lineage stays 1 level deep
         dist = dist.unionByName(frontier)
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def _bfs_round(ed: DataFrame, frontier: DataFrame, dist: DataFrame, i: int) -> DataFrame:
+    """One BFS round: expand the frontier over the edge list, then keep
+    only nodes not yet reached. The frontier side is hint-broadcast (it
+    is the shrinking side); the reached-set anti-join is UN-hinted by
+    design — see graph_bfs_distance's plan commentary. Factored out so
+    tests/test_plans.py::test_bfs_round_plan_shape can assert the round's
+    physical plan on the exact production code path."""
+    hop = (
+        ed.join(F.broadcast(frontier), ed["src"] == frontier["node"])
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    return hop.join(dist, "node", "left_anti").select(
+        "node", F.lit(i + 1).alias("dist")
+    )
 
 
 @register(

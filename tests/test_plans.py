@@ -660,3 +660,51 @@ def test_kmeans_step_broadcasts_seeds_no_point_shuffle(spark):
     assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_bfs_round_plan_shape(spark):
+    """graph_bfs_distance round contract (round-6 verdict item 3): the
+    frontier join stays hint-broadcast with the checkpointed edge table
+    streamed in place (NO exchange on the edge side), while the
+    reached-set anti-join carries NO broadcast hint — dist grows toward
+    all reached nodes, and a forced broadcast there is an OOM at real
+    graph cardinalities. AQE may still CHOOSE broadcast while dist is
+    small; what must not happen is the plan forcing it."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.queries.graph import _bfs_round
+
+    ed = (
+        spark.range(1000)
+        .select(
+            (F.col("id") % 100).cast("string").alias("src"),
+            ((F.col("id") + 1) % 100).cast("string").alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    start = spark.createDataFrame([("1", 0)], "node string, dist int").localCheckpoint()
+    new = _bfs_round(ed, start, start, 0)
+    qe = new._jdf.queryExecution()
+    logical = qe.optimizedPlan().toString()
+    # frontier join: hinted broadcast on the frontier (right) side only
+    assert "rightHint=(strategy=broadcast)" in logical, logical
+    # reached-set anti-join: NO hint of any kind
+    anti = logical[logical.index("Join LeftAnti") :].splitlines()[0]
+    assert "Hint" not in anti and "hint" not in anti, anti
+    # edge table never shuffles: in the executed round plan, the streamed
+    # (first-child, ':-'-prefixed) subtree of the inner broadcast join
+    # reaches the edge RDD scan with no exchange in between
+    new.count()
+    executed = qe.executedPlan().toString()
+    lines = executed.splitlines()
+    (bhj_idx,) = [
+        i for i, l in enumerate(lines) if "BroadcastHashJoin" in l and "Inner" in l
+    ]
+    indent = lines[bhj_idx].index("BroadcastHashJoin")
+    streamed = []
+    for line in lines[bhj_idx + 1 :]:
+        if len(line) <= indent or line[indent] != ":":
+            break
+        streamed.append(line)
+    assert any("Scan ExistingRDD" in l for l in streamed), executed
+    assert not any("Exchange" in l for l in streamed), executed
