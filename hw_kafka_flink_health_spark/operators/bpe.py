@@ -142,8 +142,26 @@ def bpe_encode(
     (id_col, n_bpe_tokens, n_words). Arrow-batched mapInPandas with a
     per-batch word->len cache (natural corpora repeat words, so the
     data-dependent merge loop runs once per distinct word per batch);
-    the merge table rides the closure (KBs)."""
+    the merge table rides the closure (KBs).
+
+    Tokenization happens SPARK-SIDE with the same `norm_tokens_expr`
+    the trainer uses — the Python worker only runs the merge loop. A
+    Python `str.lower().split()` here would silently disagree with the
+    trainer's SQL `lower()`/`\\s+` on exotic case mappings and unicode
+    whitespace, so encode-time words could miss the trained vocabulary
+    (round-7 fix; also what makes the DuckDB value oracle for
+    `text_bpe_token_counts` exact)."""
     import pandas as pd
+
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    # the encode closure references bpe_encode_py by module path — ship
+    # the package or a driver running from a foreign cwd (the external
+    # correctness driver does) fails with ModuleNotFoundError on the
+    # executors; previously masked only because alphabetically-earlier
+    # multimodal queries addPyFile'd the package session-wide
+    ship_package(docs.sparkSession)
 
     ranks = {p: i for i, p in enumerate(merges)}
     schema = f"{id_col} long, n_bpe_tokens long, n_words long"
@@ -152,8 +170,7 @@ def bpe_encode(
         cache: dict[str, int] = {}
         for pdf in batches:
             out = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in str(text).lower().split() if w]
+            for did, words in zip(pdf[id_col], pdf["__toks"]):
                 n_tok = 0
                 for w in words:
                     if w not in cache:
@@ -162,4 +179,8 @@ def bpe_encode(
                 out.append((did, n_tok, len(words)))
             yield pd.DataFrame(out, columns=[id_col, "n_bpe_tokens", "n_words"])
 
-    return docs.select(id_col, text_col).mapInPandas(encode, schema=schema)
+    staged = docs.select(
+        id_col,
+        F.filter(norm_tokens_expr(text_col), lambda t: t != "").alias("__toks"),
+    )
+    return staged.mapInPandas(encode, schema=schema)

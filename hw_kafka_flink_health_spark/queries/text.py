@@ -859,14 +859,73 @@ def text_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_token_counts")  # iterative training: rows-only by design
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE twin: per round, one pair-count argmax (same
+    desc-count/lexicographic tie-break as the trainer) and one greedy
+    left-to-right merge rewrite of every vocabulary word, replayed as
+    a `list_reduce` fold over a chr(31)-joined symbol string. Encoding
+    then reads straight off the trained vocab table: priority-rank BPE
+    encoding equals sequential rank-order application (a rank-k merge
+    creates a symbol that only ever appears in pairs of rank > k), and
+    the corpus IS the training set, so each word's final symbol count
+    is its row in w{n}."""
+    rounds = []
+    merge_fold = (
+        "string_split(list_reduce(syms, (acc, x) -> "
+        "CASE WHEN (acc = m.a OR right(acc, 1 + length(m.a)) = chr(31) || m.a)"
+        " AND x = m.b "
+        "THEN CASE WHEN acc = m.a THEN m.a || m.b "
+        "ELSE left(acc, length(acc) - length(m.a) - 1) || chr(31) || m.a || m.b END "
+        "ELSE acc || chr(31) || x END), chr(31))"
+    )
+    for i in range(1, n_merges + 1):
+        rounds.append(f"""
+    m{i} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT unnest(syms[1:len(syms)-1]) AS a, unnest(syms[2:len(syms)]) AS b,
+               freq
+        FROM w{i - 1}
+      ) GROUP BY a, b ORDER BY sum(freq) DESC, a, b LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN m.a IS NULL THEN syms ELSE {merge_fold} END AS syms,
+             freq
+      FROM w{i - 1} LEFT JOIN m{i} m ON TRUE
+    )""")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ), dw AS MATERIALIZED (SELECT doc_id, word FROM toks WHERE word <> ''),
+    w0 AS MATERIALIZED (
+      SELECT word, string_split(word, '') AS syms, CAST(count(*) AS BIGINT) AS freq
+      FROM dw GROUP BY word
+    ),{",".join(rounds)},
+    enc AS (
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+      FROM dw d JOIN w{n_merges} w USING (word) GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           coalesce(enc.n_bpe_tokens, 0) AS n_bpe_tokens,
+           coalesce(enc.n_words, 0) AS n_words
+    FROM documents doc LEFT JOIN enc ON doc.doc_id = enc.doc_id
+    """
+
+
+@register("text_bpe_token_counts", oracle=_bpe_oracle(40))
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a 40-merge BPE tokenizer ON the corpus (one aggregation per
     merge round over the distinct-word table, one argmax row collected
-    per round) and encode every document with it. Rows-only: the
-    training loop is iterative and not SQL-expressible; determinism and
-    algorithmic correctness are pinned by the local-reference parity
-    test in tests/test_bpe.py."""
+    per round) and encode every document with it. The training loop is
+    iterative (one bounded driver row per round), but for the FIXED
+    40-merge budget the DuckDB twin replays the full merge sequence as
+    40 unrolled CTE rounds and reads encodings off the trained vocab
+    table (`_bpe_oracle` — round-6 verdict item 6), so the query is
+    value-hash-checked end to end; sequential-vs-distributed trainer
+    parity is additionally pinned by tests/test_bpe.py."""
     from hw_kafka_flink_health_spark.operators.bpe import bpe_encode, bpe_train
 
     docs = load_table(spark, sf_dir, "documents")

@@ -32,6 +32,9 @@ TABLES = (
 # every query the round-5 full-catalog fuzz audit caught diverging (each
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
+    # round-7: BPE oracle conversion (verdict item 6) + CMS re-profile
+    "text_bpe_token_counts",
+    "approx_topk_cms",
     # round-6 inference/recursive/window-frame pack
     "stats_welch_ttest",
     "stats_anova_f",
