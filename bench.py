@@ -30,6 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Deliberately-suboptimal instrumentation queries (round-6 verdict item 5):
+# each runs a tier ABOVE its measured crossover so a regression in the
+# production tier's advantage is visible round-over-round. They are benched
+# like everything else, but the record tags them and reports the
+# engine-best subtotal separately so a reader never mistakes a canary's
+# time for the engine's best plan for that workload.
+CANARIES = {
+    # expression-tier cosine on a query set ~28% past the Arrow/BLAS
+    # crossover; production tier = embedding_cosine_topk_arrow_wide
+    "embedding_cosine_topk_wide",
+}
+
 # Representative coverage: scan+agg, join chains (incl. semi/outer/interval),
 # windows (time + analytic), as-of, dedup (exact + jaccard), similarity,
 # text/TF-IDF, sessionization, hash-split.
@@ -402,12 +414,18 @@ def main() -> None:
         load_end = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_end = None
+    canaries = sorted(CANARIES & set(timings))
+    engine_best_total = round(
+        sum(v for k, v in timings.items() if k not in CANARIES), 3
+    )
     full = {
         "metric": "headline_query_wall_time_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "canaries": canaries,
+        "value_engine_best": engine_best_total,
         "load_avg_start": LOAD_AVG_START,
         "load_avg_end": load_end,
         "n_cpus": os.cpu_count(),
@@ -438,6 +456,8 @@ def main() -> None:
         "queries": slowest,
         "detail": "BENCH_DETAIL.json",
         "sf": sf_val,
+        "n_canaries": len(canaries),
+        "value_engine_best": engine_best_total,
     }
     line = json.dumps(summary, separators=(",", ":"))
     while len(line) > 1200 and summary["queries"]:
