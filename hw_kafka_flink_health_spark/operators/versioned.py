@@ -319,11 +319,16 @@ def create_tag(
     v = current_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    if not os.path.exists(_manifest_path(table_dir, v)):
-        raise FileNotFoundError(f"version {v} has no manifest in {table_dir}")
     lock = os.path.join(table_dir, "_tags.lock")
     fd, token = _acquire_lock(lock)
     try:
+        # the manifest check lives INSIDE the lock: vacuum holds this
+        # same lock across its scan+delete pass (round-6 advice), so
+        # either this tag lands before vacuum reads the tag map (version
+        # pinned) or vacuum finished first and a swept version fails
+        # here instead of becoming a dangling tag
+        if not os.path.exists(_manifest_path(table_dir, v)):
+            raise FileNotFoundError(f"version {v} has no manifest in {table_dir}")
         tags = list_tags(table_dir)
         if name in tags and not overwrite:
             raise ValueError(f"tag {name!r} already exists (-> v{tags[name]})")
@@ -364,7 +369,11 @@ def read_snapshot(
     """Read a pinned snapshot (latest by default; any retained version by
     number — time travel; or by TAG name). The manifest's file list is
     resolved ONCE at plan time, so the DataFrame is immutable under
-    concurrent commits. mergeSchema is always on: an appended version may
+    concurrent commits. Retention contract (same as Delta's VACUUM
+    rule): a reader is only safe from concurrent vacuum while its
+    version stays retained — size keep_last (or pin a tag) to cover
+    your longest reader; a reader of an aged-out version can lose data
+    files mid-scan. mergeSchema is always on: an appended version may
     mix files written under an older, narrower schema with newer wide
     ones (schema evolution) — old files surface the new columns as NULL,
     and a version pinned BEFORE the evolution never sees them at all."""
@@ -438,55 +447,91 @@ def vacuum(
     #   distinguishable from never-referenced (possibly mid-publish)
     #   files, which get the orphan-TTL guard below.
     retain_floor = max(0, latest - keep_last + 1)
-    # tagged versions are pinned OUTSIDE the keep_last window: a tag is a
-    # named promise of reproducibility, so its manifest and files survive
-    # any retention setting until the tag itself is deleted
-    tagged = set(list_tags(table_dir).values())
-    keep_versions = []
-    keep_files: set[str] = set()
-    referenced_any: set[str] = set()
-    for name in os.listdir(table_dir):
-        if not name.startswith("manifest-v"):
-            continue
-        v = int(name.split("manifest-v")[1].split(".")[0])
-        try:
-            with open(os.path.join(table_dir, name)) as f:
-                m = json.load(f)
-        except FileNotFoundError:
-            continue
-        except ValueError:
-            if retain_floor <= v <= latest or v in tagged:
-                raise  # a corrupt RETAINED manifest is not vacuumable state
-            continue
-        refs = set(m["files"]) | set(m.get("dv", []))
-        referenced_any.update(refs)
-        if v >= retain_floor or v in tagged:
-            keep_files.update(refs)
-            keep_versions.append(v)
-    deleted = []
-    for name in sorted(os.listdir(table_dir)):
-        if (
-            (name.startswith("data-") or name.startswith("dv-"))
-            and name not in keep_files
-        ):
-            p = os.path.join(table_dir, name)
-            if name not in referenced_any:
-                # never referenced: could be a commit mid-publish — only
-                # sweep once it is unambiguously abandoned
-                try:
-                    if now - os.path.getmtime(p) <= orphan_ttl_seconds:
-                        continue
-                except FileNotFoundError:
-                    continue
+    # The whole scan+delete pass runs under _tags.lock (round-6 advice):
+    # vacuum previously snapshotted the tag map once, so a create_tag
+    # landing between that snapshot and the delete pass could have its
+    # pinned version swept — a dangling tag. Holding the lock serializes
+    # the two: a tag either lands before the scan (pinned) or after the
+    # deletes, where create_tag's in-lock manifest check rejects a swept
+    # version. The lock's 30 s staleness bound applies — the same bound
+    # every other holder accepts; a local-FS manifest sweep is
+    # milliseconds.
+    tags_lock = os.path.join(table_dir, "_tags.lock")
+    fd, token = _acquire_lock(tags_lock)
+    try:
+        # tagged versions are pinned OUTSIDE the keep_last window: a tag
+        # is a named promise of reproducibility, so its manifest and
+        # files survive any retention setting until the tag is deleted.
+        # Exception: a `__restore-<epoch>-*` guard tag whose epoch is
+        # older than orphan_ttl_seconds is debris from a crashed
+        # restore_snapshot — prune it (under this lock) instead of
+        # letting it pin a version forever.
+        tags = list_tags(table_dir)
+
+        def _guard_stale(n: str) -> bool:
+            if not n.startswith("__restore-"):
+                return False
             try:
-                os.remove(p)
+                return now - int(n.split("-")[1]) > orphan_ttl_seconds
+            except (IndexError, ValueError):
+                return False  # not a machine-made guard name; leave it
+
+        stale_guards = [n for n in tags if _guard_stale(n)]
+        if stale_guards:
+            for n in stale_guards:
+                del tags[n]
+            tmp = _tags_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(tags, f)
+            os.rename(tmp, _tags_path(table_dir))
+        tagged = set(tags.values())
+        keep_versions = []
+        keep_files: set[str] = set()
+        referenced_any: set[str] = set()
+        for name in os.listdir(table_dir):
+            if not name.startswith("manifest-v"):
+                continue
+            v = int(name.split("manifest-v")[1].split(".")[0])
+            try:
+                with open(os.path.join(table_dir, name)) as f:
+                    m = json.load(f)
             except FileNotFoundError:
                 continue
-            deleted.append(name)
-        elif name.startswith("manifest-v"):
-            v = int(name.split("manifest-v")[1].split(".")[0])
-            if v not in keep_versions:
-                os.remove(os.path.join(table_dir, name))
+            except ValueError:
+                if retain_floor <= v <= latest or v in tagged:
+                    raise  # a corrupt RETAINED manifest is not vacuumable state
+                continue
+            refs = set(m["files"]) | set(m.get("dv", []))
+            referenced_any.update(refs)
+            if v >= retain_floor or v in tagged:
+                keep_files.update(refs)
+                keep_versions.append(v)
+        deleted = []
+        for name in sorted(os.listdir(table_dir)):
+            if (
+                (name.startswith("data-") or name.startswith("dv-"))
+                and name not in keep_files
+            ):
+                p = os.path.join(table_dir, name)
+                if name not in referenced_any:
+                    # never referenced: could be a commit mid-publish —
+                    # only sweep once it is unambiguously abandoned
+                    try:
+                        if now - os.path.getmtime(p) <= orphan_ttl_seconds:
+                            continue
+                    except FileNotFoundError:
+                        continue
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    continue
+                deleted.append(name)
+            elif name.startswith("manifest-v"):
+                v = int(name.split("manifest-v")[1].split(".")[0])
+                if v not in keep_versions:
+                    os.remove(os.path.join(table_dir, name))
+    finally:
+        _release_lock(tags_lock, fd, token)
     return deleted
 
 
@@ -1151,35 +1196,56 @@ def restore_snapshot(
     (restore is declarative — "make latest look like v{N}" — so
     re-publishing against a newer base is still exactly what the caller
     asked for). Raises FileNotFoundError if the target manifest has been
-    vacuumed away."""
-    with open(_manifest_path(table_dir, to_version)) as f:
-        src = json.load(f)
-    prev = current_version(table_dir)
-    version = 0 if prev is None else prev + 1
-    for _attempt in range(max_retries + 1):
-        manifest = {
-            "version": version,
-            "files": list(src["files"]),
-            "restored_from": to_version,
-        }
-        # carry EVERY content/metadata key of the target forward: dv
-        # (logical content), stats/cluster_col/stats2/zorder (pruning —
-        # dropping them would silently full-scan every pruned read), and
-        # batch_id (the streaming sink's exactly-once marker: the
-        # restored content IS the state as of that batch, so a resumed
-        # stream reprocesses exactly the batches after it instead of
-        # replaying from scratch — the same rule compact_snapshot
-        # follows)
-        for key in ("dv", "stats", "cluster_col", "stats2", "zorder", "batch_id"):
-            if key in src:
-                manifest[key] = src[key]
-        if _publish_manifest(table_dir, version, manifest):
-            _advance_pointer(table_dir, version)
-            return version
-        version += 1
-    raise VersionConflictError(
-        f"gave up after {max_retries} contended restores of {table_dir}"
-    )
+    vacuumed away.
+
+    Vacuum safety (round-6 advice): the target version is pinned with a
+    temporary `__restore-<epoch>-<uuid>` guard TAG for the duration —
+    restore republishes the target's files BY REFERENCE, and a vacuum
+    that scanned manifests before the restore manifest was published
+    could otherwise delete those files (target outside keep_last and
+    untagged), leaving latest pointing at missing data. create_tag
+    serializes against vacuum's scan+delete via _tags.lock, so either
+    the guard lands first (files pinned) or an already-swept target
+    fails the tag's manifest check cleanly. A crashed restore's guard
+    tag is pruned by any vacuum after orphan_ttl_seconds."""
+    import time as _time
+
+    guard = f"__restore-{int(_time.time())}-{uuid.uuid4().hex}"
+    create_tag(table_dir, guard, version=to_version)
+    try:
+        with open(_manifest_path(table_dir, to_version)) as f:
+            src = json.load(f)
+        prev = current_version(table_dir)
+        version = 0 if prev is None else prev + 1
+        for _attempt in range(max_retries + 1):
+            manifest = {
+                "version": version,
+                "files": list(src["files"]),
+                "restored_from": to_version,
+            }
+            # carry EVERY content/metadata key of the target forward: dv
+            # (logical content), stats/cluster_col/stats2/zorder (pruning —
+            # dropping them would silently full-scan every pruned read), and
+            # batch_id (the streaming sink's exactly-once marker: the
+            # restored content IS the state as of that batch, so a resumed
+            # stream reprocesses exactly the batches after it instead of
+            # replaying from scratch — the same rule compact_snapshot
+            # follows)
+            for key in ("dv", "stats", "cluster_col", "stats2", "zorder", "batch_id"):
+                if key in src:
+                    manifest[key] = src[key]
+            if _publish_manifest(table_dir, version, manifest):
+                _advance_pointer(table_dir, version)
+                return version
+            version += 1
+        raise VersionConflictError(
+            f"gave up after {max_retries} contended restores of {table_dir}"
+        )
+    finally:
+        try:
+            delete_tag(table_dir, guard)
+        except KeyError:
+            pass  # a vacuum past the guard TTL already pruned it
 
 
 def scratch_table_dir(prefix: str) -> str:

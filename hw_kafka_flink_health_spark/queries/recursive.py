@@ -17,11 +17,54 @@ carry full value oracles.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
+
+
+def _ensure_recursion_headroom(spark: SparkSession, levels: int = 400) -> None:
+    """Raise (never lower) the session's recursion level cap. The conf
+    must stay raised for the returned DataFrame's LAZY execution, so a
+    restore-after-build would break collection later; a monotonic raise
+    is idempotent and cannot clip another run that asked for more
+    (round-6 advice: no observable cross-query state changes beyond the
+    one-way headroom raise). The 1M-row limit stays the runaway
+    backstop."""
+    try:
+        cur = int(spark.conf.get("spark.sql.cteRecursionLevelLimit"))
+    except Exception:
+        cur = 100
+    if cur < levels:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", str(levels))
+
+
+def _sql_over_views(spark: SparkSession, sql: str, views: dict[str, DataFrame]) -> DataFrame:
+    """Run `sql` with each {placeholder} bound to a UNIQUELY-named temp
+    view of the given DataFrame, then drop the views. Fixed view names
+    were session-global side effects (round-6 advice): two concurrent
+    runs in one session could read each other's staged series. spark.sql
+    analyzes eagerly (the view subplans are inlined into the returned
+    DataFrame's analyzed plan), so dropping the views immediately is
+    safe for later execution."""
+    names = {}
+    try:
+        for ph, df in views.items():
+            name = f"__rec_{ph}_{uuid.uuid4().hex[:12]}"
+            df.createOrReplaceTempView(name)
+            names[ph] = name
+        bound = sql
+        for ph, name in names.items():
+            bound = bound.replace("{" + ph + "}", name)
+        out = spark.sql(bound)
+        out.schema  # force analysis before the views disappear  # noqa: B018
+        return out
+    finally:
+        for name in names.values():
+            spark.catalog.dropTempView(name)
 
 # The spine carries the max bound as a column through the recursion
 # (anchor computes both endpoints) because neither engine allows a scalar
@@ -73,18 +116,15 @@ def _spark_sql(
     # row limit (default 1M) is the real runaway backstop, so raising the
     # level cap is safe. DuckDB's default max_recursive_cte_iterations is
     # unbounded, so only Spark needs the knob.
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "400")
-    binds = {}
-    for ph, name in tables.items():
-        view = f"__rec_{name}"
-        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
-        binds[ph] = view
+    _ensure_recursion_headroom(spark)
     # Spark's count(x)::BIGINT cast syntax differs; normalize the two
     # DuckDB-isms used above to portable forms for the Spark run.
     portable = sql.replace("::BIGINT", "")
-    for ph, view in binds.items():
-        portable = portable.replace("{" + ph + "}", view)
-    return spark.sql(portable)
+    return _sql_over_views(
+        spark,
+        portable,
+        {ph: load_table(spark, sf_dir, name) for ph, name in tables.items()},
+    )
 
 
 @register("recursive_month_spine_revenue", oracle=_duck(_MONTH_SPINE_SQL))
@@ -176,7 +216,7 @@ def recursive_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (integer-cent inputs, identical step-arithmetic text)."""
     from pyspark.sql import Window as W
 
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "400")
+    _ensure_recursion_headroom(spark)
     orders = load_table(spark, sf_dir, "orders")
     months = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("m")
@@ -186,9 +226,8 @@ def recursive_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") / F.lit(100.0).cast("double")).alias("y"),
         F.row_number().over(W.orderBy("m")).cast("bigint").alias("i"),
     ).localCheckpoint()
-    idx.createOrReplaceTempView("__rec_holt_idx")
-    return spark.sql(
-        "WITH RECURSIVE " + _HOLT_STEP_SQL.format(idx="__rec_holt_idx")
+    return _sql_over_views(
+        spark, "WITH RECURSIVE " + _HOLT_STEP_SQL.format(idx="{idx}"), {"idx": idx}
     )
 
 
@@ -283,7 +322,7 @@ def recursive_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     values); rounding happens at output only."""
     from pyspark.sql import Window as W
 
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "400")
+    _ensure_recursion_headroom(spark)
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.filter(
@@ -299,7 +338,6 @@ def recursive_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         (F.col("c") / F.lit(100.0)).alias("y"),
     ).localCheckpoint()
-    idx.createOrReplaceTempView("__hw_idx")
     w7 = idx.filter(F.col("i") <= 7).select(
         "i", "c", F.sum("c").over(W.partitionBy()).cast("bigint").alias("sc")
     )
@@ -320,11 +358,12 @@ def recursive_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             - s.getField("sc") / F.lit(700.0),
         ).alias("ss"),
     ).localCheckpoint()
-    anchor.createOrReplaceTempView("__hw_anchor")
     lvl_s, trd_s, snew_s = _hw_step("element_at(h.ss, 1)")
-    return spark.sql(f"""
+    return _sql_over_views(
+        spark,
+        f"""
 WITH RECURSIVE hw AS (
-  SELECT * FROM __hw_anchor
+  SELECT * FROM {{anchor}}
   UNION ALL
   SELECT x.i, x.d_ms, x.y,
          {lvl_s},
@@ -332,6 +371,8 @@ WITH RECURSIVE hw AS (
          {snew_s},
          h.lvl + h.trd + element_at(h.ss, 1),
          concat(slice(h.ss, 2, 6), array({snew_s}))
-  FROM hw h JOIN __hw_idx x ON x.i = h.i + 1
+  FROM hw h JOIN {{idx}} x ON x.i = h.i + 1
 ){_HW_FINAL_SQL}
-""")
+""",
+        {"anchor": anchor, "idx": idx},
+    )

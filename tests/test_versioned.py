@@ -1133,3 +1133,125 @@ def test_tag_name_rules_and_overwrite(spark, tmp_path):
         create_tag(t, "ghost", version=99)
     with pytest.raises(KeyError):  # reading an unknown tag
         read_snapshot(spark, t, tag="nope")
+
+
+def test_multi_writer_commit_vacuum_restore_tag_stress(spark, tmp_path):
+    """Round-6 verdict item 8: the protocol pieces (steal-safe locks,
+    in-flight manifest retention, staged-file cleanup, tag pinning,
+    restore guard tags) are each unit-tested — this proves they COMPOSE.
+    4 threads × 30 seeded-random ops (commit/append, vacuum, restore,
+    tag create/delete, snapshot read) interleave freely; afterwards the
+    table must satisfy every structural invariant the module advertises:
+    a readable latest whose files all exist, no dangling tag, every
+    surviving tagged version readable, and all of that still true after
+    a final aggressive vacuum."""
+    import json as _json
+    import os as _os
+    import random
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        VersionConflictError,
+        _manifest_path,
+        commit_snapshot,
+        create_tag,
+        current_version,
+        delete_tag,
+        list_tags,
+        read_snapshot,
+        restore_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "stress")
+    commit_snapshot(spark.range(10).coalesce(1), t)  # v0 so readers never race an empty table
+    unexpected: list[str] = []
+    seen_versions: list[int] = [0]
+    my_tags: list[str] = []
+    tag_lock = threading.Lock()
+
+    def worker(wid: int) -> None:
+        rng = random.Random(1000 + wid)
+        for step in range(30):
+            op = rng.choices(
+                ["commit", "vacuum", "restore", "tag", "read"],
+                weights=[35, 20, 15, 20, 10],
+            )[0]
+            try:
+                if op == "commit":
+                    v = commit_snapshot(
+                        spark.range(wid * 1000 + step, wid * 1000 + step + 2).coalesce(1),
+                        t,
+                        mode=rng.choice(["append", "overwrite"]),
+                    )
+                    seen_versions.append(v)
+                elif op == "vacuum":
+                    vacuum(t, keep_last=2)
+                elif op == "restore":
+                    v = restore_snapshot(t, rng.choice(seen_versions[-8:]))
+                    seen_versions.append(v)
+                elif op == "tag":
+                    with tag_lock:
+                        drop = my_tags and rng.random() < 0.5
+                        name = my_tags.pop() if drop else f"t-{wid}-{step}"
+                    if drop:
+                        delete_tag(t, name)
+                    else:
+                        create_tag(t, name)
+                        with tag_lock:
+                            my_tags.append(name)
+                elif op == "read":
+                    try:
+                        assert read_snapshot(spark, t).count() >= 0
+                    except Exception as e:  # noqa: BLE001
+                        # a reader whose plan-time file list aged out of
+                        # keep_last=2 mid-scan is the DOCUMENTED
+                        # retention hazard (read_snapshot docstring /
+                        # Delta's VACUUM rule) — only that exact cause
+                        # is acceptable here
+                        if not any(
+                            s in str(e)
+                            for s in (
+                                "FileNotFoundException",
+                                "FAILED_READ_FILE",  # Spark 4 wrapper class
+                                "PATH_NOT_FOUND",
+                                "UNABLE_TO_INFER_SCHEMA",  # every file swept
+                            )
+                        ):
+                            raise
+            except (VersionConflictError, FileNotFoundError, KeyError):
+                # expected casualties of racing vacuum/retention: a
+                # restore/tag target aged out, or a CAS loss past the
+                # retry budget — the protocol's documented outcomes
+                pass
+            except Exception as e:  # noqa: BLE001 — anything else is a real bug
+                unexpected.append(f"{wid}/{step} {op}: {type(e).__name__}: {e}")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(worker, range(4)))
+
+    assert not unexpected, unexpected[:5]
+
+    def check_structure() -> None:
+        latest = current_version(t)
+        assert latest is not None
+        tags = list_tags(t)
+        # the restore guard tags must never leak past their restore
+        assert not [n for n in tags if n.startswith("__restore-")], tags
+        for label, v in [("latest", latest)] + sorted(tags.items()):
+            mp = _manifest_path(t, v)
+            assert _os.path.exists(mp), f"{label}: manifest v{v} missing"
+            with open(mp) as f:
+                m = _json.load(f)
+            missing = [
+                p
+                for p in m["files"] + m.get("dv", [])
+                if not _os.path.exists(_os.path.join(t, p))
+            ]
+            assert not missing, f"{label}: v{v} dangling files {missing[:3]}"
+            assert read_snapshot(spark, t, version=v).count() >= 0
+
+    check_structure()
+    vacuum(t, keep_last=1)  # aggressive retention must still honor tags
+    check_structure()
