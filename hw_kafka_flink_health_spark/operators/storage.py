@@ -395,3 +395,49 @@ def read_file_pruned(
     if not keep:
         return spark.read.parquet(path).filter(c >= lo).filter(c <= hi).limit(0)
     return spark.read.parquet(*keep).filter((c >= lo) & (c <= hi))
+
+
+def materialize_bucketed(
+    spark: SparkSession,
+    build: Callable[[], DataFrame],
+    table_name: str,
+    *,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Session-cached BUCKETED catalog table: `bucketBy(n, key).sortBy(key)
+    .saveAsTable` the first time, `spark.table` after.
+
+    Bucketing is the ingest-time half of a shuffle-free join: two tables
+    bucketed by the same key into the same bucket count satisfy the
+    join's hash-partitioning requirement AT REST, so the join plans with
+    ZERO Exchange on either side (asserted in tests/test_plans.py) —
+    at 100 TB that deletes the single most expensive stage of every
+    recurring fact⋈fact join on the bucket key. sortBy additionally
+    lets SortMergeJoin skip the per-task sort when each bucket holds one
+    file. The table lives in the session catalog (files under
+    spark.sql.warehouse.dir), so a fresh session pays the one-off write
+    again — same write-once posture as materialize_partitioned, scoped
+    to the catalog instead of a /tmp path."""
+    if not spark.catalog.tableExists(table_name):
+        # the warehouse DIRECTORY outlives the in-memory catalog (a new
+        # session forgets the table but the files remain), and Spark
+        # refuses to create a managed table over an existing location —
+        # such a location with no catalog entry is orphaned debris from
+        # a finished session, so reclaim it before the write
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        loc = os.path.join(wh.path or wh.netloc, table_name.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+        (
+            build()
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .saveAsTable(table_name)
+        )
+    return spark.table(table_name)

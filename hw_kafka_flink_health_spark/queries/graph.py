@@ -441,3 +441,97 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_directed_edges"),
         F.when(vx * vy > 0, cov / F.sqrt(vx * vy)).alias("assortativity"),
     )
+
+
+_KCORE_K = 30
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel twin: same K, same bounded round count, same integer
+    degree arithmetic — the e{i} CTEs are MATERIALIZED because each is
+    read by both the next degree pass and the next filter (DuckDB inlines
+    multiply-referenced CTEs otherwise, which goes exponential in R)."""
+    pre = """
+    WITH e0 AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      ) UNION SELECT dst, src FROM (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      )
+    )"""
+    its = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        its.append(f"""
+    k{i} AS MATERIALIZED (
+      SELECT src FROM e{i - 1} GROUP BY src HAVING count(*) >= {_KCORE_K}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT src, dst FROM e{i - 1}
+      WHERE src IN (SELECT src FROM k{i}) AND dst IN (SELECT src FROM k{i})
+    )""")
+    return (
+        pre
+        + ","
+        + ",".join(its)
+        + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{_KCORE_ROUNDS} GROUP BY src
+    """
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core decomposition (K=30) of the undirected
+    customer—supplier graph: repeatedly drop nodes with degree < K and
+    the edges touching them — the standard subgraph-density screen
+    (community cores, spam farms, bot rings) and the preprocessing step
+    that bounds every downstream clique/triangle workload.
+
+    Distributed shape per round: ONE degree aggregate (map-side combined
+    on the src key) and TWO semi-joins that keep only surviving
+    endpoints — the edge table shrinks monotonically, so round cost is
+    bounded by the previous round's survivors, and `localCheckpoint`
+    truncates the growing lineage exactly like connected components.
+    The round count is FIXED (4 — measured convergence at test scales is
+    2-3 rounds), so the unrolled DuckDB twin runs the identical bounded
+    computation and the value hash pins every surviving (node, degree)
+    pair. At 100 TB the keep-set semi-joins are the shuffle cost; they
+    key on the same src/dst the degree aggregate uses, so AQE reuses
+    co-partitioning, and the keep set broadcasts whenever the core is
+    small (it is, by construction, after the first peel)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0n = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e0 = e0n.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )

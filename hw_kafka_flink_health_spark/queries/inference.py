@@ -541,3 +541,119 @@ def regr_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("beta1").alias("beta1_cents_per_qty"),
         F.col("beta2").alias("beta2_cents_per_disc_pct"),
     )
+
+
+@register(
+    "stats_levene_test",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), med AS (
+      SELECT grp,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS m
+      FROM c GROUP BY grp
+    ), z AS (
+      SELECT c.grp, abs(c.x - med.m) AS z FROM c JOIN med USING (grp)
+    ), g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS BIGINT) AS s1,
+             CAST(sum(z * z) AS BIGINT) AS s2
+      FROM z GROUP BY grp
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS big_n, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(s1) AS DOUBLE) / sum(n) AS gm
+      FROM g
+    )
+    SELECT k, big_n,
+           ssb AS ss_between_1e6,
+           ssw AS ss_within_1e6,
+           round((ssb / nullif(k - 1, 0))
+                 / nullif(ssw / nullif(big_n - k, 0), 0), 4) AS w_stat
+    FROM (
+      SELECT t.k, t.big_n,
+             round(sum(g.n * pow(CAST(g.s1 AS DOUBLE) / g.n - t.gm, 2)), -6)
+               AS ssb,
+             round(sum(g.s2 - CAST(g.s1 AS DOUBLE) * g.s1 / g.n), -6) AS ssw
+      FROM g, t GROUP BY t.k, t.big_n
+    )
+    """,
+)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-based Levene) test of variance homogeneity
+    across the five order priorities — the check run BEFORE trusting
+    anova_f, whose F statistic assumes equal group variances.
+
+    Exactness: prices enter as integer cents; group medians come from
+    percentile_disc (an ORDER-STATISTIC both engines pick identically —
+    no interpolation), so every |x - med| deviation is an exact BIGINT
+    and the per-group sufficient statistics (n, Σz, Σz²) are exact
+    integers. The W statistic is then one fixed IEEE expression over
+    those integers — bit-identical cross-engine, NULL (not a crash) for
+    the degenerate k=1 and zero-SSW fixtures (try-division mirrored by
+    nullif in the twin).
+
+    Shape: one grouped median pass (5 rows), a broadcast join back, one
+    grouped moment aggregate, one 5-row reduction against the 1-row
+    grand stats — two passes over the fact table total, both map-side
+    combined; cost at 100 TB is the two scans, nothing quadratic."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        )
+    )
+    med = c.groupBy("grp").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+        .cast("long")
+        .alias("m")
+    )
+    z = c.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("x") - F.col("m")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("s2"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("s1").cast("double") / F.sum("n")).alias("gm"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    mean_dev = F.col("s1").cast("double") / F.col("n")
+    # the cross-group SS sums exceed 2^53 at bench scale, so their float
+    # value depends on the (nondeterministic) partial-agg merge order by
+    # a few ulp — round both SS terms to a 1e6 grain that absorbs
+    # summation-order error (exact at fixture scale; ~5 ulp ≈ 640 vs a
+    # 5e5 half-grain at sf0.1) and derive W from the ROUNDED inputs on
+    # both sides, making the statistic bit-identical cross-engine
+    ssb = F.round(F.sum(F.col("n") * F.pow(mean_dev - F.col("gm"), F.lit(2))), -6)
+    ssw = F.round(
+        F.sum(F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n")),
+        -6,
+    )
+    agg = j.groupBy("k", "big_n").agg(ssb.alias("ssb"), ssw.alias("ssw"))
+    return agg.select(
+        "k",
+        "big_n",
+        F.col("ssb").alias("ss_between_1e6"),
+        F.col("ssw").alias("ss_within_1e6"),
+        F.round(
+            F.try_divide(
+                F.try_divide(F.col("ssb"), F.nullif(F.col("k") - 1, F.lit(0))),
+                F.nullif(
+                    F.try_divide(
+                        F.col("ssw"),
+                        F.nullif(F.col("big_n") - F.col("k"), F.lit(0)),
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            4,
+        ).alias("w_stat"),
+    )

@@ -166,3 +166,72 @@ def bloom_filtered_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def _bucket_tag(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return tag.replace(".", "_").replace("-", "_")
+
+
+def bucketed_orders_customer(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Session-cached bucketed twins of orders and customer, both
+    bucketed 8 ways on the customer key — the co-located layout
+    join_bucketed_colocated demonstrates."""
+    from hw_kafka_flink_health_spark.operators.storage import materialize_bucketed
+
+    tag = _bucket_tag(sf_dir)
+    orders = materialize_bucketed(
+        spark,
+        lambda: load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        ),
+        f"bkt_orders_{tag}",
+        bucket_col="o_custkey",
+    )
+    cust = materialize_bucketed(
+        spark,
+        lambda: load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        f"bkt_customer_{tag}",
+        bucket_col="o_custkey",
+    )
+    return orders, cust
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment through a BUCKETED co-located join:
+    both sides are laid down bucketed 8 ways on the customer key
+    (`materialize_bucketed`), so the join's hash-partitioning
+    requirement is satisfied at rest and the plan carries ZERO exchanges
+    on either join side (pinned by tests/test_plans.py::
+    test_bucketed_join_has_no_exchange, with broadcast disabled so the
+    assertion can't be satisfied trivially). This is the recurring-join
+    answer at 100 TB: the shuffle — the stage that dominates every
+    repeated fact⋈dim-on-highcard-key join — is paid ONCE at ingest
+    instead of per query. The oracle runs on the ORIGINAL unbucketed
+    tables: layout must never change the answer."""
+    orders, cust = bucketed_orders_customer(spark, sf_dir)
+    return (
+        orders.join(cust, "o_custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

@@ -2767,3 +2767,113 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_hashes"))
     )
+
+
+@register(
+    "text_keyness_g2",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS a
+      FROM tok WHERE w <> '' GROUP BY source, w
+    ), st AS (
+      SELECT source, CAST(sum(a) AS BIGINT) AS tot FROM tf GROUP BY source
+    ), wt AS (
+      SELECT w, CAST(sum(a) AS BIGINT) AS tw FROM tf GROUP BY w
+    ), nn AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM tf),
+    g AS (
+      SELECT tf.source, tf.w, tf.a, (wt.tw - tf.a) AS b,
+             round(
+               CASE WHEN tf.a * nn.n = st.tot * wt.tw THEN 0.0
+                    WHEN tf.a * nn.n > st.tot * wt.tw THEN 1.0 ELSE -1.0 END
+               * 2.0 * (
+                 tf.a * ln(CAST(tf.a AS DOUBLE) * nn.n
+                           / (CAST(st.tot AS DOUBLE) * wt.tw))
+                 + CASE WHEN wt.tw - tf.a > 0
+                        THEN (wt.tw - tf.a)
+                             * ln(CAST(wt.tw - tf.a AS DOUBLE) * nn.n
+                                  / (CAST(nn.n - st.tot AS DOUBLE) * wt.tw))
+                        ELSE 0.0 END
+               ), 4) AS g2_signed
+      FROM tf JOIN st USING (source) JOIN wt USING (w) CROSS JOIN nn
+    ), r AS (
+      SELECT source, w AS token, a, b, g2_signed,
+             row_number() OVER (
+               PARTITION BY source ORDER BY g2_signed DESC, w
+             ) AS rnk
+      FROM g
+    )
+    SELECT source, token, a, b, g2_signed, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood keyness (Dunning's G² / log-likelihood ratio, the
+    corpus-linguistics standard): which tokens are most OVER-represented
+    in each source versus the rest of the corpus — the domain-signature
+    readout used to audit corpus mix and catch boilerplate leakage
+    between sources before training.
+
+    Exactness follows the token_entropy precedent: all counts (a, b,
+    per-source and corpus totals) are exact BIGINTs, the ln() arguments
+    are ratios of exact integers, the sign is decided by an exact
+    integer comparison (a·N vs tot·tw — never by float subtraction),
+    and the rank runs over the ROUNDED statistic plus the token as a
+    total-order tiebreak, so top-10 membership is engine-independent.
+
+    Shape: one explode → (source, token) aggregate, then three joins of
+    tiny aggregates back (per-source totals broadcast, token totals
+    co-partitioned on the token key, corpus total a 1-row broadcast);
+    the per-source top-10 is a WindowGroupLimit partial prune, so no
+    reducer holds a source's full vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    st = tf.groupBy("source").agg(F.sum("a").cast("long").alias("tot"))
+    wt = tf.groupBy("w").agg(F.sum("a").cast("long").alias("tw"))
+    nn = tf.agg(F.sum("a").cast("long").alias("n"))
+    j = (
+        tf.join(F.broadcast(st), "source")
+        .join(wt, "w")
+        .crossJoin(F.broadcast(nn))
+    )
+    b = F.col("tw") - F.col("a")
+    term_a = F.col("a") * F.log(
+        F.col("a").cast("double") * F.col("n")
+        / (F.col("tot").cast("double") * F.col("tw"))
+    )
+    term_b = F.when(
+        b > 0,
+        b
+        * F.log(
+            b.cast("double") * F.col("n")
+            / ((F.col("n") - F.col("tot")).cast("double") * F.col("tw"))
+        ),
+    ).otherwise(F.lit(0.0))
+    sign = (
+        F.when(F.col("a") * F.col("n") == F.col("tot") * F.col("tw"), F.lit(0.0))
+        .when(F.col("a") * F.col("n") > F.col("tot") * F.col("tw"), F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+    )
+    g = j.select(
+        "source",
+        F.col("w").alias("token"),
+        "a",
+        b.cast("long").alias("b"),
+        F.round(sign * F.lit(2.0) * (term_a + term_b), 4).alias("g2_signed"),
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("g2_signed").desc(), F.col("token"))
+    )
+    return (
+        g.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "token", "a", "b", "g2_signed", "rnk")
+    )

@@ -174,6 +174,12 @@ PROBES = [
     "stats_hill_tail_index",
     "events_error_mtbf",
     "orders_seasonality_index",
+    # round-7 pack: bounded-round k-core peel, Brown-Forsythe variance
+    # homogeneity, G2 corpus keyness, bucketed co-located join
+    "graph_kcore",
+    "stats_levene_test",
+    "text_keyness_g2",
+    "join_bucketed_colocated",
 ]
 
 

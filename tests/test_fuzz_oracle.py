@@ -35,6 +35,11 @@ RECENT = [
     # round-7: BPE oracle conversion (verdict item 6) + CMS re-profile
     "text_bpe_token_counts",
     "approx_topk_cms",
+    # round-7 pack: kcore / levene / keyness / bucketed join
+    "graph_kcore",
+    "stats_levene_test",
+    "text_keyness_g2",
+    "join_bucketed_colocated",
     # round-6 inference/recursive/window-frame pack
     "stats_welch_ttest",
     "stats_anova_f",

@@ -708,3 +708,27 @@ def test_bfs_round_plan_shape(spark):
         streamed.append(line)
     assert any("Scan ExistingRDD" in l for l in streamed), executed
     assert not any("Exchange" in l for l in streamed), executed
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """join_bucketed_colocated's contract: both sides bucketed 8 ways on
+    the join key ⇒ the join plans with ZERO Exchange on either side.
+    Broadcast is disabled so the assertion cannot be satisfied by a
+    BroadcastExchange instead of by the bucket layout; the only
+    exchange allowed in the whole plan is the final 5-row aggregate's."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "join_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    join_part = plan[: plan.index("HashAggregate")] if "HashAggregate" in plan else plan
+    # no exchange may feed the join: the scans' bucket layout satisfies
+    # the distribution requirement at rest
+    jidx = plan.index("SortMergeJoin")
+    assert "Exchange" not in plan[jidx:], plan
+    # the aggregate above the join gets exactly one exchange (partial →
+    # final on the 5 segments)
+    assert plan[:jidx].count("Exchange hashpartitioning") <= 1, plan
+    assert "SelectedBucketsCount" in plan, plan
