@@ -296,6 +296,9 @@ HEADLINE = [
     "stats_levene_test",
     "text_keyness_g2",
     "join_bucketed_colocated",
+    # round-7 pack b: reciprocal best-match pairs, trend-in-proportions
+    "embedding_mutual_nn",
+    "stats_cochran_armitage",
 ]
 
 

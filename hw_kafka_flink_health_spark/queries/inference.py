@@ -657,3 +657,92 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("w_stat"),
     )
+
+
+@register(
+    "stats_cochran_armitage",
+    oracle="""
+    WITH e AS (
+      SELECT (epoch_ms(ts) // 86400000) % 7 AS t,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ), g AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS r
+      FROM e GROUP BY t
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS big_n,
+             CAST(sum(r) AS BIGINT) AS big_r,
+             CAST(sum(t * n) AS BIGINT) AS stn,
+             CAST(sum(t * t * n) AS BIGINT) AS st2n,
+             CAST(sum(t * r) AS BIGINT) AS str
+      FROM g
+    )
+    SELECT k, big_n, big_r,
+           CAST(big_n * str - stn * big_r AS BIGINT) AS a_num,
+           round((CAST(big_n * str - stn * big_r AS DOUBLE)
+                  * (big_n * str - stn * big_r) * big_n)
+                 / nullif(CAST(big_r AS DOUBLE) * (big_n - big_r)
+                          * (big_n * st2n - stn * stn), 0), 4) AS z2_trend
+    FROM s
+    """,
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: is the error-event PROPORTION
+    linearly trending across the 7 epoch-day-of-week doses? The
+    categorical chi-square (stats_chi_square_independence) spends k-1
+    degrees of freedom and misses ordered structure; CA concentrates
+    the test on the linear contrast — the standard dose-response /
+    day-of-week drift screen.
+
+    Exactness: doses and outcomes are integers, so every sufficient
+    statistic (N, R, Σtn, Σt²n, Σtr) is an exact BIGINT, the trend
+    numerator A = N·Σtr − Σtn·R is exact (≤ ~1e13 at bench scale, far
+    inside int64), and z² = A²·N / (R(N−R)(NΣt²n − (Σtn)²)) is ONE
+    fixed IEEE expression over exact integers — bit-identical
+    cross-engine, NULL on the degenerate all-error / no-error / single-
+    dose fixtures (nullif mirrored). Day key = epoch-ms DIV 86400000
+    mod 7 (pure integer — never an engine-specific dayofweek).
+
+    Shape: one map-side-combined aggregate to ≤7 rows, one 1-row
+    reduction; one scan total at any scale."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            (
+                F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000") % 7
+            ).alias("t"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = e.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r"),
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("r").cast("long").alias("big_r"),
+        F.sum(F.col("t") * F.col("n")).cast("long").alias("stn"),
+        F.sum(F.col("t") * F.col("t") * F.col("n")).cast("long").alias("st2n"),
+        F.sum(F.col("t") * F.col("r")).cast("long").alias("str"),
+    )
+    a = F.col("big_n") * F.col("str") - F.col("stn") * F.col("big_r")
+    den = (
+        F.col("big_r").cast("double")
+        * (F.col("big_n") - F.col("big_r"))
+        * (F.col("big_n") * F.col("st2n") - F.col("stn") * F.col("stn"))
+    )
+    return s.select(
+        "k",
+        "big_n",
+        "big_r",
+        a.cast("long").alias("a_num"),
+        F.round(
+            F.try_divide(
+                a.cast("double") * a * F.col("big_n"), F.nullif(den, F.lit(0.0))
+            ),
+            4,
+        ).alias("z2_trend"),
+    )

@@ -927,3 +927,70 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v2.join(v1f, v2["d"] == v1f["pos"]).select(
         "pos", F.col("x").alias("v1"), F.col("y").alias("v2")
     )
+
+
+@register(
+    "embedding_mutual_nn",
+    oracle=f"""
+    WITH pool AS (
+        SELECT vec_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 400
+    ), c AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_COS} AS sim
+        FROM (SELECT vec_id, qe AS embedding FROM pool) e
+        CROSS JOIN pool q
+        WHERE e.vec_id <> q.vec_id
+    ), nn AS (
+        SELECT query_id, neighbor_id, sim FROM (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY round(sim, 6) DESC, neighbor_id) AS rk
+          FROM c
+        ) WHERE rk = 1
+    )
+    SELECT a.query_id AS id_a, a.neighbor_id AS id_b,
+           round(a.sim, 4) AS cosine
+    FROM nn a JOIN nn b
+      ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+    WHERE a.query_id < a.neighbor_id
+    """,
+)
+def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best-match pairs: (a, b) where a's nearest neighbor is
+    b AND b's nearest neighbor is a — the standard high-precision
+    entity-resolution / bitext-mining filter (mutual-NN pruning keeps
+    only symmetric evidence, dropping hub vectors that are 'nearest' to
+    everything). Composes the existing exact top-k ARROW tier (160k
+    pair × 64-dim is ~10M mul-adds, at the measured BLAS crossover —
+    one matmul per batch instead of the per-pair expression fold): one
+    top-1 pass over the pool, then a self-join of the tiny (id, nn)
+    table on the reversed pair — the reciprocity check costs O(N) after
+    the O(N·k) search, and swaps in any ANN tier unchanged at 100 TB.
+    Pool bounded to the fixed vec_id < 400 slab (SF-invariant, same
+    posture as embedding_decontaminate's eval window); ranking uses
+    round(sim, 6) + id so NN choice is engine-independent."""
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = emb.filter(F.col("vec_id") < 400)
+    # the reciprocity self-join consumes the NN table twice — without
+    # materialization Catalyst re-runs the whole top-1 search per side
+    nn = (
+        cosine_topk_arrow(pool, pool, k=1)
+        .select("query_id", "neighbor_id", "cosine")
+        .localCheckpoint()
+    )
+    a, b = nn.alias("a"), nn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .filter(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("id_a"),
+            F.col("a.neighbor_id").alias("id_b"),
+            F.round(F.col("a.cosine"), 4).alias("cosine"),
+        )
+    )

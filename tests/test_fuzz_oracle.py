@@ -40,6 +40,8 @@ RECENT = [
     "stats_levene_test",
     "text_keyness_g2",
     "join_bucketed_colocated",
+    "embedding_mutual_nn",
+    "stats_cochran_armitage",
     # round-6 inference/recursive/window-frame pack
     "stats_welch_ttest",
     "stats_anova_f",
