@@ -299,6 +299,7 @@ HEADLINE = [
     # round-7 pack b: reciprocal best-match pairs, trend-in-proportions
     "embedding_mutual_nn",
     "stats_cochran_armitage",
+    "timeseries_dtw_band",
 ]
 
 

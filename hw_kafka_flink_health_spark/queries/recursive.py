@@ -376,3 +376,154 @@ WITH RECURSIVE hw AS (
 """,
         {"anchor": anchor, "idx": idx},
     )
+
+
+_DTW_INF = 1 << 50  # > any real path cost, no overflow under accumulation
+_DTW_N = 59  # days in [1995-01-01, 1995-03-01) — fixed window, SF-invariant
+_DTW_W = 7  # Sakoe-Chiba band half-width
+_DTW_ITERS = 2 * _DTW_N - 1
+
+_DTW_ORACLE = f"""
+    WITH RECURSIVE dly AS (
+      SELECT (epoch_ms(o_orderdate) // 86400000)
+             - (epoch_ms(TIMESTAMP '1995-01-01 00:00:00') // 86400000) AS d,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cb
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-03-01'
+      GROUP BY 1
+    ), spine AS (SELECT unnest(generate_series(0, {_DTW_N - 1})) AS d),
+    arrs AS (
+      SELECT list(CAST(coalesce(dly.ca, 0) AS BIGINT) ORDER BY spine.d) AS a,
+             list(CAST(coalesce(dly.cb, 0) AS BIGINT) ORDER BY spine.d) AS b
+      FROM spine LEFT JOIN dly ON spine.d = dly.d
+    ),
+    st AS (
+      SELECT 1 AS t,
+             CAST([CASE WHEN i = 1 THEN abs(a[1] - b[1])
+                        ELSE {_DTW_INF} END
+                   FOR i IN generate_series(1, {_DTW_N})] AS BIGINT[]) AS cur,
+             CAST([{_DTW_INF} FOR i IN generate_series(1, {_DTW_N})]
+                  AS BIGINT[]) AS prev,
+             a, b
+      FROM arrs
+      UNION ALL
+      SELECT t + 1,
+             CAST([
+               CASE WHEN t + 2 - i BETWEEN 1 AND {_DTW_N}
+                         AND abs(2 * i - t - 2) <= {_DTW_W}
+                    THEN abs(a[i] - b[t + 2 - i])
+                         + least(coalesce(cur[i - 1], {_DTW_INF}),
+                                 coalesce(cur[i], {_DTW_INF}),
+                                 coalesce(prev[i - 1], {_DTW_INF}))
+                    ELSE {_DTW_INF} END
+               FOR i IN generate_series(1, {_DTW_N})] AS BIGINT[]),
+             cur, a, b
+      FROM st WHERE t < {_DTW_ITERS}
+    )
+    SELECT CAST({_DTW_N} AS BIGINT) AS n_days,
+           CAST(cur[{_DTW_N}] AS BIGINT) AS dtw_cents
+    FROM st WHERE t = {_DTW_ITERS}
+    """
+
+
+@register("timeseries_dtw_band", oracle=_DTW_ORACLE)
+def timeseries_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dynamic-time-warping distance between the URGENT and LOW
+    daily revenue series over a fixed 59-day window — the elastic
+    similarity measure used to compare phase-shifted time series where
+    pointwise (Euclidean) distance over-penalizes small lags.
+
+    The O(n·w) DP runs as a recursive CTE whose working set is ONE ROW
+    carrying the last two anti-diagonals as BIGINT arrays (the
+    Holt-Winters array-state pattern): each of the 2n-1 iterations maps
+    `transform(sequence(1, n), ...)` over the band, so recursion depth
+    and row width are fixed by the WINDOW (59 days), not the table —
+    the heavy work (daily conditional aggregate) happens once in the
+    anchor, and at 100 TB the recursion still touches one 59-element
+    row per step. All costs are exact integer cents with an integer INF
+    sentinel (2^50 — min() absorbs it, and accumulation cannot reach
+    int64), so the distance is bit-identical cross-engine. The
+    Sakoe-Chiba band (|i-j| <= 7) is the standard constraint that keeps
+    warping local and cuts the DP to O(n·w)."""
+    _ensure_recursion_headroom(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    INF, N, W, ITERS = _DTW_INF, _DTW_N, _DTW_W, _DTW_ITERS
+    base = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
+    ).select(
+        (
+            F.expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000")
+            - F.lit(9131).cast("long")  # epoch-day of 1995-01-01
+        ).alias("d"),
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("ca"),
+        F.when(
+            F.col("o_orderpriority") == "5-LOW",
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("cb"),
+    )
+    dly = base.groupBy("d").agg(
+        F.sum("ca").cast("long").alias("ca"), F.sum("cb").cast("long").alias("cb")
+    )
+    arrs = dly.agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "ca"))).alias("m_a"),
+        F.map_from_entries(F.collect_list(F.struct("d", "cb"))).alias("m_b"),
+    ).select(
+        F.expr(
+            f"transform(sequence(CAST(0 AS BIGINT), {N - 1}), dd -> "
+            f"CAST(coalesce(try_element_at(m_a, dd), 0) AS BIGINT))"
+        ).alias("a"),
+        F.expr(
+            f"transform(sequence(CAST(0 AS BIGINT), {N - 1}), dd -> "
+            f"CAST(coalesce(try_element_at(m_b, dd), 0) AS BIGINT))"
+        ).alias("b"),
+    ).localCheckpoint()
+    return _sql_over_views(
+        spark,
+        f"""
+WITH RECURSIVE st AS (
+  SELECT 1 AS t,
+         transform(sequence(1, {N}), i ->
+           CASE WHEN i = 1 THEN abs(try_element_at(a, 1) - try_element_at(b, 1))
+                ELSE CAST({INF} AS BIGINT) END) AS cur,
+         transform(sequence(1, {N}), i -> CAST({INF} AS BIGINT)) AS prev,
+         a, b
+  FROM {{arrs}}
+  UNION ALL
+  SELECT t + 1,
+         transform(sequence(1, {N}), i ->
+           CASE WHEN t + 2 - i BETWEEN 1 AND {N}
+                     AND abs(2 * i - t - 2) <= {W}
+                THEN abs(try_element_at(a, i) - try_element_at(b, t + 2 - i))
+                     + least(coalesce(CASE WHEN i > 1
+                                          THEN try_element_at(cur, i - 1) END,
+                                      CAST({INF} AS BIGINT)),
+                             coalesce(try_element_at(cur, i), CAST({INF} AS BIGINT)),
+                             coalesce(CASE WHEN i > 1
+                                          THEN try_element_at(prev, i - 1) END,
+                                      CAST({INF} AS BIGINT)))
+                ELSE CAST({INF} AS BIGINT) END) AS cur,
+         cur AS prev, a, b
+  FROM st WHERE t < {ITERS}
+)
+SELECT CAST({N} AS BIGINT) AS n_days,
+       CAST(try_element_at(cur, {N}) AS BIGINT) AS dtw_cents
+FROM st WHERE t = {ITERS}
+""",
+        {"arrs": arrs},
+    )

@@ -183,6 +183,7 @@ PROBES = [
     # round-7 pack b: reciprocal best-match pairs, trend-in-proportions
     "embedding_mutual_nn",
     "stats_cochran_armitage",
+    "timeseries_dtw_band",
 ]
 
 

@@ -42,6 +42,7 @@ RECENT = [
     "join_bucketed_colocated",
     "embedding_mutual_nn",
     "stats_cochran_armitage",
+    "timeseries_dtw_band",
     # round-6 inference/recursive/window-frame pack
     "stats_welch_ttest",
     "stats_anova_f",
