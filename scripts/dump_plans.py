@@ -67,7 +67,7 @@ SHOWCASE = {
     "approx_topk_cms": "count-min sketch: posexplode fan-out then ONE agg whose shuffle is capped at depth*width rows per task, whatever the key cardinality",
     "join_skew_diagnostics": "join pre-flight: per-key fan-out accounting via one map-side-combined agg + broadcast 1-row total; the diagnosed join itself never runs",
     "quantile_sketch_log": "deterministic log-histogram quantile sketch: one partial-agg bucket build; quantile lookup walks the tiny cumulative table",
-    "graph_bfs_distance": "bounded-round BFS: per round one reached-set x edges join + min-dist agg, edges localCheckpointed once",
+    "graph_bfs_distance": "bounded-round frontier BFS: per round one broadcast-frontier x edges join + distinct + reached-set anti-join, edges localCheckpointed once. Round 7: the reached-set anti-join is UN-hinted (`F.broadcast(dist)` removed - dist grows toward all reached nodes, and forcing the broadcast was a driver/executor OOM at real graph cardinalities, round-6 verdict item 3). AQE still picks broadcast while dist is small and degrades to a shuffled anti-join of two reached-set-bounded tables; the edge table never shuffles either way - asserted on the production round builder by tests/test_plans.py::test_bfs_round_plan_shape. Final plan below is the 0-exchange union over checkpointed rounds, unchanged",
     "attribution_linear_touch": "multi-touch attribution: next-purchase assignment as a FOLLOWING-frame window — no clicks x purchases range self-join",
     "forecast_seasonal_naive_backtest": "forecast backtest: hourly pre-agg then (user, hr-24h) equi self-join — fact table aggregated once, joined small",
     "cep_error_burst": "quantifier CEP: islands via two row_numbers on ONE user exchange — no self-join, no sequence materialization",
@@ -86,8 +86,15 @@ SHOWCASE = {
     "events_cusum_changepoint": "CUSUM: daily agg + broadcast stats join; cumulative and argmax windows share one event_type exchange, integer-exact deviations",
     "text_source_token_tvd": "source vocabulary drift: one big token-count shuffle; dense vocab x source grid off a broadcast dimension; pairwise TVD integer-exact to one final division",
     "basket_rules_lift": "association rules: pair supports keyed on the order (basket-width-bounded fan-out); item supports broadcast back; conf/lift in integer micro-units",
+    # round-7 additions
+    "graph_kcore": "bounded-round k-core peel: per round ONE degree agg + two semi-joins on the shrinking checkpointed edge table; final plan reads the last checkpoint only",
+    "timeseries_dtw_band": "banded DTW as single-row array recursion: anchor = one conditional daily aggregate; the 117-step loop maps transform() over two 59-element arrays - no joins, no scans inside the recursion",
+    "join_bucketed_colocated": "bucketed co-located join: both scans carry SelectedBucketsCount and the SortMergeJoin has ZERO exchanges below it - the shuffle was paid at ingest",
+    "stats_levene_test": "two passes: percentile_disc group medians (5 rows, broadcast back), then one moment aggregate + 5-row reduction; SS terms rounded to the 1e6 grain for order-independence",
+    "text_keyness_g2": "one (source, token) aggregate + three tiny-aggregate joins back (per-source totals broadcast, token totals co-partitioned, corpus total 1-row); per-source top-10 under WindowGroupLimit",
+    "embedding_mutual_nn": "Arrow/BLAS top-1 over the bounded pool, then a reciprocity self-join of the checkpointed (id, nn) table - search cost O(N k), reciprocity O(N)",
+    "stats_cochran_armitage": "one map-side-combined aggregate to <=7 dose rows + a 1-row reduction; all sufficient statistics exact BIGINTs",
 }
-
 
 # Measured evidence that is not a single query's plan: kept here so PLANS.md
 # regeneration never loses it.
@@ -294,6 +301,22 @@ sf0.1: **3.77 s → 5.46 s, alpha 0.54 over the 0.1→0.2 doubling** — the
 0.64 alpha of the 0.01→0.1 decade FLATTENS past sf0.1, confirming the
 cost is ml-fit fixed overhead plus a sub-linear data term, not a
 steepening curve.
+
+Round-7 re-probe (quiet box, load_avg 0.53): **3.31 s → 4.71 s, alpha
+0.51** — reproduces the flattening with fresh numbers (r6's highest
+in-catalog alpha was 0.68 over 0.01→0.1; past sf0.1 the curve bends
+down, not up). **minSupport-vs-SF guidance (the documented scale
+lever):** minSupport is RELATIVE (0.02 of baskets), so the absolute
+support floor already rises linearly with basket count — that is what
+keeps the frequent-item list (and therefore FP-tree width and the
+conditional-tree recursion) roughly SF-invariant; the growth that
+remains is the two linear passes over baskets. Keep the threshold
+relative at larger SF; never convert it to an absolute count, which
+would re-admit the long tail and genuinely steepen the lattice walk. If
+a future corpus widens the ITEM universe (brands here are fixed at 25),
+the second lever is capping items per basket to the support-pruned
+frequent list before fit — FPGrowth already drops infrequent items, so
+the cap only saves shuffle width, not correctness.
 """
 
 
