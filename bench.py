@@ -300,6 +300,8 @@ HEADLINE = [
     "embedding_mutual_nn",
     "stats_cochran_armitage",
     "timeseries_dtw_band",
+    "graph_adamic_adar",
+    "privacy_dp_noisy_counts",
 ]
 
 

@@ -2550,3 +2550,62 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hill_mean_log") > 0, F.round(1.0 / F.col("hill_mean_log"), 6)
         ).alias("tail_index_alpha"),
     )
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    ), u AS (
+      SELECT event_type, n,
+             (CAST(concat('0x', substr(md5('dp|' || event_type), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 AS u01
+      FROM g
+    )
+    SELECT event_type, n AS true_count,
+           round(n + (CASE WHEN u01 < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * ln(1.0 - 2.0 * abs(u01 - 0.5)), 4) AS noisy_count,
+           1.0 AS epsilon
+    FROM u
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy count release (ε = 1, sensitivity 1 for
+    a per-entity count): noisy = n + Lap(1/ε) via inverse-CDF transform
+    of a uniform draw — the mechanism every DP aggregate release is
+    built on, next to the k-anonymity/l-diversity/t-closeness suite.
+
+    The uniform is a PINNED md5 draw over the group key (the resampling
+    pack's unit-draw idiom), so the whole release — including the noise
+    — is replayed bit-for-bit by the DuckDB twin: the query demonstrates
+    and TESTS the mechanism's algebra, while a production deployment
+    would substitute fresh secret randomness for the pinned draw (with
+    a deterministic seed the release is not actually private, which is
+    exactly why the seed is the one swappable part). Emits the true
+    count alongside for test-fixture transparency. One
+    map-side-combined aggregate; noise is per-GROUP scalar algebra —
+    free at any scale."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    u01 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp|"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    sign = F.when(u01 < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = sign * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u01 - F.lit(0.5)))
+    return g.select(
+        "event_type",
+        F.col("n").alias("true_count"),
+        F.round(F.col("n") + noise, 4).alias("noisy_count"),
+        F.lit(1.0).alias("epsilon"),
+    )

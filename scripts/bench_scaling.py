@@ -184,6 +184,8 @@ PROBES = [
     "embedding_mutual_nn",
     "stats_cochran_armitage",
     "timeseries_dtw_band",
+    "graph_adamic_adar",
+    "privacy_dp_noisy_counts",
 ]
 
 

@@ -43,6 +43,8 @@ RECENT = [
     "embedding_mutual_nn",
     "stats_cochran_armitage",
     "timeseries_dtw_band",
+    "graph_adamic_adar",
+    "privacy_dp_noisy_counts",
     # round-6 inference/recursive/window-frame pack
     "stats_welch_ttest",
     "stats_anova_f",
