@@ -48,7 +48,17 @@ def _publish_manifest(table_dir: str, version: int, manifest: dict) -> bool:
     manifest to its final name — link fails if the name exists, so two
     writers can never share a version, and a concurrent reader can never
     observe a half-written manifest (the content exists before the name
-    does). Returns False when another writer already claimed N."""
+    does). Returns False when another writer already claimed N.
+
+    Every manifest is stamped `committed_at` (epoch seconds) HERE — the
+    single choke point every committer (commit/restore/compact/clustered/
+    zordered/merge) publishes through — which is what read_snapshot's
+    `as_of` timestamp travel resolves against. The stamp rides the
+    manifest json, not the file mtime, so copies/backups don't corrupt
+    time travel."""
+    import time as _time
+
+    manifest = {**manifest, "committed_at": _time.time()}
     tmp = os.path.join(table_dir, f"_manifest-tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -359,15 +369,55 @@ def delete_tag(table_dir: str, name: str) -> None:
         _release_lock(lock, fd, token)
 
 
+def resolve_as_of(table_dir: str, as_of: float) -> int:
+    """Delta-style TIMESTAMP AS OF resolution: the latest RETAINED
+    version whose `committed_at` stamp (written by _publish_manifest at
+    claim time, so it is monotone in the version number) is <= `as_of`,
+    capped at the published pointer (in-flight claims are invisible to
+    readers). Raises if every retained manifest is newer — the history
+    at that timestamp has been vacuumed, same error posture as Delta's
+    earliest-available check."""
+    latest = current_version(table_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    best = None
+    earliest = None
+    for name in os.listdir(table_dir):
+        if not name.startswith("manifest-v"):
+            continue
+        v = int(name.split("manifest-v")[1].split(".")[0])
+        if v > latest:
+            continue
+        try:
+            with open(os.path.join(table_dir, name)) as f:
+                ts = json.load(f).get("committed_at")
+        except (FileNotFoundError, ValueError):
+            continue
+        if ts is None:
+            continue
+        earliest = ts if earliest is None else min(earliest, ts)
+        if ts <= as_of and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version of {table_dir} is as old as {as_of}"
+            + (f" (earliest retained commit: {earliest})" if earliest else "")
+        )
+    return best
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
     *,
     version: int | None = None,
     tag: str | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot (latest by default; any retained version by
-    number — time travel; or by TAG name). The manifest's file list is
+    number — time travel; by TAG name; or by `as_of` epoch-seconds
+    timestamp — Delta's TIMESTAMP AS OF, resolved against the
+    committed_at stamp every manifest carries). The manifest's file list is
     resolved ONCE at plan time, so the DataFrame is immutable under
     concurrent commits. Retention contract (same as Delta's VACUUM
     rule): a reader is only safe from concurrent vacuum while its
@@ -377,13 +427,15 @@ def read_snapshot(
     mix files written under an older, narrower schema with newer wide
     ones (schema evolution) — old files surface the new columns as NULL,
     and a version pinned BEFORE the evolution never sees them at all."""
+    if sum(x is not None for x in (version, tag, as_of)) > 1:
+        raise ValueError("pass at most one of version, tag, as_of")
     if tag is not None:
-        if version is not None:
-            raise ValueError("pass version OR tag, not both")
         tags = list_tags(table_dir)
         if tag not in tags:
             raise KeyError(f"no tag {tag!r} in {table_dir}")
         version = tags[tag]
+    if as_of is not None:
+        version = resolve_as_of(table_dir, as_of)
     v = current_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")

@@ -1255,3 +1255,53 @@ def test_multi_writer_commit_vacuum_restore_tag_stress(spark, tmp_path):
     check_structure()
     vacuum(t, keep_last=1)  # aggressive retention must still honor tags
     check_structure()
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Delta-style TIMESTAMP AS OF: resolve by the committed_at stamp
+    every manifest carries (written at the _publish_manifest choke
+    point, so every committer gets it), not by file mtime."""
+    import json as _json
+    import time
+
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        commit_snapshot,
+        read_snapshot,
+        resolve_as_of,
+        restore_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "asof")
+    commit_snapshot(spark.range(10).coalesce(1), t)  # v0
+    t0 = time.time()
+    time.sleep(0.05)
+    commit_snapshot(spark.range(20).coalesce(1), t)  # v1
+    t1 = time.time()
+    time.sleep(0.05)
+    restore_snapshot(t, 0)  # v2 (restore publishes through the same path)
+    # stamps are monotone in version number
+    stamps = [
+        _json.load(open(_manifest_path(t, v)))["committed_at"] for v in range(3)
+    ]
+    assert stamps == sorted(stamps)
+    assert resolve_as_of(t, t0) == 0
+    assert resolve_as_of(t, t1) == 1
+    assert resolve_as_of(t, time.time()) == 2
+    assert read_snapshot(spark, t, as_of=t0).count() == 10
+    assert read_snapshot(spark, t, as_of=t1).count() == 20
+    assert read_snapshot(spark, t, as_of=time.time()).count() == 10  # restored
+    # before the table existed -> error
+    with pytest.raises(ValueError, match="as old as"):
+        resolve_as_of(t, t0 - 3600)
+    # mutually exclusive selectors
+    with pytest.raises(ValueError, match="at most one"):
+        read_snapshot(spark, t, version=1, as_of=t1)
+    # vacuumed history resolves only against retained manifests
+    commit_snapshot(spark.range(5).coalesce(1), t)  # v3
+    vacuum(t, keep_last=2)
+    with pytest.raises(ValueError, match="as old as"):
+        resolve_as_of(t, t0)
