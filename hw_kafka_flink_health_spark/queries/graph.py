@@ -519,7 +519,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    for _ in range(_KCORE_ROUNDS):
+    for rnd in range(_KCORE_ROUNDS):
         keep = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
@@ -530,8 +530,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint()
         )
+        # every round's survivors feed BOTH next-round consumers (degree
+        # agg + semi probes) — checkpoint; the LAST round has exactly one
+        # consumer (the final degree agg), so its materialization would
+        # be pure waste
+        if rnd < _KCORE_ROUNDS - 1:
+            edges = edges.localCheckpoint()
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     )
