@@ -302,6 +302,8 @@ HEADLINE = [
     "timeseries_dtw_band",
     "graph_adamic_adar",
     "privacy_dp_noisy_counts",
+    "funnel_time_bounded",
+    "geo_dbscan_cells",
 ]
 
 

@@ -2458,3 +2458,113 @@ def cohort_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_cents").cast("double") / F.col("base_cents"),
         ).alias("nrr"),
     )
+
+
+@register(
+    "funnel_time_bounded",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), w1 AS (
+      SELECT user_id, event_type, ms,
+             min(CASE WHEN event_type = 'view' THEN ms END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM e
+    ), w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ms >= t_view
+                              AND ms <= t_view + 3600000 THEN ms END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM w1
+    ), w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ms >= t_click
+                              AND ms <= t_click + 86400000 THEN ms END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM w2
+    ), u AS (
+      SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+             min(t_purchase) AS t_purchase
+      FROM w3 GROUP BY user_id
+    )
+    SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(count(t_click) AS BIGINT) AS n_click_1h,
+           CAST(count(t_purchase) AS BIGINT) AS n_purchase_24h,
+           CAST(floor(count(t_click) * 1000000.0
+                      / nullif(count(t_view), 0)) AS BIGINT)
+             AS click_rate_ppm,
+           CAST(floor(count(t_purchase) * 1000000.0
+                      / nullif(count(t_click), 0)) AS BIGINT)
+             AS purchase_rate_ppm
+    FROM u
+    """,
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED strict-order funnel: first view → first click within
+    ONE HOUR of that view → first purchase within 24 HOURS of that
+    click. The unbounded funnel (funnel_conversion) over-credits stale
+    journeys — a click three weeks after the view is not the same
+    intent; attribution windows are how real funnels are defined.
+
+    Same single-exchange shape as the unbounded version: three
+    whole-partition window passes share ONE user_id exchange, the
+    per-user collapse reuses it, and the final scalar rates are one
+    1-row aggregate. All bounds are exact epoch-ms integer comparisons;
+    conversion rates emit as exact ppm integers (floor-scaled — no
+    float division in the hash)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id")
+    df = ev.select("user_id", "event_type", ms.alias("ms"))
+    df = df.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ms"))).over(w)
+    )
+    df = df.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ms") >= F.col("t_view"))
+                & (F.col("ms") <= F.col("t_view") + 3600000),
+                F.col("ms"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ms") >= F.col("t_click"))
+                & (F.col("ms") <= F.col("t_click") + 86400000),
+                F.col("ms"),
+            )
+        ).over(w),
+    )
+    u = df.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return u.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count("t_click").cast("long").alias("n_click_1h"),
+        F.count("t_purchase").cast("long").alias("n_purchase_24h"),
+        F.floor(
+            F.try_divide(
+                F.count("t_click") * F.lit(1000000.0),
+                F.nullif(F.count("t_view"), F.lit(0)),
+            )
+        )
+        .cast("long")
+        .alias("click_rate_ppm"),
+        F.floor(
+            F.try_divide(
+                F.count("t_purchase") * F.lit(1000000.0),
+                F.nullif(F.count("t_click"), F.lit(0)),
+            )
+        )
+        .cast("long")
+        .alias("purchase_rate_ppm"),
+    )

@@ -263,3 +263,144 @@ def geo_knn_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d", 3).alias("dist_km"),
         )
     )
+
+
+_DBSCAN_ROUNDS = 5
+_DBSCAN_CELL = 5.0  # finer than the join grid: clustering wants resolution
+_DBSCAN_COLS = 72  # 360 / 5
+
+
+def _dbscan_oracle() -> str:
+    """Unrolled min-label propagation twin (kcore's MATERIALIZED-CTE
+    pattern: every l{k} feeds two consumers)."""
+    pre = f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || 'custlat'), 1, 8))
+                   AS BIGINT) / 4294967296.0) * 90.0 - 45.0 AS lat,
+             (CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || 'custlon'), 1, 8))
+                   AS BIGINT) / 4294967296.0) * 360.0 - 180.0 AS lon
+      FROM customer
+    ), cells AS MATERIALIZED (
+      SELECT CAST(floor((lat + 90.0) / {_DBSCAN_CELL}) AS BIGINT) AS i,
+             CAST(floor((lon + 180.0) / {_DBSCAN_CELL}) AS BIGINT) AS j,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+    dense AS MATERIALIZED (
+      SELECT i, j, n, i * {_DBSCAN_COLS} + j AS cid
+      FROM cells, tot WHERE n >= 1 + (nn // 1296)
+                 + 2 * CAST(floor(sqrt(CAST(nn // 1296 AS DOUBLE))) AS BIGINT)
+    ), e0 AS MATERIALIZED (
+      SELECT a.cid AS src, b.cid AS dst
+      FROM dense a JOIN dense b
+        ON abs(a.i - b.i) <= 1
+       AND (abs(a.j - b.j) <= 1 OR abs(a.j - b.j) = {_DBSCAN_COLS - 1})
+       AND a.cid <> b.cid
+    ),
+    l0 AS MATERIALIZED (SELECT cid, cid AS lbl, n FROM dense)"""
+    its = []
+    for k in range(1, _DBSCAN_ROUNDS + 1):
+        its.append(f"""
+    m{k} AS MATERIALIZED (
+      SELECT e.dst AS cid, CAST(min(l.lbl) AS BIGINT) AS mn
+      FROM e0 e JOIN l{k - 1} l ON e.src = l.cid GROUP BY e.dst
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT l.cid, least(l.lbl, coalesce(m{k}.mn, l.lbl)) AS lbl, l.n
+      FROM l{k - 1} l LEFT JOIN m{k} ON l.cid = m{k}.cid
+    )""")
+    return (
+        pre
+        + ","
+        + ",".join(its)
+        + f"""
+    SELECT lbl AS cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS n_points
+    FROM l{_DBSCAN_ROUNDS} GROUP BY lbl
+    """
+    )
+
+
+@register("geo_dbscan_cells", oracle=_dbscan_oracle())
+def geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (cell-level DBSCAN): cells of a 5° grid
+    holding at least mean + 2*sqrt(mean) points are 'dense' (a Poisson
+    ~2-sigma tail, so the dense fraction stays stable as N grows —
+    a fixed multiple of the mean empties under Poisson concentration); density-
+    connected dense cells (8-neighborhood, longitude wrapping at the
+    antimeridian) merge into clusters via bounded-round min-label
+    propagation — the scalable skeleton of DBSCAN, where the quadratic
+    point-pair eps-scan is replaced by a cell aggregate plus a
+    cell-graph connected components whose size is the DENSE-CELL count,
+    not the point count.
+
+    Shape: one map-side-combined cell aggregate over the points, a tiny
+    dense-cell self-join for adjacency (≤9 candidates per cell by
+    construction), then 5 label-propagation rounds over the cell graph
+    (each one join + one min-agg, localCheckpoint lineage truncation —
+    dedup_clusters' pattern at cell granularity). The density threshold
+    is exact integer arithmetic over N DIV 1296 plus a floor(sqrt) of
+    that integer (one correctly-rounded IEEE op), so both engines pick
+    the identical dense set; coordinates are the module's deterministic
+    md5 draws. Bounded rounds: both engines run the same 5 (grid
+    diameter may exceed it; the twin matches exactly either way)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        _lat(F.col("c_custkey"), "cust").alias("lat"),
+        _lon(F.col("c_custkey"), "cust").alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor((F.col("lat") + 90.0) / _DBSCAN_CELL).cast("long").alias("i"),
+        F.floor((F.col("lon") + 180.0) / _DBSCAN_CELL).cast("long").alias("j"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    dense = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n")
+            >= 1
+            + F.expr("nn DIV 1296")
+            + 2 * F.floor(F.sqrt(F.expr("CAST(nn DIV 1296 AS DOUBLE)"))).cast("long")
+        )
+        .select(
+            "i", "j", "n", (F.col("i") * _DBSCAN_COLS + F.col("j")).alias("cid")
+        )
+        .localCheckpoint()
+    )
+    a, b = dense.alias("a"), dense.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.abs(F.col("a.i") - F.col("b.i")) <= 1)
+            & (
+                (F.abs(F.col("a.j") - F.col("b.j")) <= 1)
+                | (F.abs(F.col("a.j") - F.col("b.j")) == _DBSCAN_COLS - 1)
+            )
+            & (F.col("a.cid") != F.col("b.cid")),
+        )
+        .select(F.col("a.cid").alias("src"), F.col("b.cid").alias("dst"))
+        .localCheckpoint()
+    )
+    labels = dense.select("cid", F.col("cid").alias("lbl"), "n")
+    for _ in range(_DBSCAN_ROUNDS):
+        m = (
+            edges.join(labels.select(F.col("cid").alias("src"), "lbl"), "src")
+            .groupBy(F.col("dst").alias("cid"))
+            .agg(F.min("lbl").cast("long").alias("mn"))
+        )
+        labels = (
+            labels.join(m, "cid", "left")
+            .select(
+                "cid",
+                F.least(F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+                "n",
+            )
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_points"),
+    )

@@ -186,6 +186,8 @@ PROBES = [
     "timeseries_dtw_band",
     "graph_adamic_adar",
     "privacy_dp_noisy_counts",
+    "funnel_time_bounded",
+    "geo_dbscan_cells",
 ]
 
 

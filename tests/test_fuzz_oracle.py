@@ -45,6 +45,8 @@ RECENT = [
     "timeseries_dtw_band",
     "graph_adamic_adar",
     "privacy_dp_noisy_counts",
+    "funnel_time_bounded",
+    "geo_dbscan_cells",
     # round-6 inference/recursive/window-frame pack
     "stats_welch_ttest",
     "stats_anova_f",
