@@ -304,6 +304,7 @@ HEADLINE = [
     "privacy_dp_noisy_counts",
     "funnel_time_bounded",
     "geo_dbscan_cells",
+    "format_orc_roundtrip",
 ]
 
 

@@ -1986,3 +1986,46 @@ def skyline_suppliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_suppliers",
         "exemplar",
     )
+
+
+@register(
+    "format_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write orders through Spark's built-in columnar ORC
+    writer (zlib, dictionary encoding), read it back with the vectorized
+    ORC reader, and aggregate — completing the format matrix next to
+    parquet (native), JSON/CSV (robust readers), and XML (from_xml).
+    The oracle computes the same aggregates from the base parquet, so
+    any type drift through the ORC encode/decode (timestamps, decimals,
+    dictionary pages) breaks the value hash. The write is scratch-dir
+    ingest cost; the read demonstrates that predicate pushdown and
+    column pruning work the same against ORC scans — at 100 TB, format
+    choice should be an IO-codec decision, never a semantics one."""
+    import os
+
+    from hw_kafka_flink_health_spark.operators.versioned import scratch_table_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(scratch_table_dir("orc_rt_"), "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

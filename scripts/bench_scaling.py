@@ -188,6 +188,7 @@ PROBES = [
     "privacy_dp_noisy_counts",
     "funnel_time_bounded",
     "geo_dbscan_cells",
+    "format_orc_roundtrip",
 ]
 
 

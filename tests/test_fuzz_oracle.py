@@ -47,6 +47,7 @@ RECENT = [
     "privacy_dp_noisy_counts",
     "funnel_time_bounded",
     "geo_dbscan_cells",
+    "format_orc_roundtrip",
     # round-6 inference/recursive/window-frame pack
     "stats_welch_ttest",
     "stats_anova_f",
