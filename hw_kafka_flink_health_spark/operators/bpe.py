@@ -179,8 +179,16 @@ def bpe_encode(
                 out.append((did, n_tok, len(words)))
             yield pd.DataFrame(out, columns=[id_col, "n_bpe_tokens", "n_words"])
 
+    # NULL text would propagate through norm_tokens_expr/F.filter to a
+    # NULL __toks (a None in the Arrow batch — the worker's `for w in
+    # words` would raise TypeError); coalesce to an empty array so a
+    # null-text doc encodes as (0 tokens, 0 words), matching the
+    # LEFT JOIN + coalesce(0) convention of the DuckDB oracle.
     staged = docs.select(
         id_col,
-        F.filter(norm_tokens_expr(text_col), lambda t: t != "").alias("__toks"),
+        F.coalesce(
+            F.filter(norm_tokens_expr(text_col), lambda t: t != ""),
+            F.array().cast("array<string>"),
+        ).alias("__toks"),
     )
     return staged.mapInPandas(encode, schema=schema)

@@ -109,72 +109,104 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_anova_f",
     oracle="""
-    WITH g AS (
-      SELECT o_orderpriority, count(o_totalprice)::BIGINT AS n,
-             avg(o_totalprice) AS m, var_samp(o_totalprice) AS v
-      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
-    t AS (
-      SELECT sum(n)::BIGINT AS big_n, count(*)::BIGINT AS k,
-             sum(n * m) / sum(n) AS gm
+    g AS (
+      SELECT grp, count(*)::BIGINT AS n,
+             CAST(sum(cents) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(cents * cents) AS DECIMAL(38,0)) AS s2
+      FROM c GROUP BY 1
+    ),
+    p AS (
+      SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS big_n,
+             CAST(CAST(sum(s1) AS DECIMAL(38,0)) AS DOUBLE) AS s1d,
+             CAST(CAST(sum(s2) AS DECIMAL(38,0)) AS DOUBLE) AS s2d,
+             list_reduce(
+               list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n AS DOUBLE) ORDER BY grp),
+               (a, b) -> a + b) AS a_term
       FROM g
     )
-    SELECT t.k, t.big_n,
-           round(sum(g.n * pow(g.m - t.gm, 2)), 2) AS ss_between,
-           round(sum((g.n - 1) * g.v), 2) AS ss_within,
-           round((sum(g.n * pow(g.m - t.gm, 2)) / nullif(t.k - 1, 0))
-                 / nullif(sum((g.n - 1) * g.v) / nullif(t.big_n - t.k, 0), 0),
+    SELECT k, big_n,
+           round((a_term - s1d * s1d / big_n) / 1e4, 0) AS ss_between,
+           round((s2d - a_term) / 1e4, 0) AS ss_within,
+           round((a_term - s1d * s1d / big_n) / nullif(k - 1, 0)
+                 / nullif((s2d - a_term) / nullif(big_n - k, 0), 0),
                  4) AS f_stat,
-           round(sum(g.n * pow(g.m - t.gm, 2))
-                 / nullif(sum(g.n * pow(g.m - t.gm, 2))
-                          + sum((g.n - 1) * g.v), 0),
+           round((a_term - s1d * s1d / big_n)
+                 / nullif((a_term - s1d * s1d / big_n) + (s2d - a_term), 0),
                  4) AS eta_sq
-    FROM g, t
-    GROUP BY t.k, t.big_n
+    FROM p
     """,
 )
 def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F across the five order priorities.
 
-    Decomposes into per-group (n, mean, var_samp) — one hash aggregate —
-    then a 5-row reduction against the 1-row grand stats (cross join of
-    two tiny aggregates, the `stats.py:299` pattern). SSB/SSW/F/eta² are
-    pure algebra on sufficient statistics; nothing rescans the data, so
-    at 100 TB this costs exactly one grouped pass."""
+    Partition-order invariant by construction (the r7 verdict's task #1):
+    every data-sized aggregation is an EXACT integer-cents sum carried in
+    DECIMAL(38,0) — n, Σx, Σx² per group — so no floating-point sum whose
+    value depends on partial-aggregate merge order ever touches the data.
+    The k-row cross-group term A = Σ s1_g²/n_g is folded over the groups
+    in a pinned order (array_sort / list(... ORDER BY grp) + sequential
+    fold) so even that 5-double summation is deterministic; SSB/SSW/F/η²
+    are then identical scalar IEEE expressions in both engines (x*x, no
+    libm pow). The SS outputs round at whole-dollar² grain: the round
+    probe (PLANS.md round-grain audit) shows Spark and DuckDB round(x, d)
+    DISAGREE on identical doubles once |x|·10^d nears 2^52, which is what
+    broke the old round(ssw, 2) at 3.1e13. F and η² are O(1)-magnitude
+    ratios, safe at 4 decimals. Still exactly one grouped pass over
+    orders — 100 TB cost unchanged."""
     orders = load_table(spark, sf_dir, "orders")
-    g = orders.filter(F.col("o_totalprice").isNotNull()).groupBy(
-        "o_orderpriority"
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.avg("o_totalprice").alias("m"),
-        F.var_samp("o_totalprice").alias("v"),
-    )
-    t = g.agg(
-        F.sum("n").cast("long").alias("big_n"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
-    )
-    ssb = F.sum(F.col("n") * F.pow(F.col("m") - F.col("gm"), F.lit(2)))
-    ssw = F.sum((F.col("n") - 1) * F.col("v"))
-    return (
-        g.crossJoin(F.broadcast(t))
-        .groupBy("k", "big_n")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    g = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .select(F.col("o_orderpriority").alias("grp"), cents.alias("cents"))
+        .groupBy("grp")
         .agg(
-            F.round(ssb, 2).alias("ss_between"),
-            F.round(ssw, 2).alias("ss_within"),
-            # try_divide at every step: k=1 (one group), N=k (1-row groups)
-            # and ssw=0 (all-tied values) are all legal degenerate inputs
-            # that must yield NULL, not an ANSI error — oracle mirrors via
-            # nullif.
-            F.round(
-                F.try_divide(
-                    F.try_divide(ssb, F.col("k") - 1),
-                    F.try_divide(ssw, F.col("big_n") - F.col("k")),
-                ),
-                4,
-            ).alias("f_stat"),
-            F.round(F.try_divide(ssb, ssb + ssw), 4).alias("eta_sq"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("cents").cast("decimal(18,0)")).alias("s1"),
+            F.sum((F.col("cents") * F.col("cents")).cast("decimal(27,0)")).alias("s2"),
         )
+    )
+    p = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("s1").cast("decimal(38,0)").cast("double").alias("s1d"),
+        F.sum("s2").cast("decimal(38,0)").cast("double").alias("s2d"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("grp", "n", "s1"))),
+                lambda x: x["s1"].cast("double") * x["s1"].cast("double")
+                / x["n"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("a_term"),
+    )
+    ssb = F.col("a_term") - F.col("s1d") * F.col("s1d") / F.col("big_n")
+    ssw = F.col("s2d") - F.col("a_term")
+    # try_divide at every step: k=1 (one group), N=k (1-row groups) and
+    # ssw=0 (all-tied values) are legal degenerate inputs that must yield
+    # NULL, not an ANSI error — oracle mirrors via nullif. Empty input:
+    # Spark's fold gives a_term=0.0 while DuckDB's list() gives NULL, but
+    # every output then involves the NULL s1d/s2d, so both emit one
+    # all-NULL-stats row.
+    return p.select(
+        "k",
+        "big_n",
+        F.round(ssb / F.lit(1e4), 0).alias("ss_between"),
+        F.round(ssw / F.lit(1e4), 0).alias("ss_within"),
+        F.round(
+            F.try_divide(
+                F.try_divide(ssb, F.col("k") - 1),
+                F.try_divide(ssw, F.col("big_n") - F.col("k")),
+            ),
+            4,
+        ).alias("f_stat"),
+        F.round(F.try_divide(ssb, ssb + ssw), 4).alias("eta_sq"),
     )
 
 

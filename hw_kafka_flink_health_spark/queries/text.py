@@ -1341,7 +1341,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 5 = 0
                   THEN concat('subscribe to our newsletter today for updates and exclusive offers right now ', text)
                   ELSE text END AS txt
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), w AS (
       SELECT doc_id, string_split(txt, ' ') AS ws FROM base
     ), ex AS (
@@ -1381,7 +1381,9 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly; nothing is quadratic in duplicate count."""
     chunk = 12
     boiler = "subscribe to our newsletter today for updates and exclusive offers right now "
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-text docs carry no paragraphs to dedup — drop them explicitly
+    # (both sides) rather than let NULL split/explode semantics diverge
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     txt = F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(boiler), F.col("text"))).otherwise(
         F.col("text")
     )
@@ -1425,7 +1427,7 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN concat(text, ' !!! ### >>> ...')
                   ELSE text END AS txt
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), f AS (
       SELECT doc_id, string_split(txt, ' ') AS ws FROM base
     ), m AS (
@@ -1455,7 +1457,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     reject branch is exercised. Pure Catalyst higher-order functions on
     the split array (one pass, no shuffle, no UDF); the same lambdas run
     in DuckDB for the value-level audit."""
-    docs = load_table(spark, sf_dir, "documents")
+    # a doc with no text has no quality signal — drop, don't emit NULL
+    # metrics whose three-valued `keep` logic differs across engines
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     txt = F.when(
         F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" !!! ### >>> ..."))
     ).otherwise(F.col("text"))

@@ -16,6 +16,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,13 +50,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Scan-partitioning probe cache for rebalance_if_narrow, keyed by the
-# scan's file list: df.rdd.getNumPartitions() compiles a fresh RDD
-# lineage for the whole plan on EVERY call (~0.3s of per-query planning
-# overhead measured at round 7), while the answer only depends on the
-# source files and the session's split settings. Narrow transforms
-# (select/filter) never change scan partitioning, so one probe per
-# distinct file set is exact for this helper's contract (below).
-_NARROW_PROBE_CACHE: dict[tuple[str, ...], int] = {}
+# scan's file list PLUS the session split settings: df.rdd.
+# getNumPartitions() compiles a fresh RDD lineage for the whole plan on
+# EVERY call (~0.3s of per-query planning overhead measured at round 7),
+# while the answer only depends on the source files and the session's
+# split confs (maxPartitionBytes / openCostInBytes / defaultParallelism
+# — all in the key, so a session that retunes them mid-flight, like the
+# repartition-invariance fuzz sweep, never reads a stale probe). Narrow
+# transforms (select/filter) never change scan partitioning, so one
+# probe per distinct (files, confs) is exact for this helper's contract
+# (below). OrderedDict + LRU cap keeps a long-lived session bounded:
+# every versioned-table write changes the file set, so an uncapped dict
+# grows forever (round-7 verdict #6).
+_NARROW_PROBE_CACHE: "OrderedDict[tuple, int]" = OrderedDict()
+_NARROW_PROBE_CACHE_MAX = 256
 
 
 def rebalance_if_narrow(df: DataFrame) -> DataFrame:
@@ -80,11 +88,32 @@ def rebalance_if_narrow(df: DataFrame) -> DataFrame:
         files = tuple(sorted(df.inputFiles()))
     except Exception:
         files = ()
-    n = _NARROW_PROBE_CACHE.get(files) if files else None
+    key = None
+    if files:
+        # conf.get(key, default) VALIDATES the default against the conf
+        # type in Spark 4 — an unset conf must be probed with try, not a
+        # sentinel default
+        def _conf(k: str) -> str:
+            try:
+                return spark.conf.get(k)
+            except Exception:
+                return "<default>"
+
+        key = (
+            files,
+            _conf("spark.sql.files.maxPartitionBytes"),
+            _conf("spark.sql.files.openCostInBytes"),
+            target,
+        )
+    n = _NARROW_PROBE_CACHE.get(key) if key else None
     if n is None:
         n = df.rdd.getNumPartitions()
-        if files:
-            _NARROW_PROBE_CACHE[files] = n
+        if key:
+            _NARROW_PROBE_CACHE[key] = n
+            if len(_NARROW_PROBE_CACHE) > _NARROW_PROBE_CACHE_MAX:
+                _NARROW_PROBE_CACHE.popitem(last=False)
+    else:
+        _NARROW_PROBE_CACHE.move_to_end(key)
     if n >= target:
         return df
     return df.repartition(target)

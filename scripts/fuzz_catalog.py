@@ -2,7 +2,7 @@
 pathological dataset and hash-compare against its DuckDB oracle, exactly
 like the external correctness driver but on data built to hit boundaries.
 
-    python scripts/fuzz_catalog.py [single|nulls|ties|unicode|all]
+    python scripts/fuzz_catalog.py [single|nulls|ties|unicode|repart|all]
 
 Scenarios (round-5 findings in brackets):
   single  — 1 row per table: degenerate groups, empty windows
@@ -14,6 +14,13 @@ Scenarios (round-5 findings in brackets):
             duplicate sort keys [ANSI corr throw; tf-idf norm /0]
   unicode — CJK/emoji/RTL/combining-accent text spliced into documents
             and part names: char-vs-byte parity, regex classes [clean]
+  repart  — determinism-under-partitioning (round-7 verdict #2): the SAME
+            rows laid out as 1 file vs 16 files, run with
+            shuffle.partitions 1 vs 16 and per-file splits, canonical
+            outputs diffed Spark-vs-Spark. Catches the stats_anova_f
+            class: floating-point sums whose value depends on
+            partial-aggregate merge order, surfacing as an
+            oracle-vs-engine last-digit flip only under some layouts.
 
 The CI suite pins a ~45-query subset of these (tests/test_fuzz_oracle.py);
 this script is the full sweep, to re-run whenever queries are added.
@@ -88,11 +95,22 @@ def build(spark, scenario: str, base: str | None = None) -> str:
                     F.when(F.col("l_linenumber") % 3 != 0, F.col("l_quantity")),
                 )
             if t == "documents":
-                df = df.withColumn(
-                    "lang", F.when(F.col("doc_id") % 4 != 0, F.col("lang"))
-                ).withColumn(
-                    "n_chars",
-                    F.when(F.col("doc_id") % 3 != 0, F.col("n_chars")),
+                # text NULL too (round-7 ADVICE: bpe_encode crashed on a
+                # NULL __toks batch while its oracle handled null-text
+                # docs — the divergence was untested because this
+                # scenario never nulled documents.text)
+                df = (
+                    df.withColumn(
+                        "lang", F.when(F.col("doc_id") % 4 != 0, F.col("lang"))
+                    )
+                    .withColumn(
+                        "n_chars",
+                        F.when(F.col("doc_id") % 3 != 0, F.col("n_chars")),
+                    )
+                    .withColumn(
+                        "text",
+                        F.when(F.col("doc_id") % 5 != 0, F.col("text")),
+                    )
                 )
         elif scenario == "ties":
             one = load_table(spark, SF, t).limit(1)
@@ -177,17 +195,102 @@ def sweep(spark, scenario: str) -> list:
     return fails
 
 
+def build_repart(spark) -> tuple[str, str]:
+    """Materialize the repart scenario: identical rows, two layouts.
+
+    Layout A: one file per table. Layout B: 16 files per table (hash
+    round-robin), which under the per-file split confs set in
+    sweep_repart scans as 16 partitions — so scan parallelism, partial
+    aggregation fan-in, and merge order all differ between the runs
+    while the data is row-for-row identical."""
+    from hw_kafka_flink_health_spark.sources.files import load_table
+
+    base1 = tempfile.mkdtemp(prefix="fuzz_repart1_")
+    base16 = tempfile.mkdtemp(prefix="fuzz_repart16_")
+    for t in TABLES:
+        df = load_table(spark, SF, t)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base1}/{t}.parquet")
+        df.repartition(16).write.mode("overwrite").parquet(f"{base16}/{t}.parquet")
+    return base1, base16
+
+
+# (sf_dir pick, shuffle partitions, maxPartitionBytes, openCostInBytes)
+_REPART_RUNS = ((0, "1", str(128 << 20), str(4 << 20)), (1, "16", "65536", "0"))
+
+
+def sweep_repart(spark) -> list:
+    """Run every ORACLED query under two partition layouts and diff the
+    canonical Spark outputs against each other (no DuckDB involved —
+    cross-engine value agreement is the other scenarios' job; this one
+    proves the Spark result is a FUNCTION OF THE ROWS, not of the
+    layout). Any divergence is a real oracle hazard: a layout-dependent
+    last digit WILL eventually disagree with the sequential DuckDB sum.
+    Rows-only queries are exempt from the diff (seeded/approximate tiers
+    are layout-dependent by design) but are crash-checked in the other
+    scenarios."""
+    from hw_kafka_flink_health_spark.queries import ORACLES, QUERIES
+    from tests.test_oracle import canon
+
+    base1, base16 = build_repart(spark)
+    bases = (base1, base16)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    fails = []
+    todo = sorted(ORACLES)
+    try:
+        for i, name in enumerate(todo):
+            t0 = time.time()
+            outs = []
+            for which, shuf, mpb, ocb in _REPART_RUNS:
+                spark.conf.set("spark.sql.shuffle.partitions", shuf)
+                spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+                spark.conf.set("spark.sql.files.openCostInBytes", ocb)
+                try:
+                    outs.append(QUERIES[name](spark, bases[which]).toPandas())
+                except Exception as e:
+                    fails.append(
+                        ("repart", name, f"spark error (layout {which}): {str(e)[:150]}")
+                    )
+                    print(f"repart {name}: SPARK ERROR", flush=True)
+                    outs = None
+                    break
+            if outs is None:
+                continue
+            a, b = outs
+            ok = (
+                len(a) == len(b)
+                and sorted(map(str.lower, a.columns)) == sorted(map(str.lower, b.columns))
+                and canon(a) == canon(b)
+            )
+            if not ok:
+                fails.append(("repart", name, f"layout-dependent: rows {len(a)}/{len(b)}"))
+                print(f"repart {name}: LAYOUT-DEPENDENT RESULT", flush=True)
+            if i % 40 == 0:
+                print(f"[repart {i}/{len(todo)}] ({time.time()-t0:.1f}s)", flush=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return fails
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from hw_kafka_flink_health_spark.session import get_spark
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    scenarios = ["single", "nulls", "ties", "unicode"] if which == "all" else [which]
+    all_scen = ["single", "nulls", "ties", "unicode", "repart"]
+    scenarios = all_scen if which == "all" else [which]
     spark = get_spark(app_name="fuzz_catalog", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     fails = []
     for s in scenarios:
-        fails += sweep(spark, s)
+        fails += sweep_repart(spark) if s == "repart" else sweep(spark, s)
     print(f"\nFUZZ FAILURES: {len(fails)}")
     for f in fails:
         print(" ", f)
