@@ -420,24 +420,42 @@ def materialize_bucketed(
     again — same write-once posture as materialize_partitioned, scoped
     to the catalog instead of a /tmp path."""
     if not spark.catalog.tableExists(table_name):
-        # the warehouse DIRECTORY outlives the in-memory catalog (a new
-        # session forgets the table but the files remain), and Spark
-        # refuses to create a managed table over an existing location —
-        # such a location with no catalog entry is orphaned debris from
-        # a finished session, so reclaim it before the write
-        import os
-        import shutil
-        from urllib.parse import urlparse
+        df = build()
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-        loc = os.path.join(wh.path or wh.netloc, table_name.lower())
-        if os.path.exists(loc):
-            shutil.rmtree(loc, ignore_errors=True)
-        (
-            build()
-            .write.mode("overwrite")
-            .bucketBy(n_buckets, bucket_col)
-            .sortBy(bucket_col)
-            .saveAsTable(table_name)
-        )
+        def _write() -> None:
+            (
+                df.write.mode("overwrite")
+                .bucketBy(n_buckets, bucket_col)
+                .sortBy(bucket_col)
+                .saveAsTable(table_name)
+            )
+
+        try:
+            _write()
+        except Exception as e:
+            # The warehouse DIRECTORY outlives the in-memory catalog (a
+            # new session forgets the table but the files remain), and
+            # Spark refuses to create a managed table over an existing
+            # location. Reclaim that location ONLY after Spark itself
+            # refused it (round-7 advice): an unconditional up-front
+            # rmtree would delete files a concurrent writer is mid-way
+            # through producing even when no collision exists. NOTE the
+            # residual contract: an in-memory catalog cannot tell
+            # orphaned debris from another LIVE session's table at the
+            # same name — sessions sharing one warehouse dir must use
+            # distinct table names (or a real metastore).
+            msg = str(e)
+            if "LOCATION_ALREADY_EXISTS" not in msg and "already exists" not in msg:
+                raise
+            import os
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            )
+            loc = os.path.join(wh.path or wh.netloc, table_name.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+            _write()
     return spark.table(table_name)

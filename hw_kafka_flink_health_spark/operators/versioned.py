@@ -55,10 +55,25 @@ def _publish_manifest(table_dir: str, version: int, manifest: dict) -> bool:
     zordered/merge) publishes through — which is what read_snapshot's
     `as_of` timestamp travel resolves against. The stamp rides the
     manifest json, not the file mtime, so copies/backups don't corrupt
-    time travel."""
+    time travel. It is clamped to max(previous version's stamp, now):
+    resolve_as_of assumes committed_at is monotone in version number,
+    which a raw wall clock only guarantees on one host with no NTP
+    step-backs (round-7 advice — the same clamp Delta applies, see its
+    "timestamp adjusted" commit semantics). When the previous manifest
+    is already vacuumed the clamp falls back to now; any stamp it could
+    have carried is <= a retained successor's, so resolution order over
+    RETAINED versions is unaffected."""
     import time as _time
 
-    manifest = {**manifest, "committed_at": _time.time()}
+    stamp = _time.time()
+    try:
+        with open(_manifest_path(table_dir, version - 1)) as pf:
+            prev = json.load(pf).get("committed_at")
+        if prev is not None:
+            stamp = max(stamp, prev)
+    except (OSError, ValueError):
+        pass  # first version, vacuumed predecessor, or corrupt json
+    manifest = {**manifest, "committed_at": stamp}
     tmp = os.path.join(table_dir, f"_manifest-tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -156,6 +171,26 @@ def _acquire_lock(lock: str) -> tuple[int, bytes]:
                 continue  # holder just released (or another stealer won)
             _time.sleep(0.002)
     raise TimeoutError(f"could not acquire lock {lock}")
+
+
+def _heartbeat_lock(lock: str, token: bytes) -> bool:
+    """Refresh a held lock's mtime so a long critical section is not
+    stolen at the 30 s staleness bound mid-pass (round-7 advice: a vacuum
+    scanning a huge table dir on slow/NFS storage could lose _tags.lock
+    between its tag snapshot and its deletes, silently reopening the
+    create_tag-vs-vacuum dangling-tag race it exists to close). Verifies
+    the token first — touching a STOLEN lock would extend the thief's
+    lease, not ours. Returns False if the lock is no longer ours; the
+    caller must abort its pass (the residual verify→utime window is the
+    same 30 s-scale race the steal protocol already accepts)."""
+    try:
+        with open(lock, "rb") as lf:
+            if lf.read() != token:
+                return False
+        os.utime(lock)
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def _release_lock(lock: str, fd: int, token: bytes) -> None:
@@ -540,7 +575,11 @@ def vacuum(
         keep_versions = []
         keep_files: set[str] = set()
         referenced_any: set[str] = set()
-        for name in os.listdir(table_dir):
+        for j, name in enumerate(os.listdir(table_dir)):
+            if j % 200 == 199 and not _heartbeat_lock(tags_lock, token):
+                raise TimeoutError(
+                    f"vacuum lost {tags_lock} during the manifest scan"
+                )
             if not name.startswith("manifest-v"):
                 continue
             v = int(name.split("manifest-v")[1].split(".")[0])
@@ -559,7 +598,22 @@ def vacuum(
                 keep_files.update(refs)
                 keep_versions.append(v)
         deleted = []
-        for name in sorted(os.listdir(table_dir)):
+        # Heartbeat the lock every stride entries: a huge table dir (or
+        # slow storage) can push this pass past the 30 s steal bound,
+        # and a stolen lock mid-delete reopens the dangling-tag race the
+        # lock closes. Losing the lock aborts the pass — already-deleted
+        # files were unreferenced under the lock we DID hold, so the
+        # table is consistent; the remainder waits for the next vacuum.
+        hb_stride = 200
+        for i, name in enumerate(sorted(os.listdir(table_dir))):
+            if i % hb_stride == hb_stride - 1 and not _heartbeat_lock(
+                tags_lock, token
+            ):
+                raise TimeoutError(
+                    f"vacuum lost {tags_lock} mid-pass (stolen at the 30s "
+                    f"staleness bound); deleted {len(deleted)} files, "
+                    "aborting the remainder"
+                )
             if (
                 (name.startswith("data-") or name.startswith("dv-"))
                 and name not in keep_files

@@ -478,3 +478,38 @@ def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp
     )
     static_df.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
     assert sess2.read.parquet(out).count() == n_halved
+
+
+def test_materialize_bucketed_reclaims_only_on_refusal(spark, tmp_path):
+    """materialize_bucketed must not rmtree its warehouse location up
+    front (round-7 advice: that deletes a concurrent session's live
+    files even when no collision exists). It writes first and reclaims
+    ONLY after Spark refuses the location — simulated here by planting
+    orphan files at the managed-table location with no catalog entry."""
+    import os
+    from urllib.parse import urlparse
+
+    from hw_kafka_flink_health_spark.operators.storage import materialize_bucketed
+
+    name = "orphan_reclaim_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    loc = os.path.join(wh.path or wh.netloc, name.lower())
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "debris.bin"), "wb") as f:
+        f.write(b"\x00" * 16)
+    try:
+        out = materialize_bucketed(
+            spark,
+            lambda: spark.range(100).withColumnRenamed("id", "k"),
+            name,
+            bucket_col="k",
+        )
+        assert out.count() == 100
+        assert not os.path.exists(os.path.join(loc, "debris.bin"))
+        # second call: cached catalog table, no rewrite
+        assert materialize_bucketed(
+            spark, lambda: spark.range(1), name, bucket_col="id"
+        ).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

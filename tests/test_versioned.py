@@ -1305,3 +1305,59 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     vacuum(t, keep_last=2)
     with pytest.raises(ValueError, match="as old as"):
         resolve_as_of(t, t0)
+
+
+def test_committed_at_clamps_clock_stepback(spark, tmp_path, monkeypatch):
+    """resolve_as_of requires committed_at monotone in version number; a
+    wall clock stepping BACK between commits (NTP correction, skewed
+    multi-host writers) must not produce a later version with an earlier
+    stamp. _publish_manifest clamps to max(prev stamp, now)."""
+    import json as _json
+    import time as _time
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        commit_snapshot,
+        resolve_as_of,
+    )
+
+    t = str(tmp_path / "stepback")
+    commit_snapshot(spark.range(3).coalesce(1), t)  # v0, real clock
+    v0_stamp = _json.load(open(_manifest_path(t, 0)))["committed_at"]
+    # step the clock back 1h for the next commit
+    real_time = _time.time
+    monkeypatch.setattr(_time, "time", lambda: real_time() - 3600.0)
+    commit_snapshot(spark.range(4).coalesce(1), t)  # v1, clock in the past
+    monkeypatch.undo()
+    v1_stamp = _json.load(open(_manifest_path(t, 1)))["committed_at"]
+    assert v1_stamp >= v0_stamp  # clamped, not 1h in the past
+    # AS OF "now" resolves to the newest version, not the step-back one
+    assert resolve_as_of(t, _time.time()) == 1
+
+
+def test_heartbeat_lock_token_semantics(tmp_path):
+    """The vacuum heartbeat refreshes only a lock we still hold: a
+    stolen or vanished lock returns False (caller aborts its pass) and a
+    held one gets a fresh mtime so the 30 s steal bound restarts."""
+    import os
+    import time as _time
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _acquire_lock,
+        _heartbeat_lock,
+        _release_lock,
+    )
+
+    lock = str(tmp_path / "t.lock")
+    fd, token = _acquire_lock(lock)
+    old = _time.time() - 29.0
+    os.utime(lock, (old, old))  # nearly stale
+    assert _heartbeat_lock(lock, token) is True
+    assert _time.time() - os.path.getmtime(lock) < 5.0  # refreshed
+    # a thief replaced the content -> not ours anymore
+    with open(lock, "wb") as f:
+        f.write(b"thief")
+    assert _heartbeat_lock(lock, token) is False
+    os.remove(lock)
+    assert _heartbeat_lock(lock, token) is False
+    _release_lock(lock, fd, token)  # no-op; must not raise
