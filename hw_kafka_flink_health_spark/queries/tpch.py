@@ -235,11 +235,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_important_parts",
     oracle="""
-    SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING sum(l_extendedprice * (1 - l_discount)) >
-           (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.002 FROM lineitem)
+    WITH v AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v4
+      FROM lineitem
+    ), g AS (
+      SELECT l_partkey, CAST(sum(v4) AS DECIMAL(38,0)) AS raw4
+      FROM v GROUP BY 1
+    )
+    SELECT l_partkey, round(CAST(raw4 AS DOUBLE) / 1e4, 2) AS part_value
+    FROM g
+    WHERE raw4 * 500 > (SELECT CAST(sum(v4) AS DECIMAL(38,0)) FROM v)
     ORDER BY part_value DESC, l_partkey
     """,
 )
@@ -247,17 +254,35 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (partsupp-free): HAVING against a global-total
     scalar subquery. Spark plans the uncorrelated subquery as its own
     tiny job whose single row broadcasts into the filter — lineitem is
-    scanned twice but never joined row-to-row."""
+    scanned twice but never joined row-to-row.
+
+    Exact-integer value algebra (the repart fuzz scenario caught this
+    query as layout-dependent): extendedprice*(1-discount) is an exact
+    multiple of 1e-4 — price has 2 money decimals, discount 2 — so a
+    per-part FLOAT sum can land exactly ON a .005 rounding boundary,
+    where the partial-agg merge order decides the last rounded digit.
+    Summing value*1e4 as exact integers (DECIMAL carry) makes both the
+    rounded output and the HAVING threshold (raw*500 > total, i.e. the
+    0.002 fraction as an integer inequality) partition-order invariant
+    in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    val = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    per_part = li.groupBy("l_partkey").agg(
-        val.alias("raw_value"), F.round(val, 2).alias("part_value")
+    v4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    staged = li.select("l_partkey", v4.alias("v4"))
+    per_part = staged.groupBy("l_partkey").agg(
+        F.sum(F.col("v4").cast("decimal(28,0)")).cast("decimal(38,0)").alias("raw4")
     )
-    threshold = li.agg((val * F.lit(0.002)).alias("t"))
+    threshold = staged.agg(
+        F.sum(F.col("v4").cast("decimal(28,0)")).cast("decimal(38,0)").alias("t4")
+    )
     return (
         per_part.join(F.broadcast(threshold))
-        .filter(F.col("raw_value") > F.col("t"))
-        .select("l_partkey", "part_value")
+        .filter(F.col("raw4") * 500 > F.col("t4"))
+        .select(
+            "l_partkey",
+            F.round(F.col("raw4").cast("double") / F.lit(1e4), 2).alias("part_value"),
+        )
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
 

@@ -364,3 +364,73 @@ def test_rows_only_queries_survive_pathological_data(name, spark, fuzz_ties):
     KMeans crashing with an ArrayIndexOutOfBounds when it cannot find k
     distinct centers (IVF + SemDeDup, round 5)."""
     assert QUERIES[name](spark, fuzz_ties).count() >= 0
+
+
+# --- determinism-under-partitioning (repart scenario, round-7 verdict #2) ---
+
+# The CI subset of scripts/fuzz_catalog.py's repart sweep: queries whose
+# outputs involve data-sized floating-point sums, rounded money sums, or
+# HAVING thresholds on float totals — the class where partial-aggregate
+# merge order can flip a last digit (stats_anova_f, r7) or a rounded
+# boundary value (q11_important_parts, caught by the first full repart
+# sweep in r8). The full 343-query sweep runs per-round via
+# `python scripts/fuzz_catalog.py repart`.
+REPART_RISKY = [
+    "stats_anova_f",
+    "q11_important_parts",
+    "stats_levene_test",
+    "stats_welch_ttest",
+    "regr_multiple_ols",
+    "regr_user_trend",
+    "agg_corr_covar_skew",
+    "q1_pricing_summary",
+    "orders_bullwhip_ratio",
+    "stats_user_burstiness",
+    "inventory_fifo_cogs",
+    "timeseries_ma_decomposition",
+    "graph_degree_assortativity",
+    "stats_cuped_adjusted_diff",
+]
+
+
+@pytest.fixture(scope="module")
+def repart_layouts(spark, tmp_path_factory):
+    from scripts.fuzz_catalog import build_repart
+
+    return build_repart(spark)
+
+
+@pytest.mark.parametrize("name", REPART_RISKY)
+def test_fuzz_repartition_invariance(name, spark, repart_layouts):
+    """The same rows in a 1-file vs 16-file layout, with shuffle
+    partitions 1 vs 16, must produce bit-identical canonical output: a
+    layout-dependent result WILL eventually hash-mismatch the sequential
+    DuckDB oracle."""
+    from scripts.fuzz_catalog import _REPART_RUNS
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    outs = []
+    try:
+        for which, shuf, mpb, ocb in _REPART_RUNS:
+            spark.conf.set("spark.sql.shuffle.partitions", shuf)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", ocb)
+            outs.append(QUERIES[name](spark, repart_layouts[which]).toPandas())
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    a, b = outs
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)} across layouts"
+    assert canon(a) == canon(b), f"{name}: layout-dependent values"
+
+
+def test_repart_risky_list_is_current():
+    missing = [n for n in REPART_RISKY if n not in ORACLES]
+    assert not missing, f"not oracled: {missing}"
