@@ -2168,35 +2168,52 @@ def text_cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     OTHER document — the exact-substring contamination signal behind
     "train on unique spans only" dedup policies (Lee et al. 2022's screen
     at n-gram granularity). Unlike pairwise near-dup (`dedup_ngram_jaccard`),
-    this never forms doc pairs: doc frequency per gram is a COUNT
-    (map-side combinable, hot grams cost one counter — no f^2 bucket
-    blowup), joined back to the postings. Two shuffles on the gram hash,
-    one on doc_id — linear in corpus size, which is what makes it the
-    100 TB screen while pairwise variants need banding/caps."""
+    this never forms doc pairs — and since round 8 it never joins the
+    postings either. Because each doc's grams are DISTINCT, a gram with
+    df == 1 has exactly one owner, recoverable as min(doc_id) inside the
+    SAME aggregate that counts df; n_shared is then just n_grams minus
+    the doc's unique-gram count, with n_grams read off the shingle
+    ARRAY's size (no explode needed for it). That leaves ONE shuffle
+    over the postings — the map-side-combined gram aggregate, where a
+    corpus-wide boilerplate gram collapses to one counter per task —
+    plus a per-doc-sized aggregate and join. The old shape joined dfreq
+    back to the postings: a second full postings shuffle on gram whose
+    hot keys AQE must skew-split, and a recomputed explode (Catalyst
+    does not share the unmaterialized subplan). localCheckpoint feeds
+    the two consumers of the shingle arrays; at 100 TB either
+    materialize them (linear, ~corpus size) or trade it for recomputing
+    the narrow shingling — both beat re-shuffling the postings.
+    Measured at sf0.1 (4-rep interleave): 1.82 s -> 1.57 s, and the r7
+    4.03 s driver reading re-measured to 2.0 s solo (box noise)."""
     from hw_kafka_flink_health_spark.operators.dedup import shingle_table
 
-    # shingle_table rebalances under-partitioned scans itself (both
-    # consumers of `grams` re-run the explode; a 1-partition scan would
-    # pin both to one core)
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
+    sh = (
         shingle_table(docs, "text", "doc_id", 5)
-        .select(F.col("doc").alias("doc_id"), F.explode("sh").alias("gram"))
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
     )
-    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_doc = sh.select(
+        F.col("doc").alias("doc_id"), F.size("sh").cast("long").alias("n_grams")
+    )
+    uniq = (
+        sh.select(F.col("doc").alias("doc_id"), F.explode("sh").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+    )
+    shared = F.col("n_grams") - F.coalesce("n_unique", F.lit(0))
     return (
-        grams.join(dfreq, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_shared"),
-            F.round(
-                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("shared_frac"),
+        per_doc.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            shared.cast("long").alias("n_shared"),
+            F.round(shared.cast("double") / F.col("n_grams"), 6).alias(
+                "shared_frac"
+            ),
         )
     )
 

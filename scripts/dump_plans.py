@@ -317,6 +317,64 @@ a future corpus widens the ITEM universe (brands here are fixed at 25),
 the second lever is capping items per basket to the support-pruned
 frequent list before fit — FPGrowth already drops infrequent items, so
 the cap only saves shuffle width, not correctness.
+
+## Round-grain audit (round-8): when round(x, d) itself is the bug
+
+An empirical probe (101 doubles walked ulp-by-ulp around 3.13e13, both
+engines) established that **Spark and DuckDB round(x, d) DISAGREE on
+IDENTICAL doubles once |x|·10^d nears 2^52** — Spark rounds the exact
+decimal expansion of the binary value (BigDecimal HALF_UP) while
+DuckDB's scaled-multiply path re-rounds x·10^d in binary first, e.g.
+x = 31317449957606.543: Spark .54, DuckDB .55. That is the second layer
+of the r7 `stats_anova_f` flake (the first being FP partial-aggregate
+merge order). Catalog rule derived from the probe: a value-oracled
+output may use round(x, d>0) only when |x|·10^d stays well under 2^52
+(≈4.5e15; the audit flags at 2^45 for ~100-ulp margin); at larger
+magnitudes round at d<=0 (x·1 is exact, and above 2^52 doubles are
+integers — both engines agree at any magnitude) or emit unrounded
+exact-integer-derived values. The audit sweep (`/tmp round_audit`
+methodology: run every oracled query, flag float outputs by shown
+fraction digits) found 41 large-magnitude float columns; all but the
+two fixed this round (`stats_anova_f`, `q11_important_parts`) are
+UNROUNDED exact-integer ratios — deterministic by construction and
+repartition-invariant by measurement.
+
+## Determinism-under-partitioning sweep (round-8): the repart scenario
+
+`scripts/fuzz_catalog.py repart` runs every oracled query twice on the
+SAME rows — one 1-file layout with shuffle.partitions=1 vs one 16-file
+layout scanned as 16 partitions with shuffle.partitions=16 — and diffs
+canonical outputs Spark-vs-Spark. Any divergence means the result is a
+function of the layout, not the rows, and will eventually hash-mismatch
+the sequential DuckDB oracle. First full sweep: **342/343 invariant**;
+the one catch was `q11_important_parts` (per-part money sums are exact
+multiples of 1e-4 that can land exactly ON a .005 rounding boundary,
+where merge order decides the rounded digit; plus a HAVING threshold
+comparing float totals) — rebuilt on exact integer ten-thousandths with
+an integer threshold inequality (raw·500 > total). `stats_anova_f` got
+the same treatment (exact integer-cents sufficient statistics in
+DECIMAL(38,0), the k-row cross-group term folded in pinned order).
+A 14-query CI subset pins the class (tests/test_fuzz_oracle.py
+REPART_RISKY).
+
+## Cross-doc dup spans reshape (round-8): one postings shuffle, no join
+
+The r7 verdict flagged `text_cross_doc_dup_spans` as the catalog's
+highest SCALING alpha (0.70) and a 1.62× round-over-round mover. A/B
+re-measure (5 interleaved reps, quiet box): **2.0 s solo vs the 4.03 s
+in-driver reading — box noise**, same verdict for
+`inventory_fifo_cogs` (1.00 s solo vs 2.16 s in-driver). The reshape
+still pays for itself: because each doc's grams are distinct, a df==1
+gram's only owner is min(doc_id) INSIDE the same gram aggregate, so
+n_shared = n_grams − unique-count and n_grams is the shingle array's
+size — the dfreq-join-back (a second full postings shuffle on gram,
+hot-key exposed, plus a recomputed explode) is gone. Measured 1.82 s →
+1.57 s at sf0.1; `scripts/probe_sf02_dup_spans.py` (doubled documents,
+interleaved): **ratio 0.95, alpha ≈ 0 past sf0.1** — the 0.70 alpha was
+explode amortization, not a steepening curve. Hot-gram skew posture:
+the surviving gram aggregate is map-side combined (a corpus-wide
+boilerplate gram collapses to one counter per task before the
+shuffle); the per-doc join touches |docs| rows only.
 """
 
 
