@@ -305,6 +305,15 @@ HEADLINE = [
     "funnel_time_bounded",
     "geo_dbscan_cells",
     "format_orc_roundtrip",
+    # round-8 pack: jackknife / heaps / zipf / phrase / levenshtein /
+    # markov stationary / price-volume-mix
+    "stats_jackknife_ratio",
+    "text_heaps_vocab_growth",
+    "text_zipf_slope",
+    "text_phrase_proximity",
+    "dedup_levenshtein_blocked",
+    "events_markov_stationary",
+    "revenue_pvm_waterfall",
 ]
 
 

@@ -2568,3 +2568,139 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("purchase_rate_ppm"),
     )
+
+
+_STATIONARY_ROUNDS = 6
+
+
+def _markov_stationary_oracle(rounds: int = _STATIONARY_ROUNDS) -> str:
+    """Unrolled power-iteration twin. Every per-state sum is a
+    list_reduce over a list(... ORDER BY ...) — the pinned-order fold
+    idiom (see stats_anova_f) that makes a float summation identical in
+    both engines regardless of layout. AS MATERIALIZED everywhere: DuckDB
+    inlines multiply-referenced CTEs, which would make the unrolled
+    recursion exponential (the BPE/k-core lesson)."""
+    pre = """
+    WITH nxt AS MATERIALIZED (
+      SELECT event_type AS i,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS j
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    tr AS MATERIALIZED (
+      SELECT i, j, count(*)::BIGINT AS n FROM nxt
+      WHERE j IS NOT NULL GROUP BY i, j
+    ),
+    st AS MATERIALIZED (SELECT DISTINCT i FROM tr),
+    p AS MATERIALIZED (
+      SELECT i, j, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY i) AS p
+      FROM tr
+    ),
+    p2 AS MATERIALIZED (SELECT p.i, p.j, p.p FROM p JOIN st ON p.j = st.i),
+    kk AS MATERIALIZED (SELECT count(*)::BIGINT AS k FROM st),
+    pi0 AS MATERIALIZED (
+      SELECT st.i AS s, CAST(1 AS DOUBLE) / kk.k AS v FROM st, kk
+    )"""
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""
+    raw{r} AS MATERIALIZED (
+      SELECT p2.j AS s,
+             list_reduce(list(pi{r - 1}.v * p2.p ORDER BY p2.i),
+                         (a, b) -> a + b) AS v
+      FROM p2 JOIN pi{r - 1} ON p2.i = pi{r - 1}.s
+      GROUP BY p2.j
+    ),
+    tot{r} AS MATERIALIZED (
+      SELECT list_reduce(list(v ORDER BY s), (a, b) -> a + b) AS t FROM raw{r}
+    ),
+    pi{r} AS MATERIALIZED (
+      SELECT s, v / nullif(tot{r}.t, 0) AS v FROM raw{r}, tot{r}
+    )""")
+    return (
+        pre
+        + ","
+        + ",".join(its)
+        + f"""
+    SELECT st.i AS event_type,
+           round(coalesce(pi{rounds}.v, CAST(0 AS DOUBLE)), 6) AS stationary_p
+    FROM st LEFT JOIN pi{rounds} ON st.i = pi{rounds}.s
+    """
+    )
+
+
+@register("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain —
+    the long-run state occupancy (where do user journeys spend their
+    time) derived from the same transition matrix as
+    `events_markov_transitions`, via a bounded power iteration
+    (6 rounds, renormalized each round because transitions into
+    never-a-source states leak mass out of the restricted chain).
+
+    Distributed shape: the heavy work is the ONE per-user lag window +
+    |types|² count aggregate; the iteration itself runs entirely on the
+    k-state vector against the k² matrix (joins on tiny checkpointed
+    tables — at 100 TB this is the canonical "aggregate first, iterate
+    on the summary" posture, the matrix never rescans the events). Every
+    cross-state sum — both the matrix-vector product and the
+    renormalizer — is folded in pinned state order (array_sort +
+    sequential fold / list ORDER BY), so the doubles are identical in
+    both engines and the oracle replays all 6 rounds exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (
+        ev.filter(F.col("event_type").isNotNull())
+        .select(
+            F.col("event_type").alias("i"),
+            F.lead("event_type").over(w).alias("j"),
+        )
+        .filter(F.col("j").isNotNull())
+    )
+    tr = nxt.groupBy("i", "j").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    states = tr.select("i").distinct().localCheckpoint()
+    rs = Window.partitionBy("i")
+    p = tr.select(
+        "i", "j", (F.col("n").cast("double") / F.sum("n").over(rs)).alias("p")
+    )
+    p2 = p.join(
+        states.select(F.col("i").alias("j")), "j", "left_semi"
+    ).localCheckpoint()
+    kk = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = states.crossJoin(F.broadcast(kk)).select(
+        F.col("i").alias("s"), (F.lit(1.0) / F.col("k")).alias("v")
+    ).localCheckpoint()
+    for _ in range(_STATIONARY_ROUNDS):
+        raw = (
+            p2.join(pi, p2["i"] == pi["s"])
+            .groupBy("j")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", (F.col("v") * F.col("p")).alias("t")))
+                        ),
+                        lambda x: x["t"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ).alias("v")
+            )
+            .select(F.col("j").alias("s"), "v")
+        )
+        tot = raw.agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "v"))),
+                    lambda x: x["v"],
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("t")
+        )
+        pi = raw.crossJoin(F.broadcast(tot)).select(
+            "s", F.try_divide(F.col("v"), F.col("t")).alias("v")
+        ).localCheckpoint()
+    return states.join(pi, states["i"] == pi["s"], "left").select(
+        F.col("i").alias("event_type"),
+        F.round(F.coalesce("v", F.lit(0.0)), 6).alias("stationary_p"),
+    )

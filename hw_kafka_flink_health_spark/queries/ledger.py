@@ -331,3 +331,106 @@ def orders_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bullwhip"
         ),
     )
+
+
+@register(
+    "revenue_pvm_waterfall",
+    oracle="""
+    WITH b AS (
+      SELECT p.p_type AS seg, year(l.l_shipdate) AS y,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               AS cents,
+             CAST(floor(l.l_quantity) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) IN (1996, 1997)
+        AND l.l_extendedprice IS NOT NULL AND l.l_discount IS NOT NULL
+        AND l.l_quantity IS NOT NULL
+    ),
+    s AS (
+      SELECT seg,
+             CAST(sum(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS BIGINT) AS rev1,
+             CAST(sum(CASE WHEN y = 1996 THEN q ELSE 0 END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN y = 1997 THEN cents ELSE 0 END) AS BIGINT) AS rev2,
+             CAST(sum(CASE WHEN y = 1997 THEN q ELSE 0 END) AS BIGINT) AS q2
+      FROM b GROUP BY seg
+    ),
+    t AS (
+      SELECT CAST(sum(q1) AS BIGINT) AS tq1, CAST(sum(q2) AS BIGINT) AS tq2
+      FROM s
+    )
+    SELECT seg,
+           round(rev1 / 1e2, 2) AS rev_base,
+           round(rev2 / 1e2, 2) AS rev_curr,
+           round((CAST(rev2 AS DOUBLE) / nullif(q2, 0)
+                  - CAST(rev1 AS DOUBLE) / nullif(q1, 0)) * q2 / 1e2, 2)
+             AS price_eff,
+           round(CAST(rev1 AS DOUBLE) / nullif(q1, 0) * q1
+                 * (CAST(tq2 AS DOUBLE) / nullif(tq1, 0) - 1) / 1e2, 2)
+             AS volume_eff,
+           round(CAST(rev1 AS DOUBLE) / nullif(q1, 0)
+                 * (q2 - q1 * CAST(tq2 AS DOUBLE) / nullif(tq1, 0)) / 1e2, 2)
+             AS mix_eff
+    FROM s, t
+    """,
+)
+def revenue_pvm_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix waterfall: decompose each product segment's
+    revenue change between 1996 and 1997 into price effect
+    ((p2−p1)·q2), total-volume effect (p1·q1·(Q2/Q1 − 1)) and mix effect
+    (p1·(q2 − q1·Q2/Q1)) — the FP&A bridge chart's exact algebra; the
+    three effects sum to rev2 − rev1 per segment by construction.
+
+    Shape: one broadcast dimension join (part is the small side), then a
+    SINGLE year-pivoted hash aggregate per segment (conditional sums —
+    no second scan, no self-join between the years) and a 6-row totals
+    reduction. All sums are exact integer cents/units, so the derived
+    prices and effects are deterministic doubles; every division guards
+    a segment absent from a year (try_divide / nullif → NULL effects,
+    the honest answer when there is no base price)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    b = (
+        li.filter(
+            F.year("l_shipdate").isin(1996, 1997)
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_discount").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("p_type").alias("seg"),
+            F.year("l_shipdate").alias("y"),
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("cents"),
+            F.floor("l_quantity").cast("long").alias("q"),
+        )
+    )
+    s = b.groupBy("seg").agg(
+        F.sum(F.when(F.col("y") == 1996, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev1"),
+        F.sum(F.when(F.col("y") == 1996, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("y") == 1997, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev2"),
+        F.sum(F.when(F.col("y") == 1997, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("q2"),
+    )
+    t = s.agg(
+        F.sum("q1").cast("long").alias("tq1"), F.sum("q2").cast("long").alias("tq2")
+    )
+    p1 = F.try_divide(F.col("rev1").cast("double"), F.col("q1"))
+    p2 = F.try_divide(F.col("rev2").cast("double"), F.col("q2"))
+    g = F.try_divide(F.col("tq2").cast("double"), F.col("tq1"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "seg",
+        F.round(F.col("rev1") / F.lit(1e2), 2).alias("rev_base"),
+        F.round(F.col("rev2") / F.lit(1e2), 2).alias("rev_curr"),
+        F.round((p2 - p1) * F.col("q2") / F.lit(1e2), 2).alias("price_eff"),
+        F.round(p1 * F.col("q1") * (g - 1) / F.lit(1e2), 2).alias("volume_eff"),
+        F.round(p1 * (F.col("q2") - F.col("q1") * g) / F.lit(1e2), 2).alias("mix_eff"),
+    )

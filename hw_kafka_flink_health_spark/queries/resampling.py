@@ -354,3 +354,85 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value",
         )
     )
+
+
+@register(
+    "stats_jackknife_ratio",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(floor(l_quantity) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    t AS (
+      SELECT flag, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy
+      FROM b GROUP BY 1
+    ),
+    r AS (
+      SELECT b.flag, t.n, t.sx, t.sy,
+             CAST(t.sx - b.x AS DOUBLE) / nullif(t.sy - b.y, 0) AS ri
+      FROM b JOIN t USING (flag)
+    ),
+    a AS (
+      SELECT flag, n, sx, sy, var_pop(ri) AS vr
+      FROM r GROUP BY flag, n, sx, sy
+    )
+    SELECT flag, n,
+           round(CAST(sx AS DOUBLE) / nullif(sy, 0) / 100, 6) AS ratio,
+           round(sqrt((n - 1) * vr) / 100, 6) AS jk_se,
+           round((CAST(sx AS DOUBLE) / nullif(sy, 0)
+                  - 1.96 * sqrt((n - 1) * vr)) / 100, 6) AS ci_lo,
+           round((CAST(sx AS DOUBLE) / nullif(sy, 0)
+                  + 1.96 * sqrt((n - 1) * vr)) / 100, 6) AS ci_hi
+    FROM a
+    """,
+)
+def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife standard error for a RATIO estimator (revenue per unit,
+    sum(x)/sum(y) per return flag) — the delete-one resampling scheme
+    whose replicates need no copies of the data: the leave-one-out ratio
+    r_i = (Sx−x_i)/(Sy−y_i) is computable per row from the broadcast
+    group totals, so the whole estimator is one grouped pass for (n, Σx,
+    Σy) plus one pass computing var_pop(r_i). jackknife_var =
+    (n−1)/n·Σ(r_i−r̄)² = (n−1)·var_pop(r). Sums are exact integer cents
+    and units; r_i values are O(ratio) with the group totals dominating,
+    so r_i − r̄ spreads are tiny and the rounded outputs sit far inside
+    the safe round grain (|x|·10^d ≪ 2^45 — see PLANS round-grain
+    audit). n = 1 groups have Sy − y_i = 0; nullif/try_divide turn the
+    whole CI NULL rather than an ANSI error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.floor(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    t = b.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    r = b.join(F.broadcast(t), "flag").select(
+        "flag",
+        "n",
+        "sx",
+        "sy",
+        F.try_divide(
+            (F.col("sx") - F.col("x")).cast("double"), F.col("sy") - F.col("y")
+        ).alias("ri"),
+    )
+    a = r.groupBy("flag", "n", "sx", "sy").agg(F.var_pop("ri").alias("vr"))
+    ratio = F.try_divide(F.col("sx").cast("double"), F.col("sy"))
+    se = F.sqrt((F.col("n") - 1) * F.col("vr"))
+    return a.select(
+        "flag",
+        "n",
+        F.round(ratio / 100, 6).alias("ratio"),
+        F.round(se / 100, 6).alias("jk_se"),
+        F.round((ratio - 1.96 * se) / 100, 6).alias("ci_lo"),
+        F.round((ratio + 1.96 * se) / 100, 6).alias("ci_hi"),
+    )

@@ -2898,3 +2898,358 @@ def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("source", "token", "a", "b", "g2_signed", "rnk")
     )
+
+
+@register(
+    "text_heaps_vocab_growth",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ix AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS idx,
+             CAST(len(list_filter(t, w -> w <> '')) AS BIGINT) AS ntoks
+      FROM d
+    ),
+    n AS (SELECT count(*)::BIGINT AS nn FROM ix),
+    dd AS (
+      SELECT ix.doc_id, ix.ntoks,
+             CAST((ix.idx - 1) * 10 // n.nn + 1 AS BIGINT) AS decile
+      FROM ix, n
+    ),
+    firsts AS (
+      SELECT w, min(doc_id) AS fd
+      FROM (SELECT doc_id, unnest(t) AS w FROM d)
+      WHERE w <> '' GROUP BY w
+    ),
+    nv AS (
+      SELECT dd.decile, count(*)::BIGINT AS new_words
+      FROM firsts JOIN dd ON firsts.fd = dd.doc_id
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT decile, count(*)::BIGINT AS docs, CAST(sum(ntoks) AS BIGINT) AS toks
+      FROM dd GROUP BY 1
+    )
+    SELECT per.decile,
+           CAST(sum(per.docs) OVER (ORDER BY per.decile) AS BIGINT) AS cum_docs,
+           CAST(sum(per.toks) OVER (ORDER BY per.decile) AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(nv.new_words, 0)) OVER (ORDER BY per.decile)
+                AS BIGINT) AS cum_vocab
+    FROM per LEFT JOIN nv USING (decile)
+    """,
+)
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct-word count
+    (plus docs and tokens) at each corpus decile in doc_id order — the
+    audit that tells a pretraining pipeline whether a new data slice
+    still ADDS vocabulary or is rehashing what the corpus already has
+    (sub-linear growth = healthy Heaps; a kink = a pasted duplicate
+    slab).
+
+    Never materializes per-prefix vocabularies: a word contributes to
+    exactly the decile of its FIRST occurrence (min doc_id — one
+    map-side-combined aggregate over the postings, hot words collapse
+    pre-shuffle), so the 10-point cumulative curve is a vocab-sized join
+    against the doc index plus a 10-row running sum. The only sort is
+    row_number over the DOC table (corpus metadata, one row per doc) —
+    the postings are never sorted. All outputs exact BIGINTs."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select("doc_id", norm_tokens_expr("text").alias("t"))
+    ix = d.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("idx"),
+        F.size(F.filter("t", lambda w: w != "")).cast("long").alias("ntoks"),
+    )
+    n = ix.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    # integer DIV, not float divide-then-cast (bucket-boundary gotcha)
+    dd = ix.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "ntoks",
+        (F.expr("(idx - 1) * 10 DIV nn") + 1).cast("long").alias("decile"),
+    )
+    firsts = (
+        d.select("doc_id", F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    nv = (
+        firsts.join(dd.select(F.col("doc_id").alias("fd"), "decile"), "fd")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_words"))
+    )
+    per = dd.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("ntoks").cast("long").alias("toks"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.join(nv, "decile", "left")
+        .select(
+            "decile",
+            F.sum("docs").over(w).cast("long").alias("cum_docs"),
+            F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("new_words", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=r"""
+    WITH wc AS (
+      SELECT w, count(*)::BIGINT AS c
+      FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE w <> '' GROUP BY w
+    ),
+    top AS (
+      SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 100
+    ),
+    xy AS (
+      SELECT ln(row_number() OVER (ORDER BY c DESC, w)) AS lx, ln(c) AS ly
+      FROM top
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+      FROM xy
+    )
+    SELECT n,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4)
+             AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx)
+                 / nullif(n, 0), 4) AS intercept
+    FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope: OLS fit of ln(freq) on ln(rank) over
+    the top-100 corpus tokens — natural text sits near slope −1, while
+    template/boilerplate corpora flatten and OCR noise steepens, so the
+    slope is a one-number corpus-health check next to the Heaps curve.
+
+    Shape: one map-side-combined (token → count) aggregate, a global
+    top-100 (TakeOrderedAndProject — rank ties broken by token so both
+    engines pick the identical set and ranking), then OLS on 100 rows
+    from the five sufficient sums. ln() is libm (may differ in the last
+    ulp across engines) and the 100-term sums are float — both absorbed
+    by the O(1)-magnitude outputs' 4-decimal rounding, far inside the
+    safe grain. Degenerate single-token corpora make the OLS denominator
+    0 → NULL via try_divide/nullif."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wc = (
+        docs.select(F.explode(norm_tokens_expr("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = wc.orderBy(F.col("c").desc(), "w").limit(100)
+    xy = top.select(
+        F.log(F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))).alias("lx"),
+        F.log("c").alias("ly"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+    )
+    return s.select(
+        "n",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n")), 4
+        ).alias("intercept"),
+    )
+
+
+@register(
+    "text_phrase_proximity",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    post AS (
+      -- unnest + generate_subscripts zip positionally ONLY when both sit
+      -- in the same SELECT list
+      SELECT doc_id, unnest(t) AS w,
+             CAST(generate_subscripts(t, 1) AS BIGINT) AS pos
+      FROM d
+    ),
+    wc AS (SELECT w, count(*)::BIGINT AS c FROM post WHERE w <> '' GROUP BY w),
+    top2 AS (
+      SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk
+      FROM wc ORDER BY c DESC, w LIMIT 2
+    ),
+    hits AS (
+      SELECT post.doc_id, post.pos, top2.rk
+      FROM post JOIN top2 USING (w)
+    ),
+    gaps AS (
+      SELECT doc_id, rk, pos,
+             lag(rk) OVER (PARTITION BY doc_id ORDER BY pos) AS prk,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+      FROM hits
+    )
+    SELECT doc_id,
+           CAST(min(pos - ppos) AS BIGINT) AS min_gap,
+           min(pos - ppos) <= 3 AS within3
+    FROM gaps WHERE prk IS NOT NULL AND prk <> rk
+    GROUP BY doc_id
+    """,
+)
+def text_phrase_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase/proximity search: for the corpus' two most
+    frequent tokens, the minimum word distance between their occurrences
+    in every doc containing both — the postings-with-positions primitive
+    behind phrase queries ("w1 w2" = gap 1) and NEAR/k operators, and a
+    co-occurrence-window feature extractors reuse.
+
+    The min-gap of two sorted position lists is a MERGE, not a pairwise
+    join: union both words' postings, sort per doc, and the answer is
+    min over adjacent pairs with OPPOSITE tags (one lag window) — linear
+    in occurrences where the naive positions×positions join is
+    quadratic per doc. Corpus-level work is one token-count aggregate +
+    a global top-2 (tie-broken by token, so both engines pick the same
+    pair); the per-doc window only ever sees the two chosen words'
+    postings. Exact integer positions end-to-end."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select("doc_id", norm_tokens_expr("text").alias("t"))
+    post = d.select("doc_id", F.posexplode("t").alias("p0", "w")).select(
+        "doc_id", "w", (F.col("p0") + 1).cast("long").alias("pos")
+    )
+    wc = (
+        post.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top2 = (
+        wc.orderBy(F.col("c").desc(), "w")
+        .limit(2)
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "w"))
+            .alias("rk"),
+        )
+    )
+    hits = post.join(F.broadcast(top2), "w").select("doc_id", "pos", "rk")
+    lw = Window.partitionBy("doc_id").orderBy("pos")
+    gaps = hits.select(
+        "doc_id",
+        "rk",
+        "pos",
+        F.lag("rk").over(lw).alias("prk"),
+        F.lag("pos").over(lw).alias("ppos"),
+    )
+    return (
+        gaps.filter(F.col("prk").isNotNull() & (F.col("prk") != F.col("rk")))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.col("pos") - F.col("ppos")).cast("long").alias("min_gap"),
+            (F.min(F.col("pos") - F.col("ppos")) <= 3).alias("within3"),
+        )
+    )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name AS nm FROM part WHERE p_name IS NOT NULL
+    ),
+    aug AS (
+      SELECT nm FROM names
+      UNION ALL
+      -- planted near-dup: last two characters transposed (edit distance
+      -- 2 under unit-cost levenshtein, which has no transposition op)
+      SELECT substr(nm, 1, length(nm) - 2)
+             || substr(nm, length(nm), 1)
+             || substr(nm, length(nm) - 1, 1)
+      FROM names WHERE length(nm) >= 2
+    ),
+    u AS (
+      SELECT DISTINCT nm, substr(nm, 1, 3) AS blk,
+             -- ASCII-fold the DISTANCE input: DuckDB levenshtein counts
+             -- BYTES while Spark counts CHARACTERS, so multibyte text
+             -- diverges; after folding, bytes == chars in both engines
+             regexp_replace(nm, '[^\\x20-\\x7e]', '#', 'g') AS fold
+      FROM aug
+    )
+    SELECT a.nm AS name1, b.nm AS name2,
+           CAST(levenshtein(a.fold, b.fold) AS BIGINT) AS dist
+    FROM u a JOIN u b ON a.blk = b.blk AND a.nm < b.nm
+    WHERE levenshtein(a.fold, b.fold) <= 2
+    """,
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup discovery with prefix blocking — the
+    string-similarity-join member of the dedup family (catalog-cleaning /
+    entity-resolution use: catch typo'd SKU names that hash/shingle dedup
+    misses because a 1-char edit changes every fingerprint). A transposed
+    copy of every distinct name is planted so the match branch is real.
+
+    Scale shape, in order of importance: (1) DISTINCT-name reduction
+    FIRST — levenshtein runs on the name VOCABULARY (64 names here, ~k
+    at 100 TB), never the row count, the same distinct-value-reduction
+    lever the rank statistics use; (2) prefix blocking bounds the
+    candidate pairs to same-block combinations (the classic
+    recall-for-cost trade — a first-character typo escapes the block,
+    exactly as documented for production blocking); (3) the pair join is
+    a.nm < b.nm within block, so no pair is scored twice. Unit-cost
+    levenshtein (no transposition) is the same algorithm in both engines
+    — exact integer distances, fully value-oracled."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.filter(F.col("p_name").isNotNull()).select(
+        F.col("p_name").alias("nm")
+    ).distinct()
+    ln = F.length("nm")
+    variant = F.concat(
+        F.col("nm").substr(F.lit(1), ln - 2),
+        F.col("nm").substr(ln, F.lit(1)),
+        F.col("nm").substr(ln - 1, F.lit(1)),
+    )
+    aug = names.unionAll(
+        names.filter(ln >= 2).select(variant.alias("nm"))
+    ).distinct()
+    # ASCII-fold the distance input (see oracle comment): edit distance
+    # is char-based in Spark but byte-based in DuckDB; folding makes the
+    # two coincide, and it is the standard ER normalization anyway
+    u = aug.select(
+        "nm",
+        F.substring("nm", 1, 3).alias("blk"),
+        F.regexp_replace("nm", r"[^\x20-\x7e]", "#").alias("fold"),
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    dist = F.levenshtein(F.col("a.fold"), F.col("b.fold"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.nm") < F.col("b.nm")))
+        .filter(dist <= 2)
+        .select(
+            F.col("a.nm").alias("name1"),
+            F.col("b.nm").alias("name2"),
+            dist.cast("long").alias("dist"),
+        )
+    )

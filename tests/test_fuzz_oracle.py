@@ -32,6 +32,14 @@ TABLES = (
 # every query the round-5 full-catalog fuzz audit caught diverging (each
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
+    # round-8 pack
+    "stats_jackknife_ratio",
+    "text_heaps_vocab_growth",
+    "text_zipf_slope",
+    "text_phrase_proximity",
+    "dedup_levenshtein_blocked",
+    "events_markov_stationary",
+    "revenue_pvm_waterfall",
     # round-7: BPE oracle conversion (verdict item 6) + CMS re-profile
     "text_bpe_token_counts",
     "approx_topk_cms",
