@@ -314,6 +314,8 @@ HEADLINE = [
     "dedup_levenshtein_blocked",
     "events_markov_stationary",
     "revenue_pvm_waterfall",
+    "embedding_mmr_select",
+    "revenue_share_of_parent",
 ]
 
 

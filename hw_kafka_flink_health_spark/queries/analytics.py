@@ -2704,3 +2704,85 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("event_type"),
         F.round(F.coalesce("v", F.lit(0.0)), 6).alias("stationary_p"),
     )
+
+
+@register(
+    "revenue_share_of_parent",
+    oracle="""
+    WITH b AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_totalprice IS NOT NULL
+    ),
+    nat AS (
+      SELECT region, nation, CAST(sum(cents) AS BIGINT) AS rev
+      FROM b GROUP BY region, nation
+    ),
+    reg AS (
+      SELECT region, CAST(sum(rev) AS BIGINT) AS reg_rev FROM nat GROUP BY region
+    ),
+    tot AS (SELECT CAST(sum(reg_rev) AS BIGINT) AS t FROM reg)
+    SELECT nat.region, nat.nation,
+           round(nat.rev / 1e2, 2) AS revenue,
+           round(CAST(nat.rev AS DOUBLE) / nullif(reg.reg_rev, 0), 6)
+             AS share_of_region,
+           round(CAST(reg.reg_rev AS DOUBLE) / nullif(tot.t, 0), 6)
+             AS region_share_of_total
+    FROM nat JOIN reg USING (region), tot
+    """,
+)
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent hierarchy rollup: each nation's revenue as a share
+    of its region, and each region's share of the corporate total — the
+    drill-down ratio every BI hierarchy renders next to the absolute
+    number (and the piece ROLLUP alone doesn't give you, since it emits
+    levels without cross-level ratios).
+
+    Shape: the star join runs entirely on broadcast dimensions (customer
+    → nation → region are all small sides), one exact-cents hash
+    aggregate at the leaf grain, and then the parent levels are re-sums
+    of the ≤|nations| aggregate — integer sums at every level, so the
+    two share divisions are deterministic doubles at O(1) magnitude
+    (safe round grain). At 100 TB the only data-sized stage is the leaf
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    b = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    nat = b.groupBy("region", "nation").agg(
+        F.sum("cents").cast("long").alias("rev")
+    )
+    reg = nat.groupBy("region").agg(F.sum("rev").cast("long").alias("reg_rev"))
+    tot = reg.agg(F.sum("reg_rev").cast("long").alias("t"))
+    return (
+        nat.join(reg, "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.round(F.col("rev") / F.lit(1e2), 2).alias("revenue"),
+            F.round(
+                F.try_divide(F.col("rev").cast("double"), F.col("reg_rev")), 6
+            ).alias("share_of_region"),
+            F.round(
+                F.try_divide(F.col("reg_rev").cast("double"), F.col("t")), 6
+            ).alias("region_share_of_total"),
+        )
+    )

@@ -994,3 +994,148 @@ def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("a.cosine"), 4).alias("cosine"),
         )
     )
+
+
+_MMR_ROUNDS = 8
+_MMR_POOL = 200
+
+
+def _mmr_oracle(rounds: int = _MMR_ROUNDS) -> str:
+    """Unrolled greedy-MMR twin. Every round is a scalar-table step over
+    the PRE-materialized relevance and pairwise-similarity tables, so the
+    recursion never touches vectors; AS MATERIALIZED throughout (DuckDB
+    inlines multiply-referenced CTEs — the BPE/k-core exponential-blowup
+    lesson)."""
+    pre = f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qvec AS MATERIALIZED (SELECT qv FROM q WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT vec_id, qv FROM q WHERE vec_id >= 1 AND vec_id < {_MMR_POOL}
+    ),
+    relx AS MATERIALIZED (
+      SELECT vec_id, CAST(sum(av * bv) AS BIGINT) AS rel
+      FROM (SELECT c.vec_id, unnest(c.qv) AS av, unnest(v.qv) AS bv
+            FROM cand c, qvec v) t
+      GROUP BY vec_id
+    ),
+    sims AS MATERIALIZED (
+      SELECT i, j, CAST(sum(av * bv) AS BIGINT) AS sim
+      FROM (SELECT a.vec_id AS i, b.vec_id AS j,
+                   unnest(a.qv) AS av, unnest(b.qv) AS bv
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id) t
+      GROUP BY i, j
+    ),
+    sel0 AS MATERIALIZED (
+      SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS rnd,
+             CAST(NULL AS BIGINT) AS score
+      WHERE 1 = 0
+    )"""
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""
+    pen{r} AS MATERIALIZED (
+      SELECT sims.i AS vec_id, max(sims.sim) AS pen
+      FROM sims JOIN sel{r - 1} s ON sims.j = s.vec_id
+      GROUP BY sims.i
+    ),
+    pick{r} AS MATERIALIZED (
+      SELECT r.vec_id, CAST({r} AS BIGINT) AS rnd,
+             CAST(r.rel - coalesce(p.pen, 0) AS BIGINT) AS score
+      FROM relx r LEFT JOIN pen{r} p ON r.vec_id = p.vec_id
+      WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+      ORDER BY score DESC, r.vec_id
+      LIMIT 1
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r}
+    )""")
+    return (
+        pre
+        + ","
+        + ",".join(its)
+        + f"""
+    SELECT vec_id, rnd, score FROM sel{rounds}
+    """
+    )
+
+
+@register("embedding_mmr_select", oracle=_mmr_oracle())
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein): pick
+    8 vectors from a fixed 199-candidate pool that balance relevance to
+    the query (vec 0) against redundancy with what is already picked —
+    score = rel(i) − max_{s∈S} sim(i, s), i.e. MMR at λ = 0.5 scaled by
+    2 so the objective stays an exact integer. This is the diversity-
+    aware data-selection step (dedup-aware few-shot pools, eval-set
+    curation) that plain top-k similarity cannot express.
+
+    Exactness: floor(64x) quantization makes relevance and every
+    pairwise similarity an exact BIGINT dot product, and each greedy
+    argmax breaks ties by vec_id — a total order, so all 8 rounds are
+    bit-reproducible and the DuckDB twin replays the whole greedy
+    trajectory (full value hash, no tolerance). Shape: greedy selection
+    is inherently sequential (round r's penalty depends on round r−1's
+    pick), and the pool is BOUNDED BY CONSTRUCTION (_MMR_POOL — at
+    100 TB an MMR pool is always a pre-filtered ANN shortlist, never the
+    corpus), so the right plan is ONE job: the pushed-down pool scan
+    groups into a single applyInPandas call whose numpy body runs the 8
+    rounds on int64 exactly (V·q relevance, incremental
+    pen = max(pen, V·v_pick), first-argmax-on-sorted-ids tie-break).
+    Chaining 8 Spark jobs for 199 rows was measured 4-7 s of pure
+    scheduling/planning overhead; this shape is one Arrow batch. The
+    oracle replays the same integers from a pre-materialized pairwise
+    sims table."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = emb.filter(F.col("vec_id") < _MMR_POOL).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 64).cast("long")
+        ).alias("qv"),
+    )
+    rounds = _MMR_ROUNDS
+
+    def mmr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out_cols = ["vec_id", "rnd", "score"]
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        qrows = pdf[pdf["vec_id"] == 0]
+        cand = pdf[pdf["vec_id"] >= 1]
+        if len(qrows) == 0 or len(cand) == 0:
+            return pd.DataFrame(columns=out_cols).astype("int64")
+        qv = np.asarray(list(qrows["qv"])[0], dtype=np.int64)
+        ids = cand["vec_id"].to_numpy(dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.int64) for v in cand["qv"]])
+        rel = V @ qv
+        # pen=None for round 1 (nothing selected -> zero penalty); after
+        # that it is max over selected sims WITHOUT a floor at 0 —
+        # anti-correlated picks legitimately carry a NEGATIVE penalty
+        # (score above pure relevance), matching the oracle's
+        # coalesce-only-when-no-selected semantics
+        pen = None
+        taken = np.zeros(len(ids), dtype=bool)
+        picks = []
+        for r in range(1, rounds + 1):
+            if taken.all():
+                break
+            score = rel if pen is None else rel - pen
+            masked = np.where(taken, np.iinfo(np.int64).min, score)
+            # ids are sorted ascending and argmax returns the FIRST max,
+            # so ties break by smallest vec_id — same as ORDER BY
+            # score DESC, vec_id
+            best = int(np.argmax(masked))
+            picks.append((int(ids[best]), r, int(score[best])))
+            s = V @ V[best]
+            pen = s.copy() if pen is None else np.maximum(pen, s)
+            taken[best] = True
+        return pd.DataFrame(picks, columns=out_cols)
+
+    return pool.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        mmr, schema="vec_id long, rnd long, score long"
+    )

@@ -198,6 +198,8 @@ PROBES = [
     "dedup_levenshtein_blocked",
     "events_markov_stationary",
     "revenue_pvm_waterfall",
+    "embedding_mmr_select",
+    "revenue_share_of_parent",
 ]
 
 

@@ -40,6 +40,8 @@ RECENT = [
     "dedup_levenshtein_blocked",
     "events_markov_stationary",
     "revenue_pvm_waterfall",
+    "embedding_mmr_select",
+    "revenue_share_of_parent",
     # round-7: BPE oracle conversion (verdict item 6) + CMS re-profile
     "text_bpe_token_counts",
     "approx_topk_cms",
