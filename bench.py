@@ -316,6 +316,8 @@ HEADLINE = [
     "revenue_pvm_waterfall",
     "embedding_mmr_select",
     "revenue_share_of_parent",
+    "eval_ndcg_at_k",
+    "policy_ips_offline_eval",
 ]
 
 

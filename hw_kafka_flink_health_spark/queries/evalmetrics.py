@@ -829,3 +829,91 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skill_score"
         ),
     )
+
+
+@register(
+    "eval_ndcg_at_k",
+    oracle="""
+    WITH scored AS (
+      SELECT o_custkey AS user_id, o_orderkey AS item_id,
+             CAST(('0x' || substr(md5(concat(CAST(o_orderkey AS VARCHAR), 'ndcg')), 1, 8))
+                  AS BIGINT) AS pred,
+             least(CAST(4 AS BIGINT),
+                   CAST(floor(o_totalprice) AS BIGINT) // 50000) AS rel
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    ranked AS (
+      SELECT user_id, rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY pred DESC, item_id) AS rk,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rel DESC, item_id) AS irk
+      FROM scored
+    ),
+    agg AS (
+      SELECT user_id, count(*)::BIGINT AS n_items,
+             sum(CASE WHEN rk <= 10
+                      THEN rel / log2(CAST(rk + 1 AS DOUBLE)) ELSE 0 END) AS dcg,
+             sum(CASE WHEN irk <= 10
+                      THEN rel / log2(CAST(irk + 1 AS DOUBLE)) ELSE 0 END) AS idcg
+      FROM ranked GROUP BY user_id
+    )
+    SELECT user_id, n_items, round(dcg, 6) AS dcg,
+           round(dcg / nullif(idcg, 0), 6) AS ndcg
+    FROM agg
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per user — the ranking-quality metric the eval pack was
+    missing next to AUC/PR/lift: graded relevance (order value bucketed
+    0-4) discounted by log2(rank+1), normalized by the ideal ordering.
+    Predictions are the deterministic md5-integer draw (an intentionally
+    uninformative ranker, so NDCG spreads over (0,1]), ranked as exact
+    BIGINTs — no float enters until the discount.
+
+    Shape: both the model ranking and the ideal ranking come from the
+    SAME per-user sort (two row_numbers over one partition pass —
+    Catalyst evaluates co-partitioned windows without a second
+    exchange), then a per-user aggregate. Ties in both rankings break
+    on item_id, so each engine materializes the identical permutation;
+    the only cross-engine slack is log2 of small integers (<= 1 ulp per
+    term, 10 terms, absorbed by the 6-decimal rounding of O(10)
+    outputs). At 100 TB this is one shuffle on user_id."""
+    orders = load_table(spark, sf_dir, "orders")
+    pred = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("ndcg"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    rel = F.least(
+        F.lit(4).cast("long"),
+        F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 50000"),
+    )
+    scored = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey").alias("item_id"),
+        pred.alias("pred"),
+        rel.alias("rel"),
+    )
+    wm = Window.partitionBy("user_id").orderBy(F.col("pred").desc(), "item_id")
+    wi = Window.partitionBy("user_id").orderBy(F.col("rel").desc(), "item_id")
+    ranked = scored.select(
+        "user_id",
+        "rel",
+        F.row_number().over(wm).alias("rk"),
+        F.row_number().over(wi).alias("irk"),
+    )
+    disc = lambda r: F.col("rel") / F.log2((F.col(r) + 1).cast("double"))  # noqa: E731
+    agg = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.when(F.col("rk") <= 10, disc("rk")).otherwise(0.0)).alias("dcg"),
+        F.sum(F.when(F.col("irk") <= 10, disc("irk")).otherwise(0.0)).alias("idcg"),
+    )
+    return agg.select(
+        "user_id",
+        "n_items",
+        F.round("dcg", 6).alias("dcg"),
+        F.round(F.try_divide(F.col("dcg"), F.col("idcg")), 6).alias("ndcg"),
+    )

@@ -566,3 +566,108 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > 3.841).cast("long").alias("srm_flag"),
     )
+
+
+@register(
+    "policy_ips_offline_eval",
+    oracle="""
+    WITH b AS (
+      SELECT user_id % 10 AS seg, event_type AS a,
+             CAST(floor(value * 100) AS BIGINT) AS r
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    arm AS (
+      SELECT seg, a, count(*)::BIGINT AS n_a, CAST(sum(r) AS BIGINT) AS r_a
+      FROM b GROUP BY 1, 2
+    ),
+    segt AS (
+      SELECT seg, CAST(sum(n_a) AS BIGINT) AS n_x,
+             CAST(sum(r_a) AS BIGINT) AS r_x
+      FROM arm GROUP BY 1
+    ),
+    pick AS (
+      SELECT seg, max({'m': CAST(r_a AS DOUBLE) / n_a, 'a': a}) AS k
+      FROM arm GROUP BY 1
+    )
+    SELECT arm.seg, segt.n_x, pick.k.a AS pi_action, arm.n_a AS n_matched,
+           round(least(CAST(10 AS DOUBLE), CAST(segt.n_x AS DOUBLE) / arm.n_a),
+                 6) AS w,
+           round(CAST(arm.r_a AS DOUBLE)
+                 * least(CAST(10 AS DOUBLE), CAST(segt.n_x AS DOUBLE) / arm.n_a)
+                 / segt.n_x / 100, 4) AS v_ips_seg,
+           round(CAST(segt.r_x AS DOUBLE) / segt.n_x / 100, 4) AS v_logging_seg
+    FROM pick
+    JOIN arm ON arm.seg = pick.seg AND arm.a = pick.k.a
+    JOIN segt ON segt.seg = pick.seg
+    """,
+)
+def policy_ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped inverse-propensity-scoring (IPS) offline policy
+    evaluation — the counterfactual "what would the greedy policy have
+    earned" estimate over logged bandit-style data (segment = user
+    cohort, action = event type, reward = event value), with the
+    production max-weight clip (w = min(10, 1/p̂)) that bounds variance
+    when an arm was rarely logged. The target policy is the in-segment
+    empirical-best arm (argmax mean reward, action-name tie-break), so
+    the whole evaluation is self-contained and exactly replayable.
+
+    Shape: one (segment, action) hash aggregate holds every sufficient
+    statistic — counts and exact integer-cent reward sums — and the
+    policy argmax is a named-struct max over that tiny table; IPS
+    weights and values are then single deterministic divisions of exact
+    integers. No per-row weighting pass exists at all (the weight is
+    constant within a (segment, matched-arm) group, so the group sum IS
+    the weighted sum) — at 100 TB the only data-sized stage is the
+    first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 10).alias("seg"),
+        F.col("event_type").alias("a"),
+        F.floor(F.col("value") * 100).cast("long").alias("r"),
+    )
+    arm = b.groupBy("seg", "a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum("r").cast("long").alias("r_a"),
+    )
+    segt = arm.groupBy("seg").agg(
+        F.sum("n_a").cast("long").alias("n_x"),
+        F.sum("r_a").cast("long").alias("r_x"),
+    )
+    pick = arm.groupBy("seg").agg(
+        F.max(
+            F.struct(
+                F.try_divide(F.col("r_a").cast("double"), F.col("n_a")).alias("m"),
+                F.col("a").alias("a"),
+            )
+        ).alias("k")
+    )
+    w = F.least(
+        F.lit(10.0), F.try_divide(F.col("n_x").cast("double"), F.col("n_a"))
+    )
+    return (
+        pick.join(
+            arm,
+            (pick["seg"] == arm["seg"]) & (arm["a"] == F.col("k.a")),
+        )
+        .drop(arm["seg"])
+        .join(segt, "seg")
+        .select(
+            "seg",
+            "n_x",
+            F.col("k.a").alias("pi_action"),
+            F.col("n_a").alias("n_matched"),
+            F.round(w, 6).alias("w"),
+            F.round(
+                F.col("r_a").cast("double") * w / F.col("n_x") / 100, 4
+            ).alias("v_ips_seg"),
+            F.round(
+                F.try_divide(F.col("r_x").cast("double"), F.col("n_x")) / 100, 4
+            ).alias("v_logging_seg"),
+        )
+    )

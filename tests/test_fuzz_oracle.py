@@ -42,6 +42,8 @@ RECENT = [
     "revenue_pvm_waterfall",
     "embedding_mmr_select",
     "revenue_share_of_parent",
+    "eval_ndcg_at_k",
+    "policy_ips_offline_eval",
     # round-7: BPE oracle conversion (verdict item 6) + CMS re-profile
     "text_bpe_token_counts",
     "approx_topk_cms",
