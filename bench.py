@@ -318,6 +318,7 @@ HEADLINE = [
     "revenue_share_of_parent",
     "eval_ndcg_at_k",
     "policy_ips_offline_eval",
+    "versioned_branch_merge",
 ]
 
 

@@ -448,11 +448,12 @@ def read_snapshot(
     version: int | None = None,
     tag: str | None = None,
     as_of: float | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot (latest by default; any retained version by
-    number — time travel; by TAG name; or by `as_of` epoch-seconds
-    timestamp — Delta's TIMESTAMP AS OF, resolved against the
-    committed_at stamp every manifest carries). The manifest's file list is
+    number — time travel; by TAG name; by BRANCH name — the ref's current
+    head; or by `as_of` epoch-seconds timestamp — Delta's TIMESTAMP AS
+    OF, resolved against the committed_at stamp every manifest carries). The manifest's file list is
     resolved ONCE at plan time, so the DataFrame is immutable under
     concurrent commits. Retention contract (same as Delta's VACUUM
     rule): a reader is only safe from concurrent vacuum while its
@@ -462,13 +463,18 @@ def read_snapshot(
     mix files written under an older, narrower schema with newer wide
     ones (schema evolution) — old files surface the new columns as NULL,
     and a version pinned BEFORE the evolution never sees them at all."""
-    if sum(x is not None for x in (version, tag, as_of)) > 1:
-        raise ValueError("pass at most one of version, tag, as_of")
+    if sum(x is not None for x in (version, tag, as_of, branch)) > 1:
+        raise ValueError("pass at most one of version, tag, as_of, branch")
     if tag is not None:
         tags = list_tags(table_dir)
         if tag not in tags:
             raise KeyError(f"no tag {tag!r} in {table_dir}")
         version = tags[tag]
+    if branch is not None:
+        branches = list_branches(table_dir)
+        if branch not in branches:
+            raise KeyError(f"no branch {branch!r} in {table_dir}")
+        version = branches[branch]["head"]
     if as_of is not None:
         version = resolve_as_of(table_dir, as_of)
     v = current_version(table_dir) if version is None else version
@@ -572,6 +578,12 @@ def vacuum(
                 json.dump(tags, f)
             os.rename(tmp, _tags_path(table_dir))
         tagged = set(tags.values())
+        # branch HEADS pin like tags (read under this same lock, so a
+        # branch either lands before this snapshot or its create/commit
+        # re-checks manifests after our deletes). Bases need no pin:
+        # merge conflict detection compares version NUMBERS only.
+        for b in list_branches(table_dir).values():
+            tagged.add(b["head"])
         keep_versions = []
         keep_files: set[str] = set()
         referenced_any: set[str] = set()
@@ -1402,3 +1414,198 @@ def commit_snapshot_checked(
     return commit_snapshot(
         df, table_dir, mode=mode, batch_id=batch_id, expect_version=expect_version
     )
+
+
+# --- branches: git-like named refs over the shared version space ---------
+#
+# Iceberg-style refs: a branch is a named MUTABLE pointer into the same
+# global manifest space main uses. Branch commits claim ordinary version
+# numbers (the contended-commit retry loop already makes main skip over
+# them), so nothing about the manifest/claim protocol changes; only the
+# pointer that advances differs. The branch map lives next to the tag map
+# and shares _tags.lock, which is what serializes it against vacuum.
+
+
+class MergeConflictError(RuntimeError):
+    """Main advanced past the branch base — a fast-forward would discard
+    main's commits. Same posture as a non-FF git merge without a merge
+    strategy: the caller must rebase (re-branch from current main and
+    re-apply) or abandon."""
+
+
+def _branches_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_branches.json")
+
+
+def list_branches(table_dir: str) -> dict:
+    """name -> {"head": v, "base": v} for every branch (empty if none)."""
+    try:
+        with open(_branches_path(table_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _write_branches(table_dir: str, branches: dict) -> None:
+    tmp = _branches_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(branches, f)
+    os.rename(tmp, _branches_path(table_dir))
+
+
+def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
+    """Fork a branch at `version` (main head by default). Like tags, the
+    in-lock manifest check makes branch-vs-vacuum race-free: the branch
+    either lands before vacuum reads the ref maps (head pinned) or a
+    swept version fails here instead of becoming a dangling ref."""
+    v = current_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    lock = os.path.join(table_dir, "_tags.lock")
+    fd, token = _acquire_lock(lock)
+    try:
+        if not os.path.exists(_manifest_path(table_dir, v)):
+            raise FileNotFoundError(f"version {v} has no manifest in {table_dir}")
+        branches = list_branches(table_dir)
+        if name in branches:
+            raise ValueError(f"branch {name!r} already exists")
+        branches[name] = {"head": v, "base": v}
+        _write_branches(table_dir, branches)
+    finally:
+        _release_lock(lock, fd, token)
+    return v
+
+
+def delete_branch(table_dir: str, name: str) -> None:
+    """Drop a branch ref; its head re-enters ordinary vacuum retention
+    (unmerged branch versions become reclaimable history)."""
+    lock = os.path.join(table_dir, "_tags.lock")
+    fd, token = _acquire_lock(lock)
+    try:
+        branches = list_branches(table_dir)
+        if name not in branches:
+            raise KeyError(f"no branch {name!r} in {table_dir}")
+        del branches[name]
+        _write_branches(table_dir, branches)
+    finally:
+        _release_lock(lock, fd, token)
+
+
+def _max_claimed_version(table_dir: str) -> int:
+    """Highest version with a manifest on disk — branch commits must
+    claim ABOVE every claim, not just above main's pointer."""
+    mx = -1
+    for n in os.listdir(table_dir):
+        if n.startswith("manifest-v"):
+            try:
+                mx = max(mx, int(n.split("manifest-v")[1].split(".")[0]))
+            except ValueError:
+                continue
+    return mx
+
+
+def commit_to_branch(
+    df: DataFrame,
+    table_dir: str,
+    branch: str,
+    *,
+    mode: str = "overwrite",
+    max_retries: int = 20,
+) -> int:
+    """Commit df as the branch's next version WITHOUT touching main's
+    pointer: stage data, claim a fresh global version whose manifest
+    records its branch parent (append merges onto the BRANCH head's file
+    list, not main's), then CAS the branch head forward under the ref
+    lock. A concurrent commit to the same branch loses the CAS and
+    raises VersionConflictError — branch writers are expected to be a
+    single experiment pipeline, so the conflict surfaces instead of
+    silently interleaving."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    branches = list_branches(table_dir)
+    if branch not in branches:
+        raise KeyError(f"no branch {branch!r} in {table_dir}")
+    head = branches[branch]["head"]
+    version = max(_max_claimed_version(table_dir), head) + 1
+    new_files = _stage_parquet(df, table_dir, "data", version)
+    published = False
+    try:
+        for _attempt in range(max_retries + 1):
+            files = list(new_files)
+            dv = []
+            if mode == "append":
+                with open(_manifest_path(table_dir, head)) as f:
+                    base_manifest = json.load(f)
+                files = base_manifest["files"] + files
+                dv = list(base_manifest.get("dv", []))
+            manifest = {
+                "version": version,
+                "files": files,
+                "branch": branch,
+                "parent": head,
+            }
+            if dv:
+                manifest["dv"] = dv
+            if _publish_manifest(table_dir, version, manifest):
+                published = True
+                break
+            version += 1
+        else:
+            raise VersionConflictError(
+                f"gave up after {max_retries} contended branch commits to "
+                f"{table_dir}"
+            )
+        lock = os.path.join(table_dir, "_tags.lock")
+        fd, token = _acquire_lock(lock)
+        try:
+            branches = list_branches(table_dir)
+            cur = branches.get(branch)
+            if cur is None or cur["head"] != head:
+                raise VersionConflictError(
+                    f"branch {branch!r} moved (head {cur and cur['head']} != "
+                    f"{head}) while committing v{version}"
+                )
+            branches[branch] = {"head": version, "base": cur["base"]}
+            _write_branches(table_dir, branches)
+        finally:
+            _release_lock(lock, fd, token)
+        return version
+    except BaseException:
+        if not published:
+            _unstage(table_dir, new_files)
+        raise
+
+
+def merge_branch(table_dir: str, name: str, *, delete: bool = True) -> int:
+    """Fast-forward main to the branch head. Succeeds only while main
+    still sits at the branch BASE (nothing to reconcile — the branch's
+    manifests already contain the merged state); if main advanced, raises
+    MergeConflictError and the caller rebases. The base check and the
+    pointer write happen under the SAME `_latest.lock` acquisition every
+    main commit's pointer advance takes, so a racing main commit either
+    lands before the check (conflict) or after the pointer moved (its
+    monotonic advance keeps the merged head — it claimed a lower number
+    and the advance is a no-op, surfacing as ITS conflict on the next
+    read-modify-write)."""
+    branches = list_branches(table_dir)
+    if name not in branches:
+        raise KeyError(f"no branch {name!r} in {table_dir}")
+    head, base = branches[name]["head"], branches[name]["base"]
+    lock = os.path.join(table_dir, "_latest.lock")
+    fd, token = _acquire_lock(lock)
+    try:
+        cur = current_version(table_dir)
+        if cur != base:
+            raise MergeConflictError(
+                f"main is at v{cur}, branch {name!r} forked at v{base} — "
+                "not fast-forwardable; rebase the branch"
+            )
+        tmp = _latest_pointer(table_dir) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(head))
+        os.rename(tmp, _latest_pointer(table_dir))
+    finally:
+        _release_lock(lock, fd, token)
+    if delete:
+        delete_branch(table_dir, name)
+    return head

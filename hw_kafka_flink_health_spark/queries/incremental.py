@@ -888,3 +888,61 @@ def versioned_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents"),
     )
+
+
+@register(
+    "versioned_branch_merge",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1)
+    GROUP BY 1
+    """,
+)
+def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Git-like BRANCHES end to end (`operators/versioned.py:
+    create_branch`): main commits a quarter of orders (v0); an
+    experiment branch forks, appends a second quarter, and main readers
+    keep seeing only v0 the whole time (asserted mid-query); a
+    fast-forward merge then publishes the branch head to main. The final
+    main read must equal the two quarters exactly — the DuckDB oracle
+    replays that content INDEPENDENTLY from the source table, so a merge
+    that drops the branch's appended files, leaks the branch into main
+    early, or advances to the wrong manifest breaks the value hash.
+    Conflict detection, vacuum pinning, and CAS races are pinned in
+    tests/test_versioned.py."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        commit_to_branch,
+        create_branch,
+        merge_branch,
+        read_snapshot,
+        scratch_table_dir,
+    )
+
+    table_dir = scratch_table_dir("spark_graft_versioned_branch_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 4 == 0), table_dir)
+    create_branch(table_dir, "exp")
+    commit_to_branch(
+        orders.filter(F.col("o_orderkey") % 4 == 1),
+        table_dir,
+        "exp",
+        mode="append",
+    )
+    # branch isolation: main must still be exactly v0 pre-merge
+    main_rows = read_snapshot(spark, table_dir).count()
+    v0_rows = orders.filter(F.col("o_orderkey") % 4 == 0).count()
+    assert main_rows == v0_rows, (main_rows, v0_rows)
+    merge_branch(table_dir, "exp")
+    latest = read_snapshot(spark, table_dir)
+    return latest.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )

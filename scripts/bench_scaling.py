@@ -202,6 +202,7 @@ PROBES = [
     "revenue_share_of_parent",
     "eval_ndcg_at_k",
     "policy_ips_offline_eval",
+    "versioned_branch_merge",
 ]
 
 

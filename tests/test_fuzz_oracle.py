@@ -44,6 +44,7 @@ RECENT = [
     "revenue_share_of_parent",
     "eval_ndcg_at_k",
     "policy_ips_offline_eval",
+    "versioned_branch_merge",
     # round-7: BPE oracle conversion (verdict item 6) + CMS re-profile
     "text_bpe_token_counts",
     "approx_topk_cms",

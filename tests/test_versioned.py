@@ -1152,13 +1152,19 @@ def test_multi_writer_commit_vacuum_restore_tag_stress(spark, tmp_path):
     from concurrent.futures import ThreadPoolExecutor
 
     from hw_kafka_flink_health_spark.operators.versioned import (
+        MergeConflictError,
         VersionConflictError,
         _manifest_path,
         commit_snapshot,
+        commit_to_branch,
+        create_branch,
         create_tag,
         current_version,
+        delete_branch,
         delete_tag,
+        list_branches,
         list_tags,
+        merge_branch,
         read_snapshot,
         restore_snapshot,
         vacuum,
@@ -1175,8 +1181,8 @@ def test_multi_writer_commit_vacuum_restore_tag_stress(spark, tmp_path):
         rng = random.Random(1000 + wid)
         for step in range(30):
             op = rng.choices(
-                ["commit", "vacuum", "restore", "tag", "read"],
-                weights=[35, 20, 15, 20, 10],
+                ["commit", "vacuum", "restore", "tag", "read", "branch"],
+                weights=[30, 18, 13, 17, 9, 13],
             )[0]
             try:
                 if op == "commit":
@@ -1220,6 +1226,31 @@ def test_multi_writer_commit_vacuum_restore_tag_stress(spark, tmp_path):
                             )
                         ):
                             raise
+                elif op == "branch":
+                    # full branch lifecycle under fire: fork, commit to
+                    # the ref, then either merge (fast-forward only —
+                    # conflicts are the documented outcome when main
+                    # moved) or abandon
+                    name = f"b-{wid}-{step}"
+                    create_branch(t, name)
+                    try:
+                        v = commit_to_branch(
+                            spark.range(wid * 100 + step, wid * 100 + step + 3)
+                            .coalesce(1),
+                            t,
+                            name,
+                            mode=rng.choice(["append", "overwrite"]),
+                        )
+                        if rng.random() < 0.5:
+                            v = merge_branch(t, name)
+                            seen_versions.append(v)
+                        else:
+                            assert (
+                                read_snapshot(spark, t, branch=name).count() >= 0
+                            )
+                            delete_branch(t, name)
+                    except MergeConflictError:
+                        delete_branch(t, name)  # non-FF: abandon the ref
             except (VersionConflictError, FileNotFoundError, KeyError):
                 # expected casualties of racing vacuum/retention: a
                 # restore/tag target aged out, or a CAS loss past the
@@ -1239,7 +1270,12 @@ def test_multi_writer_commit_vacuum_restore_tag_stress(spark, tmp_path):
         tags = list_tags(t)
         # the restore guard tags must never leak past their restore
         assert not [n for n in tags if n.startswith("__restore-")], tags
-        for label, v in [("latest", latest)] + sorted(tags.items()):
+        branch_heads = {
+            f"branch:{n}": b["head"] for n, b in list_branches(t).items()
+        }
+        for label, v in (
+            [("latest", latest)] + sorted(tags.items()) + sorted(branch_heads.items())
+        ):
             mp = _manifest_path(t, v)
             assert _os.path.exists(mp), f"{label}: manifest v{v} missing"
             with open(mp) as f:
@@ -1361,3 +1397,106 @@ def test_heartbeat_lock_token_semantics(tmp_path):
     os.remove(lock)
     assert _heartbeat_lock(lock, token) is False
     _release_lock(lock, fd, token)  # no-op; must not raise
+
+
+def test_branch_lifecycle_and_merge(spark, tmp_path):
+    """Git-like refs: branch commits are invisible to main until a
+    fast-forward merge; a diverged main refuses the merge."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        MergeConflictError,
+        commit_snapshot,
+        commit_to_branch,
+        create_branch,
+        current_version,
+        delete_branch,
+        list_branches,
+        merge_branch,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "br")
+    commit_snapshot(spark.range(10).coalesce(1), t)  # main v0
+    base = create_branch(t, "exp")
+    assert base == 0
+    v1 = commit_to_branch(spark.range(10, 25).coalesce(1), t, "exp", mode="append")
+    assert v1 > 0
+    # isolation both ways
+    assert current_version(t) == 0
+    assert read_snapshot(spark, t).count() == 10
+    assert read_snapshot(spark, t, branch="exp").count() == 25
+    # a second branch commit moves only the ref
+    v2 = commit_to_branch(spark.range(100).coalesce(1), t, "exp")  # overwrite
+    assert list_branches(t)["exp"] == {"head": v2, "base": 0}
+    assert read_snapshot(spark, t, branch="exp").count() == 100
+    assert read_snapshot(spark, t).count() == 10
+    # fast-forward merge publishes the branch state to main readers
+    merged = merge_branch(t, "exp")
+    assert merged == v2
+    assert current_version(t) == v2
+    assert read_snapshot(spark, t).count() == 100
+    assert "exp" not in list_branches(t)  # merge deletes the ref
+    # diverged main -> conflict
+    create_branch(t, "exp2")
+    commit_to_branch(spark.range(7).coalesce(1), t, "exp2")
+    commit_snapshot(spark.range(3).coalesce(1), t)  # main moves past base
+    with pytest.raises(MergeConflictError, match="rebase"):
+        merge_branch(t, "exp2")
+    delete_branch(t, "exp2")
+    with pytest.raises(KeyError):
+        read_snapshot(spark, t, branch="exp2")
+
+
+def test_branch_head_pinned_against_vacuum(spark, tmp_path):
+    """An unmerged branch head survives any retention window, like a tag;
+    deleting the branch releases it."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        commit_to_branch,
+        create_branch,
+        delete_branch,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "brv")
+    commit_snapshot(spark.range(5).coalesce(1), t)  # v0
+    create_branch(t, "keepme")
+    commit_to_branch(spark.range(50).coalesce(1), t, "keepme")
+    # churn main far past the branch numbers
+    for i in range(6):
+        commit_snapshot(spark.range(5 + i).coalesce(1), t)
+    vacuum(t, keep_last=1, orphan_ttl_seconds=0.0)
+    assert read_snapshot(spark, t, branch="keepme").count() == 50
+    delete_branch(t, "keepme")
+    deleted = vacuum(t, keep_last=1, orphan_ttl_seconds=0.0)
+    assert deleted  # the branch head's files are now reclaimable
+
+
+def test_branch_commit_cas_rejects_stale_head(spark, tmp_path):
+    """Two writers racing one branch: the loser's CAS surfaces as a
+    VersionConflictError instead of silently dropping the winner."""
+    import json as _json
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        VersionConflictError,
+        _branches_path,
+        commit_snapshot,
+        commit_to_branch,
+        create_branch,
+    )
+
+    t = str(tmp_path / "brc")
+    commit_snapshot(spark.range(5).coalesce(1), t)
+    create_branch(t, "exp")
+    # simulate a concurrent writer moving the head between this commit's
+    # head read and its CAS by pre-moving the ref
+    real = _json.load(open(_branches_path(t)))
+    df = spark.range(9).coalesce(1)
+    # move the head out from under the next commit
+    real["exp"]["head"] = 999
+    _json.dump(real, open(_branches_path(t), "w"))
+    with pytest.raises((VersionConflictError, FileNotFoundError)):
+        commit_to_branch(df, t, "exp", mode="append")
