@@ -79,7 +79,7 @@ SHOWCASE = {
     "orders_benford_digits": "Benford audit: exact-integer digit extraction in the scan's codegen span, one 9-row agg, windowed total",
     "stats_kaplan_meier_reorder": "Kaplan-Meier: one customer-exchange rank window + per-customer agg; all survival math (at-risk, exp/sum-ln product) rides the tiny life table",
     "timeseries_ohlc_vwap": "OHLC/VWAP bars: ONE hash aggregate — open/close via min_by/max_by over the total-order struct, no per-bar sort; VWAP numerator in exact integer cents",
-    "text_cross_doc_dup_spans": "cross-doc dup-span screen: postings + doc-frequency COUNT join-back — linear, no pair generation, hot grams cost one counter",
+    "text_cross_doc_dup_spans": "cross-doc dup-span screen (r8 reshape): ONE map-side-combined gram aggregate carrying min(doc_id) for df==1 grams — no postings join-back, no pair generation, hot grams cost one counter",
     "join_asof_nearest": "nearest as-of: backward AND forward running fills off ONE union+window exchange — no range join, no second shuffle",
     "dedup_ngram_containment": "asymmetric containment: same postings->buckets->upper-triangle single-shuffle core as jaccard; only the final scalar differs",
     "privacy_t_closeness": "t-closeness EMD: raw table scanned once into two stacked aggs; distance math on the dense grid from a broadcast band dimension, all integer-exact",
@@ -355,7 +355,12 @@ an integer threshold inequality (raw·500 > total). `stats_anova_f` got
 the same treatment (exact integer-cents sufficient statistics in
 DECIMAL(38,0), the k-row cross-group term folded in pinned order).
 A 14-query CI subset pins the class (tests/test_fuzz_oracle.py
-REPART_RISKY).
+REPART_RISKY). Cost of the fix, measured (quiet r8 bench vs r7):
+`stats_anova_f` 0.50 → 0.90 s — the DECIMAL sufficient-statistics sums
+and the pinned-order fold are slower than the old float var_samp by
+design; that 0.4 s buys an oracle that cannot flake under any layout,
+and the r8-vs-r7 common-228 total still moved 251.9 → 243.4 s (0.97×)
+on the same box.
 
 ## Cross-doc dup spans reshape (round-8): one postings shuffle, no join
 
