@@ -2966,11 +2966,19 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("t", lambda w: w != "")).cast("long").alias("ntoks"),
     )
     n = ix.agg(F.count(F.lit(1)).cast("long").alias("nn"))
-    # integer DIV, not float divide-then-cast (bucket-boundary gotcha)
-    dd = ix.crossJoin(F.broadcast(n)).select(
-        "doc_id",
-        "ntoks",
-        (F.expr("(idx - 1) * 10 DIV nn") + 1).cast("long").alias("decile"),
+    # integer DIV, not float divide-then-cast (bucket-boundary gotcha);
+    # localCheckpoint: dd feeds BOTH the new-words join and the per-decile
+    # rollup — Catalyst does not share the unmaterialized subtree, and an
+    # unshared dd re-runs the doc scan + row_number window + 1-row cross
+    # twice (plan showed 2 BroadcastNestedLoopJoins / 5 sorts before)
+    dd = (
+        ix.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "ntoks",
+            (F.expr("(idx - 1) * 10 DIV nn") + 1).cast("long").alias("decile"),
+        )
+        .localCheckpoint()
     )
     firsts = (
         d.select("doc_id", F.explode("t").alias("w"))

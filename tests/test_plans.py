@@ -732,3 +732,51 @@ def test_bucketed_join_has_no_exchange(spark):
     # final on the 5 segments)
     assert plan[:jidx].count("Exchange hashpartitioning") <= 1, plan
     assert "SelectedBucketsCount" in plan, plan
+
+
+def test_cross_doc_dup_spans_single_postings_pass(spark):
+    """Round-8 reshape: shared-span coverage explodes the shingles ONCE
+    and never joins the postings back — one gram-keyed exchange plus the
+    per-doc join, no sort-merge join, no second Generate."""
+    plan = plan_of(spark, "text_cross_doc_dup_spans")
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_levenshtein_dedup_distinct_before_pairs(spark):
+    """Edit-distance scoring must run on the distinct-name VOCABULARY
+    with an equi-join on the blocking key — a nested-loop pair generator
+    would be quadratic in rows, not names."""
+    plan = plan_of(spark, "dedup_levenshtein_blocked")
+    assert "NestedLoop" not in plan, plan
+    assert "levenshtein" in plan
+    # the pushed scan filter proves the name cleanup reaches parquet
+    assert "IsNotNull(p_name)" in plan
+
+
+def test_heaps_growth_postings_never_sorted(spark):
+    """The vocabulary-growth curve sorts only the DOC table (row_number
+    window); the postings side is Generate -> hash aggregate. After the
+    per-doc table is checkpointed there is exactly one Generate and the
+    plan carries no sort-merge join of postings."""
+    plan = plan_of(spark, "text_heaps_vocab_growth")
+    assert plan.count("Generate") == 1, plan
+
+
+def test_mmr_pool_filter_pushdown_and_single_group(spark):
+    """MMR reads only the bounded pool (LessThan pushed to the scan) and
+    runs the greedy loop as ONE FlatMapGroupsInPandas — no per-round
+    plan chain."""
+    plan = plan_of(spark, "embedding_mmr_select")
+    assert "LessThan(vec_id,200)" in plan.replace(" ", ""), plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_ips_eval_aggregates_before_policy(spark):
+    """Off-policy IPS never weights rows: the only data-sized stage is
+    the (segment, action) aggregate; the policy argmax and joins run on
+    that summary (broadcast), and the scan filters push down."""
+    plan = plan_of(spark, "policy_ips_offline_eval")
+    assert "IsNotNull(event_type)" in plan
+    assert "NestedLoop" not in plan, plan
