@@ -917,3 +917,54 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dcg", 6).alias("dcg"),
         F.round(F.try_divide(F.col("dcg"), F.col("idcg")), 6).alias("ndcg"),
     )
+
+
+@register(
+    "eval_expected_calibration_error",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    b AS (
+      SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             count(*)::BIGINT AS n, avg(score) AS conf,
+             avg(CAST(label AS DOUBLE)) AS acc
+      FROM scored WHERE score IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM b)
+    SELECT t.nn AS n_scored, CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(n * abs(acc - conf)) / t.nn, 6) AS ece,
+           round(max(abs(acc - conf)), 6) AS mce
+    FROM b, t GROUP BY t.nn
+    """,
+)
+def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected (and maximum) calibration error — the scalar summary of
+    `eval_calibration_bins`: bin-weighted |accuracy − confidence| over
+    the same 10 equal-width score bins, the number a model-monitoring
+    dashboard alerts on. One data-sized aggregate (the binning), then a
+    ≤10-row weighted reduction; the per-bin accuracy is an exact integer
+    ratio and the O(0.1)-magnitude outputs round at 6 decimals, far
+    inside the safe grain."""
+    binned = (
+        _scored(spark, sf_dir)
+        .filter(F.col("score").isNotNull())
+        .groupBy(
+            F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9).cast("long")).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("score").alias("conf"),
+            F.avg(F.col("label").cast("double")).alias("acc"),
+        )
+    )
+    t = binned.agg(F.sum("n").cast("long").alias("nn"))
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    return (
+        binned.crossJoin(F.broadcast(t))
+        .groupBy("nn")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.round(F.sum(F.col("n") * gap) / F.col("nn"), 6).alias("ece"),
+            F.round(F.max(gap), 6).alias("mce"),
+        )
+        .select(F.col("nn").alias("n_scored"), "n_bins", "ece", "mce")
+    )

@@ -2609,3 +2609,149 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 4).alias("noisy_count"),
         F.lit(1.0).alias("epsilon"),
     )
+
+
+@register(
+    "stats_logrank_test",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ), r AS (
+      SELECT o_custkey, o_orderdate,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urg,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM o
+    ), cust AS (
+      SELECT o_custkey,
+             min(CASE WHEN rn = 1 THEN o_orderdate END) AS t1,
+             min(CASE WHEN rn = 2 THEN o_orderdate END) AS t2,
+             CAST(min(CASE WHEN rn = 1 THEN urg END) AS BIGINT) AS grp
+      FROM r GROUP BY 1
+    ), h AS (SELECT max(o_orderdate) AS horizon FROM o),
+    obs AS (
+      SELECT grp,
+             CASE WHEN t2 IS NOT NULL
+                  THEN date_diff('day', CAST(t1 AS DATE), CAST(t2 AS DATE))
+                  ELSE date_diff('day', CAST(t1 AS DATE), CAST(horizon AS DATE))
+             END AS t,
+             CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM cust, h
+    ),
+    tot AS (
+      SELECT count(*)::BIGINT AS n_all, sum(grp)::BIGINT AS n_g1 FROM obs
+    ),
+    g AS (
+      SELECT t, count(*)::BIGINT AS a, sum(grp)::BIGINT AS a1,
+             sum(ev)::BIGINT AS d, sum(ev * grp)::BIGINT AS d1
+      FROM obs GROUP BY t
+    ),
+    k AS (
+      SELECT t, d, d1,
+             n_all - CAST(coalesce(sum(a) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS n,
+             n_g1 - CAST(coalesce(sum(a1) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS n1
+      FROM g, tot
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n_event_times,
+             CAST(sum(d1) AS BIGINT) AS observed1,
+             sum(d * CAST(n1 AS DOUBLE) / n) AS expected1,
+             sum(d * (CAST(n1 AS DOUBLE) / n) * (1 - CAST(n1 AS DOUBLE) / n)
+                 * (n - d) / nullif(n - 1, 0)) AS var1
+      FROM k WHERE d > 0
+    )
+    SELECT n_event_times, observed1, round(expected1, 4) AS expected1,
+           round((observed1 - expected1) * (observed1 - expected1)
+                 / nullif(var1, 0), 4) AS chi2
+    FROM s
+    """,
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing time-to-reorder survival
+    between customers whose FIRST order was URGENT vs the rest — the
+    two-group comparison that completes the survival pack next to
+    Kaplan-Meier and Nelson-Aalen: at each distinct event time, observed
+    group-1 events against the hypergeometric expectation d·n1/n, summed
+    into the 1-df chi-square.
+
+    Scale shape: per-customer (t1, t2, group) comes from ONE window pass
+    over orders; observations then collapse to DISTINCT event times (the
+    rank-statistics reduction — cumulative at-risk counts are windows
+    over the |times| table, never the raw rows). All counts are exact
+    BIGINTs; the O(1)-magnitude expectation/variance terms sum over
+    |times| rows and the 4-decimal rounding absorbs their float jitter
+    (round-grain rule: |x|·10^4 ≪ 2^45). Degenerate inputs (one group,
+    all-censored, single at-risk) turn chi2 NULL via nullif/try_divide
+    rather than erroring."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urg"),
+        F.row_number().over(w).alias("rn"),
+    )
+    cust = r.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("t2"),
+        F.min(F.when(F.col("rn") == 1, F.col("urg"))).cast("long").alias("grp"),
+    )
+    h = orders.agg(F.max("o_orderdate").alias("horizon"))
+    obs = cust.crossJoin(F.broadcast(h)).select(
+        "grp",
+        F.when(
+            F.col("t2").isNotNull(),
+            F.datediff(F.col("t2").cast("date"), F.col("t1").cast("date")),
+        )
+        .otherwise(F.datediff(F.col("horizon").cast("date"), F.col("t1").cast("date")))
+        .alias("t"),
+        F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tot = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("grp").cast("long").alias("n_g1"),
+    )
+    g = obs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("a"),
+        F.sum("grp").cast("long").alias("a1"),
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.col("ev") * F.col("grp")).cast("long").alias("d1"),
+    )
+    cw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    k = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        (F.col("n_all") - F.coalesce(F.sum("a").over(cw), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+        (F.col("n_g1") - F.coalesce(F.sum("a1").over(cw), F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+    )
+    p1 = F.col("n1").cast("double") / F.col("n")
+    s = k.filter(F.col("d") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.sum("d1").cast("long").alias("observed1"),
+        F.sum(F.col("d") * p1).alias("expected1"),
+        F.sum(
+            F.try_divide(
+                F.col("d") * p1 * (1 - p1) * (F.col("n") - F.col("d")),
+                F.col("n") - 1,
+            )
+        ).alias("var1"),
+    )
+    diff = F.col("observed1") - F.col("expected1")
+    return s.select(
+        "n_event_times",
+        "observed1",
+        F.round("expected1", 4).alias("expected1"),
+        F.round(F.try_divide(diff * diff, F.col("var1")), 4).alias("chi2"),
+    )

@@ -203,6 +203,8 @@ PROBES = [
     "eval_ndcg_at_k",
     "policy_ips_offline_eval",
     "versioned_branch_merge",
+    "stats_logrank_test",
+    "eval_expected_calibration_error",
 ]
 
 

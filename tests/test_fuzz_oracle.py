@@ -45,6 +45,8 @@ RECENT = [
     "eval_ndcg_at_k",
     "policy_ips_offline_eval",
     "versioned_branch_merge",
+    "stats_logrank_test",
+    "eval_expected_calibration_error",
     # round-7: BPE oracle conversion (verdict item 6) + CMS re-profile
     "text_bpe_token_counts",
     "approx_topk_cms",
