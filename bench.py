@@ -321,6 +321,8 @@ HEADLINE = [
     "versioned_branch_merge",
     "stats_logrank_test",
     "eval_expected_calibration_error",
+    "regr_rolling_slope",
+    "forecast_mase_seasonal",
 ]
 
 

@@ -1328,3 +1328,192 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("grand") > 0, F.lit(12.0) * F.col("cents") / F.col("grand")
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "regr_rolling_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT priority, d, y,
+             count(*) OVER fr AS n,
+             CAST(sum(d) OVER fr AS BIGINT) AS sx,
+             CAST(sum(y) OVER fr AS BIGINT) AS sy,
+             CAST(sum(d * y) OVER fr AS BIGINT) AS sxy,
+             CAST(sum(d * d) OVER fr AS BIGINT) AS sxx
+      FROM daily
+      WINDOW fr AS (PARTITION BY priority ORDER BY d
+                    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT priority, d AS day_epoch, CAST(n AS BIGINT) AS n_days,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx, 0)
+                 / 100, 4) AS slope_dollars_per_day
+    FROM w
+    """,
+)
+def regr_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day OLS revenue trend per order priority — the
+    windowed-regression primitive behind trend-break monitors and
+    forecasting features, expressed without any per-window refit: the
+    five OLS sufficient sums (n, Σx, Σy, Σxy, Σx²) are RANGE-frame
+    window aggregates over the daily table, so each output row costs
+    O(1) amortized inside one sorted pass per priority partition.
+
+    Exactness: x is the epoch day and y exact integer cents, so every
+    windowed sum is an exact BIGINT accumulated sequentially in frame
+    order (window aggregation is not merge-order dependent) — the slope
+    is then one deterministic double expression per row. RANGE (not
+    ROWS) matters: calendar gaps must shrink the window, not stretch it
+    over 30 observations (the RangeFrame-vs-RowsFrame plan distinction
+    test_plans pins for the interval-frame query). Degenerate windows
+    (single day: zero x-variance) yield NULL via nullif/try_divide."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    fr = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    w = daily.select(
+        "priority",
+        "d",
+        F.count(F.lit(1)).over(fr).cast("long").alias("n"),
+        F.sum("d").over(fr).cast("long").alias("sx"),
+        F.sum("y").over(fr).cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).over(fr).cast("long").alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).over(fr).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    return w.select(
+        "priority",
+        F.col("d").alias("day_epoch"),
+        F.col("n").alias("n_days"),
+        F.round(F.try_divide(num, den) / 100, 4).alias("slope_dollars_per_day"),
+    )
+
+
+@register(
+    "forecast_mase_seasonal",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT priority, y,
+             lag(y, 1) OVER (PARTITION BY priority ORDER BY d) AS y1,
+             lag(y, 7) OVER (PARTITION BY priority ORDER BY d) AS y7
+      FROM daily
+    ),
+    s AS (
+      SELECT priority,
+             count(CASE WHEN y7 IS NOT NULL THEN 1 END)::BIGINT AS n_scored,
+             CAST(sum(CASE WHEN y7 IS NOT NULL THEN abs(y - y7) END) AS BIGINT)
+               AS ae_model,
+             count(CASE WHEN y1 IS NOT NULL THEN 1 END)::BIGINT AS n_naive,
+             CAST(sum(CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END) AS BIGINT)
+               AS ae_naive
+      FROM lagged GROUP BY priority
+    )
+    SELECT priority, n_scored,
+           CAST(ae_model AS DOUBLE) / nullif(n_scored, 0) / 100
+             AS mae_model_dollars,
+           CAST(ae_naive AS DOUBLE) / nullif(n_naive, 0) / 100
+             AS mae_naive_dollars,
+           (CAST(ae_model AS DOUBLE) / nullif(n_scored, 0))
+             / nullif(CAST(ae_naive AS DOUBLE) / nullif(n_naive, 0), 0) AS mase
+    FROM s
+    """,
+)
+def forecast_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error) of a seasonal-naive lag-7
+    forecast against the lag-1 naive scale, per order priority — the
+    scale-free forecasting-accuracy standard (Hyndman & Koehler 2006):
+    MASE < 1 means the weekly-seasonal model beats the one-step naive
+    on the same series.
+
+    Fully exact until the final divisions: daily revenue is integer
+    cents, both forecasts are lags over the per-priority daily table
+    (one sorted window pass), and the absolute-error sums are BIGINTs —
+    so the per-priority MAEs and their ratio are single deterministic
+    double expressions, immune to layout. Series edges (first 1/7 days)
+    are excluded from their respective error counts rather than padded,
+    matching standard practice; all-gone degenerate series (one day)
+    turn NULL via nullif/try_divide."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("d")
+    lagged = daily.select(
+        "priority",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"),
+    )
+    s = lagged.groupBy("priority").agg(
+        F.count("y7").cast("long").alias("n_scored"),
+        F.sum(F.when(F.col("y7").isNotNull(), F.abs(F.col("y") - F.col("y7"))))
+        .cast("long")
+        .alias("ae_model"),
+        F.count("y1").cast("long").alias("n_naive"),
+        F.sum(F.when(F.col("y1").isNotNull(), F.abs(F.col("y") - F.col("y1"))))
+        .cast("long")
+        .alias("ae_naive"),
+    )
+    mae_m = F.try_divide(F.col("ae_model").cast("double"), F.col("n_scored"))
+    mae_n = F.try_divide(F.col("ae_naive").cast("double"), F.col("n_naive"))
+    # UNROUNDED on purpose: every input is an exact BIGINT, so both
+    # engines compute bit-identical doubles — while round(x, 2) here is a
+    # cross-engine hazard because ae/n/100 can land EXACTLY on a .xx5
+    # half (n=2, odd cents): Spark rounds the double's shortest decimal
+    # repr (BigDecimal.valueOf), DuckDB the binary value, and they split
+    # (caught by the unicode fuzz fixture).
+    return s.select(
+        "priority",
+        "n_scored",
+        (mae_m / 100).alias("mae_model_dollars"),
+        (mae_n / 100).alias("mae_naive_dollars"),
+        F.try_divide(mae_m, mae_n).alias("mase"),
+    )

@@ -244,7 +244,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, CAST(sum(v4) AS DECIMAL(38,0)) AS raw4
       FROM v GROUP BY 1
     )
-    SELECT l_partkey, round(CAST(raw4 AS DOUBLE) / 1e4, 2) AS part_value
+    SELECT l_partkey, CAST(raw4 AS DOUBLE) / 1e4 AS part_value
     FROM g
     WHERE raw4 * 500 > (SELECT CAST(sum(v4) AS DECIMAL(38,0)) FROM v)
     ORDER BY part_value DESC, l_partkey
@@ -281,7 +281,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw4") * 500 > F.col("t4"))
         .select(
             "l_partkey",
-            F.round(F.col("raw4").cast("double") / F.lit(1e4), 2).alias("part_value"),
+            # unrounded: raw4/1e4 is an exact-integer-derived double,
+            # identical in both engines; round(x, 2) on a value that can
+            # be EXACTLY x.xx5 (raw4 ending in 50) splits the engines
+            # (shortest-repr vs binary half-rounding — the MASE lesson)
+            (F.col("raw4").cast("double") / F.lit(1e4)).alias("part_value"),
         )
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )

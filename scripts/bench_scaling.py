@@ -205,6 +205,8 @@ PROBES = [
     "versioned_branch_merge",
     "stats_logrank_test",
     "eval_expected_calibration_error",
+    "regr_rolling_slope",
+    "forecast_mase_seasonal",
 ]
 
 

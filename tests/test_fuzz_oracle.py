@@ -47,6 +47,8 @@ RECENT = [
     "versioned_branch_merge",
     "stats_logrank_test",
     "eval_expected_calibration_error",
+    "regr_rolling_slope",
+    "forecast_mase_seasonal",
     # round-7: BPE oracle conversion (verdict item 6) + CMS re-profile
     "text_bpe_token_counts",
     "approx_topk_cms",
