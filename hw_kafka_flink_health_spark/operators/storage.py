@@ -423,8 +423,12 @@ def materialize_bucketed(
         df = build()
 
         def _write() -> None:
+            # errorifexists, not overwrite: a table another session
+            # registered between our existence check and this write must
+            # surface as an exception (handled below by returning THEIR
+            # table), never be silently clobbered by ours
             (
-                df.write.mode("overwrite")
+                df.write.mode("errorifexists")
                 .bucketBy(n_buckets, bucket_col)
                 .sortBy(bucket_col)
                 .saveAsTable(table_name)
@@ -437,15 +441,22 @@ def materialize_bucketed(
             # new session forgets the table but the files remain), and
             # Spark refuses to create a managed table over an existing
             # location. Reclaim that location ONLY after Spark itself
-            # refused it (round-7 advice): an unconditional up-front
-            # rmtree would delete files a concurrent writer is mid-way
-            # through producing even when no collision exists. NOTE the
-            # residual contract: an in-memory catalog cannot tell
-            # orphaned debris from another LIVE session's table at the
-            # same name — sessions sharing one warehouse dir must use
-            # distinct table names (or a real metastore).
-            msg = str(e)
-            if "LOCATION_ALREADY_EXISTS" not in msg and "already exists" not in msg:
+            # refused it with the SPECIFIC location-collision condition
+            # (round-8 advice: a broad "already exists" substring also
+            # matches TableAlreadyExistsException and unrelated errors,
+            # and rmtree-ing on those deletes live data), and only after
+            # re-checking the catalog: a CONCURRENT session sharing this
+            # catalog may have created the table between our existence
+            # check and the write — return theirs instead of clobbering
+            # it. NOTE the residual contract: an in-memory catalog cannot
+            # tell orphaned debris from another LIVE process's table at
+            # the same name — processes sharing one warehouse dir must
+            # use distinct table names (or a real metastore).
+            if spark.catalog.tableExists(table_name):
+                return spark.table(table_name)
+            get_condition = getattr(e, "getCondition", None)
+            condition = get_condition() if callable(get_condition) else None
+            if condition != "LOCATION_ALREADY_EXISTS":
                 raise
             import os
             import shutil

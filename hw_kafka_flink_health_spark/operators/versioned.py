@@ -241,6 +241,84 @@ def current_version(table_dir: str) -> int | None:
         return None
 
 
+def _claim_owner_is_branch(table_dir: str, version: int) -> bool:
+    """Whether the manifest claiming `version` belongs to a BRANCH commit.
+    Branch commits park ordinary version numbers in the shared numbering
+    without ever moving main's pointer (see the refs section below), so a
+    lost claim against one does NOT mean main's snapshot changed — the
+    caller may re-claim the next number with its derived state still
+    valid (round-8 advice: delete_where/merge_into/CAS commits previously
+    raised VersionConflictError forever against a parked branch claim).
+    Unreadable/missing manifests conservatively count as main (conflict)."""
+    try:
+        with open(_manifest_path(table_dir, version)) as f:
+            return "branch" in json.load(f)
+    except (OSError, ValueError):
+        return False
+
+
+def _in_main_history(table_dir: str, tip: int, version: int) -> bool:
+    """Whether `version` is part of MAIN's history when the pointer sits at
+    `tip`. Main's chain is: the tip; then, for a fast-forwarded merge head
+    (manifest carries `branch`), the branch's `parent` chain; otherwise
+    version-1 — skipping over manifests that carry `branch` and were NOT
+    reached via a parent pointer (unmerged branch claims parked in the
+    shared numbering). A vacuum hole below the walk means `version`
+    predates retention — treated as history (it was committed long ago)."""
+    v, via_parent = tip, True  # the tip is main state by definition
+    for _ in range(100000):  # cycle guard; version numbers only decrease
+        if v is None or v < 0:
+            return False
+        try:
+            with open(_manifest_path(table_dir, v)) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            return True  # vacuumed history below the retention floor
+        if "branch" in m and not via_parent:
+            v -= 1  # unmerged branch claim: not main state, keep walking
+            continue
+        if v == version:
+            return True
+        if v < version:
+            return False
+        if "branch" in m:
+            v, via_parent = m.get("parent"), True
+        else:
+            v, via_parent = v - 1, False
+    return False
+
+
+def _verify_mainline(
+    table_dir: str, version: int, cleanup_files: list | None = None
+) -> None:
+    """Post-advance check every MAIN committer runs: a fast-forward merge
+    that raced this commit's publish→advance window can move the pointer
+    to a branch head whose chain does not contain `version` — the advance
+    then no-ops monotonically and the commit would report success while
+    its rows are reachable from nothing (round-8 advice). When bypassed,
+    roll the publication back (manifest + staged files — leaving them
+    would pin garbage above the pointer forever, the same leak as a lost
+    branch CAS) and raise so the caller re-derives against the merged
+    state. Ordinary concurrent main commits that advanced past us are
+    fine: their append base resolution walked through our manifest, so
+    the walk finds `version` on the version-1 chain."""
+    cur = current_version(table_dir)
+    if cur is None or cur == version:
+        return
+    if cur > version and not _in_main_history(table_dir, cur, version):
+        try:
+            os.remove(_manifest_path(table_dir, version))
+        except FileNotFoundError:
+            pass
+        if cleanup_files:
+            _unstage(table_dir, cleanup_files)
+        raise VersionConflictError(
+            f"commit v{version} of {table_dir} was bypassed by a concurrent "
+            f"branch merge (main fast-forwarded to v{cur}); re-derive "
+            "against the merged state"
+        )
+
+
 def commit_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -295,19 +373,34 @@ def commit_snapshot(
         for _attempt in range(max_retries + 1):
             files = list(new_files)
             dv = []
-            base = version - 1
-            if mode == "append" and base >= 0:
-                # the base manifest exists even if its writer has not
-                # flipped the pointer yet (claims publish content-complete
-                # manifests)
-                with open(_manifest_path(table_dir, base)) as f:
-                    base_manifest = json.load(f)
-                files = base_manifest["files"] + files
-                # append preserves the base's deletion vectors — dropping
-                # them would resurrect every previously deleted row
-                # (overwrite correctly discards them: the table is being
-                # replaced)
-                dv = list(base_manifest.get("dv", []))
+            if mode == "append":
+                # Resolve the append BASE down main's chain, not blindly at
+                # version-1: a manifest ABOVE main's pointer carrying a
+                # `branch` key is an unmerged branch claim parked in the
+                # shared numbering — merging onto it would silently drop
+                # main's own rows into the branch's state (round-8 advice).
+                # At or below the pointer a manifest IS main state whatever
+                # keys it carries (a fast-forwarded merge head keeps its
+                # `branch` key), and a non-branch manifest above the
+                # pointer is a content-complete main claim whose writer
+                # has not flipped the pointer yet — both are valid bases.
+                ptr = current_version(table_dir)
+                base = version - 1
+                base_manifest = None
+                while base >= 0:
+                    with open(_manifest_path(table_dir, base)) as f:
+                        bm = json.load(f)
+                    if (ptr is not None and base <= ptr) or "branch" not in bm:
+                        base_manifest = bm
+                        break
+                    base -= 1
+                if base_manifest is not None:
+                    files = base_manifest["files"] + files
+                    # append preserves the base's deletion vectors —
+                    # dropping them would resurrect every previously
+                    # deleted row (overwrite correctly discards them: the
+                    # table is being replaced)
+                    dv = list(base_manifest.get("dv", []))
             manifest = {"version": version, "files": files}
             if dv:
                 manifest["dv"] = dv
@@ -320,9 +413,27 @@ def commit_snapshot(
             if _publish_manifest(table_dir, version, manifest):
                 published = True
                 _advance_pointer(table_dir, version)
+                # a racing fast-forward merge can bypass the advance —
+                # verify main's chain actually contains us (rolls back and
+                # raises otherwise; new_files were referenced only by the
+                # rolled-back manifest, so unstaging them is safe)
+                try:
+                    _verify_mainline(table_dir, version, new_files)
+                except VersionConflictError:
+                    published = False  # already rolled back in full
+                    raise
                 return version
             # lost the claim: another writer owns this version number
             if expect_version is not None:
+                # a BRANCH commit parked at this number does not move main
+                # (round-8 advice): the CAS base is still current — re-check
+                # the pointer and re-claim above the parked number
+                if (
+                    _claim_owner_is_branch(table_dir, version)
+                    and current_version(table_dir) == expect_version
+                ):
+                    version += 1
+                    continue
                 raise VersionConflictError(
                     f"version {version} of {table_dir} was committed "
                     f"concurrently (base {expect_version} is stale)"
@@ -587,6 +698,7 @@ def vacuum(
         keep_versions = []
         keep_files: set[str] = set()
         referenced_any: set[str] = set()
+        branch_manifests: dict[int, dict] = {}
         for j, name in enumerate(os.listdir(table_dir)):
             if j % 200 == 199 and not _heartbeat_lock(tags_lock, token):
                 raise TimeoutError(
@@ -604,11 +716,45 @@ def vacuum(
                 if retain_floor <= v <= latest or v in tagged:
                     raise  # a corrupt RETAINED manifest is not vacuumable state
                 continue
+            if "branch" in m:
+                branch_manifests[v] = m
             refs = set(m["files"]) | set(m.get("dv", []))
             referenced_any.update(refs)
             if v >= retain_floor or v in tagged:
                 keep_files.update(refs)
                 keep_versions.append(v)
+        # BRANCH manifests parked above main's pointer that no branch head
+        # can reach (a commit_to_branch that crashed between publish and
+        # its head CAS) would otherwise be retained forever by the
+        # v >= retain_floor in-flight-claim rule (round-8 advice). Walk
+        # every live head's parent chain; unreachable branch claims older
+        # than the orphan TTL are debris — drop the manifest now, and the
+        # files it alone referenced become never-referenced on the NEXT
+        # vacuum, aging out through the ordinary orphan-TTL sweep.
+        reachable: set[int] = set()
+        for b in list_branches(table_dir).values():
+            bv = b["head"]
+            while bv in branch_manifests and bv not in reachable:
+                reachable.add(bv)
+                bv = branch_manifests[bv].get("parent")
+        for bv, m in branch_manifests.items():
+            if bv <= latest or bv in reachable or bv in tagged:
+                continue
+            age_base = m.get("committed_at")
+            if age_base is None:
+                try:
+                    age_base = os.path.getmtime(
+                        _manifest_path(table_dir, bv)
+                    )
+                except FileNotFoundError:
+                    continue
+            if now - age_base > orphan_ttl_seconds:
+                try:
+                    os.remove(_manifest_path(table_dir, bv))
+                except FileNotFoundError:
+                    pass
+                if bv in keep_versions:
+                    keep_versions.remove(bv)
         deleted = []
         # Heartbeat the lock every stride entries: a huge table dir (or
         # slow storage) can push this pass past the 30 s steal bound,
@@ -1021,18 +1167,24 @@ def compact_snapshot(
     for key in ("cluster_col", "zorder"):
         if key in manifest:
             new_manifest[key] = manifest[key]
-    if not _publish_manifest(table_dir, version, new_manifest):
-        for n in new_files + new_manifest.get("dv", []):
-            if n.startswith(f"data-v{version}-") or n.startswith(f"dv-v{version}-"):
-                try:
-                    os.remove(os.path.join(table_dir, n))
-                except FileNotFoundError:
-                    pass
+    staged = new_files + new_manifest.get("dv", [])
+    while not _publish_manifest(table_dir, version, new_manifest):
+        # same branch-claim skip as delete_where: a parked branch claim
+        # does not change main, so the compacted content is still the
+        # current version's content — re-claim above it (staged file names
+        # keep the first-attempt version as a debugging hint; the manifest
+        # file list is the only authority, as everywhere else)
+        if _claim_owner_is_branch(table_dir, version) and current_version(table_dir) == v:
+            version += 1
+            new_manifest["version"] = version
+            continue
+        _unstage(table_dir, staged)
         raise VersionConflictError(
             f"compaction of {table_dir} lost the claim for version {version} "
             "to a concurrent commit; re-run against the new current version"
         )
     _advance_pointer(table_dir, version)
+    _verify_mainline(table_dir, version, staged)
     return version
 
 
@@ -1131,7 +1283,15 @@ def delete_where(
     new_manifest = dict(manifest)
     new_manifest["version"] = version
     new_manifest["dv"] = list(manifest.get("dv", [])) + new_dv
-    if not _publish_manifest(table_dir, version, new_manifest):
+    while not _publish_manifest(table_dir, version, new_manifest):
+        # A parked BRANCH claim at this number does not move main
+        # (round-8 advice: raising here would fail the delete forever
+        # while main never changed). The derived DV positions stay valid
+        # as long as main's pointer still reads v — re-claim above it.
+        if _claim_owner_is_branch(table_dir, version) and current_version(table_dir) == v:
+            version += 1
+            new_manifest["version"] = version
+            continue
         for name in new_dv:
             os.remove(os.path.join(table_dir, name))
         raise VersionConflictError(
@@ -1139,6 +1299,7 @@ def delete_where(
             "re-derive the delete against the new current version"
         )
     _advance_pointer(table_dir, version)
+    _verify_mainline(table_dir, version, new_dv)
     return version
 
 
@@ -1253,7 +1414,13 @@ def merge_into(
         # transactional streaming sink: record which stream batch this
         # merge applied (see last_committed_batch / commit_snapshot)
         new_manifest["batch_id"] = batch_id
-    if not _publish_manifest(table_dir, version, new_manifest):
+    while not _publish_manifest(table_dir, version, new_manifest):
+        # same branch-claim skip as delete_where: main's snapshot did not
+        # change, so the derived DV positions and insert set stay valid
+        if _claim_owner_is_branch(table_dir, version) and current_version(table_dir) == v:
+            version += 1
+            new_manifest["version"] = version
+            continue
         for n in new_dv + new_files:
             os.remove(os.path.join(table_dir, n))
         raise VersionConflictError(
@@ -1261,6 +1428,7 @@ def merge_into(
             "re-derive the merge against the new current version"
         )
     _advance_pointer(table_dir, version)
+    _verify_mainline(table_dir, version, new_dv + new_files)
     return version
 
 
@@ -1354,6 +1522,9 @@ def restore_snapshot(
                     manifest[key] = src[key]
             if _publish_manifest(table_dir, version, manifest):
                 _advance_pointer(table_dir, version)
+                # no staged files to roll back: the manifest references
+                # the TARGET version's files, which that manifest keeps
+                _verify_mainline(table_dir, version)
                 return version
             version += 1
         raise VersionConflictError(
@@ -1561,6 +1732,17 @@ def commit_to_branch(
             branches = list_branches(table_dir)
             cur = branches.get(branch)
             if cur is None or cur["head"] != head:
+                # Roll the publication back BEFORE raising: the orphan
+                # manifest would otherwise sit above main's pointer
+                # forever — vacuum's v >= retain_floor in-flight-claim
+                # protection retains it and its data files indefinitely
+                # (round-8 advice). With the manifest gone, the staged
+                # files are unstaged by the outer handler.
+                try:
+                    os.remove(_manifest_path(table_dir, version))
+                except FileNotFoundError:
+                    pass
+                published = False
                 raise VersionConflictError(
                     f"branch {branch!r} moved (head {cur and cur['head']} != "
                     f"{head}) while committing v{version}"
@@ -1576,36 +1758,76 @@ def commit_to_branch(
         raise
 
 
-def merge_branch(table_dir: str, name: str, *, delete: bool = True) -> int:
-    """Fast-forward main to the branch head. Succeeds only while main
-    still sits at the branch BASE (nothing to reconcile — the branch's
-    manifests already contain the merged state); if main advanced, raises
-    MergeConflictError and the caller rebases. The base check and the
-    pointer write happen under the SAME `_latest.lock` acquisition every
-    main commit's pointer advance takes, so a racing main commit either
-    lands before the check (conflict) or after the pointer moved (its
-    monotonic advance keeps the merged head — it claimed a lower number
-    and the advance is a no-op, surfacing as ITS conflict on the next
-    read-modify-write)."""
+def merge_branch(
+    table_dir: str, name: str, *, delete: bool = True, max_retries: int = 20
+) -> int:
+    """Merge a branch into main by REPUBLISHING the branch head's content
+    as an ordinary claimed main commit (metadata-only, O(manifest) — the
+    new manifest references the head's files/dv/stats by name, the same
+    mechanism restore_snapshot uses). Succeeds only while main still sits
+    at the branch BASE (nothing to reconcile); if main advanced — or a
+    racing main commit holds a PUBLISHED claim anywhere on the number
+    ladder above the base, pointer advanced or not — the claim loop runs
+    into its non-branch manifest and raises MergeConflictError, and the
+    caller rebases.
+
+    Why a claim instead of fast-forwarding the pointer to the head's
+    number (round-8 advice): the head's number can sit BELOW a racing
+    main commit's claim, and a pointer teleport then either strands the
+    racer (its monotonic advance no-ops while its commit reports
+    success) or is itself silently undone when the racer's higher number
+    advances over the merged pointer. Claiming a fresh number makes the
+    merge serialize through the exact same exclusive-claim protocol as
+    every other commit — the pointer only ever moves through claimed
+    numbers, so neither side can bypass the other. Returns the NEW main
+    version holding the merged content."""
     branches = list_branches(table_dir)
     if name not in branches:
         raise KeyError(f"no branch {name!r} in {table_dir}")
     head, base = branches[name]["head"], branches[name]["base"]
-    lock = os.path.join(table_dir, "_latest.lock")
-    fd, token = _acquire_lock(lock)
-    try:
-        cur = current_version(table_dir)
-        if cur != base:
-            raise MergeConflictError(
-                f"main is at v{cur}, branch {name!r} forked at v{base} — "
-                "not fast-forwardable; rebase the branch"
-            )
-        tmp = _latest_pointer(table_dir) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(head))
-        os.rename(tmp, _latest_pointer(table_dir))
-    finally:
-        _release_lock(lock, fd, token)
-    if delete:
-        delete_branch(table_dir, name)
-    return head
+    if head == base:
+        # nothing was committed to the branch: merging is a no-op
+        if delete:
+            delete_branch(table_dir, name)
+        return base
+    cur = current_version(table_dir)
+    if cur != base:
+        raise MergeConflictError(
+            f"main is at v{cur}, branch {name!r} forked at v{base} — "
+            "not fast-forwardable; rebase the branch"
+        )
+    with open(_manifest_path(table_dir, head)) as f:
+        src = json.load(f)
+    version = base + 1
+    for _attempt in range(max_retries + 1):
+        manifest = {
+            "version": version,
+            "files": list(src["files"]),
+            "merged_branch": name,
+            "merged_head": head,
+        }
+        # carry every content/metadata key of the head forward, exactly
+        # like restore_snapshot (dropping dv would resurrect deleted rows;
+        # dropping stats would silently full-scan pruned reads)
+        for key in ("dv", "stats", "cluster_col", "stats2", "zorder", "batch_id"):
+            if key in src:
+                manifest[key] = src[key]
+        if _publish_manifest(table_dir, version, manifest):
+            _advance_pointer(table_dir, version)
+            _verify_mainline(table_dir, version)
+            if delete:
+                delete_branch(table_dir, name)
+            return version
+        # the ladder rung is taken: a BRANCH claim (this branch's own
+        # commits included) just parks the number — step over it; a MAIN
+        # claim means main moved (or is mid-commit) past the fork base
+        if _claim_owner_is_branch(table_dir, version):
+            version += 1
+            continue
+        raise MergeConflictError(
+            f"main commit v{version} landed after branch {name!r} forked "
+            f"at v{base} — not fast-forwardable; rebase the branch"
+        )
+    raise VersionConflictError(
+        f"gave up after {max_retries} contended merge attempts on {table_dir}"
+    )

@@ -513,3 +513,38 @@ def test_materialize_bucketed_reclaims_only_on_refusal(spark, tmp_path):
         ).count() == 100
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_materialize_bucketed_yields_to_concurrent_catalog_entry(spark, tmp_path):
+    """ADVICE r8 (low): the write-failure fallback must (a) return a table
+    a concurrent session registered in the catalog instead of rmtree-ing
+    its files, and (b) reclaim the location only on the SPECIFIC
+    LOCATION_ALREADY_EXISTS condition — any other failure re-raises."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators import storage as S
+
+    name = "concurrent_catalog_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        # simulate "a concurrent session won the write race": the builder
+        # registers the table itself (as the racing winner would), so this
+        # caller's own write refuses — the fallback must find the catalog
+        # entry and return it untouched instead of rmtree + rewrite
+        def racing_build():
+            spark.range(7).withColumnRenamed("id", "k").write.bucketBy(
+                4, "k"
+            ).sortBy("k").saveAsTable(name)
+            return spark.range(99).withColumnRenamed("id", "k")  # loser's df
+
+        out = S.materialize_bucketed(spark, racing_build, name, bucket_col="k")
+        assert out.count() == 7  # the winner's table, not the loser's 99
+        # a write failure that is NOT a location refusal re-raises instead
+        # of triggering the reclaim path (here: unresolvable bucket column)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        with pytest.raises(Exception, match="no_such_col|UNRESOLVED"):
+            S.materialize_bucketed(
+                spark, lambda: spark.range(3), name, bucket_col="no_such_col"
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1431,11 +1431,15 @@ def test_branch_lifecycle_and_merge(spark, tmp_path):
     assert list_branches(t)["exp"] == {"head": v2, "base": 0}
     assert read_snapshot(spark, t, branch="exp").count() == 100
     assert read_snapshot(spark, t).count() == 10
-    # fast-forward merge publishes the branch state to main readers
+    # merge republishes the head's content as a NEW claimed main version
+    # (never a pointer teleport to the head's number — see merge_branch):
+    # main readers see the branch state, version numbers keep increasing
     merged = merge_branch(t, "exp")
-    assert merged == v2
-    assert current_version(t) == v2
+    assert merged > v2
+    assert current_version(t) == merged
     assert read_snapshot(spark, t).count() == 100
+    # the merged content is the head's files BY REFERENCE (metadata-only)
+    assert read_snapshot(spark, t, version=v2).count() == 100
     assert "exp" not in list_branches(t)  # merge deletes the ref
     # diverged main -> conflict
     create_branch(t, "exp2")
@@ -1500,3 +1504,188 @@ def test_branch_commit_cas_rejects_stale_head(spark, tmp_path):
     _json.dump(real, open(_branches_path(t), "w"))
     with pytest.raises((VersionConflictError, FileNotFoundError)):
         commit_to_branch(df, t, "exp", mode="append")
+
+
+# --- round-8 ADVICE regressions: branch claims vs main's commit protocol ---
+
+
+def test_main_append_never_bases_on_parked_branch_claim(spark, tmp_path):
+    """ADVICE r8 (high): commit_snapshot(mode='append') used base=version-1
+    in its retry loop, so after a branch claimed that number main's append
+    merged onto the BRANCH manifest — main's own rows silently dropped.
+    The base must resolve down MAIN's chain, skipping parked branch claims."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_to_branch,
+        create_branch,
+    )
+
+    t = str(tmp_path / "h1")
+    commit_snapshot(spark.range(3).coalesce(1), t)  # main v0: 3 rows
+    create_branch(t, "exp")
+    commit_to_branch(spark.range(100).coalesce(1), t, "exp")  # parks v1
+    commit_snapshot(spark.range(100, 102).coalesce(1), t, mode="append")
+    assert read_snapshot(spark, t).count() == 5  # 3 base + 2 appended
+    assert read_snapshot(spark, t, branch="exp").count() == 100
+    # several parked claims from several branches: the walk skips them all
+    create_branch(t, "exp2")
+    commit_to_branch(spark.range(10).coalesce(1), t, "exp2")
+    commit_to_branch(spark.range(20).coalesce(1), t, "exp")
+    commit_snapshot(spark.range(200, 203).coalesce(1), t, mode="append")
+    assert read_snapshot(spark, t).count() == 8
+
+
+def test_dml_retries_claim_past_parked_branch_claim(spark, tmp_path):
+    """ADVICE r8 (high): delete_where/merge_into/compact/CAS commits raised
+    VersionConflictError forever when an unmerged branch claim parked at
+    current+1 — main never moved, so they must re-claim the next number."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_to_branch,
+        compact_snapshot,
+        create_branch,
+        delete_where,
+        merge_into,
+    )
+
+    t = str(tmp_path / "h2")
+    commit_snapshot(spark.range(10).coalesce(1), t)  # v0
+    create_branch(t, "exp")
+    commit_to_branch(spark.range(99).coalesce(1), t, "exp")  # parks v1
+    v = delete_where(spark, t, "id >= 8")
+    assert v == 2 and read_snapshot(spark, t).count() == 8
+    commit_to_branch(spark.range(50).coalesce(1), t, "exp")  # parks v3
+    v = merge_into(spark, t, spark.range(100, 103).coalesce(1), ["id"])
+    assert v == 4 and read_snapshot(spark, t).count() == 11
+    commit_to_branch(spark.range(5).coalesce(1), t, "exp")  # parks v5
+    v2 = compact_snapshot(spark, t)
+    assert read_snapshot(spark, t, version=v2).count() == 11
+    cur = current_version(t)
+    commit_to_branch(spark.range(5).coalesce(1), t, "exp")  # parks cur+1
+    commit_snapshot(spark.range(4).coalesce(1), t, expect_version=cur)
+    assert read_snapshot(spark, t).count() == 4
+
+
+def test_merge_conflicts_on_published_unadvanced_main_claim(spark, tmp_path):
+    """ADVICE r8 (medium): a racing main commit publishes its manifest
+    before advancing the pointer; the old fast-forward merge teleported
+    the pointer over it and the racer's rows were silently stranded. The
+    merge-as-commit design runs the claim ladder into the racer's
+    non-branch manifest and conflicts instead."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        MergeConflictError,
+        _publish_manifest,
+        _stage_parquet,
+        commit_to_branch,
+        create_branch,
+        merge_branch,
+    )
+
+    t = str(tmp_path / "m1")
+    commit_snapshot(spark.range(3).coalesce(1), t)  # v0
+    create_branch(t, "exp")
+    commit_to_branch(spark.range(50).coalesce(1), t, "exp")  # v1
+    # racer: published main manifest at v2, pointer NOT yet advanced
+    racer = _stage_parquet(spark.range(200, 204).coalesce(1), t, "data", 2)
+    assert _publish_manifest(t, 2, {"version": 2, "files": racer})
+    with pytest.raises(MergeConflictError):
+        merge_branch(t, "exp")
+    assert current_version(t) == 0  # merge touched nothing
+
+
+def test_merge_is_a_claimed_commit_and_racers_rebase_onto_it(spark, tmp_path):
+    """The merge claims a FRESH version number (never the head's), so a
+    main append that loses its claim to the merge manifest re-bases onto
+    the merged content — neither side can silently drop the other."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_to_branch,
+        create_branch,
+        merge_branch,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "m1b")
+    commit_snapshot(spark.range(3).coalesce(1), t)  # v0
+    create_branch(t, "exp")
+    head = commit_to_branch(spark.range(3, 10).coalesce(1), t, "exp", mode="append")
+    merged = merge_branch(t, "exp")
+    assert merged > head  # fresh number above every claim
+    assert read_snapshot(spark, t).count() == 10
+    # an append now walks its claim past v1 (branch) and v2 (merge) and
+    # bases on the merge manifest: merged rows survive
+    commit_snapshot(spark.range(10, 12).coalesce(1), t, mode="append")
+    assert read_snapshot(spark, t).count() == 12
+
+
+def test_lost_branch_cas_leaves_no_orphan_manifest(spark, tmp_path):
+    """ADVICE r8 (low): commit_to_branch losing the head CAS published an
+    orphan manifest above main's pointer that vacuum's in-flight-claim
+    rule retained forever. The loser must roll its publication back."""
+    import pytest
+
+    import hw_kafka_flink_health_spark.operators.versioned as V
+
+    t = str(tmp_path / "l1")
+    commit_snapshot(spark.range(3).coalesce(1), t)
+    V.create_branch(t, "exp")
+    orig = V.list_branches
+    calls = {"n": 0}
+
+    def sneaky(table_dir):
+        b = orig(table_dir)
+        calls["n"] += 1
+        if calls["n"] == 2:  # the in-CAS re-read inside commit_to_branch
+            moved = {k: dict(v) for k, v in b.items()}
+            moved["exp"]["head"] = 999
+            return moved
+        return b
+
+    V.list_branches = sneaky
+    try:
+        with pytest.raises(V.VersionConflictError):
+            V.commit_to_branch(spark.range(9).coalesce(1), t, "exp")
+    finally:
+        V.list_branches = orig
+    leftovers = [
+        n
+        for n in os.listdir(t)
+        if n.startswith("manifest-v1") or n.startswith("data-v1-")
+    ]
+    assert not leftovers, leftovers
+
+
+def test_vacuum_reclaims_unreachable_branch_manifest_past_ttl(spark, tmp_path):
+    """ADVICE r8 (low), second layer: a crashed branch commit's orphan
+    manifest (reachable from no branch head) is swept once older than the
+    orphan TTL; its files cascade out on the following vacuum."""
+    import json as _json
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        _manifest_path,
+        _publish_manifest,
+        _stage_parquet,
+        commit_to_branch,
+        create_branch,
+    )
+
+    t = str(tmp_path / "l1b")
+    commit_snapshot(spark.range(3).coalesce(1), t)
+    create_branch(t, "exp")
+    commit_to_branch(spark.range(9).coalesce(1), t, "exp")  # v1, reachable
+    orphan = _stage_parquet(spark.range(7).coalesce(1), t, "data", 2)
+    assert _publish_manifest(
+        t, 2, {"version": 2, "files": orphan, "branch": "exp", "parent": 1}
+    )
+    m = _json.load(open(_manifest_path(t, 2)))
+    m["committed_at"] = 1.0  # backdate past any TTL
+    os.remove(_manifest_path(t, 2))
+    with open(_manifest_path(t, 2), "w") as f:
+        _json.dump(m, f)
+    vacuum(t, keep_last=2, orphan_ttl_seconds=60)
+    assert not os.path.exists(_manifest_path(t, 2))  # orphan swept
+    assert os.path.exists(_manifest_path(t, 1))  # live head kept
+    for n in orphan:  # age the now-unreferenced files past the TTL
+        os.utime(os.path.join(t, n), (1, 1))
+    vacuum(t, keep_last=2, orphan_ttl_seconds=60)
+    assert not [n for n in orphan if os.path.exists(os.path.join(t, n))]
+    assert read_snapshot(spark, t, branch="exp").count() == 9
