@@ -323,6 +323,11 @@ HEADLINE = [
     "eval_expected_calibration_error",
     "regr_rolling_slope",
     "forecast_mase_seasonal",
+    "versioned_branch_rebase",
+    "stats_kruskal_wallis",
+    "stats_cliffs_delta",
+    "eval_mrr_map",
+    "experiment_post_stratified_ate",
 ]
 
 

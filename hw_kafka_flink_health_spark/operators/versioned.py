@@ -1831,3 +1831,90 @@ def merge_branch(
     raise VersionConflictError(
         f"gave up after {max_retries} contended merge attempts on {table_dir}"
     )
+
+
+def rebase_branch(table_dir: str, name: str, *, max_retries: int = 20) -> int:
+    """Re-fork the branch from CURRENT main, re-applying the branch's own
+    changes — the documented recovery from a MergeConflictError ("main
+    moved; rebase the branch"). Mechanical rebasing is defined for
+    APPEND-ONLY branch history: the branch's contribution is exactly the
+    files its head references beyond its fork base, and those files are
+    re-merged by NAME onto main's current manifest (metadata-only — no
+    data movement, O(manifest) like merge/restore). A branch that
+    overwrote (head no longer carries every base file) or added row-level
+    deletes has no file-additive delta to replay and raises
+    MergeConflictError — re-derive it from current main instead, exactly
+    as a git rebase with conflicts hands control back.
+
+    The new head claims a fresh version whose manifest carries main's
+    CURRENT files + dv + the branch's added files, and the ref CAS (under
+    `_tags.lock`, same as commit_to_branch) moves {head, base} to the new
+    claim and the new fork point. The abandoned old head becomes an
+    unreachable branch manifest that vacuum reclaims past the orphan TTL;
+    the branch's data files stay referenced by the new head, so nothing
+    the branch added is ever at risk."""
+    branches = list_branches(table_dir)
+    if name not in branches:
+        raise KeyError(f"no branch {name!r} in {table_dir}")
+    head, base = branches[name]["head"], branches[name]["base"]
+    with open(_manifest_path(table_dir, head)) as f:
+        src = json.load(f)
+    with open(_manifest_path(table_dir, base)) as f:
+        base_manifest = json.load(f)
+    base_files = set(base_manifest["files"])
+    if not base_files.issubset(src["files"]):
+        raise MergeConflictError(
+            f"branch {name!r} rewrote its base (overwrite commit) — no "
+            "file-additive delta to rebase; re-derive from current main"
+        )
+    if set(src.get("dv", [])) - set(base_manifest.get("dv", [])):
+        raise MergeConflictError(
+            f"branch {name!r} carries row-level deletes of its own — "
+            "DV positions are base-specific and cannot be rebased; "
+            "re-derive from current main"
+        )
+    added = [n for n in src["files"] if n not in base_files]
+    new_base = current_version(table_dir)
+    if new_base is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    with open(_manifest_path(table_dir, new_base)) as f:
+        main_manifest = json.load(f)
+    version = max(_max_claimed_version(table_dir), new_base) + 1
+    for _attempt in range(max_retries + 1):
+        manifest = {
+            "version": version,
+            "files": list(main_manifest["files"]) + added,
+            "branch": name,
+            "parent": new_base,
+        }
+        if main_manifest.get("dv"):
+            # main's deletes since the fork apply to the rebased view too
+            manifest["dv"] = list(main_manifest["dv"])
+        if _publish_manifest(table_dir, version, manifest):
+            break
+        version += 1
+    else:
+        raise VersionConflictError(
+            f"gave up after {max_retries} contended rebase claims on {table_dir}"
+        )
+    lock = os.path.join(table_dir, "_tags.lock")
+    fd, token = _acquire_lock(lock)
+    try:
+        branches = list_branches(table_dir)
+        cur = branches.get(name)
+        if cur is None or cur["head"] != head:
+            # same rollback as a lost commit_to_branch CAS: never leave
+            # the orphan manifest pinned above main's pointer
+            try:
+                os.remove(_manifest_path(table_dir, version))
+            except FileNotFoundError:
+                pass
+            raise VersionConflictError(
+                f"branch {name!r} moved (head {cur and cur['head']} != "
+                f"{head}) while rebasing"
+            )
+        branches[name] = {"head": version, "base": new_base}
+        _write_branches(table_dir, branches)
+    finally:
+        _release_lock(lock, fd, token)
+    return version

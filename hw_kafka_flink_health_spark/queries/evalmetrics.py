@@ -968,3 +968,107 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select(F.col("nn").alias("n_scored"), "n_bins", "ece", "mce")
     )
+
+
+@register(
+    "eval_mrr_map",
+    oracle="""
+    WITH scored AS (
+      SELECT o_custkey AS user_id, o_orderkey AS item_id,
+             CAST(('0x' || substr(md5(concat(CAST(o_orderkey AS VARCHAR),
+                  'mrr')), 1, 8)) AS BIGINT) AS pred,
+             CAST(least(CAST(4 AS BIGINT),
+                        CAST(floor(o_totalprice) AS BIGINT) // 50000) >= 2
+                  AS INTEGER) AS is_rel
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    ranked AS (
+      SELECT user_id, is_rel,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY pred DESC, item_id) AS rk,
+             CAST(sum(is_rel) OVER (PARTITION BY user_id
+                                    ORDER BY pred DESC, item_id)
+                  AS BIGINT) AS hits
+      FROM scored
+    ),
+    agg AS (
+      SELECT user_id, count(*)::BIGINT AS n_items,
+             CAST(sum(is_rel) AS BIGINT) AS n_rel,
+             min(CASE WHEN is_rel = 1 THEN rk END) AS first_rel,
+             sum(CASE WHEN is_rel = 1 THEN CAST(hits AS DOUBLE) / rk END)
+               AS ap_num
+      FROM ranked GROUP BY 1
+    )
+    SELECT user_id, n_items, n_rel,
+           1.0 / first_rel AS rr,
+           round(ap_num / nullif(n_rel, 0), 6) AS ap
+    FROM agg
+    """,
+)
+def eval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and AP per user — the binary-relevance ranking metrics next to
+    `eval_ndcg_at_k`'s graded one (their mean over users is MRR / MAP;
+    per-user rows keep the oracle row-for-row). Same deterministic
+    construction: the md5-integer draw is the ranker, relevance is the
+    order-value bucket >= 2, ties break on item_id so both engines
+    materialize the identical permutation.
+
+    rr = 1/rank-of-first-relevant is an exact rational of integers —
+    emitted UNROUNDED (identical division both engines; users with no
+    relevant item are NULL). AP sums hits@k/k precision terms per user:
+    each term is an exact division, but the per-user SUM is a genuine
+    float reduction whose partial-merge order varies — rounded at 6
+    decimals on O(1) magnitudes, the same absorption NDCG uses. One
+    shuffle on user_id; the running-hits window shares the ranking
+    window's partition pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    pred = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("mrr"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    is_rel = (
+        F.least(
+            F.lit(4).cast("long"),
+            F.expr("CAST(floor(o_totalprice) AS BIGINT) DIV 50000"),
+        )
+        >= 2
+    ).cast("int")
+    scored = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey").alias("item_id"),
+        pred.alias("pred"),
+        is_rel.alias("is_rel"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("pred").desc(), "item_id")
+    ranked = scored.select(
+        "user_id",
+        "is_rel",
+        F.row_number().over(w).alias("rk"),
+        F.sum("is_rel").over(w).cast("long").alias("hits"),
+    )
+    agg = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("is_rel").cast("long").alias("n_rel"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum(
+            F.when(
+                F.col("is_rel") == 1,
+                F.col("hits").cast("double") / F.col("rk"),
+            )
+        ).alias("ap_num"),
+    )
+    return agg.select(
+        "user_id",
+        "n_items",
+        "n_rel",
+        (F.lit(1.0) / F.col("first_rel")).alias("rr"),
+        F.round(
+            F.try_divide(F.col("ap_num"), F.nullif(F.col("n_rel"), F.lit(0))),
+            6,
+        ).alias("ap"),
+    )

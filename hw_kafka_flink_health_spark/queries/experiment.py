@@ -671,3 +671,119 @@ def policy_ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v_logging_seg"),
         )
     )
+
+
+@register(
+    "experiment_post_stratified_ate",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                       'pstrat')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+                  AS INTEGER) AS arm,
+             user_id % 4 AS stratum,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    cells AS (
+      SELECT stratum, arm, count(*)::BIGINT AS n_u,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM per_user GROUP BY 1, 2
+    ),
+    strata AS (
+      SELECT stratum,
+             CAST(sum(n_u) AS BIGINT) AS n_s,
+             max(CASE WHEN arm = 1
+                      THEN CAST(sum_cents AS DOUBLE) / (100.0 * n_u) END)
+               AS mean_t,
+             max(CASE WHEN arm = 0
+                      THEN CAST(sum_cents AS DOUBLE) / (100.0 * n_u) END)
+               AS mean_c
+      FROM cells GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM strata),
+    ate AS (
+      SELECT list_reduce(
+               list(CAST(n_s AS DOUBLE) / t.n * (mean_t - mean_c)
+                    ORDER BY stratum),
+               (a, b) -> a + b) AS ate
+      FROM strata, tot t
+    )
+    SELECT s.stratum, s.n_s, s.mean_t, s.mean_c,
+           s.mean_t - s.mean_c AS diff, a.ate
+    FROM strata s, ate a
+    """,
+)
+def experiment_post_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified average-treatment-effect estimator — the standard
+    variance-reduction sibling of CUPED when the covariate is CATEGORICAL:
+    users hash-split 50/50 (same md5-unit idiom), outcome = per-user spend
+    in integer cents, strata = a pre-treatment cohort key (user_id % 4
+    here); ATE = Σ_s (n_s/N)·(ȳ_ts − ȳ_cs) reweights the per-stratum arm
+    differences by stratum size, removing between-stratum imbalance the
+    plain difference-in-means would carry as variance.
+
+    Determinism: spend is summed in exact integer cents, every mean is a
+    single correctly-rounded division of exact integers, and the k-strata
+    weighted sum is a PINNED-ORDER fold (array_sort + aggregate vs
+    list(... ORDER BY) + list_reduce) — so every column is emitted
+    UNROUNDED. A stratum missing one arm yields NULL diff and a NULL ATE
+    in both engines (the estimator is undefined without overlap).
+    Shuffle budget: per-user aggregate, per-cell aggregate, two broadcast
+    1-row joins."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(
+            (hash_unit("user_id", "pstrat") < 0.5).cast("int").alias("arm"),
+            (F.col("user_id") % 4).alias("stratum"),
+            "cents",
+        )
+    )
+    cells = per_user.groupBy("stratum", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    mean = F.col("sum_cents").cast("double") / (100.0 * F.col("n_u"))
+    strata = cells.groupBy("stratum").agg(
+        F.sum("n_u").cast("long").alias("n_s"),
+        F.max(F.when(F.col("arm") == 1, mean)).alias("mean_t"),
+        F.max(F.when(F.col("arm") == 0, mean)).alias("mean_c"),
+    )
+    tot = strata.agg(F.sum("n_s").cast("long").alias("n"))
+    ate = (
+        strata.crossJoin(F.broadcast(tot))
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("stratum"),
+                            (
+                                F.col("n_s").cast("double")
+                                / F.col("n")
+                                * (F.col("mean_t") - F.col("mean_c"))
+                            ).alias("term"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            ).alias("ate")
+        )
+    )
+    return strata.crossJoin(F.broadcast(ate)).select(
+        "stratum",
+        "n_s",
+        "mean_t",
+        "mean_c",
+        (F.col("mean_t") - F.col("mean_c")).alias("diff"),
+        "ate",
+    )

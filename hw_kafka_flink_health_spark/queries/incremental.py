@@ -946,3 +946,71 @@ def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents"),
     )
+
+
+@register(
+    "versioned_branch_rebase",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1, 2)
+    GROUP BY 1
+    """,
+)
+def versioned_branch_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch REBASE end to end (`operators/versioned.py:rebase_branch`):
+    main commits quarter 0 (v0); a branch forks and appends quarter 1;
+    main then appends quarter 2, moving past the fork base — the merge
+    is now non-fast-forwardable and must raise MergeConflictError
+    (asserted mid-query, the documented conflict contract). rebase_branch
+    re-forks the branch from current main by re-applying its
+    file-additive delta (metadata-only, no data movement), after which
+    the merge succeeds. The final main read must equal quarters 0+1+2
+    exactly — the DuckDB oracle replays that content independently from
+    the source table, so a rebase that drops the branch's files,
+    duplicates main's, or forks from the wrong manifest breaks the
+    value hash. Non-rebasable shapes (overwrite/DV branches) and CAS
+    races are pinned in tests/test_versioned.py."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        MergeConflictError,
+        commit_snapshot,
+        commit_to_branch,
+        create_branch,
+        merge_branch,
+        read_snapshot,
+        rebase_branch,
+        scratch_table_dir,
+    )
+
+    table_dir = scratch_table_dir("spark_graft_versioned_rebase_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_snapshot(orders.filter(F.col("o_orderkey") % 4 == 0), table_dir)
+    create_branch(table_dir, "exp")
+    commit_to_branch(
+        orders.filter(F.col("o_orderkey") % 4 == 1),
+        table_dir,
+        "exp",
+        mode="append",
+    )
+    commit_snapshot(
+        orders.filter(F.col("o_orderkey") % 4 == 2), table_dir, mode="append"
+    )
+    # main moved past the fork base: the merge MUST conflict first
+    try:
+        merge_branch(table_dir, "exp", delete=False)
+        raise AssertionError("merge past a moved main must conflict")
+    except MergeConflictError:
+        pass
+    rebase_branch(table_dir, "exp")
+    merge_branch(table_dir, "exp")
+    latest = read_snapshot(spark, table_dir)
+    return latest.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )

@@ -778,3 +778,233 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z2_trend"),
     )
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH gv AS (
+      SELECT o_totalprice AS v, o_orderpriority AS priority,
+             count(*)::BIGINT AS cg
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    byval AS (
+      SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM gv GROUP BY 1
+    ),
+    ranked AS (
+      SELECT v, c,
+             2 * coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS avgrank2
+      FROM byval
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tot,
+             CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tie_term
+      FROM ranked
+    ),
+    per AS (
+      SELECT gv.priority, CAST(sum(gv.cg) AS BIGINT) AS n_g,
+             CAST(sum(gv.cg * r.avgrank2) AS BIGINT) AS r2_g
+      FROM gv JOIN ranked r USING (v)
+      GROUP BY 1
+    ),
+    hsum AS (
+      SELECT list_reduce(
+               list(CAST(r2_g AS DOUBLE) * r2_g / (4.0 * n_g)
+                    ORDER BY priority),
+               (a, b) -> a + b) AS s
+      FROM per
+    )
+    SELECT p.priority, p.n_g,
+           CAST(p.r2_g AS DOUBLE) / (2.0 * p.n_g) AS mean_rank,
+           (12.0 / (CAST(t.n_tot AS DOUBLE) * (t.n_tot + 1)) * h.s
+              - 3.0 * (t.n_tot + 1))
+             / nullif(1 - t.tie_term
+                 / nullif(CAST(t.n_tot AS DOUBLE) * t.n_tot * t.n_tot
+                          - t.n_tot, 0), 0) AS h_stat
+    FROM per p, tot t, hsum h
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL FIVE order priorities — the k-group
+    generalization of `stats_mannwhitney_u`, with average ranks for ties
+    and the tie-corrected statistic.
+
+    Scale shape (same distinct-value rank algebra as Mann-Whitney): ranks
+    come from VALUE groups, never a row-level sort — one (value, group)
+    aggregate, one value aggregate, the single-partition ordered pass
+    over distinct values, and a join back. Determinism is EXACT integer
+    algebra end to end: avgrank2 = 2·rank is an integer (half-ranks
+    doubled), per-group rank sums and the tie cube stay in
+    BIGINT/DECIMAL, and the only floats are correctly-rounded divisions
+    of identical integers plus a PINNED-ORDER fold (array_sort +
+    aggregate vs list(... ORDER BY) + list_reduce) over the five
+    per-group terms — so H is emitted UNROUNDED (round() on identical
+    doubles is the hazard, not the fix). try_divide/nullif mirror the
+    degenerate all-tied (tie ratio = 1) and N<=1 corpora as NULL."""
+    orders = load_table(spark, sf_dir, "orders")
+    gv = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .groupBy(
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+        .localCheckpoint()  # two consumers: byval and the rank join-back
+    )
+    byval = gv.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.withColumn(
+        "avgrank2",
+        2 * F.coalesce(F.sum("c").over(wcum), F.lit(0)) + F.col("c") + 1,
+    ).localCheckpoint()  # consumed by tot and the per-group join
+    tot = ranked.agg(
+        F.sum("c").cast("long").alias("n_tot"),
+        F.sum(
+            F.col("c").cast("decimal(12,0)").cast("decimal(38,0)")
+            * F.col("c")
+            * F.col("c")
+            - F.col("c")
+        )
+        .cast("double")
+        .alias("tie_term"),
+    )
+    per = (
+        gv.join(ranked.select("v", "avgrank2"), "v")
+        .groupBy("priority")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum(F.col("cg") * F.col("avgrank2")).cast("long").alias("r2_g"),
+        )
+    )
+    hsum = per.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("priority"),
+                        (
+                            F.col("r2_g").cast("double")
+                            * F.col("r2_g")
+                            / (4.0 * F.col("n_g"))
+                        ).alias("term"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("s")
+    )
+    n_tot = F.col("n_tot")
+    h = F.try_divide(
+        12.0 / (n_tot.cast("double") * (n_tot + 1)) * F.col("s")
+        - 3.0 * (n_tot + 1),
+        F.nullif(
+            1
+            - F.try_divide(
+                F.col("tie_term"),
+                F.nullif(
+                    n_tot.cast("double") * n_tot * n_tot - n_tot, F.lit(0.0)
+                ),
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(hsum))
+        .select(
+            "priority",
+            "n_g",
+            (F.col("r2_g").cast("double") / (2.0 * F.col("n_g"))).alias(
+                "mean_rank"
+            ),
+            h.alias("h_stat"),
+        )
+    )
+
+
+@register(
+    "stats_cliffs_delta",
+    oracle="""
+    WITH byval AS (
+      SELECT value AS v,
+             count(*) FILTER (event_type = 'purchase')::BIGINT AS ca,
+             count(*) FILTER (event_type = 'click')::BIGINT    AS cb,
+             count(*)::BIGINT AS c
+      FROM events WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ca, cb, c,
+             2 * coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS avgrank2
+      FROM byval
+    ),
+    agg AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca * avgrank2) AS BIGINT) AS r2_a
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           (r2_a - n_a * (n_a + 1)) / 2.0 AS u_a,
+           (CAST(r2_a AS DOUBLE) - n_a * (CAST(n_a AS DOUBLE) + 1))
+             / nullif(CAST(n_a AS DOUBLE) * n_b, 0) - 1.0 AS cliffs_delta
+    FROM agg
+    """,
+)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta — the nonparametric effect size the Mann-Whitney z
+    lacks: δ = P(X>Y) − P(X<Y) for purchase-vs-click event values,
+    computed from the SAME distinct-value rank algebra (δ = 2U/(n_a·n_b)
+    − 1, ties counting half). |δ| has the conventional small/medium/large
+    cutoffs at 0.147/0.33/0.474, so it travels alongside the U test as
+    the \"is the shift big enough to matter\" readout.
+
+    Everything is exact integer algebra (doubled ranks, integer rank
+    sums) until two correctly-rounded terminal divisions, so both
+    outputs are emitted UNROUNDED — identical inputs + identical
+    expressions = identical doubles. One value-group shuffle + one
+    bounded ordered pass; no row-level sort, no O(n_a·n_b) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("event_type") == "purchase"
+    byval = (
+        ev.filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.count(F.when(a, 1)).cast("long").alias("ca"),
+            F.count(F.when(~a, 1)).cast("long").alias("cb"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.withColumn(
+        "avgrank2",
+        2 * F.coalesce(F.sum("c").over(wcum), F.lit(0)) + F.col("c") + 1,
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("avgrank2")).cast("long").alias("r2_a"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    return agg.select(
+        "n_a",
+        "n_b",
+        ((F.col("r2_a") - n_a * (n_a + 1)) / 2.0).alias("u_a"),
+        (
+            F.try_divide(
+                F.col("r2_a").cast("double")
+                - n_a * (n_a.cast("double") + 1),
+                n_a.cast("double") * n_b,
+            )
+            - 1.0
+        ).alias("cliffs_delta"),
+    )

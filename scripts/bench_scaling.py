@@ -207,6 +207,10 @@ PROBES = [
     "eval_expected_calibration_error",
     "regr_rolling_slope",
     "forecast_mase_seasonal",
+    # round-9 pack
+    "stats_kruskal_wallis",
+    "eval_mrr_map",
+    "versioned_branch_rebase",
 ]
 
 

@@ -32,6 +32,12 @@ TABLES = (
 # every query the round-5 full-catalog fuzz audit caught diverging (each
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
+    # round-9 pack
+    "versioned_branch_rebase",
+    "stats_kruskal_wallis",
+    "stats_cliffs_delta",
+    "eval_mrr_map",
+    "experiment_post_stratified_ate",
     # round-8 pack
     "stats_jackknife_ratio",
     "text_heaps_vocab_growth",
@@ -393,6 +399,9 @@ def test_rows_only_queries_survive_pathological_data(name, spark, fuzz_ties):
 # sweep in r8). The full 343-query sweep runs per-round via
 # `python scripts/fuzz_catalog.py repart`.
 REPART_RISKY = [
+    "eval_mrr_map",
+    "stats_kruskal_wallis",
+    "experiment_post_stratified_ate",
     "stats_anova_f",
     "q11_important_parts",
     "stats_levene_test",

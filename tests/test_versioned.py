@@ -1689,3 +1689,77 @@ def test_vacuum_reclaims_unreachable_branch_manifest_past_ttl(spark, tmp_path):
     vacuum(t, keep_last=2, orphan_ttl_seconds=60)
     assert not [n for n in orphan if os.path.exists(os.path.join(t, n))]
     assert read_snapshot(spark, t, branch="exp").count() == 9
+
+
+def test_rebase_branch_replays_appends_onto_moved_main(spark, tmp_path):
+    """rebase_branch re-forks an append-only branch from current main:
+    the branch's added files replay onto main's new state, the old head
+    becomes unreachable debris vacuum reclaims, and the rebased branch
+    merges cleanly."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        MergeConflictError,
+        _manifest_path,
+        commit_to_branch,
+        create_branch,
+        delete_where,
+        list_branches,
+        merge_branch,
+        rebase_branch,
+    )
+
+    t = str(tmp_path / "rb")
+    commit_snapshot(spark.range(10).coalesce(1), t)  # main v0
+    create_branch(t, "exp")
+    commit_to_branch(spark.range(100, 105).coalesce(1), t, "exp", mode="append")
+    commit_snapshot(spark.range(10, 30).coalesce(1), t, mode="append")  # main moves
+    with pytest.raises(MergeConflictError, match="rebase"):
+        merge_branch(t, "exp", delete=False)
+    old_head = list_branches(t)["exp"]["head"]
+    new_head = rebase_branch(t, "exp")
+    ref = list_branches(t)["exp"]
+    assert ref["head"] == new_head and ref["base"] == current_version(t)
+    # rebased view = current main + the branch's appended rows
+    assert read_snapshot(spark, t, branch="exp").count() == 35
+    merge_branch(t, "exp")
+    assert read_snapshot(spark, t).count() == 35
+    # main's deletes since the fork apply to the rebased view: redo on a
+    # fresh branch with a main-side DV in between
+    create_branch(t, "exp2")
+    commit_to_branch(spark.range(200, 203).coalesce(1), t, "exp2", mode="append")
+    delete_where(spark, t, "id < 5")  # main deletes 5 rows
+    rebase_branch(t, "exp2")
+    assert read_snapshot(spark, t, branch="exp2").count() == 33  # 35 - 5 + 3
+    # the abandoned old head is unreachable: vacuum reclaims it past TTL
+    import json as _json
+
+    m = _json.load(open(_manifest_path(t, old_head)))
+    m["committed_at"] = 1.0
+    os.remove(_manifest_path(t, old_head))
+    with open(_manifest_path(t, old_head), "w") as f:
+        _json.dump(m, f)
+    vacuum(t, keep_last=2, orphan_ttl_seconds=60)
+    assert not os.path.exists(_manifest_path(t, old_head))
+
+
+def test_rebase_branch_rejects_non_additive_history(spark, tmp_path):
+    """Overwrite branches and branches carrying their own deletion
+    vectors have no file-additive delta — rebase must refuse, never
+    guess."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        MergeConflictError,
+        commit_to_branch,
+        create_branch,
+        rebase_branch,
+    )
+
+    t = str(tmp_path / "rbx")
+    commit_snapshot(spark.range(10).coalesce(1), t)
+    create_branch(t, "ow")
+    commit_to_branch(spark.range(3).coalesce(1), t, "ow")  # overwrite
+    commit_snapshot(spark.range(10, 12).coalesce(1), t, mode="append")
+    with pytest.raises(MergeConflictError, match="overwrite"):
+        rebase_branch(t, "ow")
