@@ -328,6 +328,14 @@ HEADLINE = [
     "stats_cliffs_delta",
     "eval_mrr_map",
     "experiment_post_stratified_ate",
+    # timeseries_croston is NOT here for the same reason as
+    # recursive_holt_linear_trend: its cost is per-step UnionLoop
+    # scheduler overhead (depth = demand days, calendar-capped), not
+    # data-path throughput; SCALING.md carries its profile.
+    "graph_hits_bipartite",
+    "tokenizer_fertility_by_lang",
+    "geo_geohash_rollup",
+    "multimodal_audio_vad",
 ]
 
 

@@ -696,3 +696,72 @@ def audio_spectrum_pcm16(
             )
 
     return assets.mapInPandas(op, schema=AUDIO_SPECTRUM_SCHEMA)
+
+
+VAD_SCHEMA = (
+    "asset_id long, n_frames long, n_active long, n_segments long, "
+    "max_segment_frames long, total_energy long"
+)
+
+
+def vad_pcm16(
+    assets: DataFrame,
+    *,
+    frame_samples: int = 16,
+    energy_threshold: int = 5_600_000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-gate VOICE ACTIVITY DETECTION over RIFF/WAVE PCM16 payloads
+    — the first stage of every speech-data pipeline (silence trimming,
+    speech-segment extraction before transcription). The real container
+    parser walks the RIFF chunks, then numpy frames the int16 samples
+    (tail partial frame dropped), computes per-frame energy Σs² as exact
+    int64, gates on the threshold, and run-length-encodes the active
+    frames into segments. Everything emitted is an exact integer, so the
+    whole decode→frame→gate→RLE chain is value-hash-oracle-able: a DuckDB
+    twin replays the deterministic sample formula independently of the
+    WAV bytes, and any chunk-walk or framing bug breaks the hash."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(assets.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, p in zip(pdf["asset_id"], pdf[payload_col]):
+                _, s = parse_wav_pcm16(bytes(p))
+                x = s.astype(np.int64)
+                nf = x.size // frame_samples
+                fr = x[: nf * frame_samples].reshape(nf, frame_samples)
+                energy = (fr * fr).sum(axis=1)
+                active = energy > energy_threshold
+                pad = np.concatenate(([0], active.astype(np.int64), [0]))
+                d = np.diff(pad)
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)
+                seg_lens = ends - starts
+                out.append(
+                    (
+                        aid,
+                        int(nf),
+                        int(active.sum()),
+                        int(seg_lens.size),
+                        int(seg_lens.max()) if seg_lens.size else 0,
+                        int(energy.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id",
+                    "n_frames",
+                    "n_active",
+                    "n_segments",
+                    "max_segment_frames",
+                    "total_energy",
+                ],
+            )
+
+    return assets.mapInPandas(op, schema=VAD_SCHEMA)

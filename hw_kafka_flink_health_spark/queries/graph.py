@@ -612,3 +612,73 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "c1", "c2")
         .limit(50)
     )
+
+
+@register(
+    "graph_hits_bipartite",
+    oracle="""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    a1 AS MATERIALIZED (
+      SELECT s, count(*)::BIGINT AS a1 FROM edges GROUP BY 1
+    ),
+    h1 AS MATERIALIZED (
+      SELECT c, CAST(sum(a1) AS BIGINT) AS h1
+      FROM edges JOIN a1 USING (s) GROUP BY 1
+    ),
+    a2 AS (
+      SELECT s, CAST(sum(h1) AS BIGINT) AS a2
+      FROM edges JOIN h1 USING (c) GROUP BY 1
+    )
+    SELECT s AS suppkey, a1.a1 AS in_deg, a2.a2 AS authority
+    FROM a2 JOIN a1 USING (s)
+    ORDER BY authority DESC, suppkey
+    LIMIT 15
+    """,
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the bipartite customer->supplier
+    graph — the query-independent companion of
+    `graph_pagerank_cust_supp` (PageRank rewards being bought from at
+    all; HITS authority rewards being bought from by customers who buy
+    BROADLY). Two full mutual-reinforcement rounds, entirely in exact
+    BIGINT algebra: h0 = 1, a1 = in-degree, h1 = sum of neighbor
+    authorities, a2 = sum of neighbor hubs — per-iteration normalization
+    only rescales, so dropping it keeps the RANKING identical and the
+    integers exact (a2 <= max_deg^2 * |E|, far under 2^63 at any TPC-H
+    SF). Top-15 authorities with deterministic (score, suppkey)
+    tie-break.
+
+    Shape: the distinct edge list materializes ONCE (localCheckpoint —
+    three consumers) and each round is one broadcast-or-shuffle hash
+    join + map-side-combined sum; the global top-k plans as
+    TakeOrderedAndProject, never a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a1 = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("a1"))
+    h1 = (
+        edges.join(F.broadcast(a1), "s")
+        .groupBy("c")
+        .agg(F.sum("a1").cast("long").alias("h1"))
+    )
+    a2 = edges.join(h1, "c").groupBy("s").agg(
+        F.sum("h1").cast("long").alias("a2")
+    )
+    return (
+        a2.join(F.broadcast(a1), "s")
+        .select(
+            F.col("s").alias("suppkey"),
+            F.col("a1").alias("in_deg"),
+            F.col("a2").alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), "suppkey")
+        .limit(15)
+    )

@@ -527,3 +527,97 @@ FROM st WHERE t = {ITERS}
 """,
         {"arrs": arrs},
     )
+
+
+# Croston's method — THE intermittent-demand forecaster (sparse series
+# with many zero periods, where plain exponential smoothing collapses
+# toward zero between demands). Two coupled EWMA states update ONLY on
+# nonzero-demand periods: demand size z and inter-demand interval p;
+# forecast = z/p. Like Holt, the coupled recursion has no closed form —
+# WITH RECURSIVE one-row-per-step over the NONZERO days only (the zero
+# days never enter the loop; their count rides in as the integer gap),
+# so the depth is the number of demand days in a FIXED calendar window
+# (<= 181 here at any SF), never the table size. Demand sums are exact
+# integer quantities, the gap is an exact integer day count, and the
+# recursive step is the same literal arithmetic text in both engines —
+# states stay bitwise-equal through every iteration and are emitted
+# UNROUNDED (round() on identical doubles is the cross-engine hazard).
+_CROSTON_STEP_SQL = """croston(i, d_ms, d, q, z, p) AS (
+  SELECT i, d_ms, d, q, CAST(d AS DOUBLE), CAST(1.0 AS DOUBLE)
+  FROM {idx} WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.d_ms, x.d, x.q,
+         CAST(0.1 AS DOUBLE) * x.d + CAST(0.9 AS DOUBLE) * c.z,
+         CAST(0.1 AS DOUBLE) * x.q + CAST(0.9 AS DOUBLE) * c.p
+  FROM croston c JOIN {idx} x ON x.i = c.i + 1
+)
+SELECT i AS step, d_ms AS day_ms, d AS demand, q AS gap_days,
+       z AS size_ewma, p AS interval_ewma, z / p AS forecast
+FROM croston"""
+
+_CROSTON_ORACLE = (
+    """
+WITH RECURSIVE demand AS MATERIALIZED (
+  SELECT date_trunc('day', l_shipdate) AS d_day,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem
+  WHERE l_partkey % 499 = 3
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-07-01'
+  GROUP BY 1
+), idx AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY d_day) AS BIGINT) AS i,
+         CAST(epoch_ms(d_day) AS BIGINT) AS d_ms, d,
+         CAST(coalesce(date_diff('day',
+              lag(d_day) OVER (ORDER BY d_day), d_day), 1) AS BIGINT) AS q
+  FROM demand
+), """
+    + _CROSTON_STEP_SQL.format(idx="idx")
+)
+
+
+@register("timeseries_croston", oracle=_CROSTON_ORACLE)
+def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast (alpha=0.1) for a sparse part
+    slice's daily shipped quantity: size and interval EWMAs update only
+    on demand days, forecast = size/interval — the standard
+    spares/slow-mover model a plain EWMA gets wrong on sparse series.
+
+    Scale shape follows the Holt lesson (module note): the fact-table
+    scan + day aggregate runs ONCE and is localCheckpointed; the
+    recursion joins the materialized <=181-row demand series, so
+    recursion cost is depth x O(1), independent of table size. The
+    first demand day anchors z = its demand, p = 1 (no observed prior
+    interval); gaps are integer day counts from lag()."""
+    from pyspark.sql import Window as W
+
+    _ensure_recursion_headroom(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    demand = (
+        li.filter(
+            (F.col("l_partkey") % 499 == 3)
+            & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("d_day"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("d"))
+    )
+    w = W.orderBy("d_day")
+    idx = demand.select(
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.unix_millis(F.col("d_day").cast("timestamp")).alias("d_ms"),
+        "d",
+        F.coalesce(
+            F.datediff(
+                F.col("d_day").cast("date"), F.lag("d_day").over(w).cast("date")
+            ),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("q"),
+    ).localCheckpoint()
+    return _sql_over_views(
+        spark,
+        "WITH RECURSIVE " + _CROSTON_STEP_SQL.format(idx="{idx}"),
+        {"idx": idx},
+    )

@@ -3261,3 +3261,163 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("dist"),
         )
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+               AS n_tok,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_words,
+             CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, n_tok, n_words, n_bytes,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','los','y','que','en'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','des','un','une'))) AS s_fr,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS s_de
+      FROM t
+    ),
+    pred AS (
+      SELECT CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                  WHEN s_fr >= s_de THEN 'fr'
+                  ELSE 'de' END AS pred_lang,
+             n_tok, n_words, n_bytes
+      FROM s
+    )
+    SELECT pred_lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_tok) AS DOUBLE) / nullif(sum(n_words), 0)
+             AS tokens_per_word,
+           CAST(sum(n_bytes) AS DOUBLE) / nullif(sum(n_tok), 0)
+             AS bytes_per_token
+    FROM pred GROUP BY 1
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit by detected language — the
+    corpus-balance metric multilingual pre-training pipelines watch: a
+    tokenizer that needs more tokens per word in one language
+    effectively down-weights that language's content per compute budget.
+    Composes two existing primitives (the stopword lang-ID argmax and
+    the BPE-ish regex token count) into per-language tokens/word and
+    bytes/token ratios.
+
+    All counts are exact BIGINTs; the two ratios are single
+    correctly-rounded divisions of identical integers, emitted UNROUNDED
+    (nullif guards the empty-text degenerate). One projection pass over
+    documents plus a 4-group aggregate — pure Catalyst expressions, no
+    UDF, trivially 100 TB-shaped."""
+    from hw_kafka_flink_health_spark.functions.text import (
+        lang_id_expr,
+        regex_token_count_expr,
+        tokens_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    per_doc = docs.select(
+        lang_id_expr(tokens_expr("text")).alias("pred_lang"),
+        regex_token_count_expr("text").alias("n_tok"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_words"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return per_doc.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.try_divide(
+            F.sum("n_tok").cast("double"), F.nullif(F.sum("n_words"), F.lit(0))
+        ).alias("tokens_per_word"),
+        F.try_divide(
+            F.sum("n_bytes").cast("double"), F.nullif(F.sum("n_tok"), F.lit(0))
+        ).alias("bytes_per_token"),
+    )
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id, 64 + doc_id % 50 AS n
+      FROM documents WHERE doc_id % 2 = 1 AND doc_id IS NOT NULL
+    ),
+    frames AS (
+      SELECT doc_id, unnest(range(n // 16)) AS f FROM aud
+    ),
+    fe AS (
+      SELECT fr.doc_id, fr.f,
+             CAST(sum(
+               CAST((fr.doc_id * 7 + (fr.f * 16 + j.j) * 13) % 2048 - 1024
+                    AS BIGINT)
+               * ((fr.doc_id * 7 + (fr.f * 16 + j.j) * 13) % 2048 - 1024)
+             ) AS BIGINT) AS energy
+      FROM frames fr, (SELECT unnest(range(16)) AS j) j
+      GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT doc_id, f, energy, energy > 5600000 AS active,
+             CASE WHEN energy > 5600000
+                   AND coalesce(NOT (lag(energy) OVER w > 5600000), TRUE)
+                  THEN 1 ELSE 0 END AS seg_start
+      FROM fe
+      WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    isl AS (
+      SELECT doc_id, f, active, energy,
+             CAST(sum(seg_start) OVER (PARTITION BY doc_id ORDER BY f)
+                  AS BIGINT) AS gid
+      FROM flagged
+    ),
+    seg AS (
+      SELECT doc_id, gid, count(*)::BIGINT AS len
+      FROM isl WHERE active GROUP BY 1, 2
+    ),
+    seg_per_doc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_segments,
+             CAST(max(len) AS BIGINT) AS max_segment_frames
+      FROM seg GROUP BY 1
+    )
+    SELECT i.doc_id AS asset_id,
+           count(*)::BIGINT AS n_frames,
+           CAST(sum(CASE WHEN i.active THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active,
+           coalesce(any_value(s.n_segments), 0) AS n_segments,
+           coalesce(any_value(s.max_segment_frames), 0)
+             AS max_segment_frames,
+           CAST(sum(i.energy) AS BIGINT) AS total_energy
+    FROM isl i LEFT JOIN seg_per_doc s ON s.doc_id = i.doc_id
+    GROUP BY 1
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gate voice activity detection over REAL WAV containers,
+    value-oracled end to end: every odd doc_id becomes an actual
+    RIFF/WAVE PCM16 file (same deterministic sample formula as
+    `multimodal_decode_features`), the VAD operator re-parses the
+    container, frames the samples (16/frame, tail dropped), gates
+    per-frame Σs² energy, and run-length-encodes active frames into
+    speech segments — the silence-trim / segment-extract pass a speech
+    corpus pipeline runs before transcription. All outputs are exact
+    integers; the DuckDB twin replays frame energies and the island
+    (gaps-and-islands RLE) segmentation from the formula alone, so a
+    RIFF chunk-walk bug, framing off-by-one, or run-boundary error
+    breaks the value hash. Arrow-batched mapInPandas over the binary
+    column — the exact 100 TB shape for opaque media."""
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        synthesize_codec_assets,
+        vad_pcm16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    assets = synthesize_codec_assets(docs).filter(F.col("modality") == "audio")
+    return vad_pcm16(assets)

@@ -208,6 +208,10 @@ PROBES = [
     "regr_rolling_slope",
     "forecast_mase_seasonal",
     # round-9 pack
+    "timeseries_croston",
+    "graph_hits_bipartite",
+    "multimodal_audio_vad",
+    "geo_geohash_rollup",
     "stats_kruskal_wallis",
     "eval_mrr_map",
     "versioned_branch_rebase",

@@ -33,6 +33,11 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-9 pack
+    "timeseries_croston",
+    "graph_hits_bipartite",
+    "tokenizer_fertility_by_lang",
+    "geo_geohash_rollup",
+    "multimodal_audio_vad",
     "versioned_branch_rebase",
     "stats_kruskal_wallis",
     "stats_cliffs_delta",
