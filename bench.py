@@ -336,6 +336,8 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "geo_geohash_rollup",
     "multimodal_audio_vad",
+    "versioned_changefeed",
+    "experiment_bh_fdr",
 ]
 
 

@@ -1918,3 +1918,99 @@ def rebase_branch(table_dir: str, name: str, *, max_retries: int = 20) -> int:
     finally:
         _release_lock(lock, fd, token)
     return version
+
+
+def read_changes(
+    spark: SparkSession, table_dir: str, from_version: int, to_version: int
+) -> DataFrame:
+    """NET change feed between two versions — the Delta CDF analog for
+    DV-based tables, generalizing `read_version_delta` (append-only
+    spans) to spans that also DELETE via deletion-vector commits
+    (delete_where / merge_into). Emits every table column plus
+    `_change_type` ('insert' | 'delete'); a merge UPDATE surfaces as the
+    delete of the old row plus the insert of its replacement, exactly
+    how downstream CDC consumers reconcile it.
+
+    Net semantics: a row inserted AND deleted within the span cancels
+    out (its file is new and the span's DVs tombstone it) — consumers
+    get the span's effect, not its journal. Cost is O(changes), never
+    O(table): inserts read only the files the span added; deletes read
+    only the old files the span's new DV sidecars actually target.
+
+    Requires the span to remove no data files (compaction/overwrite
+    rewrite files without a logical delta a file diff can express —
+    raises ValueError; diff time-travel reads there instead). DV
+    sidecar lists only ever GROW along delete/merge commits, so the
+    span's deletes are exactly the pairs in the new sidecar files."""
+    from pyspark.sql import functions as F
+
+    with open(_manifest_path(table_dir, from_version)) as f:
+        m0 = json.load(f)
+    with open(_manifest_path(table_dir, to_version)) as f:
+        m1 = json.load(f)
+    files0 = set(m0["files"])
+    if not files0.issubset(m1["files"]):
+        raise ValueError(
+            f"versions {from_version}..{to_version} of {table_dir} removed "
+            "data files (overwrite/compaction) — no file-level change feed "
+            "exists; diff read_snapshot(version=...) results instead"
+        )
+    new_files = [n for n in m1["files"] if n not in files0]
+    new_dv = [n for n in m1.get("dv", []) if n not in set(m0.get("dv", []))]
+
+    def _empty() -> DataFrame:
+        base = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, p) for p in m1["files"][:1]]
+        )
+        return base.filter(F.lit(False)).withColumn(
+            "_change_type", F.lit("insert")
+        )
+
+    if not new_files and not new_dv:
+        return _empty()
+    dv = (
+        spark.read.parquet(*[os.path.join(table_dir, p) for p in new_dv])
+        .select("file", "pos")
+        if new_dv
+        else None
+    )
+    parts = []
+    if new_files:
+        ins = _with_row_identity(spark, table_dir, new_files)
+        if dv is not None:
+            # a row inserted then deleted inside the span nets out
+            ins = ins.join(
+                dv,
+                (ins["__file"] == dv["file"]) & (ins["__pos"] == dv["pos"]),
+                "left_anti",
+            )
+        cols = [c for c in ins.columns if c not in ("__file", "__pos")]
+        parts.append(
+            ins.select(*cols).withColumn("_change_type", F.lit("insert"))
+        )
+    if dv is not None:
+        # deletes of PRE-EXISTING rows: pairs targeting old files only;
+        # read just the files the sidecars actually name
+        hit_files = sorted(
+            {r["file"] for r in dv.select("file").distinct().collect()}
+            & files0
+        )
+        if hit_files:
+            old = _with_row_identity(spark, table_dir, hit_files)
+            dele = old.join(
+                dv,
+                (old["__file"] == dv["file"]) & (old["__pos"] == dv["pos"]),
+                "left_semi",
+            )
+            cols = [c for c in dele.columns if c not in ("__file", "__pos")]
+            parts.append(
+                dele.select(*cols).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+    if not parts:
+        return _empty()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

@@ -787,3 +787,216 @@ def experiment_post_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("mean_t") - F.col("mean_c")).alias("diff"),
         "ate",
     )
+
+
+_B_FDR = 80  # replicates per family member; p denominators are 81
+
+
+@register(
+    "experiment_bh_fdr",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS c,
+             CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                       'fdr')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
+                  THEN 1 ELSE 0 END AS grp
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL AND event_id IS NOT NULL
+    ),
+    obs AS (
+      SELECT event_type,
+             sum(c * grp) / nullif(100.0 * sum(grp), 0)
+             - sum(c * (1 - grp)) / nullif(100.0 * sum(1 - grp), 0) AS d,
+             sum(grp) / nullif(CAST(count(*) AS DOUBLE), 0) AS p_a
+      FROM base GROUP BY 1
+    ),
+    rep AS (
+      SELECT z.event_type, z.b,
+             sum(CASE WHEN z.u < o.p_a THEN z.c END)
+               / nullif(100.0 * count(CASE WHEN z.u < o.p_a THEN 1 END), 0)
+             - sum(CASE WHEN z.u >= o.p_a THEN z.c END)
+               / nullif(100.0 * count(CASE WHEN z.u >= o.p_a THEN 1 END), 0)
+               AS d
+      FROM (
+        SELECT event_type, c, CAST(4 * g + ss.s AS BIGINT) AS b,
+               CAST(concat('0x', substr(h, CAST(1 + 8 * ss.s AS INTEGER), 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM (
+          SELECT event_type, c, gg.g AS g,
+                 md5(CAST(event_id AS VARCHAR) || ':' || CAST(gg.g AS VARCHAR)
+                     || ':fdr') AS h
+          FROM base CROSS JOIN range(0, {_B_FDR // 4}) gg(g)
+        ) hs CROSS JOIN range(0, 4) ss(s)
+      ) z JOIN obs o USING (event_type)
+      GROUP BY 1, 2
+    ),
+    pvals AS (
+      SELECT r.event_type,
+             CAST(1 + count(*) FILTER (abs(r.d) >= abs(o.d)) AS BIGINT)
+               AS p_num
+      FROM rep r JOIN obs o USING (event_type)
+      GROUP BY 1
+    ),
+    fam AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pvals),
+    ranked AS (
+      SELECT event_type, p_num,
+             CAST(row_number() OVER (ORDER BY p_num, event_type) AS BIGINT)
+               AS rk
+      FROM pvals
+    ),
+    flagged AS (
+      SELECT r.event_type, r.p_num, r.rk, f.m,
+             CASE WHEN r.p_num * 10 * f.m <= {_B_FDR + 1} * r.rk
+                  THEN 1 ELSE 0 END AS under_line
+      FROM ranked r, fam f
+    )
+    SELECT event_type, p_num,
+           CAST({_B_FDR + 1} AS BIGINT) AS p_den, rk, m, under_line,
+           CASE WHEN rk <= coalesce(
+                  max(CASE WHEN under_line = 1 THEN rk END) OVER (), 0)
+                THEN 1 ELSE 0 END AS rejected
+    FROM flagged
+    """,
+)
+def experiment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of permutation tests
+    — the multiple-testing discipline an experimentation platform needs
+    the moment it reads out more than one metric: per event type, a
+    Monte-Carlo permutation test of the arm mean-value gap (same
+    deterministic md5 relabeling and add-one rule as
+    `stats_permutation_diff_test`), then the BH step-up at q = 0.10
+    rejects every hypothesis at or below the largest rank whose p-value
+    sits under the k·q/m line.
+
+    Exactness end to end: p-values are the rationals (1+k)/(1+B) with a
+    fixed denominator, so the BH comparison p ≤ rk·q/m clears
+    denominators into the INTEGER inequality p_num·10·m ≤ (1+B)·rk —
+    no float ever enters the decision, and every output column is an
+    exact integer. Scale shape: one exploded replicate stream feeds a
+    partial hash aggregate keyed (type, replicate) — B·|types| cells —
+    and the BH pass is a window over |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+        (hash_unit("user_id", "fdr") < 0.5).cast("int").alias("grp"),
+    )
+    g = F.col("grp")
+    obs = (
+        base.groupBy("event_type")
+        .agg(
+            (
+                F.try_divide(F.sum(F.col("c") * g), 100.0 * F.sum(g))
+                - F.try_divide(F.sum(F.col("c") * (1 - g)), 100.0 * F.sum(1 - g))
+            ).alias("d"),
+            F.try_divide(F.sum(g), F.count(F.lit(1)).cast("double")).alias(
+                "p_a"
+            ),
+        )
+        .localCheckpoint()  # two consumers: the replicate stream + compare
+    )
+    h = F.md5(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("g").cast("string"),
+            F.lit(":fdr"),
+        )
+    )
+    exploded = (
+        base.select(
+            "event_type",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(_B_FDR // 4 - 1))).alias("g"),
+            F.col("event_id"),
+        )
+        .select("event_type", "c", "g", h.alias("h"))
+        .select(
+            "event_type",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+            "g",
+            "h",
+        )
+        .select(
+            "event_type",
+            "c",
+            (4 * F.col("g") + F.col("s")).cast("long").alias("b"),
+            (
+                F.conv(
+                    F.substring(F.col("h"), 1 + 8 * F.col("s"), 8), 16, 10
+                ).cast("double")
+                / F.lit(4294967296.0)
+            ).alias("u"),
+        )
+    )
+    u, c = F.col("u"), F.col("c")
+    rep = (
+        exploded.join(F.broadcast(obs.select("event_type", "p_a")), "event_type")
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.try_divide(
+                    F.sum(F.when(u < F.col("p_a"), c)),
+                    100.0 * F.count(F.when(u < F.col("p_a"), 1)),
+                )
+                - F.try_divide(
+                    F.sum(F.when(u >= F.col("p_a"), c)),
+                    100.0 * F.count(F.when(u >= F.col("p_a"), 1)),
+                )
+            ).alias("d")
+        )
+    )
+    pvals = (
+        rep.join(
+            F.broadcast(obs.select("event_type", F.col("d").alias("obs_d"))),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            (
+                1
+                + F.count(
+                    F.when(F.abs(F.col("d")) >= F.abs(F.col("obs_d")), 1)
+                )
+            )
+            .cast("long")
+            .alias("p_num")
+        )
+    )
+    fam = pvals.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ranked = pvals.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy("p_num", "event_type"))
+        .cast("long"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(fam)).withColumn(
+        "under_line",
+        (
+            F.col("p_num") * 10 * F.col("m") <= F.lit(_B_FDR + 1) * F.col("rk")
+        ).cast("int"),
+    )
+    k_max = F.coalesce(
+        F.max(F.when(F.col("under_line") == 1, F.col("rk"))).over(
+            Window.partitionBy()
+        ),
+        F.lit(0),
+    )
+    return flagged.select(
+        "event_type",
+        "p_num",
+        F.lit(_B_FDR + 1).cast("long").alias("p_den"),
+        "rk",
+        "m",
+        "under_line",
+        (F.col("rk") <= k_max).cast("int").alias("rejected"),
+    )

@@ -1014,3 +1014,59 @@ def versioned_branch_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents"),
     )
+
+
+@register(
+    "versioned_changefeed",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderpriority AS p,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT k, p, cents, 'insert' AS _change_type
+    FROM src WHERE k % 3 = 1 AND k % 7 <> 0 AND k % 5 <> 0
+    UNION ALL
+    SELECT k, p, cents + 1, 'insert' FROM src WHERE k % 5 = 0
+    UNION ALL
+    SELECT k, p, cents, 'delete'
+    FROM src WHERE k % 3 = 0 AND (k % 7 = 0 OR k % 5 = 0)
+    """,
+)
+def versioned_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NET change-data-feed across a mixed DML span
+    (`operators/versioned.py:read_changes` — the Delta CDF analog):
+    v0 inserts a third of orders, v1 appends another third, v2 DELETEs
+    k%7 rows via deletion vectors, v3 MERGEs an upsert (k%5 source:
+    cents+1 updates where live, inserts otherwise). The feed from v0 to
+    v3 must net to: v1's rows that survived (original cents, minus the
+    merge-updated ones whose replacement supersedes them), every merge
+    row at cents+1 as inserts, and deletes ONLY for v0-file rows
+    (v1-file rows deleted in-span cancel out; merge updates surface as
+    delete+insert). The DuckDB oracle replays that arithmetic of
+    modular slices straight from the source table — any mis-netted
+    insert, leaked in-span delete, or wrong-file DV attribution breaks
+    the value hash. Cost shape: inserts read only span-added files,
+    deletes only the DV-targeted old files — O(changes), not O(table)."""
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        commit_snapshot,
+        delete_where,
+        merge_into,
+        read_changes,
+        scratch_table_dir,
+    )
+
+    table_dir = scratch_table_dir("spark_graft_versioned_cdf_")
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v0 = commit_snapshot(src.filter(F.col("k") % 3 == 0), table_dir)
+    commit_snapshot(src.filter(F.col("k") % 3 == 1), table_dir, mode="append")
+    delete_where(spark, table_dir, "k % 7 = 0")
+    merged_src = src.filter(F.col("k") % 5 == 0).withColumn(
+        "cents", F.col("cents") + 1
+    )
+    v3 = merge_into(spark, table_dir, merged_src, ["k"])
+    return read_changes(spark, table_dir, v0, v3)

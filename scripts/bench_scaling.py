@@ -208,6 +208,8 @@ PROBES = [
     "regr_rolling_slope",
     "forecast_mase_seasonal",
     # round-9 pack
+    "versioned_changefeed",
+    "experiment_bh_fdr",
     "timeseries_croston",
     "graph_hits_bipartite",
     "multimodal_audio_vad",

@@ -33,6 +33,8 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-9 pack
+    "versioned_changefeed",
+    "experiment_bh_fdr",
     "timeseries_croston",
     "graph_hits_bipartite",
     "tokenizer_fertility_by_lang",

@@ -780,3 +780,54 @@ def test_ips_eval_aggregates_before_policy(spark):
     plan = plan_of(spark, "policy_ips_offline_eval")
     assert "IsNotNull(event_type)" in plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_hits_broadcasts_authority_and_takeordered_topk(spark):
+    """HITS: the supplier-keyed authority vector broadcasts back onto the
+    edge list (never a fact-side shuffle for the small side), and the
+    global top-15 plans as TakeOrderedAndProject, not a total sort."""
+    plan = plan_of(spark, "graph_hits_bipartite")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kruskal_ranks_from_value_groups_not_row_sort(spark):
+    """Kruskal-Wallis must rank DISTINCT VALUES (bounded single-partition
+    ordered pass), never globally sort the row stream: the only Sort
+    operators allowed are inside the single-partition window pass — no
+    Exchange rangepartitioning (a global row sort) may appear."""
+    plan = plan_of(spark, "stats_kruskal_wallis")
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the distinct-value rank pass sits behind a localCheckpoint (two
+    # consumers), so the final plan reads the materialized RDD; the final
+    # statistic assembly is broadcast 1-row joins, never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_geohash_is_pure_codegen_no_python(spark):
+    """The geohash encode is shift/and/or Catalyst expressions — any
+    Python evaluation node in this plan is a regression."""
+    plan = plan_of(spark, "geo_geohash_rollup")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+    assert "HashAggregate" in plan  # rollup is a plain codegen'd agg
+
+
+def test_mrr_shares_one_user_exchange_for_both_windows(spark):
+    """MRR/AP: the ranking row_number and the running-hits sum use the
+    same (user_id, pred desc, item_id) window spec, so Catalyst plans ONE
+    hashpartitioning exchange on user_id for window + final aggregate."""
+    plan = plan_of(spark, "eval_mrr_map")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bh_fdr_replicates_partial_aggregate_before_shuffle(spark):
+    """The exploded replicate stream must partial-aggregate map-side
+    (HashAggregate below the exchange keyed (event_type, b)) so the
+    shuffle carries B x |types| cells, not B x |rows|."""
+    plan = plan_of(spark, "experiment_bh_fdr")
+    m = re.findall(r"HashAggregate", plan)
+    assert len(m) >= 4, plan  # partial+final for replicate and p-value aggs
+    assert "CartesianProduct" not in plan

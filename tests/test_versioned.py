@@ -1763,3 +1763,34 @@ def test_rebase_branch_rejects_non_additive_history(spark, tmp_path):
     commit_snapshot(spark.range(10, 12).coalesce(1), t, mode="append")
     with pytest.raises(MergeConflictError, match="overwrite"):
         rebase_branch(t, "ow")
+
+
+def test_read_changes_net_semantics_and_guards(spark, tmp_path):
+    """read_changes nets in-span insert+delete to nothing, reports
+    pre-existing-row deletes with full payloads, refuses file-removal
+    spans, and returns an empty typed frame for no-op spans."""
+    import pytest
+
+    from hw_kafka_flink_health_spark.operators.versioned import (
+        compact_snapshot,
+        delete_where,
+        read_changes,
+    )
+
+    t = str(tmp_path / "cdf")
+    v0 = commit_snapshot(spark.range(10).coalesce(1), t)
+    commit_snapshot(spark.range(10, 20).coalesce(1), t, mode="append")
+    v2 = delete_where(spark, t, "id IN (3, 15)")  # one old row, one new row
+    ch = read_changes(spark, t, v0, v2).toPandas()
+    ins = sorted(ch[ch["_change_type"] == "insert"]["id"])
+    dele = sorted(ch[ch["_change_type"] == "delete"]["id"])
+    assert ins == [10, 11, 12, 13, 14, 16, 17, 18, 19]  # 15 netted out
+    assert dele == [3]  # pre-existing row: reported with payload
+    # no-op span: empty frame with the full schema
+    empty = read_changes(spark, t, v2, v2)
+    assert empty.count() == 0 and "_change_type" in empty.columns
+    # compaction removes files -> no file-level feed exists
+    v3 = compact_snapshot(spark, t, small_file_bytes=1 << 30)
+    if v3 != v2:
+        with pytest.raises(ValueError, match="removed data files"):
+            read_changes(spark, t, v0, v3)
