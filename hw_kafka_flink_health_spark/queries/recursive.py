@@ -80,7 +80,7 @@ WITH RECURSIVE months(m, mx) AS (
   UNION ALL
   SELECT m + INTERVAL 1 MONTH, mx FROM months WHERE m < mx
 )
-SELECT months.m AS month_start,
+SELECT CAST(months.m AS {TS}) AS month_start,
        count(o.o_orderkey)::BIGINT AS n_orders,
        round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
 FROM months
@@ -105,7 +105,15 @@ GROUP BY node
 
 
 def _duck(sql: str) -> str:
-    return sql.replace("{orders}", "orders").replace("{part}", "part")
+    # {TS}: the driver's value compare distinguishes datetime.date from
+    # datetime.datetime, and DuckDB's date_trunc('MONTH', ts) yields DATE
+    # while Spark yields a timestamp — pin BOTH outputs to a (naive)
+    # timestamp per the registry convention.
+    return (
+        sql.replace("{orders}", "orders")
+        .replace("{part}", "part")
+        .replace("{TS}", "TIMESTAMP")
+    )
 
 
 def _spark_sql(
@@ -119,7 +127,7 @@ def _spark_sql(
     _ensure_recursion_headroom(spark)
     # Spark's count(x)::BIGINT cast syntax differs; normalize the two
     # DuckDB-isms used above to portable forms for the Spark run.
-    portable = sql.replace("::BIGINT", "")
+    portable = sql.replace("::BIGINT", "").replace("{TS}", "TIMESTAMP_NTZ")
     return _sql_over_views(
         spark,
         portable,

@@ -978,7 +978,7 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS BIGINT) AS order_month,
            CAST(day(o_orderdate) AS BIGINT) AS order_day,
            CAST(isodow(o_orderdate) - 1 AS BIGINT) AS order_weekday,
-           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS days_to_y2k,
            CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
            o_orderdate + INTERVAL 30 DAY AS due_date
@@ -1145,7 +1145,7 @@ def interval_join_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     "cohort_retention",
     oracle="""
     WITH first_week AS (
-      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
       FROM events GROUP BY user_id
     ), active AS (
       SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events

@@ -807,7 +807,8 @@ def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(cnt) OVER () AS total
       FROM b
     ), q AS (
-      SELECT q_frac FROM (VALUES (0.5), (0.9), (0.99)) t(q_frac)
+      SELECT CAST(q_frac AS DOUBLE) AS q_frac
+      FROM (VALUES (0.5), (0.9), (0.99)) t(q_frac)
     )
     SELECT q_frac,
            round(exp((min(c.bucket) + 0.5) * 0.01), 4) AS est_value

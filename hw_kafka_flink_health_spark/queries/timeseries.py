@@ -679,7 +679,7 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timeseries_ohlc_vwap",
     oracle="""
     WITH priced AS (
-      SELECT date_trunc('month', l_shipdate) AS bar_month,
+      SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS bar_month,
              l_extendedprice / l_quantity AS unit_price,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
              CAST(l_quantity AS BIGINT) AS qty,
@@ -879,7 +879,7 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_drawdown_daily",
     oracle="""
     WITH daily AS (
-      SELECT date_trunc('day', o_orderdate) AS day,
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
              round(sum(o_totalprice), 2) AS revenue
       FROM orders GROUP BY 1
     ),
