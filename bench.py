@@ -247,6 +247,9 @@ HEADLINE = [
     "stats_power_sample_size",
     "orders_business_day_latency",
     "inventory_fifo_cogs",
+    "fx_asof_revenue",
+    "finance_sharpe_rolling",
+    "ledger_trial_balance",
     "eval_conformal_coverage",
     "text_readability_flesch",
     "timeseries_acf_lags",

@@ -434,3 +434,375 @@ def revenue_pvm_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1 * F.col("q1") * (g - 1) / F.lit(1e2), 2).alias("volume_eff"),
         F.round(p1 * (F.col("q2") - F.col("q1") * g) / F.lit(1e2), 2).alias("mix_eff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 finance pack: multi-currency as-of conversion, rolling Sharpe,
+# and a double-entry trial balance. All three follow the exact-integer
+# discipline (cents / micro-rate BIGINTs, one double division at the end)
+# so the cross-engine value hash is summation-order-proof.
+
+_FX_DAY_LO = 9131  # 1995-01-01, the corpus' first order day (all SFs)
+_FX_DAY_HI = 11535  # 2001-08-01, the last
+
+
+@register(
+    "fx_asof_revenue",
+    oracle=f"""
+    WITH curs AS (
+      SELECT DISTINCT 'CUR' || CAST(n_nationkey % 7 AS VARCHAR) AS cur
+      FROM nation
+    ), days AS (
+      SELECT unnest(generate_series({_FX_DAY_LO}, {_FX_DAY_HI})) AS d
+    ), rates AS (
+      SELECT cur, d,
+             900000 + CAST(('0x' || substring(
+               md5(cur || ':' || CAST(d AS VARCHAR) || ':fx'), 9, 8)
+             ) AS BIGINT) % 200001 AS rate_micro
+      FROM curs CROSS JOIN days
+      WHERE CAST(('0x' || substring(
+              md5(cur || ':' || CAST(d AS VARCHAR) || ':fx'), 1, 8)
+            ) AS BIGINT) % 3 = 0
+    ), fact AS (
+      SELECT 'CUR' || CAST(n.n_nationkey % 7 AS VARCHAR) AS cur,
+             datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS order_day,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate IS NOT NULL
+    ), conv AS (
+      SELECT f.cur, f.cents, r.rate_micro
+      FROM fact f
+      ASOF LEFT JOIN rates r ON f.cur = r.cur AND f.order_day >= r.d
+    )
+    SELECT cur,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE rate_micro IS NULL) AS BIGINT)
+             AS n_unrated,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(sum(CASE WHEN rate_micro IS NOT NULL
+                         THEN (cents * rate_micro) // 1000000 END) AS BIGINT)
+             AS converted_cents
+    FROM conv GROUP BY cur
+    """,
+)
+def fx_asof_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-currency revenue conversion through an AS-OF rate lookup —
+    the shape every revenue warehouse runs daily: each order converts at
+    the latest FX rate on or before its order date.
+
+    The rate table is synthesized deterministically (7 currencies keyed
+    off nation, a rate on ~1/3 of days, value 0.90..1.10 in integer
+    micro-units from an md5 draw — the engine-portable hash idiom from
+    resampling). The SCALE play is the plan shape: rather than as-of
+    joining the 100 TB fact side (one shuffle + sort of every order on a
+    7-value currency key — maximal skew), the SMALL rate dimension is
+    forward-filled onto the full day spine with one tiny window pass and
+    the fact table then equi-joins (cur, day) against a broadcast —
+    zero fact-side shuffle beyond the customer join. The DuckDB twin
+    uses its native ASOF LEFT JOIN, pinning the same latest-rate-wins
+    semantic through an independent implementation. Conversion is exact
+    integer arithmetic (cents x micro-rate DIV 1e6)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    curs = nation.select(
+        F.concat(F.lit("CUR"), (F.col("n_nationkey") % 7).cast("string")).alias("cur")
+    ).distinct()
+    days = spark.range(_FX_DAY_LO, _FX_DAY_HI + 1).select(F.col("id").alias("d"))
+    key = F.concat(F.col("cur"), F.lit(":"), F.col("d").cast("string"), F.lit(":fx"))
+    grid = curs.crossJoin(days).select(
+        "cur",
+        "d",
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long").alias("d1"),
+        F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long").alias("d2"),
+    )
+    rates = grid.select(
+        "cur",
+        "d",
+        F.when(F.col("d1") % 3 == 0, 900000 + F.col("d2") % 200001).alias(
+            "rate_micro"
+        ),
+    )
+    # Forward-fill the sparse rates over the tiny (7 x ~2.4k) spine: one
+    # window pass on a dimension-sized table, then the fact side never
+    # sorts.
+    wfill = (
+        Window.partitionBy("cur")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = rates.select(
+        "cur",
+        F.col("d").alias("order_day"),
+        F.last("rate_micro", ignorenulls=True).over(wfill).alias("rate_micro"),
+    )
+
+    fact = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(
+                nation.select(
+                    "n_nationkey",
+                    F.concat(
+                        F.lit("CUR"), (F.col("n_nationkey") % 7).cast("string")
+                    ).alias("cur"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "cur",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("order_day"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    conv = fact.join(F.broadcast(filled), ["cur", "order_day"], "left")
+    return conv.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.when(F.col("rate_micro").isNull(), 1)).cast("long").alias(
+            "n_unrated"
+        ),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.sum(
+            F.when(
+                F.col("rate_micro").isNotNull(),
+                F.expr("cents * rate_micro DIV 1000000"),
+            )
+        )
+        .cast("long")
+        .alias("converted_cents"),
+    )
+
+
+_SHARPE_WIN = 28
+
+
+@register(
+    "finance_sharpe_rolling",
+    oracle=f"""
+    WITH daily AS (
+      SELECT r.r_name,
+             datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE o.o_orderdate IS NOT NULL
+      GROUP BY 1, 2
+    ), diffed AS (
+      SELECT r_name, day,
+             cents - lag(cents) OVER (PARTITION BY r_name ORDER BY day) AS d
+      FROM daily
+    ), rolled AS (
+      SELECT r_name, day,
+             CAST(count(d) OVER w AS BIGINT) AS n,
+             CAST(sum(d) OVER w AS BIGINT) AS sd,
+             CAST(sum(d * d) OVER w AS BIGINT) AS sdd
+      FROM diffed
+      WINDOW w AS (PARTITION BY r_name ORDER BY day
+                   ROWS BETWEEN {_SHARPE_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT r_name, day,
+           sd / {_SHARPE_WIN} / 100.0 AS mean_diff,
+           (sd / {_SHARPE_WIN}) / nullif(sqrt(
+             CAST({_SHARPE_WIN} * CAST(sdd AS HUGEINT)
+                  - CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT) AS DOUBLE)
+             / ({_SHARPE_WIN} * {_SHARPE_WIN - 1})
+           ), 0.0) AS sharpe
+    FROM rolled WHERE n = {_SHARPE_WIN}
+    """,
+)
+def finance_sharpe_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-observation Sharpe ratio of daily revenue CHANGES per
+    region — the mean-over-volatility stability score finance and SRE
+    dashboards both run on any daily KPI.
+
+    Exact-integer discipline end to end: daily revenue in cents, first
+    differences in cents, and the rolling window keeps only integer
+    sufficient statistics (n, sum d, sum d^2) so the variance numerator
+    n*sdd - sd^2 is computed in DECIMAL(38,0)/HUGEINT (sd^2 alone can
+    pass 2^63 at large SF) and both engines divide IDENTICAL integers —
+    the output doubles match bit-for-bit unrounded, per the no-rounding
+    rule for exact-integer-derived values. Plan: one hash aggregate to
+    (region, day) — data-sized — then lag + rolling windows over the
+    ~2.4k-day dimension table, so the sorts never touch raw orders."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            "r_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wlag = Window.partitionBy("r_name").orderBy("day")
+    diffed = daily.select(
+        "r_name", "day", (F.col("cents") - F.lag("cents").over(wlag)).alias("d")
+    )
+    w = wlag.rowsBetween(-(_SHARPE_WIN - 1), 0)
+    rolled = diffed.select(
+        "r_name",
+        "day",
+        F.count("d").over(w).cast("long").alias("n"),
+        F.sum("d").over(w).cast("long").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).over(w).cast("long").alias("sdd"),
+    ).filter(F.col("n") == _SHARPE_WIN)
+    sd_dec = F.col("sd").cast("decimal(38,0)")
+    var_num = (
+        F.lit(_SHARPE_WIN).cast("decimal(38,0)") * F.col("sdd").cast("decimal(38,0)")
+        - sd_dec * sd_dec
+    ).cast("double")
+    std = F.sqrt(var_num / F.lit(_SHARPE_WIN * (_SHARPE_WIN - 1)))
+    mean = F.col("sd") / F.lit(_SHARPE_WIN)
+    return rolled.select(
+        "r_name",
+        "day",
+        (mean / F.lit(100.0)).alias("mean_diff"),
+        F.try_divide(mean, F.nullif(std, F.lit(0.0))).alias("sharpe"),
+    )
+
+
+@register(
+    "ledger_trial_balance",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS ship_ts
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY l_orderkey
+    ), postings AS (
+      SELECT epoch_ms(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+               AS month_ms,
+             'accounts_receivable' AS account,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS debit,
+             CAST(0 AS BIGINT) AS credit
+      FROM orders WHERE o_orderdate IS NOT NULL
+      UNION ALL
+      SELECT epoch_ms(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)),
+             'revenue', 0, CAST(floor(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderdate IS NOT NULL
+      UNION ALL
+      SELECT epoch_ms(CAST(date_trunc('month', s.ship_ts) AS TIMESTAMP)),
+             'cash', CAST(floor(o.o_totalprice * 100) AS BIGINT), 0
+      FROM orders o JOIN first_ship s ON s.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT epoch_ms(CAST(date_trunc('month', s.ship_ts) AS TIMESTAMP)),
+             'accounts_receivable', 0,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT)
+      FROM orders o JOIN first_ship s ON s.l_orderkey = o.o_orderkey
+    ), tb AS (
+      SELECT month_ms, account,
+             CAST(sum(debit) AS BIGINT) AS debit_cents,
+             CAST(sum(credit) AS BIGINT) AS credit_cents
+      FROM postings GROUP BY month_ms, account
+    )
+    SELECT month_ms, account, debit_cents, credit_cents,
+           CAST(sum(debit_cents - credit_cents) OVER (
+             PARTITION BY account ORDER BY month_ms
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS balance_cents
+    FROM tb
+    """,
+)
+def ledger_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-entry trial balance derived from the order lifecycle: each
+    order books AR-debit/revenue-credit at order month, and (once it
+    first ships) cash-debit/AR-credit at ship month. Output is the
+    monthly trial balance per account plus the running balance — and
+    because every generated posting pair balances, each month's total
+    debits equal credits, an invariant the value hash pins for free.
+
+    Plan shape: orders is scanned once per posting LEG via a two-element
+    posting explode (Catalyst unions share the scan), the ship legs add
+    ONE min-aggregate + equi-join on orderkey, and everything reduces
+    immediately to the (month x account) grid — a few hundred rows no
+    matter the fact size, so the running-balance window sorts a
+    dimension, not the data."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    order_month = F.unix_millis(
+        F.date_trunc("month", "o_orderdate").cast("timestamp")
+    ).alias("month_ms")
+
+    def legs(month_col, debit_acct: str, credit_acct: str) -> F.Column:
+        return F.array(
+            F.struct(
+                F.lit(debit_acct).alias("account"),
+                cents.alias("debit"),
+                F.lit(0).cast("long").alias("credit"),
+            ),
+            F.struct(
+                F.lit(credit_acct).alias("account"),
+                F.lit(0).cast("long").alias("debit"),
+                cents.alias("credit"),
+            ),
+        )
+
+    order_post = orders.select(
+        order_month,
+        F.explode(legs(None, "accounts_receivable", "revenue")).alias("p"),
+    )
+    first_ship = (
+        lineitem.filter(F.col("l_shipdate").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("ship_ts"))
+    )
+    ship_post = (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .select(
+            F.unix_millis(F.date_trunc("month", "ship_ts").cast("timestamp")).alias(
+                "month_ms"
+            ),
+            F.explode(legs(None, "cash", "accounts_receivable")).alias("p"),
+        )
+    )
+    tb = (
+        order_post.unionByName(ship_post)
+        .select("month_ms", "p.account", "p.debit", "p.credit")
+        .groupBy("month_ms", "account")
+        .agg(
+            F.sum("debit").cast("long").alias("debit_cents"),
+            F.sum("credit").cast("long").alias("credit_cents"),
+        )
+    )
+    wbal = (
+        Window.partitionBy("account")
+        .orderBy("month_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return tb.select(
+        "month_ms",
+        "account",
+        "debit_cents",
+        "credit_cents",
+        F.sum(F.col("debit_cents") - F.col("credit_cents"))
+        .over(wbal)
+        .cast("long")
+        .alias("balance_cents"),
+    )

@@ -36,6 +36,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = os.environ.get("SPARK_GRAFT_FUZZ_BASE_SF", "/root/testdata/sf0.001")
+
+_ONLY: list[str] = []
+
+
+def _only() -> list[str]:
+    """Optional query-name filter (argv names after the scenario) so a
+    new pack can be fuzzed in seconds instead of sweeping the full
+    catalog; empty means everything."""
+    return _ONLY
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -154,7 +165,7 @@ def sweep(spark, scenario: str) -> list:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{base}/{t}.parquet/*.parquet')"
         )
     fails = []
-    todo = sorted(ORACLES)
+    todo = sorted(_only() or ORACLES)
     for i, name in enumerate(todo):
         t0 = time.time()
         try:
@@ -184,7 +195,10 @@ def sweep(spark, scenario: str) -> list:
     # crash-check is what caught the KMeans k>distinct-centers AIOOBE in
     # the IVF/SemDeDup operators (round-5) — degenerate corpora are
     # exactly where sketch/clustering code breaks first.
-    for name in sorted(set(QUERIES) - set(ORACLES)):
+    rows_only = set(QUERIES) - set(ORACLES)
+    if _only():
+        rows_only &= set(_only())
+    for name in sorted(rows_only):
         try:
             n = len(QUERIES[name](spark, base).toPandas())
             print(f"{scenario} {name}: rows-only ok ({n} rows)", flush=True)
@@ -242,7 +256,7 @@ def sweep_repart(spark) -> list:
         )
     }
     fails = []
-    todo = sorted(ORACLES)
+    todo = sorted(_only() or ORACLES)
     try:
         for i, name in enumerate(todo):
             t0 = time.time()
@@ -286,6 +300,7 @@ def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     all_scen = ["single", "nulls", "ties", "unicode", "repart"]
     scenarios = all_scen if which == "all" else [which]
+    _ONLY.extend(sys.argv[2:])
     spark = get_spark(app_name="fuzz_catalog", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     fails = []

@@ -32,6 +32,10 @@ TABLES = (
 # every query the round-5 full-catalog fuzz audit caught diverging (each
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
+    # round-10 finance pack
+    "fx_asof_revenue",
+    "finance_sharpe_rolling",
+    "ledger_trial_balance",
     # round-9 pack
     "versioned_changefeed",
     "experiment_bh_fdr",
@@ -406,6 +410,7 @@ def test_rows_only_queries_survive_pathological_data(name, spark, fuzz_ties):
 # sweep in r8). The full 343-query sweep runs per-round via
 # `python scripts/fuzz_catalog.py repart`.
 REPART_RISKY = [
+    "finance_sharpe_rolling",
     "eval_mrr_map",
     "stats_kruskal_wallis",
     "experiment_post_stratified_ate",
