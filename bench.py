@@ -296,8 +296,11 @@ HEADLINE = [
     # round-7 pack: bounded-round k-core peel, Brown-Forsythe variance
     # homogeneity, G2 corpus keyness, bucketed co-located join
     "graph_kcore",
+    "graph_label_propagation",
+    "graph_jaccard_neighbors",
     "stats_levene_test",
     "text_keyness_g2",
+    "text_collation_group",
     "join_bucketed_colocated",
     # round-7 pack b: reciprocal best-match pairs, trend-in-proportions
     "embedding_mutual_nn",
@@ -320,6 +323,7 @@ HEADLINE = [
     "embedding_mmr_select",
     "revenue_share_of_parent",
     "eval_ndcg_at_k",
+    "eval_krippendorff_alpha",
     "policy_ips_offline_eval",
     "versioned_branch_merge",
     "stats_logrank_test",

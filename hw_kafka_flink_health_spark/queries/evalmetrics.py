@@ -1072,3 +1072,112 @@ def eval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ap"),
     )
+
+
+@register(
+    "eval_krippendorff_alpha",
+    oracle="""
+    WITH ratings AS (
+      SELECT event_id % 500 AS unit, event_type AS rater,
+             min(CASE WHEN value < 50 THEN 'low'
+                      WHEN value < 100 THEN 'mid' ELSE 'high' END) AS cat
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), o AS (
+      SELECT unit, cat, CAST(count(*) AS BIGINT) AS o_uc
+      FROM ratings GROUP BY unit, cat
+    ), u AS (
+      SELECT unit, CAST(sum(o_uc) AS BIGINT) AS n_u FROM o GROUP BY unit
+    ), pair AS (
+      SELECT o.unit, o.cat, o.o_uc, u.n_u FROM o JOIN u USING (unit)
+      WHERE u.n_u >= 2
+    ), do_s AS (
+      SELECT CAST(sum(o_uc * (n_u - o_uc) * (12 // (n_u - 1))) AS BIGINT)
+               AS do_scaled,
+             CAST(sum(o_uc) AS BIGINT) AS p_total
+      FROM pair
+    ), tc AS (
+      SELECT cat, CAST(sum(o_uc) AS BIGINT) AS t_c FROM pair GROUP BY cat
+    ), de_s AS (
+      SELECT CAST(sum(t_c * ((SELECT p_total FROM do_s) - t_c)) AS BIGINT)
+               AS de_num
+      FROM tc
+    )
+    SELECT do_s.p_total AS n_ratings,
+           do_s.do_scaled, de_s.de_num,
+           1 - (do_s.do_scaled * (do_s.p_total - 1))
+               / nullif(CAST(12 * de_s.de_num AS DOUBLE), 0.0) AS alpha
+    FROM do_s, de_s
+    """,
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) — THE inter-annotator agreement
+    statistic for labeling pipelines with missing raters, where Cohen's
+    kappa (eval_cohens_kappa) needs exactly two complete annotators.
+    Units are event buckets, raters the event types, categories a
+    3-level value bucket; units with one rating drop out (unpairable),
+    exactly per the coincidence-matrix formulation.
+
+    Exactness trick: the per-unit disagreement term o_uc(n_u-o_uc)/(n_u-1)
+    has denominator n_u-1 <= 4 (at most 5 raters), so scaling every term
+    by 12/(n_u-1) — an INTEGER for all realizable n_u — turns Do into an
+    exact BIGINT; De's numerator sum t_c(P-t_c) is integer outright, and
+    alpha = 1 - Do_scaled*(P-1)/(12*De_num) is ONE double division of
+    exact integers, emitted unrounded. Plan: three hash aggregates over
+    progressively tiny tables and two scalar broadcasts — the fact table
+    is touched once."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    cat = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    ratings = (
+        ev.select(
+            (F.col("event_id") % 500).alias("unit"),
+            F.col("event_type").alias("rater"),
+            cat.alias("cat0"),
+        )
+        .groupBy("unit", "rater")
+        .agg(F.min("cat0").alias("cat"))
+    )
+    o = ratings.groupBy("unit", "cat").agg(
+        F.count(F.lit(1)).cast("long").alias("o_uc")
+    )
+    u = o.groupBy("unit").agg(F.sum("o_uc").cast("long").alias("n_u"))
+    pair = o.join(u, "unit").filter(F.col("n_u") >= 2)
+    do_s = pair.agg(
+        F.sum(
+            F.col("o_uc")
+            * (F.col("n_u") - F.col("o_uc"))
+            * F.expr("12 DIV (n_u - 1)")
+        )
+        .cast("long")
+        .alias("do_scaled"),
+        F.sum("o_uc").cast("long").alias("p_total"),
+    )
+    tc = pair.groupBy("cat").agg(F.sum("o_uc").cast("long").alias("t_c"))
+    de_s = (
+        tc.crossJoin(F.broadcast(do_s.select("p_total")))
+        .agg(
+            F.sum(F.col("t_c") * (F.col("p_total") - F.col("t_c")))
+            .cast("long")
+            .alias("de_num")
+        )
+    )
+    alpha = 1 - F.try_divide(
+        F.col("do_scaled") * (F.col("p_total") - 1),
+        F.nullif((12 * F.col("de_num")).cast("double"), F.lit(0.0)),
+    )
+    return (
+        do_s.crossJoin(F.broadcast(de_s))
+        .select(
+            F.col("p_total").alias("n_ratings"),
+            "do_scaled",
+            "de_num",
+            alpha.alias("alpha"),
+        )
+    )

@@ -682,3 +682,191 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), "suppkey")
         .limit(15)
     )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled semi-synchronous LPA twin: same round count, the same
+    mode-with-min-tiebreak pick expressed as a named-struct min over
+    (-count, label) — DuckDB orders structs lexicographically exactly
+    like Spark. Every round CTE is MATERIALIZED (multiply-referenced
+    CTEs inline → exponential otherwise, the k-core/BPE lesson)."""
+    pre = """
+    WITH ed AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      ) UNION SELECT dst, src FROM (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      )
+    ),
+    l1 AS MATERIALIZED (
+      SELECT dst AS node, min(src) AS lab FROM ed GROUP BY dst
+    )"""
+    its = []
+    for i in range(2, _LPA_ROUNDS + 1):
+        its.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT e.dst AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM ed e JOIN l{i - 1} l ON l.node = e.src
+      GROUP BY e.dst, l.lab
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT node, (min({{'nc': -c, 'lab': lab}})).lab AS lab
+      FROM c{i} GROUP BY node
+    )""")
+    return (
+        pre
+        + ","
+        + ",".join(its)
+        + f"""
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{_LPA_ROUNDS} GROUP BY lab
+    ORDER BY n_nodes DESC, community LIMIT 50
+    """
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by semi-synchronous label propagation over the
+    undirected customer—supplier graph: labels start as node ids and each
+    round every node adopts its neighbors' MODE label (ties → smallest
+    label — the determinism pin async LPA lacks). Three fixed rounds, so
+    the unrolled DuckDB twin replays the identical computation and the
+    value hash pins the top-50 community census.
+
+    Distributed shape per round: ONE join of the static edge list against
+    the current labels (shuffles on the label side only once edges are
+    checkpointed + reused), a (node, label) count with map-side combine,
+    and a struct-min argmax per node — all hash-partitioned on node, no
+    sorts, no driver state. Label tables shrink to distinct labels but
+    stay O(nodes); at 100 TB each round is two key-shuffles of a
+    node-sized table, the textbook Pregel step expressed relationally."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    # Round 1 collapses: labels start as node ids and edges are DISTINCT
+    # pairs, so every neighbor-label count is exactly 1 and the
+    # mode-with-min-tiebreak is just min(neighbor id) — ONE aggregate
+    # instead of a join + two aggregates (the oracle mirrors this).
+    labels = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.min("src").alias("lab")
+    )
+    for rnd in range(1, _LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = (
+            cnt.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.lab").alias("lab"))
+        )
+        # each round's labels feed exactly one consumer (the next join),
+        # but the lineage compounds a join+2 aggs per round — checkpoint
+        # keeps the plan (and any retry) bounded, as in BFS/k-core.
+        if rnd < _LPA_ROUNDS - 1:
+            labels = labels.localCheckpoint()
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(50)
+    )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), dk AS (
+      SELECT p FROM cp GROUP BY p HAVING count(*) BETWEEN 2 AND 25
+    ), cpk AS (
+      SELECT c, p FROM cp WHERE p IN (SELECT p FROM dk)
+    ), deg AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS d FROM cpk GROUP BY c
+    ), pairs AS (
+      SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS shared
+      FROM cpk a JOIN cpk b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c
+    )
+    SELECT c1, c2, shared, da.d AS d1, db.d AS d2,
+           shared / CAST(da.d + db.d - shared AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN deg da ON da.c = pairs.c1
+    JOIN deg db ON db.c = pairs.c2
+    ORDER BY jaccard DESC, c1, c2 LIMIT 50
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard link prediction over the customer—part
+    bipartite projection: candidate pairs come ONLY from co-occurrence
+    in a shared part (never all-pairs), with hub parts (degree > 25)
+    excluded — the same frequency cap that keeps every near-dup pair
+    generator linear: pair count is bounded by sum(d_p^2) over capped
+    part degrees. Degrees are computed over the SAME capped universe so
+    shared/(d1+d2-shared) is a true Jaccard there; the score is one
+    exact-integer division, emitted unrounded. Plan: two hash aggregates
+    + one self-equi-join on part + two degree joins (AQE broadcasts the
+    degree side), then a global top-50 via TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    dk = (
+        cp.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("dp"))
+        .filter(F.col("dp").between(2, 25))
+        .select("p")
+    )
+    cpk = cp.join(dk, "p", "left_semi").localCheckpoint()  # feeds 3 consumers
+    deg = cpk.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = cpk.select(F.col("p").alias("p1"), F.col("c").alias("c1"))
+    b = cpk.select(F.col("p").alias("p2"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, (F.col("p1") == F.col("p2")) & (F.col("c1") < F.col("c2")))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    out = (
+        pairs.join(deg.select(F.col("c").alias("c1"), F.col("d").alias("d1")), "c1")
+        .join(deg.select(F.col("c").alias("c2"), F.col("d").alias("d2")), "c2")
+        .select(
+            "c1",
+            "c2",
+            "shared",
+            "d1",
+            "d2",
+            (
+                F.col("shared")
+                / (F.col("d1") + F.col("d2") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(F.desc("jaccard"), "c1", "c2").limit(50)

@@ -3421,3 +3421,48 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assets = synthesize_codec_assets(docs).filter(F.col("modality") == "audio")
     return vad_pcm16(assets)
+
+
+@register(
+    "text_collation_group",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(text, '[^A-Za-z]+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), ok AS (
+      SELECT w FROM words WHERE length(w) >= 3
+    )
+    SELECT min(w) AS canonical,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_variants
+    FROM ok GROUP BY lower(w)
+    ORDER BY cnt DESC, canonical LIMIT 50
+    """,
+)
+def text_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive word census via Spark 4's COLLATION support:
+    grouping on `collate(word, 'UTF8_LCASE')` makes equality (and the
+    whole hash aggregate) case-insensitive INSIDE the engine — no
+    lower() materialization, and the same collation would apply to
+    joins/sorts. The ASCII-only tokenizer keeps UTF8_LCASE's ICU
+    casefold and the oracle's lower() in exact agreement (they diverge
+    on Turkish dotless-i / sharp-s classes, the known boundary).
+    Emitted canonical form is the binary-min variant so the output
+    never depends on which group representative the engine retains.
+    Plan: explode → one hash aggregate on the collated key with
+    map-side combine → global top-50 TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = docs.select(
+        F.explode(F.split(F.col("text"), "[^A-Za-z]+")).alias("w")
+    ).filter(F.length("w") >= 3)
+    return (
+        words.groupBy(F.collate(F.col("w"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min("w").alias("canonical"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.count_distinct(F.col("w")).cast("long").alias("n_variants"),
+        )
+        .select("canonical", "cnt", "n_variants")
+        .orderBy(F.desc("cnt"), "canonical")
+        .limit(50)
+    )

@@ -33,6 +33,10 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-10 finance pack
+    "graph_label_propagation",
+    "graph_jaccard_neighbors",
+    "eval_krippendorff_alpha",
+    "text_collation_group",
     "fx_asof_revenue",
     "finance_sharpe_rolling",
     "ledger_trial_balance",
