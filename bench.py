@@ -105,6 +105,7 @@ HEADLINE = [
     "text_decontaminate",
     "text_remove_repeated_spans",
     "mlprep_domain_mix",
+    "mlprep_curriculum_phases",
     "join_interval_binned",
     # integration + audit pack (tracked since r3c)
     "pipeline_pretrain_corpus",
@@ -305,6 +306,8 @@ HEADLINE = [
     # round-7 pack b: reciprocal best-match pairs, trend-in-proportions
     "embedding_mutual_nn",
     "stats_cochran_armitage",
+    "stats_grubbs_test",
+    "stats_mcnemar_test",
     "timeseries_dtw_band",
     "graph_adamic_adar",
     "privacy_dp_noisy_counts",
@@ -324,6 +327,7 @@ HEADLINE = [
     "revenue_share_of_parent",
     "eval_ndcg_at_k",
     "eval_krippendorff_alpha",
+    "eval_clipped_ngram_precision",
     "policy_ips_offline_eval",
     "versioned_branch_merge",
     "stats_logrank_test",

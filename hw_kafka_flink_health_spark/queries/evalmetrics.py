@@ -1181,3 +1181,155 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             alpha.alias("alpha"),
         )
     )
+
+
+@register(
+    "eval_clipped_ngram_precision",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), cand AS (
+      SELECT doc_id AS pair, source, t FROM d WHERE doc_id % 2 = 0
+    ), ref AS (
+      SELECT doc_id - 1 AS pair, t AS rt FROM d WHERE doc_id % 2 = 1
+    ), pairs AS (
+      SELECT cand.pair, cand.source, cand.t, ref.rt
+      FROM cand JOIN ref USING (pair)
+    ), cu AS (
+      SELECT pair, g, CAST(count(*) AS BIGINT) AS cc
+      FROM (SELECT pair, unnest(t) AS g FROM pairs) GROUP BY pair, g
+    ), ru AS (
+      SELECT pair, g, CAST(count(*) AS BIGINT) AS rc
+      FROM (SELECT pair, unnest(rt) AS g FROM pairs) GROUP BY pair, g
+    ), uni AS (
+      SELECT cu.pair,
+             CAST(sum(least(cu.cc, coalesce(ru.rc, 0))) AS BIGINT) AS num,
+             CAST(sum(cu.cc) AS BIGINT) AS den
+      FROM cu LEFT JOIN ru ON ru.pair = cu.pair AND ru.g = cu.g
+      GROUP BY cu.pair
+    ), cb AS (
+      SELECT pair, g, CAST(count(*) AS BIGINT) AS cc FROM (
+        SELECT pair, t[u.i] || ' ' || t[u.i + 1] AS g
+        FROM pairs, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      ) GROUP BY pair, g
+    ), rb AS (
+      SELECT pair, g, CAST(count(*) AS BIGINT) AS rc FROM (
+        SELECT pair, rt[u.i] || ' ' || rt[u.i + 1] AS g
+        FROM pairs, unnest(generate_series(1, len(rt) - 1)) AS u(i)
+      ) GROUP BY pair, g
+    ), bi AS (
+      SELECT cb.pair,
+             CAST(sum(least(cb.cc, coalesce(rb.rc, 0))) AS BIGINT) AS num,
+             CAST(sum(cb.cc) AS BIGINT) AS den
+      FROM cb LEFT JOIN rb ON rb.pair = cb.pair AND rb.g = cb.g
+      GROUP BY cb.pair
+    )
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(uni.num) AS BIGINT) AS uni_num,
+           CAST(sum(uni.den) AS BIGINT) AS uni_den,
+           sum(uni.num) / nullif(CAST(sum(uni.den) AS DOUBLE), 0.0) AS p1,
+           CAST(sum(bi.num) AS BIGINT) AS bi_num,
+           CAST(sum(bi.den) AS BIGINT) AS bi_den,
+           sum(bi.num) / nullif(CAST(sum(bi.den) AS DOUBLE), 0.0) AS p2
+    FROM pairs p
+    JOIN uni ON uni.pair = p.pair
+    LEFT JOIN bi ON bi.pair = p.pair
+    GROUP BY p.source
+    """,
+)
+def eval_clipped_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped n-gram precision (the BLEU numerator family) between
+    candidate/reference document pairs — the standard surface-overlap
+    eval for generated text, here over deterministic pairs (even doc_id
+    = candidate, its successor = reference) rolled up per source.
+
+    Modified precision exactly as BLEU defines it: each candidate n-gram
+    counts at most min(count_cand, count_ref) — the clipping that stops
+    "the the the" gaming plain precision. Unigram and bigram passes
+    share the staged token arrays (localCheckpoint — two consumers
+    each); counts join per (pair, gram), co-partitioned both sides, and
+    every emitted number is an exact integer or one division of two.
+    At 100 TB the gram-count tables shrink by each doc's repetition
+    factor before the join and nothing ever sorts."""
+    from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = docs.select("doc_id", "source", norm_tokens_expr("text").alias("t"))
+    cand = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("pair"), "source", "t")
+    )
+    ref = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select((F.col("doc_id") - 1).alias("pair"), F.col("t").alias("rt"))
+    )
+    pairs = cand.join(ref, "pair").localCheckpoint()  # feeds 5 consumers
+
+    def _bigrams(col: str) -> F.Column:
+        t = F.col(col)
+        return F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+
+    def _counts(gram_col: F.Column, alias: str) -> DataFrame:
+        return (
+            pairs.select("pair", F.explode(gram_col).alias("g"))
+            .groupBy("pair", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    def _clip(c: DataFrame, r: DataFrame) -> DataFrame:
+        return (
+            c.join(r, ["pair", "g"], "left")
+            .groupBy("pair")
+            .agg(
+                F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+                .cast("long")
+                .alias("num"),
+                F.sum("cc").cast("long").alias("den"),
+            )
+        )
+
+    uni = _clip(_counts(F.col("t"), "cc"), _counts(F.col("rt"), "rc"))
+    bi = _clip(_counts(_bigrams("t"), "cc"), _counts(_bigrams("rt"), "rc"))
+    out = (
+        pairs.select("pair", "source")
+        .join(uni, "pair")
+        .join(
+            bi.select(
+                "pair", F.col("num").alias("bnum"), F.col("den").alias("bden")
+            ),
+            "pair",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("num").cast("long").alias("uni_num"),
+            F.sum("den").cast("long").alias("uni_den"),
+            F.sum("bnum").cast("long").alias("bi_num"),
+            F.sum("bden").cast("long").alias("bi_den"),
+        )
+    )
+    return out.select(
+        "source",
+        "n_pairs",
+        "uni_num",
+        "uni_den",
+        F.try_divide(
+            F.col("uni_num").cast("double"),
+            F.nullif(F.col("uni_den").cast("double"), F.lit(0.0)),
+        ).alias("p1"),
+        "bi_num",
+        "bi_den",
+        F.try_divide(
+            F.col("bi_num").cast("double"),
+            F.nullif(F.col("bi_den").cast("double"), F.lit(0.0)),
+        ).alias("p2"),
+    )

@@ -1008,3 +1008,192 @@ def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1.0
         ).alias("cliffs_delta"),
     )
+
+
+@register(
+    "stats_grubbs_test",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000000) AS BIGINT) AS xi
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx,
+             sum(CAST(xi AS HUGEINT) * xi) AS sxx
+      FROM x GROUP BY event_type
+    ), dev AS (
+      SELECT x.event_type, s.n, s.sx, s.sxx,
+             abs(s.n * x.xi - s.sx) AS adev, x.event_id
+      FROM x JOIN s USING (event_type)
+    ), top AS (
+      SELECT event_type, n, sx, sxx,
+             max(adev) AS maxdev,
+             (min({'na': -adev, 'id': event_id})).id AS outlier_event_id
+      FROM dev GROUP BY event_type, n, sx, sxx
+    )
+    SELECT event_type, n, CAST(maxdev AS BIGINT) AS maxdev_scaled,
+           outlier_event_id,
+           maxdev / nullif(
+             n * sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      / (n * (n - 1))), 0.0) AS grubbs_g,
+           CASE WHEN maxdev / nullif(
+             n * sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      / (n * (n - 1))), 0.0) > 3.5
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM top
+    """,
+)
+def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviation outlier test per event type:
+    G = max|x - mean| / s, with the suspect observation identified
+    deterministically (largest deviation, smallest event_id on ties via
+    a named-struct min). G > 3.5 flags the group as outlier-bearing —
+    the single-pass screen monitoring pipelines run before trusting a
+    group mean.
+
+    Exactness: values in integer micro-units, so |n*x - sx| (the
+    deviation scaled by n) and the variance numerator n*sxx - sx^2 are
+    exact integers (the squares in DECIMAL(38,0)/HUGEINT — sum x^2
+    passes 2^63 at sf0.1) and G is derived from identical integers in
+    both engines, emitted unrounded. Plan: one stats aggregate, one
+    broadcast join back (the stats side is |event_types| rows), one
+    max/argmax aggregate — two passes over events, zero sorts."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    x = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("xi"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xi")).alias("sxx"),
+    )
+    dev = x.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "n",
+        "sx",
+        "sxx",
+        F.abs(F.col("n") * F.col("xi") - F.col("sx")).alias("adev"),
+        "event_id",
+    )
+    top = dev.groupBy("event_type", "n", "sx", "sxx").agg(
+        F.max("adev").alias("maxdev"),
+        F.min(
+            F.struct((-F.col("adev")).alias("na"), F.col("event_id").alias("id"))
+        )["id"].alias("outlier_event_id"),
+    )
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx").cast("decimal(38,0)")
+    ).cast("double")
+    g = F.try_divide(
+        F.col("maxdev").cast("double"),
+        F.nullif(
+            F.col("n")
+            * F.sqrt(
+                # n=1 (single-row fuzz) divides by zero: DuckDB's /0 is
+                # NULL, ANSI Spark throws — try_divide matches the oracle
+                F.try_divide(var_num, (F.col("n") * (F.col("n") - 1)).cast("double"))
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return top.select(
+        "event_type",
+        "n",
+        F.col("maxdev").cast("long").alias("maxdev_scaled"),
+        "outlier_event_id",
+        g.alias("grubbs_g"),
+        F.when(g > 3.5, 1).otherwise(0).alias("is_outlier"),
+    )
+
+
+_MCNEMAR_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "stats_mcnemar_test",
+    oracle=f"""
+    WITH flags AS (
+      SELECT user_id,
+             max(CASE WHEN ts <  TIMESTAMP '{_MCNEMAR_SPLIT}'
+                      AND value > 100 THEN 1 ELSE 0 END) AS x1,
+             max(CASE WHEN ts >= TIMESTAMP '{_MCNEMAR_SPLIT}'
+                      AND value > 100 THEN 1 ELSE 0 END) AS x2,
+             max(CASE WHEN ts <  TIMESTAMP '{_MCNEMAR_SPLIT}'
+                      THEN 1 ELSE 0 END) AS in1,
+             max(CASE WHEN ts >= TIMESTAMP '{_MCNEMAR_SPLIT}'
+                      THEN 1 ELSE 0 END) AS in2
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ), paired AS (
+      SELECT x1, x2 FROM flags WHERE in1 = 1 AND in2 = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_paired,
+           CAST(sum(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+           CAST(sum(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           (CAST(sum(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END)
+                 - sum(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            * (sum(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END)
+               - sum(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END)))
+           / nullif(CAST(sum(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE), 0.0) AS chi2
+    FROM paired
+    """,
+)
+def stats_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: did users' "ever
+    exceeded value 100" status flip between the first and second half of
+    the observation window? Only the discordant counts b (1→0) and
+    c (0→1) matter; chi² = (b-c)²/(b+c). Users observed in only one
+    period drop out (unpaired). The A/B-on-the-same-subjects test —
+    what experiment platforms run for within-user feature flips, where
+    the two-proportion z-test (stats_two_proportion_ztest) would be
+    wrong because the samples aren't independent.
+
+    One hash aggregate to per-user flags (conditional max — no
+    pivot/join), one global reduce; b, c are exact integers and chi² is
+    one double expression over them, emitted unrounded."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    split = F.lit(_MCNEMAR_SPLIT).cast("timestamp_ntz")
+    ts = F.col("ts").cast("timestamp_ntz")
+    flags = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((ts < split) & (F.col("value") > 100), 1).otherwise(0)
+        ).alias("x1"),
+        F.max(
+            F.when((ts >= split) & (F.col("value") > 100), 1).otherwise(0)
+        ).alias("x2"),
+        F.max(F.when(ts < split, 1).otherwise(0)).alias("in1"),
+        F.max(F.when(ts >= split, 1).otherwise(0)).alias("in2"),
+    )
+    paired = flags.filter((F.col("in1") == 1) & (F.col("in2") == 1))
+    b = F.sum(F.when((F.col("x1") == 1) & (F.col("x2") == 0), 1).otherwise(0))
+    c = F.sum(F.when((F.col("x1") == 0) & (F.col("x2") == 1), 1).otherwise(0))
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_paired"),
+        b.cast("long").alias("b"),
+        c.cast("long").alias("c"),
+    )
+    return agg.select(
+        "n_paired",
+        "b",
+        "c",
+        F.try_divide(
+            (F.col("b") - F.col("c")).cast("double") * (F.col("b") - F.col("c")),
+            F.nullif((F.col("b") + F.col("c")).cast("double"), F.lit(0.0)),
+        ).alias("chi2"),
+    )

@@ -1070,3 +1070,66 @@ def mlprep_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep",
         F.when(b < 8, "train").when(b < 9, "valid").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "mlprep_curriculum_phases",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS est_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), ranked AS (
+      SELECT doc_id, n_chars, est_tokens,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS phase
+      FROM d
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked GROUP BY phase
+    """,
+)
+def mlprep_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: order documents by an
+    easy-to-hard difficulty proxy (length in chars, doc_id tiebreak for
+    a total order) and cut into four equal phases with ntile — the
+    schedule a curriculum trainer feeds batches from, reported as per-
+    phase token/char budgets.
+
+    The ntile runs over doc METADATA (doc_id + two ints, never the
+    text), so the global sort this needs moves a few bytes per doc; at
+    100 TB the same plan holds because Spark range-partitions the sort —
+    or swap ntile for a percent_rank threshold on a pre-aggregated
+    difficulty histogram if even the metadata sort must die. Everything
+    emitted is an exact integer."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # difficulty derives from text itself (never the nullable n_chars
+    # column: Spark orders NULLS FIRST, DuckDB NULLS LAST — the nulls
+    # fuzz scenario flips ntile assignments through that default)
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), " ", ""))
+            + 1
+        )
+        .cast("long")
+        .alias("est_tokens"),
+    )
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id", "n_chars", "est_tokens", F.ntile(4).over(w).alias("phase")
+    )
+    return ranked.groupBy(F.col("phase").cast("long").alias("phase")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("est_tokens").cast("long").alias("total_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -33,6 +33,10 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-10 finance pack
+    "stats_grubbs_test",
+    "stats_mcnemar_test",
+    "mlprep_curriculum_phases",
+    "eval_clipped_ngram_precision",
     "graph_label_propagation",
     "graph_jaccard_neighbors",
     "eval_krippendorff_alpha",
