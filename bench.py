@@ -182,6 +182,7 @@ HEADLINE = [
     "text_sentences_udtf",
     "doc_winnowing_fingerprint",
     "multimodal_decode_features",
+    "multimodal_aspect_buckets",
     "basket_frequent_itemsets",
     # round-6 additions: deterministic minhash LSH (newly value-oracled),
     # CHECK/OCC/schema-evolution lakehouse surfaces
@@ -197,6 +198,7 @@ HEADLINE = [
     "orders_benford_digits",
     "stats_kaplan_meier_reorder",
     "timeseries_ohlc_vwap",
+    "rolling_median_revenue",
     "text_cross_doc_dup_spans",
     "join_asof_nearest",
     "dedup_ngram_containment",

@@ -3466,3 +3466,74 @@ def text_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "canonical")
         .limit(50)
     )
+
+
+@register(
+    "multimodal_aspect_buckets",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 5 AS BIGINT) AS w,
+             CAST(6 + doc_id % 3 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), bucketed AS (
+      SELECT doc_id, w, h, (w * 1000) // h AS ar_milli FROM img
+    ), b AS (
+      SELECT ar_milli, CAST(count(*) AS BIGINT) AS n_images,
+             CAST(max(w) AS BIGINT) AS max_w,
+             CAST(max(h) AS BIGINT) AS max_h
+      FROM bucketed GROUP BY ar_milli
+    )
+    SELECT b.ar_milli, b.n_images, b.max_w, b.max_h,
+           CAST(sum(b.max_w * b.max_h - i.w * i.h) AS BIGINT) AS waste_px
+    FROM bucketed i JOIN b USING (ar_milli)
+    GROUP BY b.ar_milli, b.n_images, b.max_w, b.max_h
+    """,
+)
+def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for vision-model batch packing: decode the
+    REAL BMP headers (mapInPandas over the synthesized container
+    payloads — the same real-codec path as multimodal_decode_features),
+    bucket images by integer aspect ratio (w*1000 DIV h), and report per
+    bucket the pad-to dimensions plus the total padded-pixel waste —
+    the quantity aspect bucketing exists to minimize (padding every
+    image to one global max wastes far more than padding within a
+    ratio bucket).
+
+    The oracle replays the deterministic synth dimensions in SQL, so a
+    header mis-parse (wrong width field offset, padding-row leak) fails
+    the value hash. Plan: the decode is one Arrow-batched pass, then a
+    bucket aggregate and a broadcast join-back of the ~15-row bucket
+    table for the waste sum — at 100 TB everything after the decode is
+    dimension-sized."""
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        decode_codec_stats,
+        synthesize_codec_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = decode_codec_stats(synthesize_codec_assets(docs))
+    img = (
+        st.filter(F.col("modality") == "image")
+        .select(
+            "asset_id",
+            F.col("width").cast("long").alias("w"),
+            F.col("height").cast("long").alias("h"),
+        )
+        .withColumn("ar_milli", F.expr("w * 1000 DIV h"))
+        .localCheckpoint()  # decode runs ONCE; feeds bucket agg + waste sum
+    )
+    b = img.groupBy("ar_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.max("w").cast("long").alias("max_w"),
+        F.max("h").cast("long").alias("max_h"),
+    )
+    return (
+        img.join(F.broadcast(b), "ar_milli")
+        .groupBy("ar_milli", "n_images", "max_w", "max_h")
+        .agg(
+            F.sum(F.col("max_w") * F.col("max_h") - F.col("w") * F.col("h"))
+            .cast("long")
+            .alias("waste_px")
+        )
+    )

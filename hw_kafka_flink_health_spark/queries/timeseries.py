@@ -1517,3 +1517,62 @@ def forecast_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mae_n / 100).alias("mae_naive_dollars"),
         F.try_divide(mae_m, mae_n).alias("mase"),
     )
+
+
+@register(
+    "rolling_median_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderdate IS NOT NULL
+      GROUP BY 1
+    ), w AS (
+      SELECT day, cents,
+             list(cents) OVER (ORDER BY day
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS win
+      FROM daily
+    )
+    SELECT day, cents,
+           CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT)
+             AS med7_cents,
+           CAST(len(win) AS BIGINT) AS n_win
+    FROM w
+    """,
+)
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day LOWER median of daily revenue — the robust
+    trend line dashboards want where a rolling mean chases outliers.
+    Means have running-sum identities; an EXACT windowed median does
+    not, so the bounded window is materialized as a 7-element array and
+    sorted per row (49 comparisons — cheaper than any sketch at this
+    window size, and deterministic: the lower median is element
+    (n+1)//2 of the sorted window, never an interpolation both engines
+    could round differently).
+
+    The window runs over the DAY aggregate (~2.4k rows whatever the
+    fact size), so the per-row array sort is over a dimension, not the
+    data — at 100 TB the plan is still one fact-side hash aggregate
+    plus a tiny ordered pass."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = F.array_sort(F.collect_list("cents").over(w))
+    return daily.select(
+        "day",
+        "cents",
+        F.element_at(win, ((F.size(win) + 1) / 2).cast("int"))
+        .cast("long")
+        .alias("med7_cents"),
+        F.size(win).cast("long").alias("n_win"),
+    )

@@ -217,6 +217,19 @@ PROBES = [
     "stats_kruskal_wallis",
     "eval_mrr_map",
     "versioned_branch_rebase",
+    # round-10 packs
+    "fx_asof_revenue",
+    "finance_sharpe_rolling",
+    "ledger_trial_balance",
+    "graph_label_propagation",
+    "graph_jaccard_neighbors",
+    "eval_krippendorff_alpha",
+    "text_collation_group",
+    "stats_grubbs_test",
+    "mlprep_curriculum_phases",
+    "eval_clipped_ngram_precision",
+    "rolling_median_revenue",
+    "multimodal_aspect_buckets",
 ]
 
 

@@ -33,6 +33,8 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-10 finance pack
+    "rolling_median_revenue",
+    "multimodal_aspect_buckets",
     "stats_grubbs_test",
     "stats_mcnemar_test",
     "mlprep_curriculum_phases",

@@ -831,3 +831,53 @@ def test_bh_fdr_replicates_partial_aggregate_before_shuffle(spark):
     m = re.findall(r"HashAggregate", plan)
     assert len(m) >= 4, plan  # partial+final for replicate and p-value aggs
     assert "CartesianProduct" not in plan
+
+
+def test_fx_asof_fact_side_never_sorts(spark):
+    """fx_asof_revenue's scale contract: the rate dimension is filled
+    with ONE window (over the tiny spine) and the fact side equi-joins it
+    broadcast — no Sort/Window over the orders-sized subtree and no
+    nested-loop join against facts (the only BNLJ is the 7x2405 spine
+    cross product)."""
+    plan = plan_of(spark, "fx_asof_revenue")
+    assert plan.count("Window") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lpa_round_shape_no_cartesian(spark):
+    """Label propagation: every round is equi-join + two hash aggregates;
+    nothing degenerates to a nested loop and the census top-50 is a
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "graph_label_propagation")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_jaccard_neighbors_semi_cap_before_pairs(spark):
+    """The hub cap must apply BEFORE the pair self-join (left-semi
+    against the capped part set), and the top-50 is TakeOrdered."""
+    plan = plan_of(spark, "graph_jaccard_neighbors")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_clipped_ngram_counts_partial_aggregate(spark):
+    """BLEU clip: gram counts partial-aggregate below their exchanges
+    (the shuffle carries (pair, gram) cells, not raw gram occurrences)
+    and the pair staging is reused via localCheckpoint (scans appear
+    once)."""
+    plan = plan_of(spark, "eval_clipped_ngram_precision")
+    assert "CartesianProduct" not in plan, plan
+    # four count aggregates (cand/ref x uni/bi), each partial+final
+    assert plan.count("HashAggregate") >= 8, plan
+
+
+def test_grubbs_stats_broadcast_back(spark):
+    """Grubbs joins the per-type stats back to events as a BROADCAST
+    (stats side is |event_types| rows) — the fact side never shuffles
+    for the join."""
+    plan = plan_of(spark, "stats_grubbs_test")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
