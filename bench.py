@@ -135,6 +135,7 @@ HEADLINE = [
     "hr_alerts_sliding_10s",
     "embedding_cosine_topk_wide",
     "embedding_cosine_topk_arrow_wide",
+    "embedding_cosine_topk_auto",
     # round-4 analytics widening: exact rolling distinct; distributed
     # global prefix sum; per-user sequence windows; corpus entropy
     "rolling_active_users",

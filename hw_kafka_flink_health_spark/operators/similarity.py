@@ -914,3 +914,42 @@ def semdedup(
     return assigned.join(drops, id_col, "left").select(
         id_col, "cluster", F.col("__drop").isNull().alias("keep")
     )
+
+
+def cosine_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rank_round: int = 6,
+    work_threshold: int = 10_000_000,
+) -> DataFrame:
+    """Exact cosine top-k with the tier CHOSEN from estimated work.
+
+    PLANS.md pins the measured crossover between the two exact tiers at
+    ~10M multiply-adds on this container: below it the Catalyst
+    higher-order-function fold (`cosine_topk`) wins because the Arrow
+    tier pays ~0.5-1 s of fixed Python-worker/transfer cost; above it
+    the BLAS matmul tier (`cosine_topk_arrow`) wins and its advantage
+    grows with dims. This wrapper prices the job as
+    corpus_rows x query_rows x dims and routes accordingly — the rule a
+    user would otherwise apply by hand, and the one a 100 TB deployment
+    wants automated (at that scale it always routes to arrow; the
+    counts are metadata-cheap parquet counts, the dim probe reads one
+    row).
+
+    Both tiers share the same contract (exact, self-matches excluded,
+    round+id-tiebreak ranking) and the same oracle/parity tests, so the
+    choice is purely a latency decision — never a result change.
+    """
+    n_c = corpus.count()
+    n_q = queries.count()
+    first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    work = n_c * n_q * max(dim, 1)
+    tier = cosine_topk_arrow if work > work_threshold else cosine_topk
+    return tier(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k, rank_round=rank_round
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_auto,
     ivf_det_topk,
     lsh_ann_topk,
     neardup_pairs_blocked,
@@ -1138,4 +1139,41 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pool.groupBy(F.lit(1).alias("__g")).applyInPandas(
         mmr, schema="vec_id long, rnd long, score long"
+    )
+
+
+@register(
+    "embedding_cosine_topk_auto",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 20
+    ), c AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+    ), r AS (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        FROM c
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-routed exact cosine tier (operators/similarity.py:
+    cosine_topk_auto): prices the job as corpus x queries x dims
+    multiply-adds against the measured ~10M crossover (PLANS.md) and
+    picks the Catalyst fold below it, the Arrow/BLAS tier above. Same
+    oracle as both fixed tiers — the router can never change the result,
+    only the latency. At sf0.01 (2k x 20 x 64 = 2.6M) it routes to the
+    expression tier; at sf0.1 (20k x 20 x 64 = 26M) to arrow — so the
+    driver and the bench exercise BOTH routes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = cosine_topk_auto(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     )

@@ -230,6 +230,7 @@ PROBES = [
     "eval_clipped_ngram_precision",
     "rolling_median_revenue",
     "multimodal_aspect_buckets",
+    "embedding_cosine_topk_auto",
 ]
 
 

@@ -94,6 +94,14 @@ SHOWCASE = {
     "text_keyness_g2": "one (source, token) aggregate + three tiny-aggregate joins back (per-source totals broadcast, token totals co-partitioned, corpus total 1-row); per-source top-10 under WindowGroupLimit",
     "embedding_mutual_nn": "Arrow/BLAS top-1 over the bounded pool, then a reciprocity self-join of the checkpointed (id, nn) table - search cost O(N k), reciprocity O(N)",
     "stats_cochran_armitage": "one map-side-combined aggregate to <=7 dose rows + a 1-row reduction; all sufficient statistics exact BIGINTs",
+    # round-9 additions
+    "fx_asof_revenue": "as-of FX conversion inverted for scale: the sparse rate dimension forward-fills over its tiny day spine (ONE window), facts equi-join it broadcast - zero fact-side sort; the oracle pins the same semantic via native ASOF JOIN",
+    "graph_label_propagation": "semi-synchronous LPA: per round one equi-join against the checkpointed edge list + (node,label) count + struct-min argmax, all hash-partitioned on node; round 1 collapses to min(neighbor) because distinct edges make every count 1",
+    "graph_jaccard_neighbors": "neighborhood Jaccard: hub-capped postings self-join generates candidates (bounded by sum d_p^2), degrees join back over the SAME capped universe, global top-50 is TakeOrderedAndProject",
+    "eval_clipped_ngram_precision": "BLEU-style clipped precision: staged token arrays (one localCheckpoint) feed four partial-aggregated gram counts; clip joins are co-partitioned on (pair, gram)",
+    "finance_sharpe_rolling": "rolling Sharpe on integer sufficient statistics: fact-side hash agg to (region, day), lag + rolling windows over the ~2.4k-day dimension, variance numerator squared in DECIMAL(38,0)",
+    "stats_grubbs_test": "Grubbs outlier screen: one stats aggregate, broadcast join-back (stats side = |event_types| rows), one max/argmax aggregate - two passes over events, zero sorts",
+    "multimodal_aspect_buckets": "aspect bucketing: one Arrow decode pass over real BMP payloads (checkpointed), bucket aggregate + broadcast join-back of the ~15-row bucket table for the waste sum",
 }
 
 # Measured evidence that is not a single query's plan: kept here so PLANS.md

@@ -613,3 +613,27 @@ def test_minhash_det_finds_planted_duplicate_and_is_deterministic(spark):
     assert got[exact_key] == 1.0  # identical docs share every signature row
     again = {(r.doc1, r.doc2): r.est_jaccard for r in pairs.collect()}
     assert got == again
+
+
+def test_cosine_auto_routes_by_work_and_matches(spark):
+    """cosine_topk_auto routes on corpus x queries x dims vs the
+    threshold: forced-low threshold must take the arrow tier, forced-high
+    the expression tier, and BOTH must return the identical neighbor/rank
+    sets (the router is latency-only, never result-changing)."""
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_topk_auto
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def key(df):
+        return {(r.query_id, r.rank): r.neighbor_id for r in df.collect()}
+
+    via_arrow = cosine_topk_auto(emb, q, k=3, work_threshold=1)
+    via_expr = cosine_topk_auto(emb, q, k=3, work_threshold=10**18)
+    # the arrow tier is mapInPandas (PythonMapInArrow/MapInPandas in the
+    # plan); the expression tier is a pure codegen join
+    arrow_plan = via_arrow._jdf.queryExecution().executedPlan().toString()
+    expr_plan = via_expr._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in arrow_plan or "PythonMapInArrow" in arrow_plan, arrow_plan
+    assert "MapInPandas" not in expr_plan and "PythonMapInArrow" not in expr_plan
+    assert key(via_arrow) == key(via_expr)

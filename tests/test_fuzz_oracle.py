@@ -33,6 +33,7 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-10 finance pack
+    "embedding_cosine_topk_auto",
     "rolling_median_revenue",
     "multimodal_aspect_buckets",
     "stats_grubbs_test",
