@@ -936,18 +936,23 @@ def cosine_topk_auto(
     grows with dims. This wrapper prices the job as
     corpus_rows x query_rows x dims and routes accordingly — the rule a
     user would otherwise apply by hand, and the one a 100 TB deployment
-    wants automated (at that scale it always routes to arrow; the
-    counts are metadata-cheap parquet counts, the dim probe reads one
-    row).
+    wants automated (at that scale it always routes to arrow). Pricing
+    costs TWO eager jobs: one corpus count (metadata-cheap for a bare
+    parquet scan, a real pass for a filtered/derived frame — callers on
+    the hot path with a known-big corpus should call the arrow tier
+    directly) and one combined count+dim aggregate over the small query
+    side.
 
     Both tiers share the same contract (exact, self-matches excluded,
     round+id-tiebreak ranking) and the same oracle/parity tests, so the
     choice is purely a latency decision — never a result change.
     """
     n_c = corpus.count()
-    n_q = queries.count()
-    first = queries.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    probe = queries.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    n_q = int(probe["n"])
+    dim = int(probe["d"]) if probe["d"] is not None else 0
     work = n_c * n_q * max(dim, 1)
     tier = cosine_topk_arrow if work > work_threshold else cosine_topk
     return tier(

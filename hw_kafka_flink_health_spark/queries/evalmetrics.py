@@ -1091,9 +1091,9 @@ def eval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unit, CAST(sum(o_uc) AS BIGINT) AS n_u FROM o GROUP BY unit
     ), pair AS (
       SELECT o.unit, o.cat, o.o_uc, u.n_u FROM o JOIN u USING (unit)
-      WHERE u.n_u >= 2
+      WHERE u.n_u >= 2 AND u.n_u <= 17
     ), do_s AS (
-      SELECT CAST(sum(o_uc * (n_u - o_uc) * (12 // (n_u - 1))) AS BIGINT)
+      SELECT CAST(sum(o_uc * (n_u - o_uc) * (720720 // (n_u - 1))) AS BIGINT)
                AS do_scaled,
              CAST(sum(o_uc) AS BIGINT) AS p_total
       FROM pair
@@ -1107,7 +1107,7 @@ def eval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT do_s.p_total AS n_ratings,
            do_s.do_scaled, de_s.de_num,
            1 - (do_s.do_scaled * (do_s.p_total - 1))
-               / nullif(CAST(12 * de_s.de_num AS DOUBLE), 0.0) AS alpha
+               / nullif(CAST(720720 * de_s.de_num AS DOUBLE), 0.0) AS alpha
     FROM do_s, de_s
     """,
 )
@@ -1120,13 +1120,14 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly per the coincidence-matrix formulation.
 
     Exactness trick: the per-unit disagreement term o_uc(n_u-o_uc)/(n_u-1)
-    has denominator n_u-1 <= 4 (at most 5 raters), so scaling every term
-    by 12/(n_u-1) — an INTEGER for all realizable n_u — turns Do into an
-    exact BIGINT; De's numerator sum t_c(P-t_c) is integer outright, and
-    alpha = 1 - Do_scaled*(P-1)/(12*De_num) is ONE double division of
-    exact integers, emitted unrounded. Plan: three hash aggregates over
-    progressively tiny tables and two scalar broadcasts — the fact table
-    is touched once."""
+    has denominator n_u-1, so scaling every term by 720720/(n_u-1) —
+    an INTEGER for every n_u <= 17 (720720 = lcm(1..16); larger units
+    are excluded identically in both engines) — turns Do into an exact
+    BIGINT; De's numerator sum t_c(P-t_c) is integer outright, and
+    alpha = 1 - Do_scaled*(P-1)/(720720*De_num) is ONE double division
+    of exact integers, emitted unrounded. Plan: three hash aggregates
+    over progressively tiny tables and two scalar broadcasts; the
+    coincidence table is checkpointed so the fact scan runs once."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull() & F.col("value").isNotNull()
     )
@@ -1148,17 +1149,29 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("o_uc")
     )
     u = o.groupBy("unit").agg(F.sum("o_uc").cast("long").alias("n_u"))
-    pair = o.join(u, "unit").filter(F.col("n_u") >= 2)
+    # pair feeds three consumers (do_s, tc, and de_s transitively) —
+    # checkpoint so the events scan runs ONCE (review finding: without
+    # it the fact table was scanned 6x). The n_u cap pairs with the
+    # 720720 = lcm(1..16) scale: 720720 DIV (n_u - 1) is exact for every
+    # n_u <= 17, so the Do sum stays an exact integer no matter how many
+    # rater categories a regenerated corpus carries; units beyond 17
+    # raters are excluded IDENTICALLY in both engines (documented
+    # precondition, not a silent truncation).
+    pair = (
+        o.join(u, "unit")
+        .filter((F.col("n_u") >= 2) & (F.col("n_u") <= 17))
+        .localCheckpoint()
+    )
     do_s = pair.agg(
         F.sum(
             F.col("o_uc")
             * (F.col("n_u") - F.col("o_uc"))
-            * F.expr("12 DIV (n_u - 1)")
+            * F.expr("720720 DIV (n_u - 1)")
         )
         .cast("long")
         .alias("do_scaled"),
         F.sum("o_uc").cast("long").alias("p_total"),
-    )
+    ).localCheckpoint()
     tc = pair.groupBy("cat").agg(F.sum("o_uc").cast("long").alias("t_c"))
     de_s = (
         tc.crossJoin(F.broadcast(do_s.select("p_total")))
@@ -1170,7 +1183,7 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alpha = 1 - F.try_divide(
         F.col("do_scaled") * (F.col("p_total") - 1),
-        F.nullif((12 * F.col("de_num")).cast("double"), F.lit(0.0)),
+        F.nullif((720720 * F.col("de_num")).cast("double"), F.lit(0.0)),
     )
     return (
         do_s.crossJoin(F.broadcast(de_s))

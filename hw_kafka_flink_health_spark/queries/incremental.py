@@ -649,9 +649,13 @@ def versioned_check_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    # the table's CHECK treats a NULL result as a violation (strict
+    # boundary, pinned in test_versioned) — admit NULL prices explicitly
+    # so pathological corpora (nulls fuzz) commit the same slices the
+    # oracle replays
     commit_snapshot_checked(
         orders.filter(F.col("o_orderkey") % 3 == 0), table_dir,
-        check="o_totalprice > 0",
+        check="o_totalprice IS NULL OR o_totalprice > 0",
     )
     bad = orders.filter(F.col("o_orderkey") % 3 == 2)
     # on pathological corpora (fuzz fixtures) this slice can be EMPTY —
@@ -669,7 +673,7 @@ def versioned_check_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
     commit_snapshot_checked(
         orders.filter(F.col("o_orderkey") % 3 == 1), table_dir,
-        check="o_totalprice > 0", mode="append",
+        check="o_totalprice IS NULL OR o_totalprice > 0", mode="append",
     )
     return read_snapshot(spark, table_dir).groupBy(
         F.col("o_orderpriority").alias("priority")

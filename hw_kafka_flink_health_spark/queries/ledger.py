@@ -557,11 +557,19 @@ def fx_asof_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "cur",
-            F.datediff(
-                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
-            )
-            .cast("long")
-            .alias("order_day"),
+            # clamp to the spine's last day: the latest rate <= any
+            # LATER order day is the fill at _FX_DAY_HI, which is what
+            # the oracle's unbounded ASOF join returns — without the
+            # clamp a post-spine order silently reads as unrated
+            # (review finding). Days BEFORE the spine stay unclamped:
+            # no rate exists at or before them in either engine.
+            F.least(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                ).cast("long"),
+                F.lit(_FX_DAY_HI).cast("long"),
+            ).alias("order_day"),
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
@@ -741,16 +749,19 @@ def ledger_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately to the (month x account) grid — a few hundred rows no
     matter the fact size, so the running-balance window sorts a
     dimension, not the data."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").isNotNull()
-    )
+    # the order-date filter applies ONLY to the order-month legs; the
+    # ship legs are dated by ship_ts, so an order with a NULL order date
+    # but shipped lineitems still books its cash/AR-credit pair (the
+    # oracle has no date filter on the ship legs either — review finding)
+    orders_all = load_table(spark, sf_dir, "orders")
+    orders = orders_all.filter(F.col("o_orderdate").isNotNull())
     lineitem = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("o_totalprice") * 100).cast("long")
     order_month = F.unix_millis(
         F.date_trunc("month", "o_orderdate").cast("timestamp")
     ).alias("month_ms")
 
-    def legs(month_col, debit_acct: str, credit_acct: str) -> F.Column:
+    def legs(debit_acct: str, credit_acct: str) -> F.Column:
         return F.array(
             F.struct(
                 F.lit(debit_acct).alias("account"),
@@ -766,7 +777,7 @@ def ledger_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     order_post = orders.select(
         order_month,
-        F.explode(legs(None, "accounts_receivable", "revenue")).alias("p"),
+        F.explode(legs("accounts_receivable", "revenue")).alias("p"),
     )
     first_ship = (
         lineitem.filter(F.col("l_shipdate").isNotNull())
@@ -774,12 +785,12 @@ def ledger_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_shipdate").alias("ship_ts"))
     )
     ship_post = (
-        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        orders_all.join(first_ship, orders_all.o_orderkey == first_ship.l_orderkey)
         .select(
             F.unix_millis(F.date_trunc("month", "ship_ts").cast("timestamp")).alias(
                 "month_ms"
             ),
-            F.explode(legs(None, "cash", "accounts_receivable")).alias("p"),
+            F.explode(legs("cash", "accounts_receivable")).alias("p"),
         )
     )
     tb = (

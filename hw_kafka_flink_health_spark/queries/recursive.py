@@ -201,7 +201,9 @@ _HOLT_ORACLE = (
 WITH RECURSIVE months AS (
   SELECT date_trunc('MONTH', o_orderdate) AS m,
          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
-  FROM orders GROUP BY date_trunc('MONTH', o_orderdate)
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY date_trunc('MONTH', o_orderdate)
 ), idx AS (
   SELECT m, c / CAST(100.0 AS DOUBLE) AS y,
          CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS i
@@ -225,7 +227,13 @@ def recursive_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     _ensure_recursion_headroom(spark)
-    orders = load_table(spark, sf_dir, "orders")
+    # NULL dates/prices out: a NULL month group flips the row_number
+    # anchor between the engines' NULL-ordering defaults, and an
+    # all-NULL-price month would send a NULL y through every later
+    # recursion step (nulls fuzz finding).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     months = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("m")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"))

@@ -204,7 +204,7 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT o_totalprice,
              ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
@@ -222,7 +222,12 @@ def histogram_equidepth_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
     is a single-partition sort — fine for stats tables, and the approx
     path (approx_percentile boundaries) keeps the same output shape when
     the input is the raw 100 TB fact."""
-    orders = load_table(spark, sf_dir, "orders")
+    # NULL prices are excluded: the sort key must be non-null or the
+    # engines' opposite NULL-ordering defaults (Spark FIRST, DuckDB
+    # LAST) flip every bucket assignment (nulls fuzz finding).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     b = orders.select(
         "o_totalprice",
         F.ntile(8)

@@ -1139,7 +1139,8 @@ def timeseries_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM orders WHERE o_orderdate IS NOT NULL
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1
     ), w AS (
       SELECT d, cents,
@@ -1526,7 +1527,8 @@ def forecast_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
              CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM orders WHERE o_orderdate IS NOT NULL
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1
     ), w AS (
       SELECT day, cents,
@@ -1556,8 +1558,12 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact size), so the per-row array sort is over a dimension, not the
     data — at 100 TB the plan is still one fact-side hash aggregate
     plus a tiny ordered pass."""
+    # o_totalprice NULLs must go: a day whose every price is NULL gets
+    # cents = NULL, and Spark's collect_list DROPS window NULLs while
+    # DuckDB's list() keeps them — n_win and the median index diverge
+    # (review finding, reproduced). With the filter, cents is never NULL.
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").isNotNull()
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
     )
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("day")

@@ -93,9 +93,26 @@ def build(spark, scenario: str, base: str | None = None) -> str:
                     )
                 )
             if t == "orders":
-                df = df.withColumn(
-                    "o_orderpriority",
-                    F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")),
+                # o_orderdate/o_totalprice NULLs too (round-9 review:
+                # ledger_trial_balance filtered ship legs on order date
+                # and rolling_median_revenue let a NULL day-sum into the
+                # window where collect_list vs list() diverge — both
+                # reproduced only on data this scenario never built)
+                df = (
+                    df.withColumn(
+                        "o_orderpriority",
+                        F.when(
+                            F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")
+                        ),
+                    )
+                    .withColumn(
+                        "o_orderdate",
+                        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderdate")),
+                    )
+                    .withColumn(
+                        "o_totalprice",
+                        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_totalprice")),
+                    )
                 )
             if t == "lineitem":
                 # NULL measures on the biggest fact table (the round-5
@@ -165,7 +182,7 @@ def sweep(spark, scenario: str) -> list:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{base}/{t}.parquet/*.parquet')"
         )
     fails = []
-    todo = sorted(_only() or ORACLES)
+    todo = sorted(set(_only()) & set(ORACLES) if _only() else ORACLES)
     for i, name in enumerate(todo):
         t0 = time.time()
         try:
@@ -256,7 +273,7 @@ def sweep_repart(spark) -> list:
         )
     }
     fails = []
-    todo = sorted(_only() or ORACLES)
+    todo = sorted(set(_only()) & set(ORACLES) if _only() else ORACLES)
     try:
         for i, name in enumerate(todo):
             t0 = time.time()
