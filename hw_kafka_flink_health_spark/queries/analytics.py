@@ -913,7 +913,9 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey AS p_partkey,
              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
                   AS BIGINT) AS rev_cents
-      FROM lineitem GROUP BY 1
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+      GROUP BY 1
     ), c AS (
       SELECT p_partkey, rev_cents,
              sum(rev_cents) OVER (ORDER BY rev_cents DESC, p_partkey
@@ -941,7 +943,13 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cum*100 <= total*80), immune to FP rounding at the thresholds."""
     from hw_kafka_flink_health_spark.operators.relational import global_prefix_sum
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL-priced lines carry no revenue; without the filter a part
+    # whose EVERY line is NULL-priced gets rev_cents = NULL, and a NULL
+    # sort key sits at opposite ends of the two engines' default orders
+    # (nulls fuzz finding)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_discount").isNotNull()
+    )
     rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.sum(
             F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(

@@ -1113,6 +1113,7 @@ def percentile_matrix_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS UNBOUNDED PRECEDING) AS cum,
              sum(CAST(l_quantity AS DOUBLE)) OVER (PARTITION BY l_returnflag) AS tot
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     )
     SELECT l_returnflag,
            round(min(CASE WHEN cum >= tot / 2 THEN price END), 2) AS weighted_median,
@@ -1129,7 +1130,13 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the crossing row is a conditional min, not a second scan. Order is
     totalized by (price, orderkey, linenumber) so the crossing row is
     unique in both engines."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL prices/weights out: a NULL sort key lands NULLS FIRST in
+    # Spark but NULLS LAST in DuckDB, shifting every cumulative weight
+    # (nulls fuzz finding); a NULL-priced row could also never BE the
+    # median yet would still move cum.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     wc = (
         Window.partitionBy("l_returnflag")
         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")

@@ -117,10 +117,25 @@ def build(spark, scenario: str, base: str | None = None) -> str:
             if t == "lineitem":
                 # NULL measures on the biggest fact table (the round-5
                 # review flagged that only events/orders were nulled, so
-                # lineitem aggregate guards went unexercised)
-                df = df.withColumn(
-                    "l_quantity",
-                    F.when(F.col("l_linenumber") % 3 != 0, F.col("l_quantity")),
+                # lineitem aggregate guards went unexercised); round-9
+                # extends to l_extendedprice and l_shipdate — the same
+                # NULL-sort-key / NULL-in-window class the order-side
+                # extension caught three latent divergences in
+                df = (
+                    df.withColumn(
+                        "l_quantity",
+                        F.when(F.col("l_linenumber") % 3 != 0, F.col("l_quantity")),
+                    )
+                    .withColumn(
+                        "l_extendedprice",
+                        F.when(
+                            F.col("l_linenumber") % 4 != 0, F.col("l_extendedprice")
+                        ),
+                    )
+                    .withColumn(
+                        "l_shipdate",
+                        F.when(F.col("l_linenumber") % 5 != 0, F.col("l_shipdate")),
+                    )
                 )
             if t == "documents":
                 # text NULL too (round-7 ADVICE: bpe_encode crashed on a
