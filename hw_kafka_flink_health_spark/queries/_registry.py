@@ -12,6 +12,11 @@ Conventions that make the value-hash comparison meaningful:
 * Cast integer-ish results so types line up (DuckDB SUM(int)->HUGEINT needs
   ::BIGINT; Spark length()/year()/rank() int -> cast to long).
 * Timestamps: emit epoch millis (unix_millis vs epoch_ms) or TIMESTAMP_NTZ.
+* NEVER let a nullable expression reach a window ORDER BY: DuckDB's
+  parallel window places a NULL sort key NONDETERMINISTICALLY (observed:
+  three different outputs on identical data, explicit NULLS FIRST does
+  not pin it), so the oracle itself flakes run-to-run. Filter the NULLs
+  or coalesce the key to a sentinel — identically on both sides.
 """
 
 from __future__ import annotations

@@ -413,7 +413,9 @@ def autocorr_user_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(ts) AS last_ts,
              CAST(count(*) AS BIGINT) AS frequency,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY user_id
     ), mx AS (SELECT max(ts) AS now_ts FROM events)
     SELECT user_id,
            CAST(date_diff('day', last_ts, mx.now_ts) AS BIGINT) AS recency_days,
@@ -436,8 +438,12 @@ def rfm_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not the events) — fine at any scale where 'users' fits a stats
     table; swap to percentile buckets when it doesn't."""
     ev = load_table(spark, sf_dir, "events")
+    # user_id is an ntile tie-break key — a NULL window sort key is
+    # placed nondeterministically by DuckDB's parallel window
+    # (reproduced); unattributable purchases are excluded on both sides
     p = (
         ev.filter(F.col("event_type") == "purchase")
+        .filter(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
             F.max("ts").alias("last_ts"),
@@ -1114,7 +1120,7 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT end_ms, -1, user_id FROM iv
     ), run AS (
       SELECT ts_ms, delta,
-             sum(delta) OVER (ORDER BY ts_ms, delta, user_id
+             sum(delta) OVER (ORDER BY ts_ms, delta, coalesce(user_id, -1)
                               ROWS UNBOUNDED PRECEDING) AS live
       FROM sweep
     )
@@ -1164,7 +1170,15 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("end_ms").alias("ts_ms"), F.lit(-1).alias("delta"), "user_id")
     )
     run = global_prefix_sum(
-        sweep, "delta", ["ts_ms", "delta", "user_id"], out_col="live"
+        sweep,
+        "delta",
+        # coalesce: a NULL user_id in the sweep's sort tuple hits
+        # DuckDB's nondeterministic NULL-window placement (the twin
+        # orders by coalesce(user_id, -1) too); partial sums within a
+        # (ts, delta) tie group are permutation-invariant, but the keys
+        # themselves must be non-null for the replay to be stable
+        ["ts_ms", "delta", F.coalesce(F.col("user_id"), F.lit(-1))],
+        out_col="live",
     )
     peak = run.agg(F.max("live").alias("__peak"))
     return (

@@ -646,13 +646,18 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     ) WHERE rank <= 3
     """,
 )
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer — row_number with unique tiebreak."""
-    orders = load_table(spark, sf_dir, "orders")
+    """Top-3 orders per customer — row_number with unique tiebreak.
+    NULL prices are excluded: DuckDB's parallel window places a NULL
+    ORDER-BY key nondeterministically (even across runs on identical
+    data — reproduced), so no nullable key may reach a window sort."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     return top_k_per_group(
         orders.select("o_custkey", "o_orderkey", "o_totalprice"),
         group_cols=["o_custkey"],
@@ -670,13 +675,17 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY o_orderdate, o_orderkey
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS running_total
-    FROM orders
+    FROM orders WHERE o_orderdate IS NOT NULL
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative sum per customer over a total order (date, key) — the
-    sequential fold is order-identical in both engines, so exact."""
-    orders = load_table(spark, sf_dir, "orders")
+    sequential fold is order-identical in both engines, so exact.
+    NULL order dates are excluded (nullable window sort key — see
+    window_topk_per_group)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -696,13 +705,15 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(value - lag(value) OVER w, 4) AS delta_prev,
            round(lead(value) OVER w - value, 4) AS delta_next,
            CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank
-    FROM events
+    FROM events WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead/rank analytic functions per user timeline."""
-    ev = load_table(spark, sf_dir, "events")
+    """lag/lead/rank analytic functions per user timeline. NULL values
+    are excluded: `value` is a rank sort key, and a nullable window
+    sort key is nondeterministic in DuckDB (see window_topk_per_group)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wr = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
     return ev.select(

@@ -62,7 +62,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
       SELECT fp, doc_id, n_chars,
              row_number() OVER (PARTITION BY fp
-                                ORDER BY n_chars DESC, doc_id) AS rn,
+                                ORDER BY coalesce(n_chars, -1) DESC, doc_id)
+               AS rn,
              count(*) OVER (PARTITION BY fp) AS n_copies
       FROM f
     )
@@ -77,8 +78,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ by truncation. One shuffle on the fingerprint; the window and
     the group count share its partitioning."""
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce: n_chars can be NULL, and a NULL window sort key is
+    # placed nondeterministically by DuckDB's parallel window — a
+    # NULL-length copy simply loses to every measured one
     w = Window.partitionBy("fp").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
+        F.coalesce(F.col("n_chars"), F.lit(-1)).desc(), F.col("doc_id").asc()
     )
     wc = Window.partitionBy("fp")
     return (

@@ -881,7 +881,7 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
              round(sum(o_totalprice), 2) AS revenue
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     cums AS (
       SELECT day, revenue, sum(revenue) OVER (ORDER BY day) AS cum
@@ -911,7 +911,13 @@ def orders_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical order — bitwise-deterministic doubles, no summation-order
     jitter for the hash to trip on. try_divide/nullif guard the
     peak-zero degenerate (all-negative or empty fuzz data)."""
-    orders = load_table(spark, sf_dir, "orders")
+    # NULL order dates out: the NULL day group becomes a window sort
+    # key, and DuckDB's parallel window places a NULL key
+    # NONDETERMINISTICALLY (three distinct outputs observed on identical
+    # data — the round-9 flake hunt's root cause)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
