@@ -692,7 +692,7 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
              ) AS rn_d
       FROM lineitem
-      WHERE l_quantity > 0
+      WHERE l_quantity > 0 AND l_shipdate IS NOT NULL
     )
     SELECT bar_month,
            round(max(CASE WHEN rn_a = 1 THEN unit_price END), 6) AS open,
@@ -719,7 +719,12 @@ def timeseries_ohlc_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — no per-bar sort anywhere (the oracle's row_number
     formulation sorts every bar; at 100 TB a bar holds billions of rows
     and that sort would BE the job)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # l_shipdate orders the open/close windows — a nullable window sort
+    # key flakes in DuckDB (registry convention); unshipped lines have
+    # no bar anyway
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & F.col("l_shipdate").isNotNull()
+    )
     month = F.date_trunc("month", F.col("l_shipdate"))
     # total order within the bar: (shipdate, orderkey, linenumber)
     okey = F.struct("l_shipdate", "l_orderkey", "l_linenumber")
