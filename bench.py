@@ -301,10 +301,12 @@ HEADLINE = [
     # homogeneity, G2 corpus keyness, bucketed co-located join
     "graph_kcore",
     "graph_label_propagation",
+    "graph_harmonic_centrality",
     "graph_jaccard_neighbors",
     "stats_levene_test",
     "text_keyness_g2",
     "text_collation_group",
+    "text_kwic_concordance",
     "join_bucketed_colocated",
     # round-7 pack b: reciprocal best-match pairs, trend-in-proportions
     "embedding_mutual_nn",
@@ -331,6 +333,7 @@ HEADLINE = [
     "eval_ndcg_at_k",
     "eval_krippendorff_alpha",
     "eval_clipped_ngram_precision",
+    "eval_cost_optimal_threshold",
     "policy_ips_offline_eval",
     "versioned_branch_merge",
     "stats_logrank_test",

@@ -1346,3 +1346,77 @@ def eval_clipped_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("bi_den").cast("double"), F.lit(0.0)),
         ).alias("p2"),
     )
+
+
+@register(
+    "eval_cost_optimal_threshold",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    byval AS (
+      SELECT score,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(count(*) AS BIGINT) AS c
+      FROM scored GROUP BY score
+    ), tot AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+             CAST(sum(c - pos) AS BIGINT) AS n_tot
+      FROM byval
+    ), sweep AS (
+      SELECT score AS th,
+             CAST(sum(pos) OVER (ORDER BY score
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS BIGINT) AS fn,
+             CAST(sum(c - pos) OVER (ORDER BY score
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS BIGINT) AS tn
+      FROM byval
+    ), costs AS (
+      SELECT th,
+             coalesce(fn, 0) AS fn, coalesce(tn, 0) AS tn,
+             tot.p_tot - coalesce(fn, 0) AS tp,
+             tot.n_tot - coalesce(tn, 0) AS fp,
+             5 * coalesce(fn, 0) + (tot.n_tot - coalesce(tn, 0)) AS cost
+      FROM sweep CROSS JOIN tot
+    )
+    SELECT (min({{'cost': cost, 'th': th}})).th AS best_threshold,
+           CAST((min({{'cost': cost, 'th': th}})).cost AS BIGINT) AS best_cost,
+           CAST(min(cost) AS BIGINT) AS min_cost_check
+    FROM costs
+    """,
+)
+def eval_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-optimal operating point: sweep EVERY distinct score as a
+    threshold and pick the one minimizing 5*FN + 1*FP (the asymmetric
+    cost a screening classifier actually deploys with) — ties resolved
+    to the lowest threshold via a struct-min, never an engine's
+    arbitrary argmin. One hash aggregate to distinct score values, a
+    cumulative window over THAT table (distinct-score-sized, never the
+    raw rows — the rank-statistics rule), and a 1-row reduce; all
+    counts exact integers."""
+    scored = _scored(spark, sf_dir).filter(F.col("score").isNotNull())
+    byval = scored.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    tot = byval.agg(
+        F.sum("pos").cast("long").alias("p_tot"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("n_tot"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    sweep = byval.select(
+        F.col("score").alias("th"),
+        F.coalesce(F.sum("pos").over(w), F.lit(0)).cast("long").alias("fn"),
+        F.coalesce(F.sum(F.col("c") - F.col("pos")).over(w), F.lit(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    costs = sweep.crossJoin(F.broadcast(tot)).select(
+        "th",
+        (5 * F.col("fn") + (F.col("n_tot") - F.col("tn"))).alias("cost"),
+    )
+    pick = F.min(F.struct(F.col("cost").alias("cost"), F.col("th").alias("th")))
+    return costs.agg(
+        pick["th"].alias("best_threshold"),
+        pick["cost"].cast("long").alias("best_cost"),
+        F.min("cost").cast("long").alias("min_cost_check"),
+    )

@@ -870,3 +870,114 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("jaccard"), "c1", "c2").limit(50)
+
+
+_HC_SEEDS = ("s1", "s2", "c1", "c7")
+_HC_ROUNDS = 3
+
+
+def _harmonic_oracle() -> str:
+    """Unrolled multi-source BFS twin keyed (seed, node); harmonic mass
+    emitted as the exact integer 6/d sum (6, 3, 2 for d = 1, 2, 3)."""
+    seeds = ", ".join(f"('{s}')" for s in _HC_SEEDS)
+    pre = f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    ed AS MATERIALIZED (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ),
+    d0 AS (SELECT seed, seed AS node, 0 AS dist
+           FROM (VALUES {seeds}) s(seed))"""
+    its = []
+    for i in range(1, _HC_ROUNDS + 1):
+        its.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT seed, node, min(dist) AS dist FROM (
+        SELECT seed, node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT d.seed, ed.dst AS node, d.dist + 1 AS dist
+        FROM d{i - 1} d JOIN ed ON d.node = ed.src
+      ) GROUP BY seed, node
+    )""")
+    return (
+        pre
+        + ","
+        + ",".join(its)
+        + f"""
+    SELECT seed,
+           CAST(count(*) FILTER (dist = 1) AS BIGINT) AS n_d1,
+           CAST(count(*) FILTER (dist = 2) AS BIGINT) AS n_d2,
+           CAST(count(*) FILTER (dist = 3) AS BIGINT) AS n_d3,
+           CAST(sum(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3
+                              WHEN 3 THEN 2 ELSE 0 END) AS BIGINT)
+             AS harmonic_x6
+    FROM d{_HC_ROUNDS} GROUP BY seed
+    """
+    )
+
+
+@register("graph_harmonic_centrality", oracle=_harmonic_oracle())
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth harmonic centrality for a fixed seed panel: Σ 1/d
+    over nodes within 3 hops, the centrality that stays defined on
+    disconnected graphs (closeness diverges there). Emitted as the exact
+    integer 6·Σ1/d (6, 3, 2 per depth) so the value hash needs no float.
+
+    MULTI-source frontier BFS in one pass: the reached set keys on
+    (seed, node), so the four searches share every edge probe and the
+    same three rounds — at 100 TB this is the standard trick for
+    centrality sampling (k seeds amortize one edge materialization; the
+    per-round join cost is frontier-size-bound, not seeds x edges). A
+    seed absent from the corpus contributes its dist-0 self row and
+    zero counts, identically in both engines."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0n = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e0 = e0n.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    ed = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    dist = spark.createDataFrame(
+        [(s, s, 0) for s in _HC_SEEDS], "seed string, node string, dist int"
+    ).localCheckpoint()
+    frontier = dist
+    for i in range(_HC_ROUNDS):
+        cand = (
+            frontier.join(ed, frontier.node == ed.src)
+            .select("seed", F.col("dst").alias("n2"), (F.col("dist") + 1).alias("d2"))
+            .groupBy("seed", "n2")
+            .agg(F.min("d2").alias("d2"))
+        )
+        new = (
+            cand.join(
+                dist.select("seed", F.col("node").alias("n2")),
+                ["seed", "n2"],
+                "left_anti",
+            )
+            .select("seed", F.col("n2").alias("node"), F.col("d2").alias("dist"))
+        )
+        frontier = new.localCheckpoint()
+        dist = dist.unionByName(frontier)
+    return dist.groupBy("seed").agg(
+        F.count(F.when(F.col("dist") == 1, 1)).cast("long").alias("n_d1"),
+        F.count(F.when(F.col("dist") == 2, 1)).cast("long").alias("n_d2"),
+        F.count(F.when(F.col("dist") == 3, 1)).cast("long").alias("n_d3"),
+        F.sum(
+            F.when(F.col("dist") == 1, 6)
+            .when(F.col("dist") == 2, 3)
+            .when(F.col("dist") == 3, 2)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("harmonic_x6"),
+    )

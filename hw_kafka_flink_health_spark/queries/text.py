@@ -3541,3 +3541,75 @@ def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("waste_px")
         )
     )
+
+
+@register(
+    "text_kwic_concordance",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ), parts AS (
+      -- unnest + generate_subscripts zip positionally in ONE select
+      -- (DuckDB has no WITH ORDINALITY)
+      SELECT doc_id, text,
+             unnest(str_split_regex(text, '\bjoin\b')) AS part,
+             CAST(generate_subscripts(str_split_regex(text, '\bjoin\b'), 1)
+                  AS BIGINT) AS i
+      FROM d
+    ), pos AS (
+      SELECT doc_id, text, i,
+             CAST(sum(length(part)) OVER (PARTITION BY doc_id ORDER BY i
+                                          ROWS UNBOUNDED PRECEDING)
+                  + (i - 1) * 4 + 1 AS BIGINT) AS p,
+             count(*) OVER (PARTITION BY doc_id) AS n_parts
+      FROM parts
+    )
+    SELECT doc_id, p AS match_pos,
+           substr(text, CAST(greatest(1, p - 20) AS INTEGER),
+                  CAST(p - greatest(1, p - 20) AS INTEGER)) AS left_ctx,
+           substr(text, CAST(p + 4 AS INTEGER), 20) AS right_ctx
+    FROM pos WHERE i < n_parts
+    """,
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) concordance for the term 'join': every
+    match position with 20 chars of left/right context — the corpus
+    inspection view linguists and data-quality reviewers pull before
+    trusting any filter rule.
+
+    All-match positions without any per-row regex loop: split the text
+    on the word-bounded term, posexplode the parts, and a per-doc
+    cumulative length window reconstructs each match's 1-based offset
+    (sum of preceding part lengths + matches consumed). The window runs
+    per document over its handful of parts — embarrassingly parallel at
+    any corpus size — and the contexts are plain substrings, entirely
+    whole-stage-codegen."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    parts = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.split(F.col("text"), r"\bjoin\b")).alias("i0", "part"),
+    )
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy("i0")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pos = parts.select(
+        "doc_id",
+        "text",
+        "i0",
+        (
+            F.sum(F.length("part")).over(wd) + F.col("i0") * 4 + 1
+        )
+        .cast("long")
+        .alias("p"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_parts"),
+    ).filter(F.col("i0") < F.col("n_parts") - 1)
+    start = F.greatest(F.lit(1), F.col("p") - 20)
+    return pos.select(
+        "doc_id",
+        F.col("p").alias("match_pos"),
+        F.expr("substring(text, CAST(greatest(1, p - 20) AS INT), CAST(p - greatest(1, p - 20) AS INT))").alias("left_ctx"),
+        F.expr("substring(text, CAST(p + 4 AS INT), 20)").alias("right_ctx"),
+    )

@@ -231,6 +231,9 @@ PROBES = [
     "rolling_median_revenue",
     "multimodal_aspect_buckets",
     "embedding_cosine_topk_auto",
+    "graph_harmonic_centrality",
+    "eval_cost_optimal_threshold",
+    "text_kwic_concordance",
 ]
 
 

@@ -33,6 +33,9 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-10 finance pack
+    "graph_harmonic_centrality",
+    "eval_cost_optimal_threshold",
+    "text_kwic_concordance",
     "embedding_cosine_topk_auto",
     "rolling_median_revenue",
     "multimodal_aspect_buckets",
