@@ -200,6 +200,7 @@ HEADLINE = [
     "stats_kaplan_meier_reorder",
     "timeseries_ohlc_vwap",
     "rolling_median_revenue",
+    "spc_imr_revenue",
     "text_cross_doc_dup_spans",
     "join_asof_nearest",
     "dedup_ngram_containment",
@@ -254,6 +255,7 @@ HEADLINE = [
     "fx_asof_revenue",
     "finance_sharpe_rolling",
     "ledger_trial_balance",
+    "supplier_otif",
     "eval_conformal_coverage",
     "text_readability_flesch",
     "timeseries_acf_lags",

@@ -817,3 +817,73 @@ def ledger_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("balance_cents"),
     )
+
+
+@register(
+    "supplier_otif",
+    oracle="""
+    WITH lines AS (
+      SELECT l.l_suppkey,
+             CASE WHEN l.l_shipdate IS NOT NULL
+                  AND datediff('day', o.o_orderdate, l.l_shipdate) <= 7
+                  THEN 1 ELSE 0 END AS on_time
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate IS NOT NULL
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(on_time) AS BIGINT) AS n_on_time,
+           sum(on_time) / CAST(count(*) AS DOUBLE) AS otif_rate
+    FROM lines GROUP BY l_suppkey
+    HAVING count(*) >= 5
+    """,
+)
+def supplier_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier OTIF (on-time-in-full) rate: the fraction of a
+    supplier's lines shipped within 7 days of the order date — the
+    supply-chain scorecard KPI purchasing teams rank vendors by, with a
+    minimum-volume floor (>= 5 lines) so one-line suppliers don't top
+    the table at 100%. A never-shipped line counts against the rate (it
+    is not in-full), which the CASE handles without dropping the row.
+
+    One equi-join shuffled on orderkey, one hash aggregate on suppkey —
+    both map-side combined; the rate is one division of exact integers,
+    emitted unrounded."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    on_time = (
+        F.when(
+            F.col("l_shipdate").isNotNull()
+            & (
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+                <= 7
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey", on_time.alias("on_time")
+    )
+    return (
+        lines.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("on_time").cast("long").alias("n_on_time"),
+        )
+        .filter(F.col("n_lines") >= 5)
+        .select(
+            "l_suppkey",
+            "n_lines",
+            "n_on_time",
+            (F.col("n_on_time") / F.col("n_lines").cast("double")).alias(
+                "otif_rate"
+            ),
+        )
+    )

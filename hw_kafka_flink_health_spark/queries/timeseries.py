@@ -1593,3 +1593,84 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("med7_cents"),
         F.size(win).cast("long").alias("n_win"),
     )
+
+
+@register(
+    "spc_imr_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), mr AS (
+      SELECT day, cents,
+             abs(cents - lag(cents) OVER (ORDER BY day)) AS moving_range
+      FROM daily
+    ), lim AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(sum(moving_range) AS BIGINT) AS sum_mr,
+             CAST(count(moving_range) AS BIGINT) AS n_mr
+      FROM mr
+    )
+    SELECT mr.day, mr.cents,
+           CAST(mr.moving_range AS BIGINT) AS moving_range,
+           CASE WHEN abs(mr.cents * lim.n_days - lim.sum_cents) * lim.n_mr
+                     > 2.66 * CAST(lim.sum_mr AS DOUBLE) * lim.n_days
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM mr CROSS JOIN lim
+    """,
+)
+def spc_imr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Individuals / moving-range (I-MR) control chart on daily revenue
+    — the SPC screen ops teams run on any daily KPI: a day is
+    out-of-control when it sits more than 2.66 x mean moving range from
+    the center line (the Shewhart individuals rule; 2.66 = 3/d2 for
+    n=2 subgroups).
+
+    Exactness: the rule |x - mean| > 2.66*MRbar is evaluated as
+    |x*n - sum| * n_mr > 2.66*sum_mr*n after multiplying through by both
+    denominators — the left side is an EXACT integer and the right one
+    double product of exact integers, the same literal expression in
+    both engines, so the flag is deterministic. One fact-side hash aggregate, a lag
+    window over the day dimension, a 1-row broadcast of the limits."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    mr = daily.select(
+        "day",
+        "cents",
+        F.abs(F.col("cents") - F.lag("cents").over(w)).alias("moving_range"),
+    )
+    lim = mr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum("moving_range").cast("long").alias("sum_mr"),
+        F.count("moving_range").cast("long").alias("n_mr"),
+    )
+    # |x - mean| > 2.66*MRbar multiplied through by n*n_mr: the left
+    # side |x*n - sum|*n_mr is an exact integer, the right a single
+    # double product of exact integers — the same literal expression in
+    # both engines, no division anywhere
+    dev = (
+        F.abs(F.col("cents") * F.col("n_days") - F.col("sum_cents"))
+        * F.col("n_mr")
+    )
+    thresh = 2.66 * F.col("sum_mr").cast("double") * F.col("n_days")
+    return mr.crossJoin(F.broadcast(lim)).select(
+        "day",
+        "cents",
+        F.col("moving_range").cast("long").alias("moving_range"),
+        F.when(dev > thresh, 1).otherwise(0).alias("out_of_control"),
+    )

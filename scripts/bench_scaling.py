@@ -234,6 +234,8 @@ PROBES = [
     "graph_harmonic_centrality",
     "eval_cost_optimal_threshold",
     "text_kwic_concordance",
+    "spc_imr_revenue",
+    "supplier_otif",
 ]
 
 

@@ -33,6 +33,8 @@ TABLES = (
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
     # round-10 finance pack
+    "spc_imr_revenue",
+    "supplier_otif",
     "graph_harmonic_centrality",
     "eval_cost_optimal_threshold",
     "text_kwic_concordance",
