@@ -424,7 +424,8 @@ def autocorr_user_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS r_quartile,
            CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
              AS f_quartile,
-           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT)
+           CAST(ntile(4) OVER (ORDER BY coalesce(monetary_cents, -1) DESC,
+                               user_id) AS BIGINT)
              AS m_quartile
     FROM p CROSS JOIN mx
     """,
@@ -471,7 +472,15 @@ def rfm_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f_quartile"),
         F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+        # coalesce: monetary is NULL for a user whose every purchase has
+        # a NULL value, and a NULL window sort key flakes in DuckDB
+        # (registry convention) — such users rank below every paying one
+        .over(
+            Window.orderBy(
+                F.coalesce(F.col("monetary_cents"), F.lit(-1)).desc(),
+                F.asc("user_id"),
+            )
+        )
         .cast("long")
         .alias("m_quartile"),
     )

@@ -1106,8 +1106,9 @@ def eval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT do_s.p_total AS n_ratings,
            do_s.do_scaled, de_s.de_num,
-           1 - (do_s.do_scaled * (do_s.p_total - 1))
-               / nullif(CAST(720720 * de_s.de_num AS DOUBLE), 0.0) AS alpha
+           1 - (CAST(do_s.do_scaled AS HUGEINT) * (do_s.p_total - 1))
+               / nullif(CAST(CAST(720720 AS HUGEINT) * de_s.de_num AS DOUBLE),
+                        0.0) AS alpha
     FROM do_s, de_s
     """,
 )
@@ -1181,9 +1182,17 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("de_num")
         )
     )
+    # the two PRODUCTS go through DECIMAL(38,0)/HUGEINT: with the
+    # 720720 scale they pass 2^63 near ~5M ratings (review finding) even
+    # though do_scaled and de_num themselves stay comfortably in BIGINT
     alpha = 1 - F.try_divide(
-        F.col("do_scaled") * (F.col("p_total") - 1),
-        F.nullif((720720 * F.col("de_num")).cast("double"), F.lit(0.0)),
+        (F.col("do_scaled").cast("decimal(38,0)") * (F.col("p_total") - 1)).cast(
+            "double"
+        ),
+        F.nullif(
+            (F.lit(720720).cast("decimal(38,0)") * F.col("de_num")).cast("double"),
+            F.lit(0.0),
+        ),
     )
     return (
         do_s.crossJoin(F.broadcast(de_s))

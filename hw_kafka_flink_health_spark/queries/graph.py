@@ -70,16 +70,10 @@ def graph_pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bipartite customer->supplier graph induced by orders+lineitem.
     Every arithmetic step is integer, so the result is bit-exact and
     hash-matches the unrolled DuckDB twin."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
+    # shared checkpointed directed list (defined below; Python resolves
+    # the name at CALL time) — pagerank's loop re-reads edges 3x per
+    # build otherwise
+    edges = _cs_edges_directed(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()

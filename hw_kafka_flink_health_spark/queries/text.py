@@ -3606,7 +3606,6 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_parts"),
     ).filter(F.col("i0") < F.col("n_parts") - 1)
-    start = F.greatest(F.lit(1), F.col("p") - 20)
     return pos.select(
         "doc_id",
         F.col("p").alias("match_pos"),

@@ -1196,7 +1196,12 @@ def timeseries_ma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact size, and the RANGE frame needs one ordered pass."""
     orders = load_table(spark, sf_dir, "orders")
     daily = (
-        orders.filter(F.col("o_orderdate").isNotNull())
+        # price filter matches the oracle: an all-NULL-price day would
+        # carry cents = NULL into the RANGE windows (review finding —
+        # the oracle gained the guard, this side must mirror it)
+        orders.filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
         .groupBy(
             F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
             .cast("long")

@@ -333,6 +333,15 @@ def main() -> None:
     all_scen = ["single", "nulls", "ties", "unicode", "repart"]
     scenarios = all_scen if which == "all" else [which]
     _ONLY.extend(sys.argv[2:])
+    if _ONLY:
+        from hw_kafka_flink_health_spark.queries import QUERIES as _Q
+
+        unknown = sorted(set(_ONLY) - set(_Q))
+        if unknown:
+            # a typo'd selector must fail loudly, not run 0 queries and
+            # report a clean sweep (review finding)
+            print(f"unknown query names: {unknown}")
+            sys.exit(2)
     spark = get_spark(app_name="fuzz_catalog", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     fails = []
