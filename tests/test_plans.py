@@ -881,3 +881,17 @@ def test_grubbs_stats_broadcast_back(spark):
     plan = plan_of(spark, "stats_grubbs_test")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_shared_edge_cache_hits_and_keys_by_input(spark):
+    """The graph edge cache must return the SAME checkpointed frame for
+    repeated (session, sf_dir, files) keys — and never serve one sf_dir's
+    edges for another."""
+    from hw_kafka_flink_health_spark.queries.graph import _cs_edges_directed
+
+    a1 = _cs_edges_directed(spark, SF)
+    a2 = _cs_edges_directed(spark, SF)
+    assert a1 is a2, "same inputs must hit the cache"
+    b = _cs_edges_directed(spark, "/root/testdata/sf0.01")
+    assert b is not a1, "different sf_dir must miss"
+    assert a1.count() != b.count()
