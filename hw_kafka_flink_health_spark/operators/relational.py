@@ -305,3 +305,123 @@ def global_prefix_sum(
     return local.withColumn(out_col, F.col("_local_sum") + off_expr).drop(
         "_pid", "_local_sum"
     )
+
+
+def _range_local_row_number(
+    df: DataFrame, order_cols: list, n_partitions: int | None
+) -> DataFrame:
+    """Pass 1 of the distributed rank: range-partition on the total
+    order, then a PARTITION-LOCAL row_number (the window hash-partitions
+    on `_pid`, so no single-partition exchange exists anywhere in the
+    plan — pinned by tests/test_plans.py). Factored out un-checkpointed
+    so the plan tests can inspect the shape the checkpoint later hides.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ordered = df.repartitionByRange(n, *cols)
+    return ordered.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local_rn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+    )
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list,
+    *,
+    out_col: str = "rn",
+    n_partitions: int | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Scalable GLOBAL ``row_number`` over a total order — the rank/ntile
+    sibling of :func:`global_prefix_sum`, replacing the plan shape
+    ``Window.orderBy(...)`` produces (an ``Exchange SinglePartition``
+    that funnels EVERY row through one task — the one shape that dies at
+    100 TB fact cardinality).
+
+    Same two-pass scan algorithm:
+
+    1. ``repartitionByRange(order_cols)`` range-partitions the rows so
+       partition i holds a contiguous slice of the total order; a
+       partition-local window computes the within-partition row_number
+       (each task sorts only its own slice).
+    2. Per-partition ROW COUNTS (one row per partition — bounded,
+       collected to the driver) become exclusive offsets, broadcast back
+       and added to the local row_number.
+
+    ``order_cols`` must be a TOTAL order (include a tie-break column):
+    with distinct sort keys the global row_number is independent of
+    where RangePartitioner's sampled boundaries land, so the output is
+    deterministic even though the sampling isn't. The checkpoint pins
+    ONE materialization so the offsets job and the final job agree.
+
+    ``total_col``, when set, also attaches the global row count as a
+    literal column — callers that would otherwise compute N via
+    ``count().over(Window.partitionBy())`` (another single-partition
+    exchange) get it for free from the offsets pass.
+    """
+    # Pin one materialization: RangePartitioner samples its boundaries,
+    # so the counts job and the final job must see the SAME cut.
+    local = _range_local_row_number(df, order_cols, n_partitions).localCheckpoint()
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pcount")).collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_pcount"]
+    if offsets:
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        )
+    else:  # empty input: no partitions produced rows
+        off_expr = F.lit(0)
+    out = local.withColumn(
+        out_col, (F.col("_local_rn") + off_expr).cast("long")
+    ).drop("_pid", "_local_rn")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list,
+    *,
+    out_col: str = "tile",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable GLOBAL ``ntile(k)`` — SQL-standard semantics (bucket
+    sizes differ by at most one, larger buckets first) derived from
+    :func:`distributed_row_number` plus pure arithmetic, instead of the
+    single-partition window ``F.ntile(k).over(Window.orderBy(...))``
+    plans.
+
+    With N total rows (known exactly from the offsets pass), q = N // k
+    and rem = N % k: the first ``rem`` buckets hold q+1 rows, the rest q
+    — exactly how Spark and DuckDB place NTILE boundaries, so results
+    hash-match the builtin bit-for-bit while the plan stays one range
+    shuffle + one tiny broadcast. ``order_cols`` must be a total order
+    (tie-break included), same contract as the builtin call sites had.
+    """
+    ranked = distributed_row_number(
+        df, order_cols, out_col="_grn", n_partitions=n_partitions, total_col="_gn"
+    )
+    rn = F.col("_grn")
+    # N is already on every row as a literal; read it back driver-side
+    # free of charge from the lineage (it was a Python int in the
+    # offsets pass) — but deriving q/rem as COLUMN arithmetic keeps the
+    # operator a pure function of the frame, so do that instead.
+    q = F.floor(F.col("_gn") / n_tiles)
+    rem = F.col("_gn") % n_tiles
+    big = q + 1
+    tile = F.when(
+        rn <= rem * big, F.floor((rn - 1) / big) + 1
+    ).otherwise(
+        # greatest(q,1): when N < k the first branch covers every row
+        # (rem == N, big == 1); the guard only keeps the unevaluated
+        # branch well-formed under ANSI division semantics.
+        rem + F.floor((rn - rem * big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return ranked.withColumn(out_col, tile.cast("long")).drop("_grn", "_gn")

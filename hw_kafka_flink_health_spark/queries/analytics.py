@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hw_kafka_flink_health_spark.operators.relational import distributed_ntile
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
 
@@ -434,10 +435,11 @@ def rfm_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency/frequency/monetary) user profiling with exact
     quartile assignment — the classic activity segmentation, money in
     integer cents so sums are exact, and every ntile given a total order
-    (user_id tie-break) so quartiles are engine-portable. The global
-    ntiles are single-partition windows over the per-user AGGREGATE
-    (not the events) — fine at any scale where 'users' fits a stats
-    table; swap to percentile buckets when it doesn't."""
+    (user_id tie-break) so quartiles are engine-portable. User
+    cardinality is unbounded, so each ntile runs on `distributed_ntile`
+    (operators/relational.py): one range shuffle + per-partition rank +
+    bounded offset broadcast per dimension — three cheap metadata-width
+    passes, never a single-partition window over the user table."""
     ev = load_table(spark, sf_dir, "events")
     # user_id is an ntile tie-break key — a NULL window sort key is
     # placed nondeterministically by DuckDB's parallel window
@@ -455,34 +457,42 @@ def rfm_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     now_ts = ev.agg(F.max("ts").alias("now_ts"))
-    j = p.crossJoin(F.broadcast(now_ts)).withColumn(
-        "recency_days", F.datediff(F.col("now_ts"), F.col("last_ts")).cast("long")
+    j = p.crossJoin(F.broadcast(now_ts)).select(
+        "user_id",
+        F.datediff(F.col("now_ts"), F.col("last_ts")).cast("long").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_cents",
+    )
+    j = distributed_ntile(
+        j, 4, ["recency_days", "user_id"], out_col="r_quartile"
+    )
+    j = distributed_ntile(
+        j, 4, [F.col("frequency").desc(), F.col("user_id").asc()],
+        out_col="f_quartile",
+    )
+    j = distributed_ntile(
+        j,
+        4,
+        [
+            # coalesce: monetary is NULL for a user whose every purchase
+            # has a NULL value, and a NULL window sort key flakes in
+            # DuckDB's parallel window (registry convention) — such
+            # users rank below every paying one
+            F.coalesce(F.col("monetary_cents"), F.lit(-1)).desc(),
+            F.col("user_id").asc(),
+        ],
+        out_col="m_quartile",
     )
     return j.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "user_id"))
-        .cast("long")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-        .cast("long")
-        .alias("f_quartile"),
-        F.ntile(4)
-        # coalesce: monetary is NULL for a user whose every purchase has
-        # a NULL value, and a NULL window sort key flakes in DuckDB
-        # (registry convention) — such users rank below every paying one
-        .over(
-            Window.orderBy(
-                F.coalesce(F.col("monetary_cents"), F.lit(-1)).desc(),
-                F.asc("user_id"),
-            )
-        )
-        .cast("long")
-        .alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 
@@ -2307,23 +2317,22 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first half of the observation window vs the second (segment 0 =
     absent that period) — the retention-marketing flow diagram behind
     'how many VIPs lapsed'. Quartiles are ntile(4) over exact integer
-    cents with user_id-pinned boundaries; the matrix is a FULL OUTER
-    join of the two segment maps (exercising the outer-join null-key
-    path) aggregated to at most 25 cells. Shape: two filtered aggregates
-    + two small ordered passes + one user-keyed outer join."""
+    cents with user_id-pinned boundaries, each computed by
+    `distributed_ntile` (operators/relational.py: range shuffle +
+    per-partition rank + bounded offset broadcast — no single-partition
+    window over the user table); the matrix is a FULL OUTER join of the
+    two segment maps (exercising the outer-join null-key path)
+    aggregated to at most 25 cells. Shape: two filtered aggregates + two
+    distributed rank passes + one user-keyed outer join."""
     ev = load_table(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
     )
     pivot = F.lit("2024-01-16").cast("date")
 
     def seg(df):
-        return df.select(
-            "user_id",
-            F.ntile(4)
-            .over(Window.orderBy(F.desc("m"), "user_id"))
-            .cast("long")
-            .alias("seg"),
-        )
+        return distributed_ntile(
+            df, 4, [F.col("m").desc(), F.col("user_id")], out_col="seg"
+        ).select("user_id", "seg")
 
     p1 = (
         ev.filter(F.to_date("ts") < pivot)

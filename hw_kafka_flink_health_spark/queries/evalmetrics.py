@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
+from hw_kafka_flink_health_spark.operators.relational import (
+    distributed_ntile,
+    distributed_row_number,
+)
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
 
@@ -327,12 +331,13 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     models are actually scored: a model that targets persuadables front-
     loads the curve.
 
-    Scale: one events exchange to user grain; the rank pass is a single
-    ordered pass (at true scale, swap in the distinct-value rank
-    reduction of `stats_mannwhitney_u` — scores here are small counts so
-    the group table is tiny either way); deciles collapse to 10 rows and
-    the Qini cumulation is a 10-row window. Divisions all carry
-    nullif/try_divide for empty-cell corpora."""
+    Scale: one events exchange to user grain; the rank pass is
+    `distributed_row_number` (operators/relational.py — range shuffle +
+    per-partition rank + bounded offset broadcast, which also hands back
+    the global N without a `count().over()` single-partition window);
+    deciles collapse to 10 rows and the Qini cumulation is a 10-row
+    window. Divisions all carry nullif/try_divide for empty-cell
+    corpora."""
     ev = load_table(spark, sf_dir, "events")
     pivot = F.lit(_UPLIFT_PIVOT).cast("timestamp")
     ts = F.col("ts").cast("timestamp")
@@ -351,10 +356,12 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "treat", (hash_unit(F.col("user_id"), "uplift") < 0.5).cast("int")
         )
     )
-    ranked = per_user.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("user_id"))),
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    ranked = distributed_row_number(
+        per_user,
+        [F.col("score").desc(), F.col("user_id")],
+        out_col="rk",
+        total_col="n",
+    )
     t1 = F.col("treat") == 1
     t0 = F.col("treat") == 0
     deciles = ranked.groupBy(
@@ -643,9 +650,10 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     complements the ROC/PR/calibration family. All counts are exact
     BIGINTs; each lift is one division of exact products (pos*N vs
     n*P), NULL when the base rate is zero. Shape: the ntile is the only
-    ordered pass (at 100 TB it becomes the distinct-score cumulative
-    rank, as eval_auc_roc does); everything downstream lives on 10
-    rows."""
+    ordered pass and runs on `distributed_ntile`
+    (operators/relational.py — range shuffle + per-partition rank +
+    bounded offset broadcast, no single-partition window over the doc
+    table); everything downstream lives on 10 rows."""
     docs = load_table(spark, sf_dir, "documents")
     p = F.least(
         F.greatest((F.col("n_chars") - 100) / 500.0, F.lit(0.05)), F.lit(0.95)
@@ -654,13 +662,9 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.filter(F.col("n_chars").isNotNull()).select(
         "doc_id", (u < p).cast("int").alias("label"), p.alias("score")
     )
-    deciled = scored.select(
-        "label",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score"), "doc_id"))
-        .cast("long")
-        .alias("decile"),
-    )
+    deciled = distributed_ntile(
+        scored, 10, [F.col("score").desc(), F.col("doc_id")], out_col="decile"
+    ).select("label", "decile")
     g = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("label").cast("long").alias("pos"),

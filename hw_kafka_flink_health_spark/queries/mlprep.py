@@ -11,6 +11,7 @@ from hw_kafka_flink_health_spark.operators.mlprep import (
     stratified_sample,
     train_valid_test_split,
 )
+from hw_kafka_flink_health_spark.operators.relational import distributed_ntile
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
 
@@ -1102,11 +1103,12 @@ def mlprep_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase token/char budgets.
 
     The ntile runs over doc METADATA (doc_id + two ints, never the
-    text), so the global sort this needs moves a few bytes per doc; at
-    100 TB the same plan holds because Spark range-partitions the sort —
-    or swap ntile for a percent_rank threshold on a pre-aggregated
-    difficulty histogram if even the metadata sort must die. Everything
-    emitted is an exact integer."""
+    text) on `distributed_ntile` (operators/relational.py): one range
+    shuffle + per-partition rank + a bounded offset broadcast, so the
+    sort IS range-partitioned — a bare `ntile().over(Window.orderBy)`
+    would instead plan `Exchange SinglePartition` and funnel every doc's
+    metadata row through one task. Everything emitted is an exact
+    integer."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # difficulty derives from text itself (never the nullable n_chars
     # column: Spark orders NULLS FIRST, DuckDB NULLS LAST — the nulls
@@ -1122,9 +1124,8 @@ def mlprep_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_tokens"),
     )
-    w = Window.orderBy("n_chars", "doc_id")
-    ranked = d.select(
-        "doc_id", "n_chars", "est_tokens", F.ntile(4).over(w).alias("phase")
+    ranked = distributed_ntile(
+        d, 4, ["n_chars", "doc_id"], out_col="phase"
     )
     return ranked.groupBy(F.col("phase").cast("long").alias("phase")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

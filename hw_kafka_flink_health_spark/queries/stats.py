@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.frequency import heavy_hitters
 from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
+from hw_kafka_flink_health_spark.operators.relational import distributed_ntile
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
 
@@ -218,21 +219,23 @@ def histogram_equidepth_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
     boundary source CBO range stats and range-partitioners use, vs the
     equi-width histogram elsewhere in the catalog. ntile needs a total
     order: the o_orderkey tie-break makes bucket assignment exact and
-    engine-portable at boundary duplicates. Scale note: a global ntile
-    is a single-partition sort — fine for stats tables, and the approx
-    path (approx_percentile boundaries) keeps the same output shape when
-    the input is the raw 100 TB fact."""
+    engine-portable at boundary duplicates. Scale note: the ntile runs
+    on `distributed_ntile` (operators/relational.py) — one range
+    shuffle + per-partition rank + bounded offset broadcast — so no
+    single-partition window ever sees the order rows; the input here is
+    the raw fact table, the exact shape that killed the builtin
+    `ntile().over(Window.orderBy(...))` plan at 100×."""
     # NULL prices are excluded: the sort key must be non-null or the
     # engines' opposite NULL-ordering defaults (Spark FIRST, DuckDB
     # LAST) flip every bucket assignment (nulls fuzz finding).
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice").isNotNull()
     )
-    b = orders.select(
-        "o_totalprice",
-        F.ntile(8)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bucket"),
+    b = distributed_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        8,
+        ["o_totalprice", "o_orderkey"],
+        out_col="bucket",
     )
     return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),

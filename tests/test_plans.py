@@ -895,3 +895,36 @@ def test_shared_edge_cache_hits_and_keys_by_input(spark):
     b = _cs_edges_directed(spark, "/root/testdata/sf0.01")
     assert b is not a1, "different sf_dir must miss"
     assert a1.count() != b.count()
+
+
+def test_no_single_partition_window_over_fact_cardinality(spark):
+    """Round-10 gate: the five queries that used to plan a global
+    `Window.orderBy(...)` over fact/user/doc-cardinality input (an
+    Exchange SinglePartition through ONE task) now rank via
+    distributed_ntile/distributed_row_number — the visible plan must
+    carry NO SinglePartition exchange at all (the ranking pass is a
+    checkpointed range shuffle + _pid-local window, shape pinned by
+    test_distributed_rank_pass1_never_single_partition)."""
+    for name in (
+        "histogram_equidepth_totalprice",
+        "rfm_user_profile",
+        "rfm_segment_migration",
+        "mlprep_curriculum_phases",
+    ):
+        plan = plan_of(spark, name)
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_decile_rollups_only_cumulate_ten_rows_single_partition(spark):
+    """eval_qini_uplift / eval_decile_lift rank on the distributed
+    operator; the ONLY SinglePartition exchange left feeds the 10-row
+    decile cumulation (bounded by construction — floor(rank*10/N) has at
+    most 10 distinct values), never the user/doc table. decile_lift has
+    one more: the single-ROW `tot` final aggregate, whose input is the
+    10-row decile table — also bounded by construction."""
+    for name, n_sp in (("eval_qini_uplift", 1), ("eval_decile_lift", 2)):
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange SinglePartition") == n_sp, name
+        # the ranking window is gone from the visible plan entirely: the
+        # only Window left is the post-aggregate decile cumulation
+        assert plan.count("Window") == 1, name

@@ -156,3 +156,104 @@ def test_global_prefix_sum_signed_values(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_distributed_row_number_matches_single_task_window(spark):
+    """distributed_row_number over a total order must equal the naive
+    single-partition `row_number().over(Window.orderBy(...))`, for asc,
+    desc, and expression sort keys, with heavy ties on the leading key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.relational import (
+        distributed_row_number,
+    )
+
+    rows = [(i, i % 37) for i in range(1500)]  # 37 values -> dense ties
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+
+    for order, worder in [
+        (["v", "id"], [F.asc("v"), F.asc("id")]),
+        ([F.col("v").desc(), F.col("id")], [F.desc("v"), F.asc("id")]),
+        (
+            [F.coalesce(F.col("v"), F.lit(-1)).desc(), F.col("id")],
+            [F.coalesce(F.col("v"), F.lit(-1)).desc(), F.asc("id")],
+        ),
+    ]:
+        got = {
+            r.id: r.rn
+            for r in distributed_row_number(
+                df, order, out_col="rn", n_partitions=6
+            ).collect()
+        }
+        exp = {
+            r.id: r.rn
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy(*worder))
+            ).collect()
+        }
+        assert got == exp
+
+
+def test_distributed_row_number_total_col_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.relational import (
+        distributed_row_number,
+    )
+
+    df = spark.range(123).select(F.col("id"))
+    out = distributed_row_number(df, ["id"], out_col="rn", total_col="n")
+    rows = out.collect()
+    assert {r.n for r in rows} == {123}
+    assert sorted(r.rn for r in rows) == list(range(1, 124))
+    empty = df.filter(F.lit(False))
+    assert (
+        distributed_row_number(empty, ["id"], out_col="rn", total_col="n").count()
+        == 0
+    )
+
+
+def test_distributed_ntile_matches_builtin_all_k(spark):
+    """distributed_ntile must reproduce SQL-standard NTILE bucket
+    placement bit-for-bit (first N%k buckets one row larger), including
+    k that doesn't divide N, k == N, and k > N."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.relational import distributed_ntile
+
+    rows = [(i, (i * 7919) % 41) for i in range(997)]  # 997 is prime
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+    for k in (2, 4, 8, 10, 13, 997, 1500):
+        got = {
+            r.id: r.t
+            for r in distributed_ntile(
+                df, k, ["v", "id"], out_col="t", n_partitions=6
+            ).collect()
+        }
+        exp = {
+            r.id: r.t
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy("v", "id")).cast("long")
+            ).collect()
+        }
+        assert got == exp, f"k={k}"
+
+
+def test_distributed_rank_pass1_never_single_partition(spark):
+    """The pass-1 plan (pre-checkpoint) must be range-partitioned with a
+    _pid-partitioned window — no Exchange SinglePartition anywhere. This
+    is the shape that replaces the five global-window queries' plans."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.relational import (
+        _range_local_row_number,
+    )
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 13).alias("v"))
+    local = _range_local_row_number(df, ["v", "id"], 8)
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" in plan
+    assert "Exchange hashpartitioning(_pid" in plan
