@@ -925,6 +925,9 @@ def cosine_topk_auto(
     k: int = 5,
     rank_round: int = 6,
     work_threshold: int = 10_000_000,
+    n_corpus: int | None = None,
+    n_queries: int | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k with the tier CHOSEN from estimated work.
 
@@ -936,23 +939,34 @@ def cosine_topk_auto(
     grows with dims. This wrapper prices the job as
     corpus_rows x query_rows x dims and routes accordingly — the rule a
     user would otherwise apply by hand, and the one a 100 TB deployment
-    wants automated (at that scale it always routes to arrow). Pricing
-    costs TWO eager jobs: one corpus count (metadata-cheap for a bare
-    parquet scan, a real pass for a filtered/derived frame — callers on
-    the hot path with a known-big corpus should call the arrow tier
-    directly) and one combined count+dim aggregate over the small query
-    side.
+    wants automated (at that scale it always routes to arrow).
+
+    Pricing costs up to TWO eager jobs: one corpus count
+    (metadata-cheap for a bare parquet scan, a real pass for a
+    filtered/derived frame) and one combined count+dim aggregate over
+    the small query side. Hot-path callers that already know the sizes
+    pass `n_corpus` / `n_queries` / `dims` and each known value skips
+    its probe job entirely (ADVICE r9) — `n_corpus` alone removes the
+    expensive side; the query-side probe only runs when `n_queries` or
+    `dims` is missing.
 
     Both tiers share the same contract (exact, self-matches excluded,
     round+id-tiebreak ranking) and the same oracle/parity tests, so the
     choice is purely a latency decision — never a result change.
     """
-    n_c = corpus.count()
-    probe = queries.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
-    ).first()
-    n_q = int(probe["n"])
-    dim = int(probe["d"]) if probe["d"] is not None else 0
+    n_c = corpus.count() if n_corpus is None else int(n_corpus)
+    if n_queries is None or dims is None:
+        probe = queries.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
+        ).first()
+        n_q = int(probe["n"]) if n_queries is None else int(n_queries)
+        dim = (
+            (int(probe["d"]) if probe["d"] is not None else 0)
+            if dims is None
+            else int(dims)
+        )
+    else:
+        n_q, dim = int(n_queries), int(dims)
     work = n_c * n_q * max(dim, 1)
     tier = cosine_topk_arrow if work > work_threshold else cosine_topk
     return tier(

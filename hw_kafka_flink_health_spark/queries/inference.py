@@ -1024,7 +1024,7 @@ def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x GROUP BY event_type
     ), dev AS (
       SELECT x.event_type, s.n, s.sx, s.sxx,
-             abs(s.n * x.xi - s.sx) AS adev, x.event_id
+             abs(CAST(s.n AS HUGEINT) * x.xi - s.sx) AS adev, x.event_id
       FROM x JOIN s USING (event_type)
     ), top AS (
       SELECT event_type, n, sx, sxx,
@@ -1054,8 +1054,11 @@ def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: values in integer micro-units, so |n*x - sx| (the
     deviation scaled by n) and the variance numerator n*sxx - sx^2 are
-    exact integers (the squares in DECIMAL(38,0)/HUGEINT — sum x^2
-    passes 2^63 at sf0.1) and G is derived from identical integers in
+    exact integers, BOTH carried in DECIMAL(38,0)/HUGEINT (sum x^2
+    passes 2^63 at sf0.1; n*x does so near 1e10 rows per type — the
+    maxdev_scaled output column stays BIGINT as a display convention
+    and only matters below that bound) and G is derived from identical
+    integers in
     both engines, emitted unrounded. Plan: one stats aggregate, one
     broadcast join back (the stats side is |event_types| rows), one
     max/argmax aggregate — two passes over events, zero sorts."""
@@ -1077,7 +1080,13 @@ def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sx",
         "sxx",
-        F.abs(F.col("n") * F.col("xi") - F.col("sx")).alias("adev"),
+        # n*xi through DECIMAL(38,0)/HUGEINT like the variance numerator:
+        # micro-scaled xi (~1e9) times per-type counts near 1e10 passes
+        # 2^63, where BIGINT wraps silently in Spark but raises in the
+        # oracle (ADVICE r9 — same class as the Sharpe d*d term).
+        F.abs(F.col("n").cast("decimal(38,0)") * F.col("xi") - F.col("sx")).alias(
+            "adev"
+        ),
         "event_id",
     )
     top = dev.groupBy("event_type", "n", "sx", "sxx").agg(

@@ -617,7 +617,7 @@ _SHARPE_WIN = 28
       SELECT r_name, day,
              CAST(count(d) OVER w AS BIGINT) AS n,
              CAST(sum(d) OVER w AS BIGINT) AS sd,
-             CAST(sum(d * d) OVER w AS BIGINT) AS sdd
+             sum(CAST(d AS HUGEINT) * d) OVER w AS sdd
       FROM diffed
       WINDOW w AS (PARTITION BY r_name ORDER BY day
                    ROWS BETWEEN {_SHARPE_WIN - 1} PRECEDING AND CURRENT ROW)
@@ -639,9 +639,10 @@ def finance_sharpe_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-integer discipline end to end: daily revenue in cents, first
     differences in cents, and the rolling window keeps only integer
-    sufficient statistics (n, sum d, sum d^2) so the variance numerator
-    n*sdd - sd^2 is computed in DECIMAL(38,0)/HUGEINT (sd^2 alone can
-    pass 2^63 at large SF) and both engines divide IDENTICAL integers —
+    sufficient statistics (n, sum d, sum d^2), with BOTH the d*d terms
+    and the variance numerator n*sdd - sd^2 carried in
+    DECIMAL(38,0)/HUGEINT (each can pass 2^63 at large SF) so both
+    engines divide IDENTICAL integers —
     the output doubles match bit-for-bit unrounded, per the no-rounding
     rule for exact-integer-derived values. Plan: one hash aggregate to
     (region, day) — data-sized — then lag + rolling windows over the
@@ -679,7 +680,11 @@ def finance_sharpe_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.count("d").over(w).cast("long").alias("n"),
         F.sum("d").over(w).cast("long").alias("sd"),
-        F.sum(F.col("d") * F.col("d")).over(w).cast("long").alias("sdd"),
+        # d*d accumulates through DECIMAL(38,0)/HUGEINT, mirroring the
+        # sd^2 handling below: cent-scaled daily diffs push d*d terms
+        # toward 2^63 at large SF, where BIGINT would wrap silently in
+        # Spark while the oracle's HUGEINT keeps going (ADVICE r9).
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).over(w).alias("sdd"),
     ).filter(F.col("n") == _SHARPE_WIN)
     sd_dec = F.col("sd").cast("decimal(38,0)")
     var_num = (

@@ -637,3 +637,31 @@ def test_cosine_auto_routes_by_work_and_matches(spark):
     assert "MapInPandas" in arrow_plan or "PythonMapInArrow" in arrow_plan, arrow_plan
     assert "MapInPandas" not in expr_plan and "PythonMapInArrow" not in expr_plan
     assert key(via_arrow) == key(via_expr)
+
+
+def test_cosine_auto_precomputed_sizes_skip_probe_jobs(spark):
+    """Callers that pass n_corpus/n_queries/dims must get zero pricing
+    jobs: route with a corpus whose count() would CRASH if evaluated (a
+    failing UDF inside the frame proves the probe never ran eagerly at
+    build; the deliberately-huge claimed sizes force the arrow tier),
+    and verify the claimed sizes actually drive the routing decision on
+    a real frame."""
+    from pyspark.sql.types import LongType
+
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_topk_auto
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    boom = F.udf(lambda x: (_ for _ in ()).throw(RuntimeError("probed")), LongType())
+    tripwire = emb.withColumn("vec_id", boom(F.col("vec_id")))
+    routed = cosine_topk_auto(
+        tripwire, q, k=3, n_corpus=10**9, n_queries=5, dims=64
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "PythonMapInArrow" in plan, plan
+
+    # claimed-small sizes route to the expression tier on the same input
+    expr = cosine_topk_auto(emb, q, k=3, n_corpus=1, n_queries=1, dims=1)
+    expr_plan = expr._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in expr_plan and "PythonMapInArrow" not in expr_plan

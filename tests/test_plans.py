@@ -928,3 +928,17 @@ def test_decile_rollups_only_cumulate_ten_rows_single_partition(spark):
         # the ranking window is gone from the visible plan entirely: the
         # only Window left is the post-aggregate decile cumulation
         assert plan.count("Window") == 1, name
+
+
+def test_shared_edge_cache_is_lru_not_fifo(spark):
+    """A cache hit must refresh recency (move-to-end): after touching A,
+    inserting a third key evicts B (the least-recently-USED), not A (the
+    least-recently-INSERTED) — cycling sf_dirs would otherwise rebuild
+    the checkpointed edge list on every call (ADVICE r9)."""
+    from hw_kafka_flink_health_spark.queries import graph as g
+
+    a = g._cs_edges_directed(spark, SF)                      # insert A
+    g._cs_edges_directed(spark, "/root/testdata/sf0.01")     # insert B
+    assert g._cs_edges_directed(spark, SF) is a              # touch A
+    g._cs_edges_directed(spark, "/root/testdata/sf0.1")      # insert C -> evict B
+    assert g._cs_edges_directed(spark, SF) is a, "A must survive (was MRU)"
