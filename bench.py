@@ -357,6 +357,8 @@ HEADLINE = [
     "multimodal_audio_vad",
     "versioned_changefeed",
     "experiment_bh_fdr",
+    # round-10 additions
+    "embedding_semdedup_det",
 ]
 
 
@@ -412,6 +414,58 @@ try:
     LOAD_AVG_START = [round(x, 2) for x in os.getloadavg()]
 except OSError:
     LOAD_AVG_START = None
+
+
+def _cpu_score() -> float:
+    """Deterministic single-thread CPU probe: md5 over a fixed 1 MiB
+    buffer, ~0.3 s of work, reported as MiB hashed per second. The SAME
+    work every round, so the ratio of two rounds' scores directly
+    calibrates machine drift — the r8->r9 bench record showed a uniform
+    ~1.2x slowdown on untouched queries that nobody could adjudicate
+    from load averages alone (VERDICT r9 item 3)."""
+    import hashlib
+
+    buf = b"\xa5" * (1 << 20)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 0.3:
+        hashlib.md5(buf)
+        n += 1
+    return round(n / (time.perf_counter() - t0), 1)
+
+
+def _fingerprint(spark) -> dict:
+    """Environment fingerprint recorded WITH the numbers (VERDICT r9):
+    enough hardware/software identity + a calibrated CPU score that a
+    later reader can classify a cross-round delta as environmental
+    without re-running anything."""
+    fp: dict = {"cpu_score_mib_s": _cpu_score()}
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    fp["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    fp["mem_total_kb"] = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    try:
+        fp["kernel"] = os.uname().release
+    except OSError:
+        pass
+    fp["python"] = sys.version.split()[0]
+    try:
+        fp["spark"] = spark.version
+    except Exception:
+        pass
+    return fp
 
 
 def main() -> None:
@@ -496,6 +550,7 @@ def main() -> None:
         "load_avg_start": LOAD_AVG_START,
         "load_avg_end": load_end,
         "n_cpus": os.cpu_count(),
+        "fingerprint": _fingerprint(spark),
     }
     # SPARK_GRAFT_BENCH_DETAIL redirects the detail artifact: the bench
     # contract TEST runs this script at sf0.001 and previously clobbered

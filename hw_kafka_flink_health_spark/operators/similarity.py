@@ -865,6 +865,101 @@ def pq_topk(
     )
 
 
+def semdedup_det(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDeDup with every source of randomness pinned — the
+    value-oracle-able twin of :func:`semdedup`, completing the
+    deterministic ANN/dedup family (`srp_ann_topk`, `ivf_det_topk`):
+
+    * clusters = argmax-cosine assignment against the `n_clusters`
+      corpus vectors with the lexicographically smallest ``md5(id)``
+      (the same engine-portable pseudo-random centroid sample
+      `ivf_det_topk` uses — data-independent, so no kmeans fit to
+      replay), ranked by the round(csim, 6) + centroid-id tiebreak;
+    * prune rule = identical to `semdedup`'s greedy min-id
+      representative: a vector is dropped iff round(cosine, 6) >
+      `threshold` against ANY lower-id vector in its cluster — one
+      anti-joinable drop set, no iteration; the round-6 grain makes the
+      threshold comparison engine-portable (both engines fold the
+      64-element products in index order, but the pinned grain removes
+      even that assumption from the contract).
+
+    Returns (id_col, cluster = centroid id as long, keep). Same
+    sub-quadratic shape as `semdedup`: the pair pass is per-cluster
+    (sum of per-cluster squares), never corpus-wide; at 100 TB raise
+    `n_clusters` so lists stay bounded and write the corpus partitioned
+    by cluster id."""
+    # Norms are computed ONCE per vector and carried as a column: cosine
+    # against 64 centroids (and against every cluster-mate) reuses the
+    # same sqrt(sum sq) value instead of re-folding it per pair — same
+    # doubles bit-for-bit (identical sequential fold), ~3x less HOF work.
+    cent = (
+        vectors.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("ce"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy(F.col("__h").asc(), F.col("cid").asc())
+        .limit(n_clusters)
+        .withColumn("cn", norm_expr(F.col("ce")))
+        .drop("__h")
+    )
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("ve"), norm_expr(F.col(vec_col)).alias("nv")
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        "cid",
+        F.try_divide(
+            dot_expr(F.col("ve"), F.col("ce")), F.col("nv") * F.col("cn")
+        ).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("csim"), 6).desc(), F.col("cid").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+    av = assigned.join(v, id_col).localCheckpoint()
+    a = av.select(
+        "cid", F.col(id_col).alias("id1"), F.col("ve").alias("v1"),
+        F.col("nv").alias("n1"),
+    )
+    b = av.select(
+        "cid", F.col(id_col).alias("id2"), F.col("ve").alias("v2"),
+        F.col("nv").alias("n2"),
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            F.round(
+                F.try_divide(
+                    dot_expr(F.col("v1"), F.col("v2")), F.col("n1") * F.col("n2")
+                ),
+                6,
+            )
+            > F.lit(threshold)
+        )
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return av.join(drops, id_col, "left").select(
+        id_col,
+        F.col("cid").cast("long").alias("cluster"),
+        F.col("__dropped").isNull().alias("keep"),
+    )
+
+
 def semdedup(
     vectors: DataFrame,
     *,

@@ -876,7 +876,18 @@ def experiment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float ever enters the decision, and every output column is an
     exact integer. Scale shape: one exploded replicate stream feeds a
     partial hash aggregate keyed (type, replicate) — B·|types| cells —
-    and the BH pass is a window over |types| rows."""
+    and the BH pass is a window over |types| rows.
+
+    The cost is intrinsically O(B·N) (every permutation replicate
+    re-reads every row), with the md5-quartering already amortizing four
+    draws per hash — B is the documented scale lever, exactly like
+    minSupport on `basket_frequent_itemsets`: at fixed statistical
+    power B can SHRINK as the corpus grows (p-value resolution is
+    1/(1+B) regardless of N, and larger N tightens the permutation null
+    itself), so a 100 TB run holds B at the resolution the q-threshold
+    needs — q=0.10 with m≈10 metrics needs p resolved to ~0.01, i.e.
+    B≈100-200 — rather than scaling it with data size. SCALING.md
+    carries the measured sf0.001→0.1 alpha for this query."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.filter(
         F.col("value").isNotNull()

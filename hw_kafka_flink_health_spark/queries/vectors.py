@@ -421,13 +421,65 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster near-identical vectors (cosine > 0.99), flag
     survivors. Rows-only by design (k-means is seeded-engine-specific);
     the planted-duplicate pruning guarantee is pinned in
-    tests/test_approx_operators.py."""
+    tests/test_approx_operators.py, and `embedding_semdedup_det` is the
+    fully value-oracled twin (pinned centroids, same prune rule)."""
     from hw_kafka_flink_health_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, n_clusters=8, threshold=0.99).select(
         "vec_id", F.col("cluster").cast("long"), "keep"
     )
+
+
+@register(
+    "embedding_semdedup_det",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 64
+    ), ascore AS (
+      SELECT v.vec_id, c.cid,
+             list_inner_product(v.e, c.ce) /
+               (sqrt(list_inner_product(v.e, v.e)) *
+                sqrt(list_inner_product(c.ce, c.ce))) AS csim
+      FROM v CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY round(csim, 6) DESC, cid) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ), av AS (
+      SELECT a.vec_id, a.cid, v.e FROM assigned a JOIN v USING (vec_id)
+    ), drops AS (
+      SELECT DISTINCT b.vec_id AS dropped
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.e, b.e) /
+                  (sqrt(list_inner_product(a.e, a.e)) *
+                   sqrt(list_inner_product(b.e, b.e))), 6) > 0.99
+    )
+    SELECT av.vec_id, CAST(av.cid AS BIGINT) AS cluster,
+           (d.dropped IS NULL) AS keep
+    FROM av LEFT JOIN drops d ON d.dropped = av.vec_id
+    """,
+)
+def embedding_semdedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, fully value-oracled
+    (`operators/similarity.py:semdedup_det`): clusters come from the
+    pinned md5-smallest centroid sample + argmax-cosine assignment (the
+    `ivf_det_topk` quantizer), the prune rule is the SAME greedy min-id
+    representative as the kmeans tier — dropped iff round(cosine,6) >
+    0.99 against any lower-id cluster-mate. DuckDB replays centroids,
+    assignment, pair pruning, and the keep flag identically, closing
+    the last rows-only member of the LLM-pipeline dedup family. The
+    kmeans tier (`embedding_semdedup`) remains the trained-quantizer
+    production path."""
+    from hw_kafka_flink_health_spark.operators.similarity import semdedup_det
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_det(emb, n_clusters=64, threshold=0.99)
 
 
 @register(

@@ -236,6 +236,8 @@ PROBES = [
     "text_kwic_concordance",
     "spc_imr_revenue",
     "supplier_otif",
+    # round-10 additions
+    "embedding_semdedup_det",
 ]
 
 

@@ -102,6 +102,12 @@ SHOWCASE = {
     "finance_sharpe_rolling": "rolling Sharpe on integer sufficient statistics: fact-side hash agg to (region, day), lag + rolling windows over the ~2.4k-day dimension, variance numerator squared in DECIMAL(38,0)",
     "stats_grubbs_test": "Grubbs outlier screen: one stats aggregate, broadcast join-back (stats side = |event_types| rows), one max/argmax aggregate - two passes over events, zero sorts",
     "multimodal_aspect_buckets": "aspect bucketing: one Arrow decode pass over real BMP payloads (checkpointed), bucket aggregate + broadcast join-back of the ~15-row bucket table for the waste sum",
+    "experiment_bh_fdr": "BH-FDR over permutation tests: deliberate B=40 replicate explode (md5-quartered: one hash = four draws) into ONE partial hash aggregate keyed (type, replicate); obs stats checkpointed once and BROADCAST into both the replicate compare and the p-value join; the BH step-up runs on |types| rows with an integer decision rule. The B-vs-corpus lever is the documented scale knob",
+    "graph_harmonic_centrality": "multi-source frontier BFS: the reached set keys (seed, node) so 4 seeds share every edge probe; per round one join vs the SHARED checkpointed edge list + min-agg + anti-join; harmonic sum emitted as exact integer 6*sum(1/d)",
+    "graph_hits_bipartite": "HITS, two mutual-reinforcement rounds in exact BIGINT (normalization dropped, ranking identical): edge list checkpointed once for its three consumers, each round one broadcast join + map-side-combined sum, top-15 via TakeOrderedAndProject",
+    "versioned_changefeed": "net CDF across mixed DML (append/DV delete/merge): inserts read only span-added files, deletes only DV-targeted old files — O(changes), never O(table); netting is one anti-join of two bounded change sets",
+    "supplier_otif": "OTIF vendor scorecard: one orderkey-shuffled equi join + one suppkey hash aggregate, both map-side combined; never-shipped lines counted against the rate without a second pass",
+    "spc_imr_revenue": "I-MR control chart: one day-grain hash aggregate, then lag + mean windows over the ~2.4k-day table; all limits derived from integer cents",
 }
 
 # Measured evidence that is not a single query's plan: kept here so PLANS.md
@@ -388,6 +394,38 @@ explode amortization, not a steepening curve. Hot-gram skew posture:
 the surviving gram aggregate is map-side combined (a corpus-wide
 boilerplate gram collapses to one counter per task before the
 shuffle); the per-doc join touches |docs| rows only.
+
+## Round-10 bench re-baseline — the r8->r9 drift adjudicated (2026-08-16)
+
+The r9 record showed a uniform ~1.20x round-over-round slowdown on the
+244-query common set, hitting queries r9 never touched. Controlled
+same-session A/B (one quiet box, back-to-back, local[32], sf0.1: the
+r8-closing tree `4c0de54` replayed first, then the r10 head):
+
+* **r8 code TODAY vs its own r08 record** (same code, zero changes,
+  slowest-10 common queries): **1.11x** — pure machine drift. The drift
+  class is real and environmental, exactly as the r9 re-measure
+  concluded.
+* **r10 head vs r8-era code, same session** (244 common queries):
+  269.3 s -> 256.3 s = **0.95x total, median per-query 0.97x** — no
+  systemic code regression anywhere in two rounds of additions.
+* The only >1.5x movers in the controlled A/B are the five
+  distributed-rank rewires (`rfm_segment_migration` 0.52->1.49 s,
+  `eval_qini_uplift` 0.51->1.10 s, `eval_decile_lift` 0.66->1.07 s,
+  plus the histogram/curriculum variants): each rank pass pays a fixed
+  ~0.4-1.0 s at sf0.1 for the checkpoint + bounded offset collect that
+  replaces the `Exchange SinglePartition` global window — the
+  deliberate trade VERDICT r9 task 1 asked for (the old plan funnels
+  every fact/user/doc row through ONE task at 100x; the new one is a
+  range shuffle + per-partition rank + tiny broadcast, constant
+  overhead amortized by data size).
+
+So this class of question is answerable from the artifact alone,
+`bench.py` now records a `fingerprint` block with every run: cpu model,
+mem, kernel, python/spark versions, and `cpu_score_mib_s` — a ~0.3 s
+single-thread md5 probe doing IDENTICAL work every round. Two rounds'
+scores ratio directly calibrates box drift before any per-query
+comparison is attempted.
 """
 
 

@@ -46,6 +46,11 @@ def test_bench_emits_single_json_line(tmp_path):
     with open(detail) as f:
         detail_doc = json.load(f)
     assert detail_doc["queries"] == doc["queries"]
+    # environment fingerprint (VERDICT r9): calibrated CPU score + box
+    # identity so cross-round drift is adjudicable from the artifact
+    fp = doc["fingerprint"]
+    assert fp["cpu_score_mib_s"] > 0
+    assert fp.get("python") and fp.get("spark")
 
 
 def test_all_query_columns_are_aliased_stable_names(spark):

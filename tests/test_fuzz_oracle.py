@@ -32,7 +32,9 @@ TABLES = (
 # every query the round-5 full-catalog fuzz audit caught diverging (each
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
-    # round-10 finance pack
+    # round-10 additions
+    "embedding_semdedup_det",
+    # round-9 late additions (finance/SPC/graph/KWIC)
     "spc_imr_revenue",
     "supplier_otif",
     "graph_harmonic_centrality",

@@ -942,3 +942,30 @@ def test_shared_edge_cache_is_lru_not_fifo(spark):
     assert g._cs_edges_directed(spark, SF) is a              # touch A
     g._cs_edges_directed(spark, "/root/testdata/sf0.1")      # insert C -> evict B
     assert g._cs_edges_directed(spark, SF) is a, "A must survive (was MRU)"
+
+
+def test_bh_fdr_broadcasts_obs_stats_into_replicates(spark):
+    """experiment_bh_fdr: the observed-stats table (|event_types| rows,
+    checkpointed once) must BROADCAST into both the replicate compare and
+    the p-value join — a shuffle of the B-times-exploded replicate stream
+    against a 5-row table would be the wrong side moving. The replicate
+    explode itself must feed a partially-aggregated hash agg."""
+    plan = plan_of(spark, "experiment_bh_fdr")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lpa_round_is_joins_and_aggs_no_global_sort(spark):
+    """graph_label_propagation: every round is one equi-join against the
+    checkpointed edge list + two hash aggregates (count, struct-min
+    argmax) — partitioned on the node key end to end. A shuffled join
+    (SMJ/SHJ) is the CORRECT big-big shape (neither graph side can
+    broadcast at scale); what must never appear is a single-partition
+    exchange, a window (the mode-pick is an aggregate, not a ranked
+    window), or a cartesian."""
+    plan = plan_of(spark, "graph_label_propagation")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan[:3000]
+    assert "HashAggregate" in plan
