@@ -1433,3 +1433,209 @@ def eval_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick["cost"].cast("long").alias("best_cost"),
         F.min("cost").cast("long").alias("min_cost_check"),
     )
+
+
+_DAILY_REV_SQL = """
+      SELECT r.r_name,
+             datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r_name, day, cents) daily revenue — the shared forecast-eval
+    fixture: one fact-side hash aggregate to region-day grain (same
+    shape as finance_sharpe_rolling, `queries/ledger.py`), exact integer
+    cents so every downstream loss is exact."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            "r_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+
+@register(
+    "eval_pinball_loss",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_SQL}
+    ), paired AS (
+      SELECT a.r_name, a.day, a.cents AS y, p.cents AS yhat
+      FROM daily a JOIN daily p
+        ON p.r_name = a.r_name AND p.day = a.day - 7
+    ), q AS (
+      SELECT unnest([1, 5, 9]) AS q10
+    ), losses AS (
+      SELECT q.q10, p.y, p.yhat,
+             CASE WHEN p.y >= p.yhat
+                  THEN CAST(q.q10 AS HUGEINT) * (p.y - p.yhat)
+                  ELSE CAST(10 - q.q10 AS HUGEINT) * (p.yhat - p.y)
+             END AS l10
+      FROM paired p CROSS JOIN q
+    )
+    SELECT CAST(q10 AS DOUBLE) / 10.0 AS q,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l10) AS BIGINT) AS pinball_x10_cents,
+           CAST(sum(l10) AS DOUBLE) / (10.0 * count(*)) AS mean_pinball_cents
+    FROM losses GROUP BY q10
+    """,
+)
+def eval_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecaster (revenue
+    seven days earlier) at q = 0.1 / 0.5 / 0.9 — the scoring rule
+    quantile forecasts are actually graded by (q=0.5 pinball = half the
+    MAE). Integer-exact: with tenths-quantiles and integer-cent
+    revenues, 10x the loss is the exact integer q10*(y-yhat)+ +
+    (10-q10)*(yhat-y)+, accumulated in DECIMAL(38,0)/HUGEINT; the mean
+    is one division of exact integers, emitted unrounded.
+
+    Shape: one fact-side aggregate to region-day grain, a self-join on
+    (region, day-7) — the gap-safe seasonal lag, same idiom as
+    revenue_yoy_same_month — then a 3-way quantile explode over the
+    ~12k-row day table. Nothing after the first aggregate touches raw
+    orders."""
+    daily = _daily_revenue(spark, sf_dir).localCheckpoint()  # two join sides
+    pred = daily.select(
+        "r_name", (F.col("day") + 7).alias("day"), F.col("cents").alias("yhat")
+    )
+    paired = daily.join(pred, ["r_name", "day"]).select(
+        F.col("cents").alias("y"), "yhat"
+    )
+    q = F.explode(F.array(F.lit(1), F.lit(5), F.lit(9))).alias("q10")
+    y, yhat, q10 = F.col("y"), F.col("yhat"), F.col("q10")
+    l10 = F.when(
+        y >= yhat, q10.cast("decimal(38,0)") * (y - yhat)
+    ).otherwise((10 - q10).cast("decimal(38,0)") * (yhat - y))
+    return (
+        paired.select("y", "yhat", q)
+        .select(q10, l10.alias("l10"))
+        .groupBy(q10)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("l10").cast("long").alias("pinball_x10_cents"),
+            (
+                F.sum("l10").cast("double")
+                / (10.0 * F.count(F.lit(1)).cast("double"))
+            ).alias("mean_pinball_cents"),
+        )
+        .select(
+            (q10.cast("double") / 10.0).alias("q"),
+            "n",
+            "pinball_x10_cents",
+            "mean_pinball_cents",
+        )
+    )
+
+
+@register(
+    "eval_winkler_interval_score",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_SQL}
+    ), banded AS (
+      SELECT r_name, day, cents AS y,
+             min(cents) OVER w AS lo,
+             max(cents) OVER w AS hi,
+             count(*) OVER w AS nw
+      FROM daily
+      WINDOW w AS (PARTITION BY r_name ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+      SELECT r_name, y, lo, hi,
+             CAST(hi - lo AS HUGEINT)
+             + CASE WHEN y < lo THEN 10 * CAST(lo - y AS HUGEINT) ELSE 0 END
+             + CASE WHEN y > hi THEN 10 * CAST(y - hi AS HUGEINT) ELSE 0 END
+               AS w_cents,
+             CASE WHEN y < lo THEN 1 ELSE 0 END AS below,
+             CASE WHEN y > hi THEN 1 ELSE 0 END AS above
+      FROM banded WHERE nw = 7
+    )
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w_cents) AS BIGINT) AS winkler_total_cents,
+           CAST(sum(w_cents) AS DOUBLE) / count(*) AS winkler_mean_cents,
+           CAST(sum(below) AS BIGINT) AS n_below,
+           CAST(sum(above) AS BIGINT) AS n_above,
+           1.0 - CAST(sum(below) + sum(above) AS DOUBLE) / count(*)
+             AS coverage
+    FROM scored GROUP BY r_name
+    """,
+)
+def eval_winkler_interval_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winkler interval score at alpha = 0.2 for the naive trailing-week
+    interval forecast (lo/hi = min/max of the previous 7 observations):
+    width + (2/alpha) x the miss distance when the actual falls outside
+    — THE proper scoring rule for prediction intervals, penalizing both
+    fat intervals and misses. 2/alpha = 10, so the score is an exact
+    integer in cents, accumulated in DECIMAL(38,0)/HUGEINT; empirical
+    coverage is reported alongside (a well-calibrated 80% interval
+    should miss ~20%).
+
+    Shape: one fact aggregate to region-day, one rolling min/max/count
+    window over the ~2.4k-day dimension per region (the sort never
+    touches raw orders), then a per-region reduction."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = (
+        Window.partitionBy("r_name")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    banded = daily.select(
+        "r_name",
+        F.col("cents").alias("y"),
+        F.min("cents").over(w).alias("lo"),
+        F.max("cents").over(w).alias("hi"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).filter(F.col("nw") == 7)
+    y, lo, hi = F.col("y"), F.col("lo"), F.col("hi")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w_cents = (
+        dec(hi - lo)
+        + F.when(y < lo, 10 * dec(lo - y)).otherwise(F.lit(0).cast("decimal(38,0)"))
+        + F.when(y > hi, 10 * dec(y - hi)).otherwise(F.lit(0).cast("decimal(38,0)"))
+    )
+    scored = banded.select(
+        "r_name",
+        w_cents.alias("w_cents"),
+        F.when(y < lo, 1).otherwise(0).alias("below"),
+        F.when(y > hi, 1).otherwise(0).alias("above"),
+    )
+    return scored.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w_cents").cast("long").alias("winkler_total_cents"),
+        (F.sum("w_cents").cast("double") / F.count(F.lit(1))).alias(
+            "winkler_mean_cents"
+        ),
+        F.sum("below").cast("long").alias("n_below"),
+        F.sum("above").cast("long").alias("n_above"),
+        (
+            1.0
+            - (F.sum("below") + F.sum("above")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("coverage"),
+    )

@@ -981,3 +981,120 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("harmonic_x6"),
     )
+
+
+_PPR_SEEDS = 5
+
+
+def _ppr_oracle() -> str:
+    """Unrolled integer PPR twin — same div/coalesce order as the Spark
+    loop, seeds pinned by the md5-smallest sample (engine-portable)."""
+    pre = f"""
+    WITH edges0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM edges0
+              UNION ALL SELECT dst, src FROM edges0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    seeds AS (SELECT node FROM nodes WHERE node LIKE 'c%'
+              ORDER BY md5(node), node LIMIT {_PPR_SEEDS}),
+    r0 AS (SELECT n.node,
+                  CASE WHEN s.node IS NOT NULL
+                       THEN ({_SCALE} // {_PPR_SEEDS})::BIGINT
+                       ELSE 0 END AS rank
+           FROM nodes n LEFT JOIN seeds s ON n.node = s.node)"""
+    its = []
+    for i in range(1, _ITERS + 1):
+        its.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.rank // o.d)::BIGINT AS s
+      FROM edges e JOIN r{i - 1} r ON e.src = r.node
+      JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             (CASE WHEN sd.node IS NOT NULL
+                   THEN ({_SCALE * 15} // 100) // {_PPR_SEEDS}
+                   ELSE 0 END
+              + (85 * COALESCE(c{i}.s, 0)) // 100)::BIGINT AS rank
+      FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+      LEFT JOIN c{i} ON n.node = c{i}.node
+    )""")
+    return (
+        pre
+        + ","
+        + ",".join(its)
+        + f"""
+    SELECT node, rank FROM r{_ITERS}
+    ORDER BY rank DESC, node LIMIT 20"""
+    )
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a pinned 5-customer seed panel on the
+    UNDIRECTED purchase graph — the "related to this segment" ranking a
+    recommender reads off a graph, vs the global importance
+    `graph_pagerank_cust_supp` gives. The teleport term restarts at the
+    SEEDS only (85/15 damping), so mass stays in the seeds'
+    neighborhood; seeds are the md5-smallest customer nodes (the
+    registry's deterministic-sample idiom), and all arithmetic is
+    fixed-point ppb BIGINT — bit-identical under any partitioning, so
+    the whole 3-round fixed point value-hashes against the unrolled
+    DuckDB twin. The doubled edge list makes the walk reversible (no
+    dangling leak: every node has out-edges).
+
+    Shape: the shared checkpointed edge cache supplies the edges; nodes/
+    outdeg/seed map are checkpointed once; each round is one equi-join +
+    one map-side-combined sum; top-20 plans as TakeOrderedAndProject."""
+    ed = _cs_edges_undirected(spark, sf_dir)
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    outdeg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    seeds = (
+        nodes.filter(F.col("node").startswith("c"))
+        .orderBy(F.md5(F.col("node")).asc(), F.col("node").asc())
+        .limit(_PPR_SEEDS)
+        .withColumn("_seed", F.lit(1))
+    )
+    # node -> is_seed map, reused by every round's teleport term (and as
+    # the node universe): checkpoint once, 4 consumers
+    base = nodes.join(F.broadcast(seeds), "node", "left").localCheckpoint()
+    tele = F.when(
+        F.col("_seed").isNotNull(),
+        F.lit((_SCALE * 15 // 100) // _PPR_SEEDS),
+    ).otherwise(F.lit(0))
+    ranks = base.select(
+        "node",
+        F.when(F.col("_seed").isNotNull(), F.lit(_SCALE // _PPR_SEEDS))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div d")).cast("long").alias("s"))
+        )
+        ranks = (
+            base.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    tele.cast("long")
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+        .select("node", "rank")
+    )

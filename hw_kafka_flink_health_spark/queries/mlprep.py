@@ -11,7 +11,10 @@ from hw_kafka_flink_health_spark.operators.mlprep import (
     stratified_sample,
     train_valid_test_split,
 )
-from hw_kafka_flink_health_spark.operators.relational import distributed_ntile
+from hw_kafka_flink_health_spark.operators.relational import (
+    distributed_ntile,
+    distributed_row_number,
+)
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.sources.files import load_table
 
@@ -1134,3 +1137,37 @@ def mlprep_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@register(
+    "mlprep_global_doc_ids",
+    oracle="""
+    SELECT doc_id,
+           coalesce(source, '') AS source,
+           CAST(row_number() OVER (ORDER BY coalesce(source, ''), doc_id)
+                AS BIGINT) AS global_id,
+           CAST(count(*) OVER () AS BIGINT) AS n_total
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def mlprep_global_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global training ids, assigned in (source, doc_id)
+    order — the deterministic id-assignment step a corpus gets before
+    sharding/packing, where every consumer (shard manifests, skip-lists,
+    resume offsets) needs ids to be dense and stable. Runs on
+    `distributed_row_number` (operators/relational.py): one range
+    shuffle + per-partition rank + a bounded offset broadcast, with the
+    corpus total attached from the SAME offsets pass (`n_total`) — the
+    oracle's `row_number() OVER (ORDER BY ...)` and `count(*) OVER ()`
+    are each an `Exchange SinglePartition` in a naive Spark plan; here
+    neither exists. NULL sources sort as '' on both engines (nullable
+    window sort keys are banned by the registry convention)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    d = docs.select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("")).alias("source")
+    )
+    return distributed_row_number(
+        d, ["source", "doc_id"], out_col="global_id", total_col="n_total"
+    ).select("doc_id", "source", "global_id", "n_total")

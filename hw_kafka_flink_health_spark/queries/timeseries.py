@@ -1679,3 +1679,113 @@ def spc_imr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("moving_range").cast("long").alias("moving_range"),
         F.when(dev > thresh, 1).otherwise(0).alias("out_of_control"),
     )
+
+
+@register(
+    "timeseries_bollinger_breach",
+    oracle="""
+    WITH daily AS (
+      SELECT r.r_name,
+             datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ), rolled AS (
+      SELECT r_name, day, cents,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(cents) OVER w AS BIGINT) AS s,
+             sum(CAST(cents AS HUGEINT) * cents) OVER w AS ss
+      FROM daily
+      WINDOW w AS (PARTITION BY r_name ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), flagged AS (
+      SELECT r_name,
+             CASE WHEN (CAST(n AS HUGEINT) * cents - s)
+                       * (CAST(n AS HUGEINT) * cents - s)
+                       > 4 * (n * ss - CAST(s AS HUGEINT) * s)
+                       AND CAST(n AS HUGEINT) * cents > s
+                  THEN 1 ELSE 0 END AS up,
+             CASE WHEN (CAST(n AS HUGEINT) * cents - s)
+                       * (CAST(n AS HUGEINT) * cents - s)
+                       > 4 * (n * ss - CAST(s AS HUGEINT) * s)
+                       AND CAST(n AS HUGEINT) * cents < s
+                  THEN 1 ELSE 0 END AS down
+      FROM rolled WHERE n = 20
+    )
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(up) AS BIGINT) AS n_breach_upper,
+           CAST(sum(down) AS BIGINT) AS n_breach_lower
+    FROM flagged GROUP BY r_name
+    """,
+)
+def timeseries_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach census per region: days whose revenue falls
+    outside mean +/- 2 sigma of the trailing 20 observations (population
+    sigma, band inclusive of the current day — the classic technical
+    band) — the volatility-scaled cousin of the fixed-limit I-MR chart
+    (`spc_imr_revenue`). The breach DECISION is exact integer algebra:
+    |y - s/n| > 2*sigma clears denominators to (n*y - s)^2 > 4*(n*ss -
+    s^2), every term carried in DECIMAL(38,0)/HUGEINT (cents^2 passes
+    2^63 at large SF) — no float ever enters the flag, so the counts
+    hash bit-for-bit.
+
+    Shape: one fact-side hash aggregate to (region, day), one rolling
+    window over the ~2.4k-day dimension per region, one per-region
+    reduction. Raw orders are touched exactly once."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            "r_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy("day").rowsBetween(-19, 0)
+    rolled = daily.select(
+        "r_name",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("cents").over(w).cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .over(w)
+        .alias("ss"),
+    ).filter(F.col("n") == 20)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = dec(F.col("n")) * F.col("cents") - F.col("s")
+    var4 = 4 * (dec(F.col("n")) * F.col("ss") - dec(F.col("s")) * F.col("s"))
+    breach = dev * dev > var4
+    hi = dec(F.col("n")) * F.col("cents") > dec(F.col("s"))
+    lo = dec(F.col("n")) * F.col("cents") < dec(F.col("s"))
+    flagged = rolled.select(
+        "r_name",
+        F.when(breach & hi, 1).otherwise(0).alias("up"),
+        F.when(breach & lo, 1).otherwise(0).alias("down"),
+    )
+    return flagged.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("up").cast("long").alias("n_breach_upper"),
+        F.sum("down").cast("long").alias("n_breach_lower"),
+    )

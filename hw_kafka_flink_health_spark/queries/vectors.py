@@ -59,10 +59,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_ann_srp",
-    oracle="""
-    WITH v AS (
+_SRP_CTES = """WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ), el AS (
       SELECT vec_id, e, unnest(range(len(e))) AS i FROM v
@@ -109,7 +106,13 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY round(sim, 6) DESC, neighbor_id)
                   AS BIGINT) AS rank
       FROM sims
-    )
+    )"""
+
+
+@register(
+    "embedding_ann_srp",
+    oracle=_SRP_CTES
+    + """
     SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
     FROM r WHERE rank <= 3
     """,
@@ -1228,4 +1231,65 @@ def embedding_cosine_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk_auto(emb, queries, k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "retrieval_ann_recall_at_k",
+    oracle=_SRP_CTES
+    + """, annr AS (
+      SELECT query_id, neighbor_id FROM r WHERE rank <= 3
+    ), gq AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20
+    ), gc AS (
+      SELECT gq.query_id, b.vec_id AS neighbor_id,
+             list_inner_product(b.e, gq.qe) /
+               (sqrt(list_inner_product(b.e, b.e)) *
+                sqrt(list_inner_product(gq.qe, gq.qe))) AS sim
+      FROM v b, gq WHERE b.vec_id <> gq.query_id
+    ), gr AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(sim, 6) DESC, neighbor_id) AS rk
+      FROM gc
+    ), gt AS (
+      SELECT query_id, neighbor_id FROM gr WHERE rk <= 3
+    )
+    SELECT gt.query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           count(a.neighbor_id) / CAST(count(*) AS DOUBLE) AS recall
+    FROM gt LEFT JOIN annr a
+      ON a.query_id = gt.query_id AND a.neighbor_id = gt.neighbor_id
+    GROUP BY gt.query_id
+    """,
+)
+def retrieval_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the deterministic SRP-LSH index against exact cosine
+    ground truth, per query — the index-quality acceptance gate every
+    ANN deployment runs before swapping the exact tier out, expressed
+    INSIDE the engine (both arms are existing value-oracled operators:
+    `srp_ann_topk` and `cosine_topk`). One left join of two <=60-row
+    rankings; recall is an exact small-integer ratio. At 100 TB the
+    ground-truth arm runs over a sampled query panel (exact search over
+    the full corpus is the expensive arm — which is the point of
+    measuring the ANN's recall before trusting it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    gt = cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    ann = srp_ann_topk(emb, q, k=3).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    joined = gt.join(
+        ann,
+        (gt.query_id == ann.query_id)
+        & (gt.neighbor_id == ann.ann_neighbor),
+        "left",
+    ).select(gt.query_id, gt.neighbor_id, "ann_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.count("ann_neighbor").cast("long").alias("n_hit"),
+        (
+            F.count("ann_neighbor") / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
     )

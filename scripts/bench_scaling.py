@@ -238,6 +238,10 @@ PROBES = [
     "supplier_otif",
     # round-10 additions
     "embedding_semdedup_det",
+    "eval_pinball_loss",
+    "timeseries_bollinger_breach",
+    "mlprep_global_doc_ids",
+    "graph_personalized_pagerank",
 ]
 
 

@@ -34,6 +34,12 @@ TABLES = (
 RECENT = [
     # round-10 additions
     "embedding_semdedup_det",
+    "eval_pinball_loss",
+    "eval_winkler_interval_score",
+    "timeseries_bollinger_breach",
+    "mlprep_global_doc_ids",
+    "retrieval_ann_recall_at_k",
+    "graph_personalized_pagerank",
     # round-9 late additions (finance/SPC/graph/KWIC)
     "spc_imr_revenue",
     "supplier_otif",
