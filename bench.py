@@ -365,6 +365,10 @@ HEADLINE = [
     "mlprep_global_doc_ids",
     "retrieval_ann_recall_at_k",
     "graph_personalized_pagerank",
+    "multimodal_image_phash",
+    "text_code_detect",
+    "events_slo_error_budget",
+    "finance_var_historical",
 ]
 
 

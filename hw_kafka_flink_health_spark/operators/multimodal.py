@@ -765,3 +765,55 @@ def vad_pcm16(
             )
 
     return assets.mapInPandas(op, schema=VAD_SCHEMA)
+
+
+PHASH_SCHEMA = "asset_id long, w long, h long, phash long"
+
+
+def phash_codec_images(
+    assets: DataFrame, *, payload_col: str = "payload", n_buckets: int = 16
+) -> DataFrame:
+    """Perceptual average-hash over REAL decoded BMP pixels — the image
+    near-dup fingerprint (aHash family): bucket the grayscale stream
+    into `n_buckets` contiguous index ranges and set bit b iff bucket
+    b's mean exceeds the image mean. Every step is integer (gray =
+    r+g+b per pixel; the mean comparison cross-multiplies: bsum * n_px >
+    total * bcnt), so the 16-bit signature is engine-exact and a SQL
+    oracle can replay it from the synth pixel formula — any BMP parse
+    drift (offset, padding, BGR, bottom-up order) flips bits and fails
+    the value hash, because unlike the order-free sum stats this
+    fingerprint depends on pixel POSITIONS.
+
+    One Arrow-batched `mapInPandas` pass (numpy bincount per image);
+    at 100 TB hash-equal (or Hamming-banded) signatures become the
+    dedup blocking key, exactly like SimHash does for text."""
+    import numpy as np
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(assets.sparkSession)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, p in zip(pdf["asset_id"], pdf[payload_col]):
+                w, h, rgb = parse_bmp24(bytes(p))
+                px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                gray = px.reshape(-1, 3).sum(axis=1)
+                n = int(gray.size)
+                b = (np.arange(n) * n_buckets) // n
+                bsum = np.bincount(b, weights=gray, minlength=n_buckets).astype(
+                    np.int64
+                )
+                bcnt = np.bincount(b, minlength=n_buckets).astype(np.int64)
+                total = int(gray.sum())
+                ph = 0
+                for i in range(n_buckets):
+                    if int(bsum[i]) * n > total * int(bcnt[i]):
+                        ph |= 1 << i
+                out.append((int(aid), int(w), int(h), ph))
+            yield pd.DataFrame(out, columns=["asset_id", "w", "h", "phash"])
+
+    return assets.filter(F.col("modality") == F.lit("image")).mapInPandas(
+        op, schema=PHASH_SCHEMA
+    )

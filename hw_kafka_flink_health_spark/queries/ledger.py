@@ -892,3 +892,103 @@ def supplier_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "finance_var_historical",
+    oracle="""
+    WITH daily AS (
+      SELECT r.r_name,
+             datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS day,
+             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ), diffed AS (
+      SELECT r_name,
+             cents - lag(cents) OVER (PARTITION BY r_name ORDER BY day) AS d
+      FROM daily
+    ), dd AS (
+      SELECT r_name, d FROM diffed WHERE d IS NOT NULL
+    ), var AS (
+      SELECT r_name, CAST(quantile_disc(d, 0.05) AS BIGINT) AS var95_cents
+      FROM dd GROUP BY r_name
+    )
+    SELECT dd.r_name,
+           CAST(count(*) AS BIGINT) AS n_days,
+           v.var95_cents,
+           CAST(count(*) FILTER (dd.d <= v.var95_cents) AS BIGINT) AS n_tail,
+           CAST(sum(dd.d) FILTER (dd.d <= v.var95_cents) AS DOUBLE)
+             / count(*) FILTER (dd.d <= v.var95_cents) AS es95_cents
+    FROM dd JOIN var v ON v.r_name = dd.r_name
+    GROUP BY dd.r_name, v.var95_cents
+    """,
+)
+def finance_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical value-at-risk and expected shortfall of daily revenue
+    CHANGES per region: VaR95 = the empirical 5th-percentile change (a
+    discrete order statistic — an actual observed day, exact integer
+    cents via percentile_disc on both engines), ES95 = the mean change
+    over the tail at or below it (the coherent-risk companion regulators
+    actually require). The tail mean is one division of exact integers,
+    emitted unrounded.
+
+    Shape: one fact aggregate to (region, day), a lag window over the
+    day dimension per region, one percentile_disc aggregate (5 rows,
+    broadcast back), one tail reduction — raw orders touched once."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            "r_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wlag = Window.partitionBy("r_name").orderBy("day")
+    dd = (
+        daily.select(
+            "r_name", (F.col("cents") - F.lag("cents").over(wlag)).alias("d")
+        )
+        .filter(F.col("d").isNotNull())
+        .localCheckpoint()  # two consumers: the VaR agg + the tail scan
+    )
+    var = dd.groupBy("r_name").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY d)")
+        .cast("long")
+        .alias("var95_cents")
+    )
+    tail = F.col("d") <= F.col("var95_cents")
+    return (
+        dd.join(F.broadcast(var), "r_name")
+        .groupBy("r_name", "var95_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.count(F.when(tail, 1)).cast("long").alias("n_tail"),
+            (
+                F.sum(F.when(tail, F.col("d"))).cast("double")
+                / F.count(F.when(tail, 1))
+            ).alias("es95_cents"),
+        )
+        .select("r_name", "n_days", "var95_cents", "n_tail", "es95_cents")
+    )

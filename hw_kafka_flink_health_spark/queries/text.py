@@ -3612,3 +3612,141 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, CAST(greatest(1, p - 20) AS INT), CAST(p - greatest(1, p - 20) AS INT))").alias("left_ctx"),
         F.expr("substring(text, CAST(p + 4 AS INT), 20)").alias("right_ctx"),
     )
+
+
+@register(
+    "multimodal_image_phash",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 5 AS BIGINT) AS w,
+             CAST(6 + doc_id % 3 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), gray AS (
+      SELECT doc_id, w, h, j,
+             (doc_id * 31 + 3 * j) % 256
+             + (doc_id * 31 + 3 * j + 1) % 256
+             + (doc_id * 31 + 3 * j + 2) % 256 AS g
+      FROM img, LATERAL unnest(generate_series(0, w * h - 1)) AS t(j)
+    ), bsums AS (
+      SELECT doc_id, w, h, (j * 16) // (w * h) AS b,
+             CAST(sum(g) AS BIGINT) AS bsum,
+             CAST(count(*) AS BIGINT) AS bcnt
+      FROM gray GROUP BY doc_id, w, h, b
+    ), tot AS (
+      SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM gray GROUP BY doc_id
+    ), ph AS (
+      SELECT s.doc_id AS asset_id, s.w, s.h,
+             CAST(sum(CASE WHEN s.bsum * s.w * s.h > t.total * s.bcnt
+                           THEN 1::BIGINT << CAST(s.b AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM bsums s JOIN tot t USING (doc_id)
+      GROUP BY s.doc_id, s.w, s.h
+    ), dup AS (
+      SELECT phash, CAST(count(*) AS BIGINT) AS n_same_hash
+      FROM ph GROUP BY phash
+    )
+    SELECT p.asset_id, p.w, p.h, p.phash, d.n_same_hash
+    FROM ph p JOIN dup d USING (phash)
+    """,
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) fingerprints over the REAL decoded
+    BMP payloads — the image near-dup primitive, completing the
+    multimodal family's dedup story (SimHash : text :: aHash : images).
+    Unlike the order-free sum statistics other multimodal queries check,
+    the 16-bit signature depends on pixel POSITIONS: bit b compares
+    bucket b's mean against the image mean by exact integer
+    cross-multiplication, so a parse drift anywhere in the BMP walk
+    (data offset, 4-byte row padding, BGR flip, bottom-up order) flips
+    bits and fails the value hash against the oracle's formula replay.
+    `n_same_hash` is the dedup-blocking group size (hash-equal images
+    collapse together, the 100 TB image-dedup key).
+
+    Plan: one Arrow-batched decode pass (`phash_codec_images`,
+    checkpointed — two consumers), one 16-row-per-image bucket reduction
+    inside the pandas op (never exploded into Spark rows), one hash
+    aggregate + join-back for group sizes."""
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        phash_codec_images,
+        synthesize_codec_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = phash_codec_images(synthesize_codec_assets(docs)).localCheckpoint()
+    dup = ph.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_same_hash")
+    )
+    return ph.join(dup, "phash").select(
+        "asset_id", "w", "h", "phash", "n_same_hash"
+    )
+
+
+@register(
+    "text_code_detect",
+    oracle="""
+    WITH sig AS (
+      SELECT coalesce(source, '') AS source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(translate(text, '{}()[]', ''))
+                  AS BIGINT) AS n_brackets,
+             CAST(length(text) - length(replace(text, ';', ''))
+                  AS BIGINT) AS n_semis,
+             CAST(length(text) - length(replace(text, '=', ''))
+                  AS BIGINT) AS n_eq
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), scored AS (
+      SELECT source, n_chars,
+             (3 * n_brackets + 2 * n_semis + n_eq) * 1000 // n_chars
+               AS score_milli
+      FROM sig
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score_milli >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_code,
+           CAST(sum(score_milli) AS BIGINT) AS score_milli_total,
+           CAST(sum(score_milli) AS DOUBLE) / count(*) AS mean_score_milli
+    FROM scored GROUP BY source
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screening per source — the filter every pretrain
+    corpus runs to route code into its own mixture bucket (or out of a
+    prose-only corpus): a weighted density of code punctuation
+    (brackets x3, semicolons x2, assignment x1) per 1000 chars, in
+    EXACT integer milli-units (the `* 1000 DIV n_chars` idiom), with a
+    >= 20-milli threshold flagging code-like docs. Pure Catalyst string
+    expressions — length/translate/replace in one codegen span over the
+    scan; one source-grain hash aggregate. The mean is one division of
+    exact integers, emitted unrounded."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n_chars = F.length("text").cast("long")
+    n_brackets = (
+        F.length("text") - F.length(F.translate(F.col("text"), "{}()[]", ""))
+    ).cast("long")
+    n_semis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(";"), F.lit("")))
+    ).cast("long")
+    n_eq = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("="), F.lit("")))
+    ).cast("long")
+    scored = docs.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        ((3 * n_brackets + 2 * n_semis + n_eq) * 1000)
+        .cast("long")
+        .alias("_num"),
+        n_chars.alias("_den"),
+    ).select("source", F.expr("_num DIV _den").alias("score_milli"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score_milli") >= 20, 1).otherwise(0))
+        .cast("long")
+        .alias("n_code"),
+        F.sum("score_milli").cast("long").alias("score_milli_total"),
+        (F.sum("score_milli").cast("double") / F.count(F.lit(1))).alias(
+            "mean_score_milli"
+        ),
+    )

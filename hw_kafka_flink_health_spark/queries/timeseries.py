@@ -1789,3 +1789,76 @@ def timeseries_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("up").cast("long").alias("n_breach_upper"),
         F.sum("down").cast("long").alias("n_breach_lower"),
     )
+
+
+@register(
+    "events_slo_error_budget",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS n_tot,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_err
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ), rolled AS (
+      SELECT day, n_tot, n_err,
+             CAST(count(*) OVER w AS BIGINT) AS nw,
+             CAST(sum(n_tot) OVER w AS BIGINT) AS roll_tot,
+             CAST(sum(n_err) OVER w AS BIGINT) AS roll_err
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n_tot, n_err, roll_tot, roll_err,
+           CAST(roll_err AS DOUBLE) / roll_tot AS err_rate,
+           100.0 * roll_err / roll_tot AS budget_burn,
+           CASE WHEN 100 * roll_err > roll_tot THEN 1 ELSE 0 END AS breach
+    FROM rolled WHERE nw = 28
+    """,
+)
+def events_slo_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn over a rolling 28-observation window: with a
+    99% success objective the budget is 1% of requests, so budget_burn =
+    rolling errors / (1% of rolling total) and burn > 1 (equivalently
+    the EXACT integer inequality 100*roll_err > roll_tot) means the
+    budget is spent — the SRE page-or-not readout. All counts and the
+    breach DECISION are exact integers; the two reported ratios are
+    single divisions of exact integers, emitted unrounded.
+
+    Shape: one fact aggregate to day grain (map-side combined), one
+    rolling window over the ~30-day dimension table. The day-grain
+    window is the ONLY ordered pass and runs over date-cardinality
+    input — bounded by the calendar, the legitimate use of an
+    unpartitioned window (registry convention)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        F.datediff(
+            F.col("ts").cast("timestamp").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("n_err"),
+    )
+    w = Window.orderBy("day").rowsBetween(-27, 0)
+    rolled = daily.select(
+        "day",
+        "n_tot",
+        "n_err",
+        F.count(F.lit(1)).over(w).cast("long").alias("nw"),
+        F.sum("n_tot").over(w).cast("long").alias("roll_tot"),
+        F.sum("n_err").over(w).cast("long").alias("roll_err"),
+    ).filter(F.col("nw") == 28)
+    return rolled.select(
+        "day",
+        "n_tot",
+        "n_err",
+        "roll_tot",
+        "roll_err",
+        (F.col("roll_err").cast("double") / F.col("roll_tot")).alias("err_rate"),
+        (100.0 * F.col("roll_err") / F.col("roll_tot")).alias("budget_burn"),
+        F.when(100 * F.col("roll_err") > F.col("roll_tot"), 1)
+        .otherwise(0)
+        .alias("breach"),
+    )

@@ -242,6 +242,8 @@ PROBES = [
     "timeseries_bollinger_breach",
     "mlprep_global_doc_ids",
     "graph_personalized_pagerank",
+    "multimodal_image_phash",
+    "finance_var_historical",
 ]
 
 

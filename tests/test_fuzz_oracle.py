@@ -40,6 +40,10 @@ RECENT = [
     "mlprep_global_doc_ids",
     "retrieval_ann_recall_at_k",
     "graph_personalized_pagerank",
+    "multimodal_image_phash",
+    "text_code_detect",
+    "events_slo_error_budget",
+    "finance_var_historical",
     # round-9 late additions (finance/SPC/graph/KWIC)
     "spc_imr_revenue",
     "supplier_otif",
