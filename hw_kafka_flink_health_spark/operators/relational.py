@@ -29,6 +29,7 @@ def asof_join(
     *,
     right_ts_alias: str = "asof_ts",
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row in time.
 
@@ -39,6 +40,17 @@ def asof_join(
     timestamps match in every direction. Left rows keep all their
     columns; right values arrive as `value_cols` plus `right_ts_alias`
     (null when no qualifying right row exists).
+
+    ``tolerance_seconds`` matches pandas ``merge_asof(tolerance=...)``:
+    a candidate farther than the tolerance does not match (its values
+    come back null; the left row itself always survives). For "nearest"
+    the tolerance filters each side BEFORE the nearest pick, pandas'
+    rule — a stale backward row within tolerance still loses to a
+    closer forward row, and an out-of-tolerance side loses outright.
+    Requires a timestamp-castable ``ts_col`` (same precondition the
+    "nearest" distance math already has); the comparison is exact in
+    microseconds. Same plan either way: the mask is a column expression
+    over the one sorted exchange — no extra shuffle.
 
     All three directions are the SAME plan shape: one union, one shuffle
     on the key, one sort — "nearest" just reads two running fills off the
@@ -94,6 +106,26 @@ def asof_join(
             for c in value_cols
         ] + [F.first("__r_ts", ignorenulls=True).over(wf).alias("__fw_ts")]
     filled = unioned.select(*cols)
+
+    # micros via an explicit TIMESTAMP cast: unix_micros rejects
+    # TIMESTAMP_NTZ, and ANSI mode rejects timestamp->long casts; the
+    # session TZ is pinned UTC so the NTZ->TZ cast is stable.
+    def _us(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        ok_b = (_us("__ts") - _us("__b_ts")) <= tol_us
+        ok_f = (_us("__fw_ts") - _us("__ts")) <= tol_us
+        masked = []
+        for c in filled.columns:
+            if c.startswith("__b_"):
+                masked.append(F.when(ok_b, F.col(c)).alias(c))
+            elif c.startswith("__fw_"):
+                masked.append(F.when(ok_f, F.col(c)).alias(c))
+            else:
+                masked.append(F.col(c))
+        filled = filled.select(*masked)
     if direction == "backward":
         pick = {c: F.col(f"__b_{c}") for c in value_cols} | {"ts": F.col("__b_ts")}
     elif direction == "forward":
@@ -101,12 +133,6 @@ def asof_join(
     else:
         # nearest: backward wins ties (pandas merge_asof nearest keeps the
         # earlier row on equal distance); a missing side loses outright.
-        # micros via an explicit TIMESTAMP cast: unix_micros rejects
-        # TIMESTAMP_NTZ, and ANSI mode rejects timestamp->long casts;
-        # the session TZ is pinned UTC so the NTZ->TZ cast is stable.
-        def _us(c: str):
-            return F.unix_micros(F.col(c).cast("timestamp"))
-
         back_wins = F.when(F.col("__fw_ts").isNull(), F.lit(True)).otherwise(
             F.col("__b_ts").isNotNull()
             & ((_us("__ts") - _us("__b_ts")) <= (_us("__fw_ts") - _us("__ts")))

@@ -2040,3 +2040,49 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_ms(CAST(p.ts AS TIMESTAMP)) AS purchase_ms,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(CAST(p.ts AS TIMESTAMP))
+                     - epoch_us(CAST(c.ts AS TIMESTAMP)) <= 3600000000
+                THEN epoch_ms(CAST(c.ts AS TIMESTAMP)) END AS last_click_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas merge_asof
+    `tolerance`): each purchase gets the latest prior click only if it
+    happened within the last hour — the freshness contract every
+    feature-store point-in-time join carries (a day-old click must not
+    leak into a 'recent intent' feature). The tolerance is a column
+    mask over the SAME single-shuffle union+window plan as `join_asof`
+    (no extra exchange; exact in microseconds); the oracle applies the
+    identical bound on top of DuckDB's native ASOF JOIN. Semantics
+    pinned against pandas in tests/test_asof_directions.py."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        value_cols=[],
+        right_ts_alias="click_ts",
+        tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ms"),
+        F.unix_millis(F.col("click_ts").cast("timestamp")).alias("last_click_ms"),
+    )

@@ -93,3 +93,42 @@ def test_asof_nearest_single_shuffle(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_asof_tolerance_matches_pandas_rule(spark):
+    """tolerance masks candidates farther than the bound (values null,
+    left rows kept), and for `nearest` it filters each side BEFORE the
+    nearest pick — pinned against pandas merge_asof(tolerance=...)
+    semantics on the same fixture. With a 90-minute tolerance:
+      backward: id1 (10:00, click 09:00, 60m) matches; id4 (23:00,
+      click 12:00, 11h) does not; forward: id3 (00:00 -> 09:00, 9h)
+      does not; nearest: id6 midpoint tie still backward."""
+    import pandas as pd
+
+    left, right = _mk(spark)
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(
+            left,
+            right,
+            on="user_id",
+            ts_col="ts",
+            value_cols=["val"],
+            direction=direction,
+            tolerance_seconds=90 * 60,
+        )
+        got = {r["event_id"]: r["val"] for r in out.collect()}
+        lp = left.toPandas().sort_values("ts").reset_index(drop=True)
+        rp = right.toPandas().sort_values("ts").reset_index(drop=True)
+        exp_df = pd.merge_asof(
+            lp,
+            rp,
+            on="ts",
+            by="user_id",
+            direction=direction,
+            tolerance=pd.Timedelta(minutes=90),
+        )
+        exp = {
+            int(r.event_id): (None if pd.isna(r.val) else float(r.val))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, direction
