@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
+from hw_kafka_flink_health_spark.queries._shared import (
+    DAILY_REV_SQL as _DAILY_REV_SQL,
+    daily_regional_revenue as _daily_revenue,
+)
 from hw_kafka_flink_health_spark.operators.relational import (
     distributed_ntile,
     distributed_row_number,
@@ -1432,52 +1436,6 @@ def eval_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick["th"].alias("best_threshold"),
         pick["cost"].cast("long").alias("best_cost"),
         F.min("cost").cast("long").alias("min_cost_check"),
-    )
-
-
-_DAILY_REV_SQL = """
-      SELECT r.r_name,
-             datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
-               AS day,
-             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM orders o
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
-      GROUP BY 1, 2
-"""
-
-
-def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(r_name, day, cents) daily revenue — the shared forecast-eval
-    fixture: one fact-side hash aggregate to region-day grain (same
-    shape as finance_sharpe_rolling, `queries/ledger.py`), exact integer
-    cents so every downstream loss is exact."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
-    )
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy(
-            "r_name",
-            F.datediff(
-                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
-            )
-            .cast("long")
-            .alias("day"),
-        )
-        .agg(
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("cents")
-        )
     )
 
 

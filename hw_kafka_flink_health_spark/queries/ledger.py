@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.queries._shared import (
+    DAILY_REV_SQL as _DAILY_REV_SQL,
+    daily_regional_revenue,
+)
 from hw_kafka_flink_health_spark.sources.files import load_table
 
 # Weekdays in [0, d) for an epoch-day count d (1970-01-01 = Thursday):
@@ -896,19 +900,8 @@ def supplier_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "finance_var_historical",
-    oracle="""
-    WITH daily AS (
-      SELECT r.r_name,
-             datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
-               AS day,
-             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM orders o
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
-      GROUP BY 1, 2
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_SQL}
     ), diffed AS (
       SELECT r_name,
              cents - lag(cents) OVER (PARTITION BY r_name ORDER BY day) AS d
@@ -941,30 +934,7 @@ def finance_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one fact aggregate to (region, day), a lag window over the
     day dimension per region, one percentile_disc aggregate (5 rows,
     broadcast back), one tail reduction — raw orders touched once."""
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
-    )
-    daily = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy(
-            "r_name",
-            F.datediff(
-                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
-            )
-            .cast("long")
-            .alias("day"),
-        )
-        .agg(
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("cents")
-        )
-    )
+    daily = daily_regional_revenue(spark, sf_dir)
     wlag = Window.partitionBy("r_name").orderBy("day")
     dd = (
         daily.select(

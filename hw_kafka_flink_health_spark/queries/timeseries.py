@@ -13,6 +13,10 @@ from hw_kafka_flink_health_spark.operators.timeseries import (
     snapshot_diff,
 )
 from hw_kafka_flink_health_spark.queries._registry import register
+from hw_kafka_flink_health_spark.queries._shared import (
+    DAILY_REV_SQL as _DAILY_REV_SQL,
+    daily_regional_revenue,
+)
 from hw_kafka_flink_health_spark.sources.files import load_table
 
 
@@ -1683,19 +1687,8 @@ def spc_imr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "timeseries_bollinger_breach",
-    oracle="""
-    WITH daily AS (
-      SELECT r.r_name,
-             datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
-               AS day,
-             CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM orders o
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-      WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
-      GROUP BY 1, 2
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_SQL}
     ), rolled AS (
       SELECT r_name, day, cents,
              CAST(count(*) OVER w AS BIGINT) AS n,
@@ -1739,30 +1732,7 @@ def timeseries_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one fact-side hash aggregate to (region, day), one rolling
     window over the ~2.4k-day dimension per region, one per-region
     reduction. Raw orders are touched exactly once."""
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
-    )
-    daily = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy(
-            "r_name",
-            F.datediff(
-                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
-            )
-            .cast("long")
-            .alias("day"),
-        )
-        .agg(
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("cents")
-        )
-    )
+    daily = daily_regional_revenue(spark, sf_dir)
     w = Window.partitionBy("r_name").orderBy("day").rowsBetween(-19, 0)
     rolled = daily.select(
         "r_name",
