@@ -108,6 +108,19 @@ SHOWCASE = {
     "versioned_changefeed": "net CDF across mixed DML (append/DV delete/merge): inserts read only span-added files, deletes only DV-targeted old files — O(changes), never O(table); netting is one anti-join of two bounded change sets",
     "supplier_otif": "OTIF vendor scorecard: one orderkey-shuffled equi join + one suppkey hash aggregate, both map-side combined; never-shipped lines counted against the rate without a second pass",
     "spc_imr_revenue": "I-MR control chart: one day-grain hash aggregate, then lag + mean windows over the ~2.4k-day table; all limits derived from integer cents",
+    # round-10 additions
+    "histogram_equidepth_totalprice": "exact equi-depth histogram over the raw fact via distributed_ntile: range shuffle + _pid-local rank + bounded offset broadcast — the Exchange SinglePartition global window is GONE (VERDICT r9 task 1)",
+    "rfm_user_profile": "three exact global quartiles over unbounded user cardinality, each a distributed_ntile pass — three metadata-width range shuffles, zero single-partition windows",
+    "mlprep_global_doc_ids": "contiguous global ids via distributed_row_number with the corpus total from the same offsets pass — the row_number()+count() OVER () pair that would plan TWO SinglePartition exchanges plans none",
+    "embedding_semdedup_det": "deterministic SemDeDup: pinned md5 centroid sample broadcast for argmax-cosine assignment, per-cluster pair pass (sum of per-cluster squares, never corpus-wide), norms computed once per vector and carried as a column",
+    "multimodal_image_phash": "position-sensitive aHash over real decoded BMPs: one Arrow-batched decode pass (checkpointed), 16-bucket reduction inside the pandas op, hash aggregate + join-back for dedup group sizes",
+    "graph_personalized_pagerank": "3-round integer PPR on the shared checkpointed edge cache: per round one equi-join + one map-side-combined sum; seed teleport from a checkpointed broadcast map; top-20 = TakeOrderedAndProject",
+    "retrieval_ann_recall_at_k": "index acceptance gate: SRP-LSH arm and exact-cosine arm (both value-oracled operators) meet in one left join of <=60-row rankings",
+    "join_asof_tolerance": "as-of with a staleness bound: the tolerance is a column mask over the SAME single-shuffle union+window plan as join_asof — no extra exchange",
+    "finance_var_historical": "historical VaR/ES: day-grain aggregate, per-region lag window, percentile_disc to a 5-row VaR table broadcast back for the tail scan",
+    "timeseries_bollinger_breach": "Bollinger breach census: rolling integer sufficient statistics over the day dimension; the 2-sigma decision is exact integer algebra in DECIMAL(38,0)",
+    "events_slo_error_budget": "SLO burn: one fact aggregate to day grain; the rolling window rides the calendar-bounded day table — the legitimate unpartitioned window",
+    "text_code_detect": "code-vs-prose router: length/translate/replace signals in one codegen span over the scan + one source-grain aggregate",
 }
 
 # Measured evidence that is not a single query's plan: kept here so PLANS.md

@@ -969,3 +969,27 @@ def test_lpa_round_is_joins_and_aggs_no_global_sort(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan, plan[:3000]
     assert "HashAggregate" in plan
+
+
+def test_round10_pack_plan_shapes(spark):
+    """Round-10 pack posture: none of the new heavyweights may plan a
+    single-partition exchange, a cartesian, or an unpartitioned window
+    over data-sized input; PPR's global top-20 must be
+    TakeOrderedAndProject (partial per-partition heaps), never a full
+    sort."""
+    for name in (
+        "embedding_semdedup_det",
+        "multimodal_image_phash",
+        "graph_personalized_pagerank",
+        "mlprep_global_doc_ids",
+        "retrieval_ann_recall_at_k",
+    ):
+        plan = plan_of(spark, name)
+        assert "Exchange SinglePartition" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    ppr = plan_of(spark, "graph_personalized_pagerank")
+    assert "TakeOrderedAndProject" in ppr
+    # global doc ids: the ranking pass lives behind the checkpoint — the
+    # visible plan must carry NO window at all (the naive formulation
+    # would show row_number + count over SinglePartition)
+    assert "Window" not in plan_of(spark, "mlprep_global_doc_ids")
