@@ -369,6 +369,10 @@ HEADLINE = [
     "text_code_detect",
     "events_slo_error_budget",
     "finance_var_historical",
+    "join_asof_tolerance",
+    "audit_order_total_reconciliation",
+    "supplier_single_source_risk",
+    "supplier_eoq_reorder",
 ]
 
 

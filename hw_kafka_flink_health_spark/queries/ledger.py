@@ -962,3 +962,210 @@ def finance_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r_name", "n_days", "var95_cents", "n_tail", "es95_cents")
     )
+
+
+@register(
+    "audit_order_total_reconciliation",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        AND l_tax IS NOT NULL
+      GROUP BY l_orderkey
+    ), recon AS (
+      SELECT CASE
+               WHEN l.line_cents IS NULL THEN 'no_lines'
+               WHEN abs(CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                        - l.line_cents) = 0 THEN 'exact'
+               WHEN abs(CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                        - l.line_cents)
+                    * 10000 <= CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                 THEN 'minor_drift'
+               ELSE 'major_drift'
+             END AS bucket,
+             abs(coalesce(CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                          - l.line_cents,
+                          CAST(floor(o.o_totalprice * 100) AS BIGINT)))
+               AS abs_gap_cents
+      FROM orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(abs_gap_cents) AS BIGINT) AS total_gap_cents,
+           CAST(max(abs_gap_cents) AS BIGINT) AS max_gap_cents
+    FROM recon GROUP BY bucket
+    """,
+)
+def audit_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines reconciliation: recompute each order's total from
+    its line items (extendedprice x (1-discount) x (1+tax), the TPC-H
+    identity) and bucket the gap against the stored o_totalprice —
+    exact / within 1 bp (minor) / beyond (major) / no lines at all. The
+    cross-table consistency audit every warehouse runs before trusting
+    EITHER table's revenue; on this synthetic fixture the drift census
+    itself is the deliverable. Exact discipline: both sides floor the
+    same double product to cents (identical doubles -> identical
+    floors), the 1-bp test is the integer cross-multiplication
+    gap * 10000 <= total_cents, and all outputs are exact integers.
+
+    Shape: one lineitem hash aggregate to order grain (map-side
+    combined), one orderkey equi-join, one ~4-row bucket aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_tax").isNotNull()
+    )
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("line_cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    total_cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    gap = F.abs(total_cents - F.col("line_cents"))
+    recon = orders.join(
+        lines, orders.o_orderkey == lines.l_orderkey, "left"
+    ).select(
+        F.when(F.col("line_cents").isNull(), "no_lines")
+        .when(gap == 0, "exact")
+        .when(gap * 10000 <= total_cents, "minor_drift")
+        .otherwise("major_drift")
+        .alias("bucket"),
+        F.abs(F.coalesce(total_cents - F.col("line_cents"), total_cents)).alias(
+            "abs_gap_cents"
+        ),
+    )
+    return recon.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("abs_gap_cents").cast("long").alias("total_gap_cents"),
+        F.max("abs_gap_cents").cast("long").alias("max_gap_cents"),
+    )
+
+
+@register(
+    "supplier_single_source_risk",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+      GROUP BY l_partkey
+    )
+    SELECT CASE WHEN n_suppliers = 1 THEN 'single'
+                WHEN n_suppliers = 2 THEN 'dual'
+                ELSE 'multi' END AS sourcing,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(spend_cents) AS BIGINT) AS spend_cents,
+           CAST(max(spend_cents) AS BIGINT) AS max_part_spend_cents
+    FROM ps GROUP BY 1
+    """,
+)
+def supplier_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sourcing-concentration census: how much spend rides on parts with
+    a SINGLE supplier (the supply-chain risk register's first line —
+    one factory fire away from a stockout), vs dual- and multi-sourced
+    parts. Exact integer cents throughout.
+
+    Shape: one part-grain aggregate with a distinct-supplier count
+    (partial aggregation on (part, supplier) pairs under the hood),
+    then a 3-row bucket rollup — the same two-level-aggregate plan the
+    distinct-agg family pins."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+        & F.col("l_suppkey").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents"),
+    )
+    return (
+        ps.select(
+            F.when(F.col("n_suppliers") == 1, "single")
+            .when(F.col("n_suppliers") == 2, "dual")
+            .otherwise("multi")
+            .alias("sourcing"),
+            "spend_cents",
+        )
+        .groupBy("sourcing")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("spend_cents").cast("long").alias("spend_cents"),
+            F.max("spend_cents").cast("long").alias("max_part_spend_cents"),
+        )
+    )
+
+
+@register(
+    "supplier_eoq_reorder",
+    oracle="""
+    WITH demand AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS annual_qty,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY l_partkey
+      HAVING count(*) >= 5
+    )
+    SELECT l_partkey, annual_qty, n_lines,
+           sqrt(2.0 * annual_qty * 50.0 / 2.5) AS eoq_units,
+           CAST(ceil(sqrt(2.0 * annual_qty * 50.0 / 2.5)) AS BIGINT)
+             AS eoq_order_size,
+           CAST((annual_qty * 7 + 364) // 365 AS BIGINT) AS reorder_point
+    FROM demand
+    """,
+)
+def supplier_eoq_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity + reorder point per part: EOQ =
+    sqrt(2 D S / H) with a fixed order cost S=50 and holding cost
+    H=2.5/unit-year, reorder point = 7-day lead-time demand (ceil'd
+    integer via the (x*7+364) DIV 365 idiom) — the planning quantities
+    an inventory system derives from exactly this demand aggregate. D
+    is the exact integer annual quantity; the EOQ double is one sqrt of
+    an exact rational (identical on both engines), its order size the
+    integer ceiling; a >=5-line floor drops parts with no demand
+    signal.
+
+    Shape: one part-grain hash aggregate with map-side partials; every
+    derived column is per-row arithmetic on the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    demand = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("annual_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 5)
+    )
+    eoq = F.sqrt(2.0 * F.col("annual_qty") * 50.0 / 2.5)
+    return demand.select(
+        "l_partkey",
+        "annual_qty",
+        "n_lines",
+        eoq.alias("eoq_units"),
+        F.ceil(eoq).cast("long").alias("eoq_order_size"),
+        F.expr("(annual_qty * 7 + 364) DIV 365").cast("long").alias("reorder_point"),
+    )

@@ -244,6 +244,8 @@ PROBES = [
     "graph_personalized_pagerank",
     "multimodal_image_phash",
     "finance_var_historical",
+    "audit_order_total_reconciliation",
+    "supplier_single_source_risk",
 ]
 
 

@@ -44,6 +44,10 @@ RECENT = [
     "text_code_detect",
     "events_slo_error_budget",
     "finance_var_historical",
+    "join_asof_tolerance",
+    "audit_order_total_reconciliation",
+    "supplier_single_source_risk",
+    "supplier_eoq_reorder",
     # round-9 late additions (finance/SPC/graph/KWIC)
     "spc_imr_revenue",
     "supplier_otif",
