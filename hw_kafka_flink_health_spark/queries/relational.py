@@ -19,13 +19,18 @@ from hw_kafka_flink_health_spark.sources.files import load_table
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           sum(l_quantity) AS sum_qty,
+           sum(CAST(floor(l_extendedprice * 100) AS HUGEINT)) / 100.0
+             AS sum_base_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000)
+                    AS HUGEINT)) / 10000.0 AS sum_disc_price,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 1000000) AS HUGEINT)) / 1000000.0 AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           sum(CAST(floor(l_extendedprice * 100) AS HUGEINT))
+             / (100.0 * count(*)) AS avg_price,
+           sum(CAST(floor(l_discount * 100) AS HUGEINT))
+             / (100.0 * count(*)) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -34,21 +39,37 @@ from hw_kafka_flink_health_spark.sources.files import load_table
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan+filter (pushed to parquet) -> partial+final
-    hash aggregate on two low-cardinality keys. No join, one shuffle."""
+    hash aggregate on two low-cardinality keys. No join, one shuffle.
+
+    Exact-integer discipline (round-10 repart-fuzz finding): the money
+    sums accumulate FLOORED scaled integers (cents / 1e-4 / 1e-6 — the
+    native decimal scales of price, price*(1-disc), and the charge
+    product) in DECIMAL(38,0)/HUGEINT, so partial-aggregate merge order
+    cannot move the result — the raw double sums flipped round(x, 2) at
+    a boundary roughly 1 run in 3 under the 1-file vs 16-file layout
+    sweep. Quantities are integral (double sums of integers are exact
+    and order-free below 2^53) and every emitted double is one division
+    of exact integers, unrounded per the no-rounding rule."""
     li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base_e2 = F.sum(dec(F.floor(F.col("l_extendedprice") * 100)))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_e4 = F.sum(dec(F.floor(disc_price * 10000)))
+    charge_e6 = F.sum(dec(F.floor(disc_price * (1 + F.col("l_tax")) * 1000000)))
+    disc_e2 = F.sum(dec(F.floor(F.col("l_discount") * 100)))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("l_quantity").alias("sum_qty"),
+            (base_e2 / 100.0).alias("sum_base_price"),
+            (disc_e4 / 10000.0).alias("sum_disc_price"),
+            (charge_e6 / 1000000.0).alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (base_e2 / (100.0 * n)).alias("avg_price"),
+            (disc_e2 / (100.0 * n)).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
