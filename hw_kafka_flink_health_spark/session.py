@@ -67,9 +67,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    # Local mode runs ALL executor threads inside the driver JVM, whose
+    # heap defaults to -Xmx1g: 32 concurrent tasks sharing 1 GiB is the
+    # round-10 bench OOM (heap pressure from per-task hash maps +
+    # pinned localCheckpoint blocks occasionally tipped over). Size the
+    # heap like a real executor instead — overridable via env; only
+    # effective when set before the JVM launches, which get_spark is
+    # (the first session this process builds).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
