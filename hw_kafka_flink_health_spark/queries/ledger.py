@@ -1121,7 +1121,8 @@ def supplier_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH demand AS (
       SELECT l_partkey,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS annual_qty,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS annual_qty,
              CAST(count(*) AS BIGINT) AS n_lines
       FROM lineitem
       WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
@@ -1155,7 +1156,11 @@ def supplier_eoq_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     demand = (
         li.groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("annual_qty"),
+            # floor before the cast: DuckDB CAST(double AS BIGINT) ROUNDS
+            # while Spark truncates — floor pins both (review finding)
+            F.sum(F.floor(F.col("l_quantity")).cast("long"))
+            .cast("long")
+            .alias("annual_qty"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
         .filter(F.col("n_lines") >= 5)
