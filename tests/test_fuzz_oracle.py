@@ -504,3 +504,53 @@ def test_fuzz_repartition_invariance(name, spark, repart_layouts):
 def test_repart_risky_list_is_current():
     missing = [n for n in REPART_RISKY if n not in ORACLES]
     assert not missing, f"not oracled: {missing}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(st.integers(-50, 50), min_size=0, max_size=60),
+    parts=st.integers(min_value=1, max_value=8),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_distributed_rank_ntile_property(spark, values, parts, k):
+    """distributed_row_number / distributed_ntile must equal pandas rank
+    arithmetic for ANY value multiset (dense ties included), ANY
+    partition count (range partitions left empty included), and ANY
+    tile count (k > N included) — the same failure surface class as the
+    prefix-sum offset bug, on the round-10 operator."""
+    from hw_kafka_flink_health_spark.operators.relational import (
+        distributed_ntile,
+        distributed_row_number,
+    )
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got_rn = {
+        r.id: r.rn
+        for r in distributed_row_number(
+            df, ["v", "id"], out_col="rn", n_partitions=parts
+        ).collect()
+    }
+    expect_order = sorted(rows, key=lambda t: (t[1], t[0]))
+    exp_rn = {rid: i + 1 for i, (rid, _) in enumerate(expect_order)}
+    assert got_rn == exp_rn, (values, parts)
+
+    got_t = {
+        r.id: r.t
+        for r in distributed_ntile(
+            df, k, ["v", "id"], out_col="t", n_partitions=parts
+        ).collect()
+    }
+    n = len(values)
+    q, rem = divmod(n, k)
+    exp_t = {}
+    for pos, (rid, _) in enumerate(expect_order):  # SQL-standard NTILE
+        if pos < rem * (q + 1):
+            exp_t[rid] = pos // (q + 1) + 1
+        else:
+            exp_t[rid] = rem + (pos - rem * (q + 1)) // q + 1
+    assert got_t == exp_t, (values, parts, k)
