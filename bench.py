@@ -373,6 +373,7 @@ HEADLINE = [
     "audit_order_total_reconciliation",
     "supplier_single_source_risk",
     "supplier_eoq_reorder",
+    "inventory_abc_xyz_matrix",
 ]
 
 

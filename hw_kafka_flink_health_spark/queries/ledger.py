@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hw_kafka_flink_health_spark.operators.relational import global_prefix_sum
 from hw_kafka_flink_health_spark.queries._registry import register
 from hw_kafka_flink_health_spark.queries._shared import (
     DAILY_REV_SQL as _DAILY_REV_SQL,
@@ -1173,4 +1174,119 @@ def supplier_eoq_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         eoq.alias("eoq_units"),
         F.ceil(eoq).cast("long").alias("eoq_order_size"),
         F.expr("(annual_qty * 7 + 364) DIV 365").cast("long").alias("reorder_point"),
+    )
+
+
+@register(
+    "inventory_abc_xyz_matrix",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_partkey,
+             date_part('year', CAST(l_shipdate AS DATE)) * 12
+               + date_part('month', CAST(l_shipdate AS DATE)) AS mo,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem
+      WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+      GROUP BY 1, 2
+    ), parts AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(qty) AS BIGINT) AS s,
+             sum(CAST(qty AS HUGEINT) * qty) AS ss,
+             CAST(sum(cents) AS BIGINT) AS spend
+      FROM monthly GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, m, s, ss, spend,
+             sum(spend) OVER (ORDER BY spend DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS run,
+             sum(spend) OVER () AS total
+      FROM parts
+    ), classed AS (
+      SELECT CASE WHEN CAST(run AS HUGEINT) * 100 <= CAST(total AS HUGEINT) * 80
+                  THEN 'A'
+                  WHEN CAST(run AS HUGEINT) * 100 <= CAST(total AS HUGEINT) * 95
+                  THEN 'B' ELSE 'C' END AS abc,
+             CASE WHEN 4 * (CAST(m AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+                       <= CAST(s AS HUGEINT) * s THEN 'X'
+                  WHEN CAST(m AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+                       <= CAST(s AS HUGEINT) * s THEN 'Y'
+                  ELSE 'Z' END AS xyz,
+             spend
+      FROM ranked
+    )
+    SELECT abc, xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(spend) AS BIGINT) AS spend_cents
+    FROM classed GROUP BY abc, xyz
+    """,
+)
+def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory segmentation matrix: parts classed by cumulative
+    spend share (A <= 80%, B <= 95%, C — the Pareto axis stock policy
+    keys on) crossed with demand-variability class from the coefficient
+    of variation of MONTHLY demand (X: CV <= 0.5, Y: CV <= 1, Z —
+    forecastability). Every decision is exact integer algebra: the ABC
+    cut is run*100 <= total*k cross-multiplication; the CV cut clears
+    denominators to 4(m*ss - s^2) <= s^2, squares carried in
+    DECIMAL(38,0)/HUGEINT.
+
+    Scale shape: the cumulative-spend rank runs on `global_prefix_sum`
+    (operators/relational.py — range shuffle + per-partition cumsum +
+    bounded offset broadcast), so no single-partition window ever sees
+    the part table, whose cardinality is unbounded; the oracle's plain
+    `OVER (ORDER BY ...)` window is the semantic twin. One lineitem
+    aggregate to (part, month), one to part grain, then the distributed
+    rank and a 9-cell rollup."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    monthly = li.groupBy(
+        "l_partkey",
+        (
+            F.year(F.col("l_shipdate").cast("date")) * 12
+            + F.month(F.col("l_shipdate").cast("date"))
+        ).alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity")).cast("long")).cast("long").alias("qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    parts = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("qty").cast("long").alias("s"),
+        F.sum(dec(F.col("qty")) * F.col("qty")).alias("ss"),
+        F.sum("cents").cast("long").alias("spend"),
+    )
+    ranked = global_prefix_sum(
+        parts,
+        "spend",
+        [F.col("spend").desc(), F.col("l_partkey")],
+        out_col="run",
+    )
+    total = parts.agg(F.sum("spend").cast("long").alias("total"))
+    j = ranked.crossJoin(F.broadcast(total))
+    run100 = dec(F.col("run")) * 100
+    var_num = dec(F.col("m")) * F.col("ss") - dec(F.col("s")) * F.col("s")
+    s_sq = dec(F.col("s")) * F.col("s")
+    classed = j.select(
+        F.when(run100 <= dec(F.col("total")) * 80, "A")
+        .when(run100 <= dec(F.col("total")) * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(4 * var_num <= s_sq, "X")
+        .when(var_num <= s_sq, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "spend",
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("spend").cast("long").alias("spend_cents"),
     )

@@ -246,6 +246,7 @@ PROBES = [
     "finance_var_historical",
     "audit_order_total_reconciliation",
     "supplier_single_source_risk",
+    "inventory_abc_xyz_matrix",
 ]
 
 

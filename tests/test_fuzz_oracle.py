@@ -48,6 +48,7 @@ RECENT = [
     "audit_order_total_reconciliation",
     "supplier_single_source_risk",
     "supplier_eoq_reorder",
+    "inventory_abc_xyz_matrix",
     # round-9 late additions (finance/SPC/graph/KWIC)
     "spc_imr_revenue",
     "supplier_otif",
