@@ -121,6 +121,9 @@ SHOWCASE = {
     "timeseries_bollinger_breach": "Bollinger breach census: rolling integer sufficient statistics over the day dimension; the 2-sigma decision is exact integer algebra in DECIMAL(38,0)",
     "events_slo_error_budget": "SLO burn: one fact aggregate to day grain; the rolling window rides the calendar-bounded day table — the legitimate unpartitioned window",
     "text_code_detect": "code-vs-prose router: length/translate/replace signals in one codegen span over the scan + one source-grain aggregate",
+    "inventory_abc_xyz_matrix": "ABC-XYZ segmentation: two lineitem aggregates (month then part grain), cumulative-spend rank via global_prefix_sum (no single-partition window over the part table), CV class by integer cross-multiplication, 9-cell rollup",
+    "supplier_single_source_risk": "sourcing concentration: two-level distinct aggregate ((part,supplier) partials then part grain) + 3-row bucket rollup, exact cents",
+    "audit_order_total_reconciliation": "header-vs-lines reconciliation: one lineitem aggregate to order grain (map-side combined), one orderkey equi-join, 1-bp drift decided by integer cross-multiplication",
 }
 
 # Measured evidence that is not a single query's plan: kept here so PLANS.md
