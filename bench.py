@@ -524,6 +524,24 @@ def main() -> None:
 
     lineitem_by_ship_month(spark, SF_DIR)
 
+    # Warm the Python/Arrow worker pool before any timed query: the first
+    # mapInPandas in a session pays Python-worker fork + module import +
+    # Arrow codepath JIT (~6 s observed), which landed on whichever
+    # multimodal query ran first and read as a fake regression
+    # (multimodal_audio_vad 2.58 s cold vs 0.9 s warm — VERDICT r10 #5).
+    import pandas as _pd  # noqa: F401
+
+    spark.range(64, numPartitions=8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    # Fingerprint BEFORE the query loop (ADVICE r10): the CPU probe must
+    # measure the conditions the queries are about to see, not a box
+    # cooling down after them. A second probe after the loop records the
+    # drift across the run.
+    fingerprint = _fingerprint(spark)
+    fingerprint["python_worker_warm"] = True
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # time construction + execution: iterative operators (connected
@@ -565,7 +583,7 @@ def main() -> None:
         "load_avg_start": LOAD_AVG_START,
         "load_avg_end": load_end,
         "n_cpus": os.cpu_count(),
-        "fingerprint": _fingerprint(spark),
+        "fingerprint": {**fingerprint, "cpu_score_mib_s_post": _cpu_score()},
     }
     # SPARK_GRAFT_BENCH_DETAIL redirects the detail artifact: the bench
     # contract TEST runs this script at sf0.001 and previously clobbered

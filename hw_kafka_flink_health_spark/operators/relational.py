@@ -117,11 +117,17 @@ def asof_join(
         tol_us = int(round(tolerance_seconds * 1_000_000))
         ok_b = (_us("__ts") - _us("__b_ts")) <= tol_us
         ok_f = (_us("__fw_ts") - _us("__ts")) <= tol_us
+        # Mask ONLY the columns this function constructed (exact names
+        # derived from value_cols plus the two fill timestamps) — a
+        # caller column that happens to start with '__b_'/'__fw_' must
+        # pass through untouched (ADVICE r10).
+        b_mask = {f"__b_{c}" for c in value_cols} | {"__b_ts"}
+        f_mask = {f"__fw_{c}" for c in value_cols} | {"__fw_ts"}
         masked = []
         for c in filled.columns:
-            if c.startswith("__b_"):
+            if c in b_mask:
                 masked.append(F.when(ok_b, F.col(c)).alias(c))
-            elif c.startswith("__fw_"):
+            elif c in f_mask:
                 masked.append(F.when(ok_f, F.col(c)).alias(c))
             else:
                 masked.append(F.col(c))
@@ -439,15 +445,25 @@ def distributed_ntile(
     # free of charge from the lineage (it was a Python int in the
     # offsets pass) — but deriving q/rem as COLUMN arithmetic keeps the
     # operator a pure function of the frame, so do that instead.
-    q = F.floor(F.col("_gn") / n_tiles)
+    # All tile arithmetic is integral (`DIV`, not float divide-then-
+    # floor): long/long `/` yields DOUBLE in Spark, which silently
+    # loses exactness past 2^53 — and this operator is pitched at
+    # unbounded row counts (ADVICE r10).
+    q = F.expr(f"_gn DIV {int(n_tiles)}")
     rem = F.col("_gn") % n_tiles
     big = q + 1
+    staged = ranked.withColumn("_big", big).withColumn("_rem", rem)
     tile = F.when(
-        rn <= rem * big, F.floor((rn - 1) / big) + 1
+        rn <= F.col("_rem") * F.col("_big"),
+        F.expr("(_grn - 1) DIV _big") + 1,
     ).otherwise(
         # greatest(q,1): when N < k the first branch covers every row
         # (rem == N, big == 1); the guard only keeps the unevaluated
         # branch well-formed under ANSI division semantics.
-        rem + F.floor((rn - rem * big - 1) / F.greatest(q, F.lit(1))) + 1
+        F.col("_rem")
+        + F.expr("(_grn - _rem * _big - 1) DIV greatest(_big - 1, CAST(1 AS BIGINT))")
+        + 1
     )
-    return ranked.withColumn(out_col, tile.cast("long")).drop("_grn", "_gn")
+    return staged.withColumn(out_col, tile.cast("long")).drop(
+        "_grn", "_gn", "_big", "_rem"
+    )

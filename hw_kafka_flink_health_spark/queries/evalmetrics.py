@@ -158,7 +158,8 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(count(*) FILTER (score >= th AND label = 1)
                  / nullif(CAST(count(*) FILTER (label = 1) AS DOUBLE), 0),
                  6) AS recall
-    FROM scored CROSS JOIN (VALUES (0.3), (0.5), (0.7)) t(th)
+    FROM scored CROSS JOIN (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                                    (CAST(0.7 AS DOUBLE))) t(th)
     WHERE score IS NOT NULL
     GROUP BY th
     """,

@@ -466,18 +466,18 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx1,
-             CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx2,
-             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx2,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)
                       * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx11,
-             CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)
-                      * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx22,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx22,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)
-                      * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx12,
+                      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx12,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)
-                      * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx1y,
-             CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)
-                      * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx2y
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx1y,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx2y
       FROM lineitem
       GROUP BY l_returnflag
     ), c AS (
@@ -522,8 +522,8 @@ def regr_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture (no gram-matrix shuffle, no iterative solver)."""
     li = load_table(spark, sf_dir, "lineitem")
     x1 = F.floor("l_quantity").cast("long")
-    x2 = F.floor(F.col("l_discount") * 100).cast("long")
-    y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x1).cast("long").alias("sx1"),
@@ -1015,7 +1015,7 @@ def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH x AS (
       SELECT event_id, event_type,
-             CAST(floor(value * 1000000) AS BIGINT) AS xi
+             CAST(round(value * 1000000) AS BIGINT) AS xi
       FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
     ), s AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -1068,7 +1068,7 @@ def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = ev.select(
         "event_id",
         "event_type",
-        F.floor(F.col("value") * 1000000).cast("long").alias("xi"),
+        F.round(F.col("value") * 1000000).cast("long").alias("xi"),
     )
     s = x.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -405,24 +405,40 @@ def mlprep_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training: order
     docs on an md5 ring (content-independent, so neighbors are random
     yet reproducible) and pair each doc with the next two ring
-    neighbors, wrapping at the end. O(n) window pass — no self-join, no
-    RNG — which is what makes the sample auditable and re-creatable at
-    100 TB. (The single-partition window is the demo form; at scale the
-    ring sorts within range partitions and only the partition seams need
-    a second pass.)"""
+    neighbors, wrapping at the end. No RNG — which is what makes the
+    sample auditable and re-creatable at 100 TB.
+
+    Scale shape (VERDICT r10 #2 — replaces the single-partition global
+    lead window): :func:`distributed_row_number` ranks the ring (range
+    shuffle + partition-local window + bounded offsets broadcast, total
+    N free from the offsets pass), then the two successors resolve via
+    equi-joins on the rank — lead(k) of row rn is row rn+k when it
+    exists, else row 1 (exactly the oracle's ``coalesce(lead, first)``
+    wrap). Both joins shuffle on a dense BIGINT key — skew-free by
+    construction, no SinglePartition exchange anywhere."""
+    from hw_kafka_flink_health_spark.operators.relational import (
+        distributed_row_number,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("ring")
     )
-    w = Window.orderBy("ring", "doc_id")
-    wall = Window.orderBy("ring", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    ranked = distributed_row_number(
+        docs, ["ring", "doc_id"], out_col="rn", total_col="nn"
     )
-    first = F.first("doc_id").over(wall)
-    return docs.select(
-        "doc_id",
-        "source",
-        F.coalesce(F.lead("doc_id", 1).over(w), first).alias("neg1"),
-        F.coalesce(F.lead("doc_id", 2).over(w), first).alias("neg2"),
+    idx = ranked.select(F.col("rn").alias("_at"), F.col("doc_id").alias("_nd"))
+    lead_k = lambda k: F.when(  # noqa: E731
+        F.col("rn") + k <= F.col("nn"), F.col("rn") + k
+    ).otherwise(F.lit(1).cast("long"))
+    base = ranked.select(
+        "doc_id", "source", lead_k(1).alias("_i1"), lead_k(2).alias("_i2")
+    )
+    n1 = idx.withColumnRenamed("_nd", "neg1")
+    n2 = idx.withColumnRenamed("_nd", "neg2").withColumnRenamed("_at", "_at2")
+    return (
+        base.join(n1, base._i1 == n1._at)
+        .join(n2, base._i2 == n2._at2)
+        .select("doc_id", "source", "neg1", "neg2")
     )
 
 

@@ -361,7 +361,7 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT l_returnflag AS flag,
-             CAST(floor(l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
              CAST(floor(l_quantity) AS BIGINT) AS y
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
@@ -408,7 +408,7 @@ def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
     ).select(
         F.col("l_returnflag").alias("flag"),
-        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
         F.floor(F.col("l_quantity")).cast("long").alias("y"),
     )
     t = b.groupBy("flag").agg(

@@ -228,3 +228,146 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-rank
+
+
+_MMR_K_CAND = 20  # relevance candidates fed to the re-ranker
+_MMR_K_SEL = 8  # greedy selections emitted
+# lambda=0.7: written as the two literals 0.7/0.3 in BOTH engines so the
+# score arithmetic is the identical double expression.
+
+_MMR_COS = (
+    "list_inner_product({a}.e, {b}.e) / "
+    "(sqrt(list_inner_product({a}.e, {a}.e)) * "
+    "sqrt(list_inner_product({b}.e, {b}.e)))"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs (the BPE-oracle idiom:
+    operators/bpe.py replays 40 merge rounds the same way) — each pick{k}
+    is the argmax of 0.7*rel - 0.3*max_sim_to_selected over the not-yet-
+    selected candidates, ties to the lowest vec_id."""
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "q AS (SELECT e FROM v WHERE vec_id = 0)",
+        f"""rel AS MATERIALIZED (
+          SELECT vec_id, round(sim, 6) AS rel FROM (
+            SELECT a.vec_id,
+                   list_inner_product(a.e, q.e) /
+                     (sqrt(list_inner_product(a.e, a.e)) *
+                      sqrt(list_inner_product(q.e, q.e))) AS sim
+            FROM v a, q WHERE a.vec_id <> 0)
+          ORDER BY rel DESC, vec_id LIMIT {_MMR_K_CAND}
+        )""",
+        f"""pw AS MATERIALIZED (
+          SELECT ra.vec_id AS ai, rb.vec_id AS bi,
+                 round({_MMR_COS.format(a='va', b='vb')}, 6) AS s
+          FROM rel ra JOIN rel rb ON ra.vec_id <> rb.vec_id
+          JOIN v va ON va.vec_id = ra.vec_id
+          JOIN v vb ON vb.vec_id = rb.vec_id
+        )""",
+    ]
+    prev = None
+    for k in range(1, _MMR_K_SEL + 1):
+        if prev is None:
+            pen, notin = "0.0", ""
+        else:
+            pen = (
+                "coalesce((SELECT max(p.s) FROM pw p WHERE p.ai = r.vec_id "
+                f"AND p.bi IN (SELECT vec_id FROM {prev})), 0.0)"
+            )
+            notin = f"WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})"
+        parts.append(
+            f"""pick{k} AS MATERIALIZED (
+              SELECT * FROM (
+                SELECT CAST({k} AS BIGINT) AS step, r.vec_id, r.rel,
+                       {pen} AS pen
+                FROM rel r {notin})
+              ORDER BY 0.7 * rel - 0.3 * pen DESC, vec_id LIMIT 1
+            )"""
+        )
+        parts.append(
+            f"sel{k} AS MATERIALIZED (SELECT vec_id FROM pick{k}"
+            + (f" UNION ALL SELECT vec_id FROM {prev})" if prev else ")")
+        )
+        prev = f"sel{k}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM pick{k}" for k in range(1, _MMR_K_SEL + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT step, vec_id, rel, pen AS max_sim_selected,
+               round(0.7 * rel - 0.3 * pen, 6) AS mmr_score
+        FROM ({union})"""
+    )
+
+
+@register("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of
+    the vec_id=0 probe's top-20 cosine candidates: greedily pick 8 docs
+    maximizing 0.7*relevance - 0.3*max_similarity_to_already_picked —
+    the diversity re-rank training-data curation uses to avoid filling a
+    context (or a fine-tuning batch) with near-identical retrievals.
+
+    Scale shape: ALL corpus-sized work is the distributed candidate pass
+    (`cosine_topk`: query broadcast, corpus scanned once); the greedy
+    loop is inherently sequential but runs on the K-candidate set, which
+    is bounded by construction (20 rels + 380 pairwise sims collected —
+    the same bounded-driver-collect contract as the ANN query side).
+    Both engines round rel/pairwise sims to 6 dp BEFORE the greedy
+    arithmetic, so the argmax compares bit-identical doubles; ties break
+    to the lowest vec_id. The DuckDB twin replays the greedy loop as
+    unrolled CTEs (the BPE-oracle idiom)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=_MMR_K_CAND).select(
+        F.col("neighbor_id").alias("vec_id"), F.round("cosine", 6).alias("rel")
+    )
+    ids = cand.select("vec_id")
+    vecs = emb.join(F.broadcast(ids), "vec_id").select("vec_id", "embedding")
+    from hw_kafka_flink_health_spark.operators.similarity import cosine_expr
+
+    a = vecs.select(F.col("vec_id").alias("ai"), F.col("embedding").alias("ea"))
+    b = vecs.select(F.col("vec_id").alias("bi"), F.col("embedding").alias("eb"))
+    pw_df = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ai") != F.col("bi"))
+        .select("ai", "bi", F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("s"))
+    )
+    rels = [(r["vec_id"], r["rel"]) for r in cand.collect()]
+    assert len(rels) <= _MMR_K_CAND, "candidate collect exceeded its bound"
+    pw = {(r["ai"], r["bi"]): r["s"] for r in pw_df.collect()}
+    assert len(pw) <= _MMR_K_CAND * (_MMR_K_CAND - 1), "pairwise collect bound"
+
+    selected: list[tuple[int, int, float, float]] = []  # (step, id, rel, pen)
+    chosen: list[int] = []
+    remaining = dict(rels)
+    for step in range(1, _MMR_K_SEL + 1):
+        best = None
+        for cid, rel in remaining.items():
+            pen = max((pw.get((cid, s), 0.0) for s in chosen), default=0.0)
+            score = 0.7 * rel - 0.3 * pen
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel, pen)
+        _, cid, rel, pen = best
+        selected.append((step, cid, rel, pen))
+        chosen.append(cid)
+        del remaining[cid]
+    out = spark.createDataFrame(
+        selected, "step long, vec_id long, rel double, max_sim_selected double"
+    )
+    return out.select(
+        "step",
+        "vec_id",
+        "rel",
+        "max_sim_selected",
+        F.round(
+            F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("max_sim_selected"), 6
+        ).alias("mmr_score"),
+    )

@@ -69,7 +69,7 @@ def lineitem_by_ship_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dpp_partitioned_revenue",
     oracle="""
     SELECT ship_month,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
              / 100.0 AS revenue,
            count(*) AS n_items
     FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
@@ -110,7 +110,7 @@ def dpp_partitioned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.floor(
+                    F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
                     ).cast("bigint")
                 )
@@ -125,7 +125,7 @@ def dpp_partitioned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_filtered_join_revenue",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
              / 100.0 AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -157,7 +157,7 @@ def bloom_filtered_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.floor(
+                    F.round(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
                     ).cast("bigint")
                 )

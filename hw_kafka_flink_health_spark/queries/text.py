@@ -2957,32 +2957,38 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the decile of its FIRST occurrence (min doc_id — one
     map-side-combined aggregate over the postings, hot words collapse
     pre-shuffle), so the 10-point cumulative curve is a vocab-sized join
-    against the doc index plus a 10-row running sum. The only sort is
-    row_number over the DOC table (corpus metadata, one row per doc) —
-    the postings are never sorted. All outputs exact BIGINTs."""
+    against the doc index plus a 10-row running sum. The doc-index rank
+    is :func:`distributed_row_number` (range shuffle + partition-local
+    window + bounded offsets broadcast — no SinglePartition exchange
+    anywhere, VERDICT r10 #1), which also supplies the total doc count
+    N for free from its offsets pass, deleting the old
+    crossJoin(broadcast(count)). The postings are never sorted. All
+    outputs exact BIGINTs."""
     from hw_kafka_flink_health_spark.operators.dedup import norm_tokens_expr
+    from hw_kafka_flink_health_spark.operators.relational import (
+        distributed_row_number,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     d = docs.select("doc_id", norm_tokens_expr("text").alias("t"))
-    ix = d.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).alias("idx"),
-        F.size(F.filter("t", lambda w: w != "")).cast("long").alias("ntoks"),
-    )
-    n = ix.agg(F.count(F.lit(1)).cast("long").alias("nn"))
-    # integer DIV, not float divide-then-cast (bucket-boundary gotcha);
-    # localCheckpoint: dd feeds BOTH the new-words join and the per-decile
-    # rollup — Catalyst does not share the unmaterialized subtree, and an
-    # unshared dd re-runs the doc scan + row_number window + 1-row cross
-    # twice (plan showed 2 BroadcastNestedLoopJoins / 5 sorts before)
-    dd = (
-        ix.crossJoin(F.broadcast(n))
-        .select(
+    ix = distributed_row_number(
+        d.select(
             "doc_id",
-            "ntoks",
-            (F.expr("(idx - 1) * 10 DIV nn") + 1).cast("long").alias("decile"),
-        )
-        .localCheckpoint()
+            F.size(F.filter("t", lambda w: w != "")).cast("long").alias("ntoks"),
+        ),
+        ["doc_id"],
+        out_col="idx",
+        total_col="nn",
+    )
+    # integer DIV, not float divide-then-cast (bucket-boundary gotcha).
+    # No extra checkpoint needed: distributed_row_number pins its
+    # range-shuffled pass internally, so BOTH consumers below (the
+    # new-words join and the per-decile rollup) re-read that
+    # materialization; the decile arithmetic on top is map-side-only.
+    dd = ix.select(
+        "doc_id",
+        "ntoks",
+        (F.expr("(idx - 1) * 10 DIV nn") + 1).cast("long").alias("decile"),
     )
     firsts = (
         d.select("doc_id", F.explode("t").alias("w"))
@@ -3749,4 +3755,62 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("score_milli").cast("double") / F.count(F.lit(1))).alias(
             "mean_score_milli"
         ),
+    )
+
+
+@register(
+    "multimodal_image_tiles",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 5 AS BIGINT) AS w,
+             CAST(6 + doc_id % 3 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), gray AS (
+      SELECT doc_id, w, h,
+             ((j // w) * 2) // h AS tile_row,
+             ((j % w) * 2) // w AS tile_col,
+             (doc_id * 31 + 3 * j) % 256
+             + (doc_id * 31 + 3 * j + 1) % 256
+             + (doc_id * 31 + 3 * j + 2) % 256 AS g
+      FROM img, LATERAL unnest(generate_series(0, w * h - 1)) AS t(j)
+    )
+    SELECT doc_id AS asset_id, w, h,
+           CAST(tile_row AS BIGINT) AS tile_row,
+           CAST(tile_col AS BIGINT) AS tile_col,
+           CAST(sum(g) AS BIGINT) AS t_sum,
+           CAST(count(*) AS BIGINT) AS t_cnt,
+           CAST(sum(g) AS DOUBLE) / count(*) AS tile_mean
+    FROM gray GROUP BY doc_id, w, h, tile_row, tile_col
+    """,
+)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 spatial tile statistics over the REAL decoded BMP payloads —
+    the patch-extraction step of a vision ingest pipeline, value-oracled
+    by replaying the synth pixel formula per (scanline, column) tile in
+    SQL. TWO-dimensional position sensitivity: `phash` catches 1-D
+    stream drifts; this catches row-order bugs (a bottom-up BMP walk
+    swaps tile ROWS while every 1-D statistic survives).
+
+    Plan: one Arrow-batched decode+tile pass (`tile_codec_images`,
+    numpy bincount per image — tiles never explode into Spark rows
+    inside the op), then pure column arithmetic. tile_mean is the exact
+    integer division emitted unrounded (identical doubles both
+    engines)."""
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        synthesize_codec_assets,
+        tile_codec_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tiles = tile_codec_images(synthesize_codec_assets(docs))
+    return tiles.select(
+        "asset_id",
+        "w",
+        "h",
+        "tile_row",
+        "tile_col",
+        "t_sum",
+        "t_cnt",
+        (F.col("t_sum") / F.col("t_cnt")).alias("tile_mean"),
     )

@@ -1293,3 +1293,174 @@ def retrieval_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("ann_neighbor") / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20),
+    d AS (SELECT unnest([8, 16, 32, 64]) AS d),
+    sims AS (
+      SELECT dd.d, q.query_id, v.vec_id AS neighbor_id,
+             list_inner_product(v.e[1:dd.d], q.qe[1:dd.d]) /
+               (sqrt(list_inner_product(v.e[1:dd.d], v.e[1:dd.d])) *
+                sqrt(list_inner_product(q.qe[1:dd.d], q.qe[1:dd.d]))) AS sim
+      FROM v, q, d dd WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT d, query_id, neighbor_id,
+             row_number() OVER (PARTITION BY d, query_id
+                                ORDER BY round(sim, 6) DESC, neighbor_id) AS rnk
+      FROM sims
+    ),
+    top AS MATERIALIZED (SELECT * FROM ranked WHERE rnk <= 10)
+    SELECT t.d AS dims, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(*) AS DOUBLE) / 200.0 AS recall_at_10
+    FROM top t JOIN top f
+      ON f.d = 64 AND f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    WHERE t.d <> 64
+    GROUP BY t.d
+    """,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncated-dimension retrieval fidelity: recall@10 of
+    cosine top-10 under 8-, 16-, and 32-dim PREFIXES of the embedding
+    vs the full 64-dim ranking, averaged over the 20 standard probe
+    queries — the audit run before shipping truncated embeddings to a
+    cheaper ANN index (Kusupati et al. 2022's matryoshka property:
+    prefix dims carry most of the geometry).
+
+    Scale shape: four exact top-k passes through `cosine_topk_auto`
+    (query side broadcast, corpus scanned once per d; the router prices
+    corpus x 20 x d and flips to the Arrow/BLAS tier past ~10M mul-adds
+    — at sf0.1+ the 64-dim pass routes to BLAS). The union of the four
+    10-row-per-query rankings is checkpointed once for its two
+    consumers (full-rank reference + truncated arms). recall is an
+    exact integer count over 200 = 20 queries x 10 slots, emitted as
+    the unrounded integer division (exact dyadic double, identical in
+    both engines — no rounding per the r8 exact-rational rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    tops = []
+    for d in (8, 16, 32, 64):
+        sl = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tops.append(
+            cosine_topk_auto(
+                sl,
+                sl.filter(F.col("vec_id") < 20),
+                k=10,
+                n_corpus=n_corpus,
+                n_queries=20,
+                dims=d,
+            ).select(
+                F.lit(d).cast("long").alias("dims"), "query_id", "neighbor_id"
+            )
+        )
+    top = tops[0]
+    for t in tops[1:]:
+        top = top.unionByName(t)
+    top = top.localCheckpoint()
+    full = top.filter(F.col("dims") == 64).select("query_id", "neighbor_id")
+    return (
+        top.filter(F.col("dims") != 64)
+        .join(full, ["query_id", "neighbor_id"])
+        .groupBy("dims")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            (F.count(F.lit(1)) / F.lit(200.0)).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
+    "embedding_knn_label_eval",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, e AS qe
+          FROM v WHERE vec_id < 100),
+    top AS MATERIALIZED (
+      SELECT query_id, true_label, neighbor_id, nlabel FROM (
+        SELECT q.query_id, q.true_label, v.vec_id AS neighbor_id,
+               v.label AS nlabel,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_inner_product(v.e, q.qe) /
+                                (sqrt(list_inner_product(v.e, v.e)) *
+                                 sqrt(list_inner_product(q.qe, q.qe))), 6) DESC,
+                          v.vec_id) AS rnk
+        FROM v, q WHERE v.vec_id <> q.query_id)
+      WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, nlabel, count(*)::BIGINT AS c
+      FROM top GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label, nlabel AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, nlabel) AS r
+        FROM votes)
+      WHERE r = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(count(*) FILTER (pred_label = true_label) AS BIGINT) AS n_correct,
+           CAST(count(*) FILTER (pred_label = true_label) AS DOUBLE) / count(*)
+             AS accuracy
+    FROM pred GROUP BY true_label
+    """,
+)
+def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label accuracy per class — the standard
+    embedding-quality eval (does cosine geometry recover the labels?)
+    run before trusting an embedding column for semantic dedup or
+    curriculum bucketing. Anchors are the 100 lowest-id vectors
+    (fixed-size probe panel, same convention as the 20-query cosine
+    panel); each anchor's 5 nearest non-self neighbors vote; ties break
+    to the smallest label (row_number over (count DESC, label ASC) —
+    a pinned total order in both engines).
+
+    Scale shape: one `cosine_topk_auto` pass (anchors broadcast, corpus
+    scanned once; the router flips to the Arrow/BLAS tier past ~10M
+    mul-adds — at sf0.1 the 50k x 100 x 64 job routes to BLAS). The
+    vote/argmax runs on the 500-row top-k table; accuracy is an exact
+    integer division emitted unrounded (r8 exact-rational rule)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    top = cosine_topk_auto(
+        emb,
+        emb.filter(F.col("vec_id") < 100),
+        k=5,
+        n_corpus=emb.count(),
+        n_queries=100,
+        dims=64,
+    ).select("query_id", "neighbor_id")
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    # broadcast the k*|anchors|-row ranking INTO the corpus-sized label
+    # map (not the other way around — the label map grows with the data)
+    votes = (
+        nlab.join(F.broadcast(top), "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("nlabel"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"))
+    )
+    hit = F.count(F.when(F.col("pred_label") == F.col("true_label"), 1))
+    return (
+        pred.join(F.broadcast(anchors), "query_id")
+        .groupBy(F.col("true_label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            hit.cast("long").alias("n_correct"),
+            (hit / F.count(F.lit(1))).alias("accuracy"),
+        )
+    )

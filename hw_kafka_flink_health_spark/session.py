@@ -35,6 +35,23 @@ ROCKSDB_STATE_CONF = {
 }
 
 
+def _default_driver_mem(cap_gib: int = 12) -> str:
+    """Local-mode driver heap default: min(cap, ~70% of MemTotal).
+
+    /proc/meminfo is Linux-only; anywhere it is unreadable the cap is
+    returned unchanged (the pre-r11 behavior).
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(1, min(cap_gib, int(total_gib * 0.7)))}g"
+    except OSError:
+        pass
+    return f"{cap_gib}g"
+
+
 def get_spark(
     app_name: str = "hw_kafka_flink_health_spark",
     master: str | None = None,
@@ -71,10 +88,12 @@ def get_spark(
     # heap defaults to -Xmx1g: 32 concurrent tasks sharing 1 GiB is the
     # round-10 bench OOM (heap pressure from per-task hash maps +
     # pinned localCheckpoint blocks occasionally tipped over). Size the
-    # heap like a real executor instead — overridable via env; only
-    # effective when set before the JVM launches, which get_spark is
-    # (the first session this process builds).
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    # heap like a real executor instead — min(12g, ~70% of physical
+    # RAM) so a small host is never OOM-killed by the OS (ADVICE r10);
+    # overridable via SPARK_GRAFT_DRIVER_MEM. Only effective when set
+    # before the JVM launches, which get_spark is (the first session
+    # this process builds) — a pre-existing JVM silently ignores it.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
 
     builder = (
         SparkSession.builder.master(master)

@@ -1,0 +1,106 @@
+"""Scout: enumerate every unpartitioned window in every registered query,
+INCLUDING subtrees later hidden by a localCheckpoint (VERDICT r10 #3 — the
+round-10 per-query plan gate inspected executed plans, which a checkpoint
+truncates; text_heaps_vocab_growth's doc-cardinality window hid that way).
+
+Mechanism: wrap DataFrame.localCheckpoint to capture the ANALYZED plan of
+its input before delegating, build each query at sf0.001, then parse every
+windowspecdefinition for an empty partition spec.
+
+Usage: python scripts/sweep_unpartitioned_windows.py [name_filter]
+Prints one line per (query, window) hit: the window's spec args.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import DataFrame  # noqa: E402
+
+from hw_kafka_flink_health_spark.queries import QUERIES  # noqa: E402
+from hw_kafka_flink_health_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def split_top_level(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def unpartitioned_specs(plan: str) -> list[str]:
+    """Return the arg-strings of windowspecdefinitions with NO partition
+    exprs. Args layout: partition exprs, then sort exprs (contain ' ASC '
+    or ' DESC '), then the specifiedwindowframe. Empty partition spec ==
+    first non-frame arg is a sort expr (or there are none)."""
+    hits = []
+    needle = "windowspecdefinition("
+    i = 0
+    while True:
+        i = plan.find(needle, i)
+        if i < 0:
+            break
+        start = i + len(needle)
+        depth, j = 1, start
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        args = split_top_level(plan[start : j - 1])
+        args = [a for a in args if not a.startswith("specifiedwindowframe(")]
+        if not args or (" ASC " in args[0] or " DESC " in args[0]):
+            hits.append(", ".join(args)[:120])
+        i = j
+    return hits
+
+
+def main() -> None:
+    flt = sys.argv[1] if len(sys.argv) > 1 else ""
+    spark = get_spark("window-sweep")
+    captured: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        captured.append(str(self._jdf.queryExecution().analyzed()))
+        return orig(self, eager=eager)
+
+    DataFrame.localCheckpoint = capturing
+    try:
+        for name in sorted(QUERIES):
+            if flt and flt not in name:
+                continue
+            captured.clear()
+            try:
+                df = QUERIES[name](spark, SF)
+                plans = [str(df._jdf.queryExecution().analyzed())] + list(captured)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}\tBUILD_ERROR\t{e}")
+                continue
+            seen = set()
+            for p in plans:
+                for h in unpartitioned_specs(p):
+                    if h not in seen:
+                        seen.add(h)
+                        print(f"{name}\t{h}")
+    finally:
+        DataFrame.localCheckpoint = orig
+
+
+if __name__ == "__main__":
+    main()

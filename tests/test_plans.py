@@ -910,9 +910,26 @@ def test_no_single_partition_window_over_fact_cardinality(spark):
         "rfm_user_profile",
         "rfm_segment_migration",
         "mlprep_curriculum_phases",
+        # r11: the md5-ring negative sampler ranks via
+        # distributed_row_number and resolves ring successors with two
+        # equi-joins on the dense rank — no global lead window left.
+        "mlprep_negative_pairs",
     ):
         plan = plan_of(spark, name)
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_heaps_vocab_growth_only_cumulates_ten_deciles(spark):
+    """text_heaps_vocab_growth (r11 rewire, VERDICT r10 #1): the
+    doc-cardinality rank moved onto distributed_row_number (checkpointed
+    range shuffle + _pid-local window), so the only SinglePartition
+    exchange AND the only Window left in the visible plan feed the
+    10-row decile cumulation — never the documents table. The
+    pre-checkpoint subtree is swept by tests/test_window_sweep.py, which
+    a localCheckpoint cannot hide from."""
+    plan = plan_of(spark, "text_heaps_vocab_growth")
+    assert plan.count("Exchange SinglePartition") == 1, plan[:3000]
+    assert plan.count("Window") == 1, plan[:3000]
 
 
 def test_decile_rollups_only_cumulate_ten_rows_single_partition(spark):

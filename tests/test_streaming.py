@@ -1353,29 +1353,55 @@ def test_side_outputs_route_main_and_quarantine(spark, tmp_path):
     assert set(viol[("", -1)].split(",")) == {"nonempty_id", "bpm_in_range"}
 
 
-def test_cep_job_demo_cli_runs():
+def test_cep_job_demo_cli_runs(tmp_path):
     """The CEP monitor's broker-less demo (`python -m ... cep_job --demo`)
     runs end-to-end from the CLI and the console sink ticks — the
-    FlinkCEP-job parity check."""
+    FlinkCEP-job parity check.
+
+    Poll-until-first-batch with a deadline, not a fixed demo window
+    (VERDICT r10 #6): under full-suite load the old 8-second demo
+    sometimes ended before the first micro-batch printed. The demo
+    window is generous (90 s) and the process is terminated as soon as
+    "Batch: " appears."""
     import subprocess
     import sys
+    import time as _t
 
-    proc = subprocess.run(
-        [
-            sys.executable,
-            "-m",
-            "hw_kafka_flink_health_spark.streaming.cep_job",
-            "--demo",
-            "--demo-seconds",
-            "8",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=120,
-        cwd="/root/repo",
-    )
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "Batch: " in proc.stdout
+    out_path = tmp_path / "cep_demo.out"
+    with open(out_path, "w") as out:
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "hw_kafka_flink_health_spark.streaming.cep_job",
+                "--demo",
+                "--demo-seconds",
+                "90",
+            ],
+            stdout=out,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd="/root/repo",
+        )
+        try:
+            deadline = _t.monotonic() + 150
+            ticked = False
+            while _t.monotonic() < deadline:
+                if "Batch: " in out_path.read_text(errors="replace"):
+                    ticked = True
+                    break
+                if proc.poll() is not None:
+                    break
+                _t.sleep(1.0)
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=30)
+    tail = out_path.read_text(errors="replace")[-2000:]
+    assert ticked or "Batch: " in tail, tail
 
 
 def test_streaming_under_rocksdb_state_store(spark, tmp_path):
