@@ -374,6 +374,11 @@ HEADLINE = [
     "supplier_single_source_risk",
     "supplier_eoq_reorder",
     "inventory_abc_xyz_matrix",
+    # round-11 additions
+    "retrieval_mmr_rerank",
+    "embedding_matryoshka_recall",
+    "embedding_knn_label_eval",
+    "multimodal_image_tiles",
 ]
 
 

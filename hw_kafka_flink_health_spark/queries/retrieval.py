@@ -302,7 +302,7 @@ def _mmr_oracle() -> str:
         ",\n".join(parts)
         + f"""
         SELECT step, vec_id, rel, pen AS max_sim_selected,
-               round(0.7 * rel - 0.3 * pen, 6) AS mmr_score
+               0.7 * rel - 0.3 * pen AS mmr_score
         FROM ({union})"""
     )
 
@@ -347,7 +347,9 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected: list[tuple[int, int, float, float]] = []  # (step, id, rel, pen)
     chosen: list[int] = []
     remaining = dict(rels)
-    for step in range(1, _MMR_K_SEL + 1):
+    # fewer candidates than selections (tiny fixtures): emit what exists,
+    # exactly like the oracle's pick{k}-of-empty-rel degenerates to empty
+    for step in range(1, min(_MMR_K_SEL, len(rels)) + 1):
         best = None
         for cid, rel in remaining.items():
             pen = max((pw.get((cid, s), 0.0) for s in chosen), default=0.0)
@@ -359,6 +361,12 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append((step, cid, rel, pen))
         chosen.append(cid)
         del remaining[cid]
+    if not selected:
+        return spark.createDataFrame(
+            [],
+            "step long, vec_id long, rel double, max_sim_selected double, "
+            "mmr_score double",
+        )
     out = spark.createDataFrame(
         selected, "step long, vec_id long, rel double, max_sim_selected double"
     )
@@ -367,7 +375,11 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "rel",
         "max_sim_selected",
-        F.round(
-            F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("max_sim_selected"), 6
+        # UNROUNDED: 0.7*rel - 0.3*pen over 6dp-exact inputs is an exact
+        # 7-decimal rational that can land ON a 6dp half-grain, where the
+        # engines' round() split (r8 rule: identical inputs + identical
+        # expression = identical doubles; rounding only re-introduces risk)
+        (
+            F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("max_sim_selected")
         ).alias("mmr_score"),
     )

@@ -32,6 +32,11 @@ TABLES = (
 # every query the round-5 full-catalog fuzz audit caught diverging (each
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
+    # round-11 additions
+    "retrieval_mmr_rerank",
+    "embedding_matryoshka_recall",
+    "embedding_knn_label_eval",
+    "multimodal_image_tiles",
     # round-10 additions
     "embedding_semdedup_det",
     "eval_pinball_loss",
