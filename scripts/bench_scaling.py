@@ -247,6 +247,11 @@ PROBES = [
     "audit_order_total_reconciliation",
     "supplier_single_source_risk",
     "inventory_abc_xyz_matrix",
+    # round-11 additions
+    "retrieval_mmr_rerank",
+    "embedding_matryoshka_recall",
+    "embedding_knn_label_eval",
+    "multimodal_image_tiles",
 ]
 
 
