@@ -864,6 +864,13 @@ def tile_codec_images(
                 for r in range(grid):
                     for c in range(grid):
                         k = r * grid + c
+                        if int(tcnt[k]) == 0:
+                            # grid > min(w, h) leaves tiles with no
+                            # pixels: omit them, matching the GROUP BY
+                            # semantics of any SQL replay (and keeping
+                            # downstream t_sum/t_cnt divisions finite
+                            # under ANSI mode — review r11)
+                            continue
                         out.append(
                             (
                                 int(aid),

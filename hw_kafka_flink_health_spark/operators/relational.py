@@ -392,6 +392,16 @@ def distributed_row_number(
     ``count().over(Window.partitionBy())`` (another single-partition
     exchange) get it for free from the offsets pass.
     """
+    # Loud guard, not silent clobber: withColumn REPLACES an existing
+    # column, so a caller frame already carrying an internal staging
+    # name would lose that column with no error (the asof_join
+    # __b_/__fw_ hazard class, ADVICE r10 / review r11).
+    clash = {"_pid", "_local_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"distributed_row_number reserves column names {sorted(clash)}; "
+            "rename them on the input frame first"
+        )
     # Pin one materialization: RangePartitioner samples its boundaries,
     # so the counts job and the final job must see the SAME cut.
     local = _range_local_row_number(df, order_cols, n_partitions).localCheckpoint()
@@ -437,6 +447,12 @@ def distributed_ntile(
     shuffle + one tiny broadcast. ``order_cols`` must be a total order
     (tie-break included), same contract as the builtin call sites had.
     """
+    clash = {"_grn", "_gn", "_big", "_rem"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"distributed_ntile reserves column names {sorted(clash)}; "
+            "rename them on the input frame first"
+        )
     ranked = distributed_row_number(
         df, order_cols, out_col="_grn", n_partitions=n_partitions, total_col="_gn"
     )

@@ -325,8 +325,14 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the lowest vec_id. The DuckDB twin replays the greedy loop as
     unrolled CTEs (the BPE-oracle idiom)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=_MMR_K_CAND).select(
-        F.col("neighbor_id").alias("vec_id"), F.round("cosine", 6).alias("rel")
+    # localCheckpoint: the K-row candidate table has TWO consuming
+    # actions (the rels collect and the pairwise-sims pass built from
+    # its ids) — unmaterialized, each would re-run the corpus-sized
+    # cosine ranking (review r11)
+    cand = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=_MMR_K_CAND)
+        .select(F.col("neighbor_id").alias("vec_id"), F.round("cosine", 6).alias("rel"))
+        .localCheckpoint()
     )
     ids = cand.select("vec_id")
     vecs = emb.join(F.broadcast(ids), "vec_id").select("vec_id", "embedding")

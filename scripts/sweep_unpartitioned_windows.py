@@ -21,53 +21,9 @@ from pyspark.sql import DataFrame  # noqa: E402
 
 from hw_kafka_flink_health_spark.queries import QUERIES  # noqa: E402
 from hw_kafka_flink_health_spark.session import get_spark  # noqa: E402
+from hw_kafka_flink_health_spark.plans import unpartitioned_specs  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
-
-
-def split_top_level(s: str) -> list[str]:
-    out, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur).strip())
-    return out
-
-
-def unpartitioned_specs(plan: str) -> list[str]:
-    """Return the arg-strings of windowspecdefinitions with NO partition
-    exprs. Args layout: partition exprs, then sort exprs (contain ' ASC '
-    or ' DESC '), then the specifiedwindowframe. Empty partition spec ==
-    first non-frame arg is a sort expr (or there are none)."""
-    hits = []
-    needle = "windowspecdefinition("
-    i = 0
-    while True:
-        i = plan.find(needle, i)
-        if i < 0:
-            break
-        start = i + len(needle)
-        depth, j = 1, start
-        while j < len(plan) and depth:
-            if plan[j] == "(":
-                depth += 1
-            elif plan[j] == ")":
-                depth -= 1
-            j += 1
-        args = split_top_level(plan[start : j - 1])
-        args = [a for a in args if not a.startswith("specifiedwindowframe(")]
-        if not args or (" ASC " in args[0] or " DESC " in args[0]):
-            hits.append(", ".join(args)[:120])
-        i = j
-    return hits
 
 
 def main() -> None:

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from hw_kafka_flink_health_spark.plans import unpartitioned_specs
+
 from hw_kafka_flink_health_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -82,58 +84,6 @@ AUDITED_BOUNDED = {
     "stats_chi_square_independence": "contingency-cell grain",
     "stats_mutual_information": "contingency-cell grain",
 }
-
-
-def _split_top_level(s: str) -> list[str]:
-    out, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur).strip())
-    return out
-
-
-def unpartitioned_specs(plan: str) -> list[str]:
-    """Arg-strings of every windowspecdefinition with NO partition exprs.
-
-    Catalyst prints a window spec as ``windowspecdefinition(part...,
-    sort..., specifiedwindowframe(...))``; sort exprs carry ' ASC ' /
-    ' DESC ', partition exprs never do. Empty partition spec == the first
-    non-frame arg is a sort expr, or there are no non-frame args at all
-    (an ``over ()`` whole-frame window).
-    """
-    hits = []
-    needle = "windowspecdefinition("
-    i = 0
-    while True:
-        i = plan.find(needle, i)
-        if i < 0:
-            break
-        start = i + len(needle)
-        depth, j = 1, start
-        while j < len(plan) and depth:
-            if plan[j] == "(":
-                depth += 1
-            elif plan[j] == ")":
-                depth -= 1
-            j += 1
-        args = [
-            a
-            for a in _split_top_level(plan[start : j - 1])
-            if not a.startswith("specifiedwindowframe(")
-        ]
-        if not args or (" ASC " in args[0] or " DESC " in args[0]):
-            hits.append(", ".join(args)[:120])
-        i = j
-    return hits
 
 
 def test_unpartitioned_spec_parser_self_check(spark):
