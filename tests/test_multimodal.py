@@ -318,3 +318,42 @@ def test_codec_asset_pipeline_stats_match_closed_form(spark):
                 int(s.sum()),
                 int(np.abs(s).max()),
             )
+
+
+@pytest.mark.parametrize("grid", [2, 3, 8])
+def test_tile_codec_images_matches_pixel_formula(spark, grid):
+    """tile_codec_images must reproduce the synth pixel formula tiled by
+    (scanline, column) for any grid — including grid > min(w, h), where
+    empty tiles are OMITTED (GROUP BY semantics) and per-image counts
+    still total w*h."""
+    from hw_kafka_flink_health_spark.operators.multimodal import (
+        synthesize_codec_assets,
+        tile_codec_images,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(12)
+    got = {
+        (r["asset_id"], r["tile_row"], r["tile_col"]): r
+        for r in tile_codec_images(
+            synthesize_codec_assets(docs), grid=grid
+        ).collect()
+    }
+    assert got, "no image assets decoded"
+    per_image_cnt: dict[int, int] = {}
+    want: dict[tuple, tuple[int, int]] = {}
+    for aid in {k[0] for k in got}:
+        w, h = 8 + aid % 5, 6 + aid % 3
+        for j in range(w * h):
+            g = sum((aid * 31 + 3 * j + c) % 256 for c in range(3))
+            key = (aid, ((j // w) * grid) // h, ((j % w) * grid) // w)
+            s, n = want.get(key, (0, 0))
+            want[key] = (s + g, n + 1)
+    for key, (s, n) in want.items():
+        r = got[key]
+        assert (r["t_sum"], r["t_cnt"]) == (s, n), (key, r)
+        per_image_cnt[key[0]] = per_image_cnt.get(key[0], 0) + r["t_cnt"]
+    assert set(got) == set(want), "empty tiles must be omitted, none missing"
+    for aid, total in per_image_cnt.items():
+        assert total == (8 + aid % 5) * (6 + aid % 3)
+    for r in got.values():
+        assert r["t_cnt"] > 0
