@@ -18,7 +18,7 @@ DAILY_REV_SQL = """
       SELECT r.r_name,
              datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
                AS day,
-             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
@@ -52,7 +52,7 @@ def daily_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
         )
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("cents")
         )

@@ -148,7 +148,7 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
              count(*) AS n,
-             sum(CAST(round(value * 1000000.0) AS BIGINT)) AS sum_micro
+             sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_micro
       FROM events GROUP BY 1, 2
     ), daily AS (
       SELECT event_type, date_trunc('day', bucket_ts) AS bucket_ts,
@@ -180,7 +180,7 @@ def rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("value") * 1000000.0).cast("bigint")).alias("sum_micro"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")).alias("sum_micro"),
     )
     daily = hourly.groupBy(
         "event_type", F.date_trunc("day", "bucket_ts").alias("bucket_ts")
@@ -204,7 +204,7 @@ def rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id,
              CAST(epoch_ms(date_trunc('day', ts)) / 86400000 AS BIGINT) AS xi,
-             CAST(floor(sum(CAST(round(value * 1000000.0) AS BIGINT))
+             CAST(floor(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
                         / count(*)) AS BIGINT) AS yi
       FROM events GROUP BY user_id, date_trunc('day', ts)
     ), s AS (
@@ -234,7 +234,7 @@ def regr_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", "ts").alias("day_ts")
     ).agg(
         F.floor(
-            F.sum(F.round(F.col("value") * 1000000.0).cast("bigint"))
+            F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint"))
             / F.count(F.lit(1))
         )
         .cast("bigint")
@@ -318,7 +318,7 @@ def linkage_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id,
              CAST(epoch_ms(date_trunc('day', ts)) / 86400000 AS BIGINT) AS xi,
-             CAST(floor(sum(CAST(round(value * 1000.0) AS BIGINT)) / count(*))
+             CAST(floor(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) / count(*))
                   AS BIGINT) AS yi
       FROM events GROUP BY user_id, date_trunc('day', ts)
     ), pairs AS (
@@ -349,7 +349,7 @@ def autocorr_user_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitting anything heavier (pairs with `regr_user_trend`'s slope).
 
     Same exact-integer discipline as the regression: daily averages are
-    rounded MILLI-units (not micro — the sum of squares of a micro-unit
+    nearest-integer MILLI-units (floor(x*1000 + 0.5)) (not micro — the sum of squares of a micro-unit
     daily level would overflow BIGINT at ~30 days x (1e9)^2), consecutive
     days pair via a lag window ordered by epoch-day, and Pearson r over
     the (prev, curr) pairs is assembled from six integer sums that both
@@ -366,7 +366,7 @@ def autocorr_user_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
         .agg(
             F.floor(
-                F.sum(F.round(F.col("value") * 1000.0).cast("bigint"))
+                F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint"))
                 / F.count(F.lit(1))
             )
             .cast("bigint")
@@ -413,7 +413,7 @@ def autocorr_user_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              max(ts) AS last_ts,
              CAST(count(*) AS BIGINT) AS frequency,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
       FROM events
       WHERE event_type = 'purchase' AND user_id IS NOT NULL
       GROUP BY user_id
@@ -451,7 +451,7 @@ def rfm_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts").alias("last_ts"),
             F.count(F.lit(1)).cast("long").alias("frequency"),
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("monetary_cents"),
         )
@@ -662,7 +662,7 @@ def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wk AS (
       SELECT o_orderpriority AS priority,
              date_trunc('week', o_orderdate) AS week_start,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
       FROM orders GROUP BY 1, 2
     )
     SELECT priority,
@@ -685,7 +685,7 @@ def revenue_growth_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = o.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.date_trunc("week", F.col("o_orderdate").cast("timestamp")).alias("week_start"),
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("rev_cents"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).cast("bigint").alias("rev_cents"))
     w = Window.partitionBy("priority").orderBy("week_start")
     prev = F.lag("rev_cents").over(w)
     return wk.select(
@@ -785,7 +785,7 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH share AS (
       SELECT p.p_type AS part_type, l.l_suppkey,
-             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY 1, 2
     ), tot AS (
@@ -814,7 +814,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("part_type"), "l_suppkey")
         .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
             .cast("bigint")
             .alias("rev_cents")
         )
@@ -936,7 +936,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_partkey AS p_partkey,
-             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS rev_cents
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
@@ -977,7 +977,7 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast(
                 "long"
             )
         )
@@ -1822,7 +1822,7 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CAST(year(e.ts) AS BIGINT) * 12 + CAST(month(e.ts) AS BIGINT))
              - (CAST(year(f.cohort) AS BIGINT) * 12
                 + CAST(month(f.cohort) AS BIGINT)) AS age_months,
-             CAST(round(e.value * 100) AS BIGINT) AS cents
+             CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
       FROM events e JOIN first_seen f ON e.user_id = f.user_id
       WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
     ), cohort_sizes AS (
@@ -1876,7 +1876,7 @@ def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "cohort",
             (mnum(ts) - mnum(F.col("cohort"))).alias("age_months"),
-            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
         )
     )
     cohort_sizes = first_seen.groupBy("cohort").agg(
@@ -2212,7 +2212,7 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_boxplot_tukey",
     oracle="""
     WITH v AS (
-      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS x
+      SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
       FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
     ), q AS (
       SELECT event_type,
@@ -2247,7 +2247,7 @@ def events_boxplot_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isNotNull() & F.col("value").isNotNull()
     )
     v = ev.select(
-        "event_type", F.round(F.col("value") * 1000).cast("long").alias("x")
+        "event_type", F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("x")
     )
     q = v.groupBy("event_type").agg(
         F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS BIGINT)").alias("q1"),
@@ -2285,13 +2285,13 @@ def events_boxplot_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rfm_segment_migration",
     oracle="""
     WITH p1 AS (
-      SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+      SELECT user_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
       FROM events
       WHERE event_type = 'purchase' AND user_id IS NOT NULL
         AND CAST(ts AS DATE) < DATE '2024-01-16'
       GROUP BY user_id
     ), p2 AS (
-      SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+      SELECT user_id, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m
       FROM events
       WHERE event_type = 'purchase' AND user_id IS NOT NULL
         AND CAST(ts AS DATE) >= DATE '2024-01-16'
@@ -2337,12 +2337,12 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = (
         ev.filter(F.to_date("ts") < pivot)
         .groupBy("user_id")
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("m"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("m"))
     )
     p2 = (
         ev.filter(F.to_date("ts") >= pivot)
         .groupBy("user_id")
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("m"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("long").alias("m"))
     )
     s1 = seg(p1).select("user_id", F.col("seg").alias("seg_from"))
     s2 = seg(p2).select("user_id", F.col("seg").alias("seg_to"))
@@ -2362,7 +2362,7 @@ def rfm_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT CAST(date_part('year', CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
              CAST(date_part('month', CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM orders WHERE o_orderdate IS NOT NULL
       GROUP BY 1, 2
     )
@@ -2389,7 +2389,7 @@ def revenue_yoy_same_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month(F.to_date("o_orderdate")).cast("long").alias("mo"),
         )
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("cents")
         )
@@ -2425,7 +2425,7 @@ def revenue_yoy_same_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), rev AS (
       SELECT o.o_custkey, f.cohort_y,
              CAST(date_part('year', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS y,
-             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
       WHERE o.o_orderdate IS NOT NULL
     ), agg AS (
@@ -2465,7 +2465,7 @@ def cohort_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "cohort_y",
         F.year(F.to_date("o_orderdate")).cast("long").alias("y"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
     )
     agg = rev.groupBy("cohort_y").agg(
         F.sum(F.when(F.col("y") == F.col("cohort_y"), F.col("cents")).otherwise(0))
@@ -2549,8 +2549,8 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-partition window passes share ONE user_id exchange, the
     per-user collapse reuses it, and the final scalar rates are one
     1-row aggregate. All bounds are exact epoch-ms integer comparisons;
-    conversion rates emit as exact ppm integers (round-scaled — no
-    float division in the hash)."""
+    conversion rates emit as exact ppm integers (floor(x*1e6 + 0.5)
+    nearest-integer scaling — no float division in the hash)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
@@ -2751,7 +2751,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT r.r_name AS region, n.n_name AS nation,
-             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -2803,7 +2803,7 @@ def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("r_name").alias("region"),
             F.col("n_name").alias("nation"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
         )
     )
     nat = b.groupBy("region", "nation").agg(

@@ -414,7 +414,7 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT o_orderpriority AS priority,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
              CAST(CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR),
                   'conf')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
                   AS INTEGER) AS is_cal
@@ -467,7 +467,7 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
     ).select(
         F.col("o_orderpriority").alias("priority"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
         (hash_unit(F.col("o_orderkey"), "conf") < 0.5).cast("int").alias("is_cal"),
     )
     cal_stats = (

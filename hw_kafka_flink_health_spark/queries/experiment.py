@@ -573,7 +573,7 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT user_id % 10 AS seg, event_type AS a,
-             CAST(round(value * 100) AS BIGINT) AS r
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS r
       FROM events
       WHERE event_type IS NOT NULL AND user_id IS NOT NULL
         AND value IS NOT NULL
@@ -629,7 +629,7 @@ def policy_ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("user_id") % 10).alias("seg"),
         F.col("event_type").alias("a"),
-        F.round(F.col("value") * 100).cast("long").alias("r"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("r"),
     )
     arm = b.groupBy("seg", "a").agg(
         F.count(F.lit(1)).cast("long").alias("n_a"),
@@ -682,7 +682,7 @@ def policy_ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                        'pstrat')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
                   AS INTEGER) AS arm,
              user_id % 4 AS stratum,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
       GROUP BY user_id
     ),
@@ -737,7 +737,7 @@ def experiment_post_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFram
         ev.filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("cents")
         )
@@ -797,7 +797,7 @@ _B_FDR = 80  # replicates per family member; p denominators are 81
     oracle=f"""
     WITH base AS (
       SELECT event_id, event_type,
-             CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
              CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
                        'fdr')), 1, 8)) AS BIGINT) / 4294967296.0 < 0.5
                   THEN 1 ELSE 0 END AS grp
@@ -897,7 +897,7 @@ def experiment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id",
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
         (hash_unit("user_id", "fdr") < 0.5).cast("int").alias("grp"),
     )
     g = F.col("grp")

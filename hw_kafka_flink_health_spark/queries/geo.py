@@ -488,7 +488,7 @@ _GEOHASH_CHARS_SQL = " || ".join(
     )
     SELECT substr(geohash, 1, 2) AS cell2, geohash,
            count(*)::BIGINT AS n_suppliers,
-           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS acctbal_cents
     FROM encoded
     GROUP BY 1, 2
@@ -525,7 +525,7 @@ def geo_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("geohash", 1, 2).alias("cell2"), "geohash"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-        F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+        F.sum(F.floor(F.col("s_acctbal") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("acctbal_cents"),
     )

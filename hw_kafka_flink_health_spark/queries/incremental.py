@@ -27,10 +27,10 @@ from hw_kafka_flink_health_spark.sources.files import load_table
     SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
            event_type AS key,
            count(*)::BIGINT AS cnt,
-           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value,
-           (sum(CAST(round(value * 100) AS BIGINT))::BIGINT * 10) // count(*) AS avg_milli
+           (sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT * 10) // count(*) AS avg_milli
     FROM events
     GROUP BY 1, 2
     """,
@@ -112,7 +112,7 @@ def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type = 'error' THEN 'D'
                   WHEN event_type = 'signup' THEN 'I'
                   ELSE 'U' END AS op,
-             CAST(round(value * 1000) AS BIGINT) AS payload
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS payload
       FROM events
     ), latest AS (
       SELECT key, op, payload,
@@ -142,7 +142,7 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         op.alias("op"),
-        F.round(F.col("value") * 1000).cast("bigint").alias("payload"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("payload"),
     )
     w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -156,7 +156,7 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS rev_cents
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
@@ -184,7 +184,7 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
         .cast("long")
         .alias("cents"),
     )
@@ -312,7 +312,7 @@ def merkle_block_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders
     WHERE o_orderkey % 4 IN (0, 1) AND o_custkey BETWEEN 100 AND 500
     GROUP BY 1
@@ -361,7 +361,7 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = read_snapshot_pruned(spark, table_dir, lo=100, hi=500, version=1)
     return v1.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
     )
@@ -419,7 +419,7 @@ def versioned_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders
     WHERE o_orderkey % 8 IN (0, 1, 2, 3)
     GROUP BY 1
@@ -456,7 +456,7 @@ def versioned_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
     )
@@ -467,7 +467,7 @@ def versioned_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders
     WHERE o_orderkey % 5 <> 0 AND o_custkey % 7 <> 0
     GROUP BY 1
@@ -503,7 +503,7 @@ def versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
     )
@@ -521,7 +521,7 @@ def versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM final GROUP BY 1
     """,
 )
@@ -556,7 +556,7 @@ def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
     )
@@ -567,7 +567,7 @@ def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders GROUP BY 1
     """,
 )
@@ -601,7 +601,7 @@ def versioned_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
             .cast("bigint")
             .alias("rev_cents"),
         )
@@ -620,7 +620,7 @@ def versioned_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
            CAST(1 AS BIGINT) AS final_version
     FROM orders
     WHERE o_orderkey % 3 IN (0, 1)
@@ -679,7 +679,7 @@ def versioned_check_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
         F.lit(current_version(table_dir)).cast("long").alias("final_version"),
@@ -691,7 +691,7 @@ def versioned_check_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
            CAST(2 AS BIGINT) AS final_version
     FROM orders
     WHERE o_orderkey % 4 IN (0, 1, 2)
@@ -742,7 +742,7 @@ def versioned_occ_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
         F.lit(current_version(table_dir)).cast("long").alias("final_version"),
@@ -801,7 +801,7 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders
     WHERE o_orderkey % 3 IN (0, 1)
     GROUP BY 1
@@ -840,7 +840,7 @@ def versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = read_snapshot(spark, table_dir)
     return latest.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
     )
@@ -851,7 +851,7 @@ def versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders
     WHERE o_orderkey % 3 = 0
     GROUP BY 1
@@ -888,7 +888,7 @@ def versioned_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned = read_snapshot(spark, table_dir, tag="train-run-1")
     return pinned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
     )
@@ -899,7 +899,7 @@ def versioned_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders
     WHERE o_orderkey % 4 IN (0, 1)
     GROUP BY 1
@@ -946,7 +946,7 @@ def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = read_snapshot(spark, table_dir)
     return latest.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
     )
@@ -957,7 +957,7 @@ def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            count(*)::BIGINT AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
     FROM orders
     WHERE o_orderkey % 4 IN (0, 1, 2)
     GROUP BY 1
@@ -1014,7 +1014,7 @@ def versioned_branch_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = read_snapshot(spark, table_dir)
     return latest.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents"),
     )
@@ -1025,7 +1025,7 @@ def versioned_branch_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH src AS (
       SELECT o_orderkey AS k, o_orderpriority AS p,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders
     )
     SELECT k, p, cents, 'insert' AS _change_type
@@ -1064,7 +1064,7 @@ def versioned_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("p"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
     )
     v0 = commit_snapshot(src.filter(F.col("k") % 3 == 0), table_dir)
     commit_snapshot(src.filter(F.col("k") % 3 == 1), table_dir, mode="append")

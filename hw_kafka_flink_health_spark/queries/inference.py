@@ -111,7 +111,7 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT o_orderpriority AS grp,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders WHERE o_totalprice IS NOT NULL
     ),
     g AS (
@@ -466,18 +466,18 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx1,
-             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx2,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx2,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)
                       * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx11,
-             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
-                      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx22,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx22,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)
-                      * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx12,
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx12,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)
-                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx1y,
-             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
-                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx2y
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx1y,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx2y
       FROM lineitem
       GROUP BY l_returnflag
     ), c AS (
@@ -522,8 +522,8 @@ def regr_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture (no gram-matrix shuffle, no iterative solver)."""
     li = load_table(spark, sf_dir, "lineitem")
     x1 = F.floor("l_quantity").cast("long")
-    x2 = F.round(F.col("l_discount") * 100).cast("long")
-    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    x2 = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x1).cast("long").alias("sx1"),
@@ -580,7 +580,7 @@ def regr_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT o_orderpriority AS grp,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
       FROM orders WHERE o_totalprice IS NOT NULL
     ), med AS (
       SELECT grp,
@@ -635,7 +635,7 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice").isNotNull())
         .select(
             F.col("o_orderpriority").alias("grp"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("x"),
         )
     )
     med = c.groupBy("grp").agg(
@@ -1015,7 +1015,7 @@ def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH x AS (
       SELECT event_id, event_type,
-             CAST(round(value * 1000000) AS BIGINT) AS xi
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS xi
       FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
     ), s AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -1068,7 +1068,7 @@ def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = ev.select(
         "event_id",
         "event_type",
-        F.round(F.col("value") * 1000000).cast("long").alias("xi"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("xi"),
     )
     s = x.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

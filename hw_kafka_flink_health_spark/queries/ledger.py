@@ -245,12 +245,12 @@ def inventory_fifo_cogs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH om AS (
       SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                // 100000 AS x
       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), sm AS (
       SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                // 100000 AS x
       FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
     ), mo AS (
@@ -299,7 +299,7 @@ def orders_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_trunc("month", F.to_date(datecol)).alias("m"))
             .agg(
                 F.expr(
-                    f"CAST(sum(CAST(round({amtcol} * 100) AS BIGINT)) AS BIGINT)"
+                    f"CAST(sum(CAST(floor({amtcol} * 100 + 0.5) AS BIGINT)) AS BIGINT)"
                     " DIV 100000"
                 ).alias("x")
             )
@@ -343,7 +343,7 @@ def orders_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT p.p_type AS seg, year(l.l_shipdate) AS y,
-             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
                AS cents,
              CAST(floor(l.l_quantity) AS BIGINT) AS q
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -405,7 +405,7 @@ def revenue_pvm_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p_type").alias("seg"),
             F.year("l_shipdate").alias("y"),
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
             .cast("long")
             .alias("cents"),
             F.floor("l_quantity").cast("long").alias("q"),
@@ -472,7 +472,7 @@ _FX_DAY_HI = 11535  # 2001-08-01, the last
       SELECT 'CUR' || CAST(n.n_nationkey % 7 AS VARCHAR) AS cur,
              datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
                AS order_day,
-             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -575,7 +575,7 @@ def fx_asof_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long"),
                 F.lit(_FX_DAY_HI).cast("long"),
             ).alias("order_day"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
         )
     )
     conv = fact.join(F.broadcast(filled), ["cur", "order_day"], "left")
@@ -606,7 +606,7 @@ _SHARPE_WIN = 28
       SELECT r.r_name,
              datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
                AS day,
-             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
@@ -670,7 +670,7 @@ def finance_sharpe_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
         )
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("cents")
         )
@@ -716,21 +716,21 @@ def finance_sharpe_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT epoch_ms(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
                AS month_ms,
              'accounts_receivable' AS account,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS debit,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS debit,
              CAST(0 AS BIGINT) AS credit
       FROM orders WHERE o_orderdate IS NOT NULL
       UNION ALL
       SELECT epoch_ms(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)),
-             'revenue', 0, CAST(round(o_totalprice * 100) AS BIGINT)
+             'revenue', 0, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
       FROM orders WHERE o_orderdate IS NOT NULL
       UNION ALL
       SELECT epoch_ms(CAST(date_trunc('month', s.ship_ts) AS TIMESTAMP)),
-             'cash', CAST(round(o.o_totalprice * 100) AS BIGINT), 0
+             'cash', CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT), 0
       FROM orders o JOIN first_ship s ON s.l_orderkey = o.o_orderkey
       UNION ALL
       SELECT epoch_ms(CAST(date_trunc('month', s.ship_ts) AS TIMESTAMP)),
              'accounts_receivable', 0,
-             CAST(round(o.o_totalprice * 100) AS BIGINT)
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
       FROM orders o JOIN first_ship s ON s.l_orderkey = o.o_orderkey
     ), tb AS (
       SELECT month_ms, account,
@@ -766,7 +766,7 @@ def ledger_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_all = load_table(spark, sf_dir, "orders")
     orders = orders_all.filter(F.col("o_orderdate").isNotNull())
     lineitem = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     order_month = F.unix_millis(
         F.date_trunc("month", "o_orderdate").cast("timestamp")
     ).alias("month_ms")
@@ -970,8 +970,8 @@ def finance_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH lines AS (
       SELECT l_orderkey,
-             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                 * (1 + l_tax) * 100) AS BIGINT))
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS line_cents
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
@@ -980,17 +980,17 @@ def finance_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), recon AS (
       SELECT CASE
                WHEN l.line_cents IS NULL THEN 'no_lines'
-               WHEN abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+               WHEN abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
                         - l.line_cents) = 0 THEN 'exact'
-               WHEN abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+               WHEN abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
                         - l.line_cents)
-                    * 10000 <= CAST(round(o.o_totalprice * 100) AS BIGINT)
+                    * 10000 <= CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
                  THEN 'minor_drift'
                ELSE 'major_drift'
              END AS bucket,
-             abs(coalesce(CAST(round(o.o_totalprice * 100) AS BIGINT)
+             abs(coalesce(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
                           - l.line_cents,
-                          CAST(round(o.o_totalprice * 100) AS BIGINT)))
+                          CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)))
                AS abs_gap_cents
       FROM orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
       WHERE o.o_totalprice IS NOT NULL
@@ -1009,9 +1009,9 @@ def audit_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFr
     exact / within 1 bp (minor) / beyond (major) / no lines at all. The
     cross-table consistency audit every warehouse runs before trusting
     EITHER table's revenue; on this synthetic fixture the drift census
-    itself is the deliverable. Exact discipline: both sides round the
-    same double product to cents (identical doubles -> identical
-    roundings), the 1-bp test is the integer cross-multiplication
+    itself is the deliverable. Exact discipline: both sides take
+    floor(product*100 + 0.5) of the same double (identical doubles ->
+    identical cents), the 1-bp test is the integer cross-multiplication
     gap * 10000 <= total_cents, and all outputs are exact integers.
 
     Shape: one lineitem hash aggregate to order grain (map-side
@@ -1023,12 +1023,12 @@ def audit_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFr
     )
     lines = li.groupBy("l_orderkey").agg(
         F.sum(
-            F.round(
+            F.floor(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax"))
                 * 100
-            ).cast("long")
+             + 0.5).cast("long")
         )
         .cast("long")
         .alias("line_cents")
@@ -1036,7 +1036,7 @@ def audit_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFr
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice").isNotNull()
     )
-    total_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    total_cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     gap = F.abs(total_cents - F.col("line_cents"))
     recon = orders.join(
         lines, orders.o_orderkey == lines.l_orderkey, "left"
@@ -1063,7 +1063,7 @@ def audit_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFr
     WITH ps AS (
       SELECT l_partkey,
              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS spend_cents
       FROM lineitem
       WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
@@ -1096,7 +1096,7 @@ def supplier_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = li.groupBy("l_partkey").agg(
         F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("spend_cents"),
     )
@@ -1185,7 +1185,7 @@ def supplier_eoq_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
              date_part('year', CAST(l_shipdate AS DATE)) * 12
                + date_part('month', CAST(l_shipdate AS DATE)) AS mo,
              CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
       FROM lineitem
       WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
@@ -1253,7 +1253,7 @@ def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mo"),
     ).agg(
         F.sum(F.floor(F.col("l_quantity")).cast("long")).cast("long").alias("qty"),
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("cents"),
     )

@@ -200,7 +200,7 @@ _HOLT_ORACLE = (
     """
 WITH RECURSIVE months AS (
   SELECT date_trunc('MONTH', o_orderdate) AS m,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
   FROM orders
   WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
   GROUP BY date_trunc('MONTH', o_orderdate)
@@ -236,7 +236,7 @@ def recursive_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     months = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("m")
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"))
+    ).agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias("c"))
     idx = months.select(
         "m",
         (F.col("c") / F.lit(100.0).cast("double")).alias("y"),
@@ -283,7 +283,7 @@ _HW_LVL_D, _HW_TRD_D, _HW_SNEW_D = _hw_step("h.ss[1]")
 _HW_ORACLE = f"""
 WITH RECURSIVE daily AS (
   SELECT date_trunc('day', o_orderdate) AS d,
-         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1995-01-01'
     AND o_orderdate < TIMESTAMP '1995-03-01'
@@ -346,7 +346,7 @@ def recursive_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
         )
         .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias("c"))
     )
     idx = daily.select(
         F.row_number().over(W.orderBy("d")).cast("bigint").alias("i"),
@@ -404,10 +404,10 @@ _DTW_ORACLE = f"""
       SELECT (epoch_ms(o_orderdate) // 86400000)
              - (epoch_ms(TIMESTAMP '1995-01-01 00:00:00') // 86400000) AS d,
              CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS ca,
              CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
-                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS cb
       FROM orders
       WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
@@ -482,13 +482,13 @@ def timeseries_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         F.when(
             F.col("o_orderpriority") == "1-URGENT",
-            F.round(F.col("o_totalprice") * 100).cast("long"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
         )
         .otherwise(F.lit(0).cast("long"))
         .alias("ca"),
         F.when(
             F.col("o_orderpriority") == "5-LOW",
-            F.round(F.col("o_totalprice") * 100).cast("long"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
         )
         .otherwise(F.lit(0).cast("long"))
         .alias("cb"),

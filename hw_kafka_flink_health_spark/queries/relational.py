@@ -20,16 +20,16 @@ from hw_kafka_flink_health_spark.sources.files import load_table
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) / 100.0
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) / 100.0
              AS sum_base_price,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
                     AS HUGEINT)) / 10000.0 AS sum_disc_price,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          * 1000000) AS HUGEINT)) / 1000000.0 AS sum_charge,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 1000000 + 0.5) AS HUGEINT)) / 1000000.0 AS sum_charge,
            sum(l_quantity) / count(*) AS avg_qty,
-           sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))
              / (100.0 * count(*)) AS avg_price,
-           sum(CAST(round(l_discount * 100) AS HUGEINT))
+           sum(CAST(floor(l_discount * 100 + 0.5) AS HUGEINT))
              / (100.0 * count(*)) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
@@ -42,27 +42,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate on two low-cardinality keys. No join, one shuffle.
 
     Exact-integer discipline (round-10 repart-fuzz finding, rounding
-    refined per ADVICE r10): the money sums accumulate ROUNDED scaled
-    integers (cents / 1e-4 / 1e-6 — the native decimal scales of price,
-    price*(1-disc), and the charge product) in DECIMAL(38,0)/HUGEINT,
-    so partial-aggregate merge order cannot move the result — the raw
-    double sums flipped round(x, 2) at a boundary roughly 1 run in 3
-    under the 1-file vs 16-file layout sweep. round(x*scale), not
-    floor: cent-valued doubles often sit a few ulps BELOW the true
-    integer (0.29*100 = 28.999...996), so floor landed one unit low per
-    row; round recovers the true decimal and stays engine-portable
-    (Spark HALF_UP == DuckDB half-away-from-zero on these values, which
-    never sit near .5). Quantities are integral (double sums of
-    integers are exact and order-free below 2^53) and every emitted
-    double is one division of exact integers, unrounded per the
-    no-rounding rule."""
+    refined per ADVICE r10): the money sums accumulate NEAREST-INTEGER
+    scaled integers (cents / 1e-4 / 1e-6 — the native decimal scales of
+    price, price*(1-disc), and the charge product) in
+    DECIMAL(38,0)/HUGEINT, so partial-aggregate merge order cannot move
+    the result — the raw double sums flipped round(x, 2) at a boundary
+    roughly 1 run in 3 under the 1-file vs 16-file layout sweep.
+    floor(x*scale + 0.5), not floor(x*scale): cent-valued doubles often
+    sit a few ulps BELOW the true integer (0.29*100 = 28.999...996), so
+    bare floor landed one unit low per row (ADVICE r10). And not
+    round(x*scale) either: Spark's round on DOUBLE goes through
+    BigDecimal per row (~3x the floor cost on this scan — measured at
+    sf0.1), while floor(x + 0.5) is the SAME expression text in both
+    engines — nearest-integer semantics with zero engine-split risk and
+    floor-level cost. Quantities are integral (double sums of integers
+    are exact and order-free below 2^53) and every emitted double is
+    one division of exact integers, unrounded per the no-rounding rule."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    base_e2 = F.sum(dec(F.round(F.col("l_extendedprice") * 100)))
+    base_e2 = F.sum(dec(F.floor(F.col("l_extendedprice") * 100 + 0.5)))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    disc_e4 = F.sum(dec(F.round(disc_price * 10000)))
-    charge_e6 = F.sum(dec(F.round(disc_price * (1 + F.col("l_tax")) * 1000000)))
-    disc_e2 = F.sum(dec(F.round(F.col("l_discount") * 100)))
+    disc_e4 = F.sum(dec(F.floor(disc_price * 10000 + 0.5)))
+    charge_e6 = F.sum(dec(F.floor(disc_price * (1 + F.col("l_tax")) * 1000000 + 0.5)))
+    disc_e2 = F.sum(dec(F.floor(F.col("l_discount") * 100 + 0.5)))
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
@@ -1545,7 +1547,7 @@ def interval_join_full_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT event_id,
            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_as_int,
            CASE WHEN CAST(floor(value) AS BIGINT) - 5 = 0 THEN NULL
-                ELSE CAST(round(value * 100) AS BIGINT)
+                ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
                      // (CAST(floor(value) AS BIGINT) - 5) END AS safe_div,
            TRY_CAST(substr(event_type, 1, 1) AS BIGINT) AS bad_cast_null
     FROM events
@@ -1566,7 +1568,7 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").try_cast("bigint").alias("k_as_int"),
         F.try_divide(
-            F.round(F.col("value") * 100).cast("long"), fv - F.lit(5)
+            F.floor(F.col("value") * 100 + 0.5).cast("long"), fv - F.lit(5)
         ).cast("bigint").alias("safe_div"),
         F.substring("event_type", 1, 1).try_cast("bigint").alias("bad_cast_null"),
     )
@@ -1577,7 +1579,7 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH j AS (
       SELECT '{"base": ' || props || ', "meta": {"t": "' || event_type ||
-             '", "v2": [' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || ', ' ||
+             '", "v2": [' || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) || ', ' ||
              CAST(CAST(event_id % 10 AS BIGINT) AS VARCHAR) || ']}}' AS doc
       FROM events
     )
@@ -1605,7 +1607,7 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(', "meta": {"t": "'),
         F.col("event_type"),
         F.lit('", "v2": ['),
-        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").cast("string"),
         F.lit(", "),
         (F.col("event_id") % 10).cast("string"),
         F.lit("]}}"),
@@ -1692,7 +1694,7 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT nullif(event_type, '') AS event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
            CAST(sum(event_id % 97) AS BIGINT) AS sum_check
     FROM events GROUP BY nullif(event_type, '')
     """,
@@ -1721,7 +1723,7 @@ def events_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</id><type>"),
         F.coalesce(F.col("event_type"), F.lit("")),
         F.lit("</type><cents>"),
-        F.coalesce(F.round(F.col("value") * 100).cast("bigint").cast("string"), F.lit("")),
+        F.coalesce(F.floor(F.col("value") * 100 + 0.5).cast("bigint").cast("string"), F.lit("")),
         F.lit("</cents></event>"),
     )
     parsed = ev.select(
@@ -1958,12 +1960,12 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skyline_suppliers_2d",
     oracle="""
     WITH rev AS (
-      SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      SELECT l_suppkey, CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                              AS BIGINT) AS y
       FROM lineitem GROUP BY l_suppkey
     ), pts0 AS (
       SELECT s.s_suppkey,
-             CAST(round(s.s_acctbal * 100) AS BIGINT) AS x,
+             CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS x,
              CAST(coalesce(r.y, 0) AS BIGINT) AS y
       FROM supplier s LEFT JOIN rev r ON s.s_suppkey = r.l_suppkey
       WHERE s.s_acctbal IS NOT NULL
@@ -1995,7 +1997,7 @@ def skyline_suppliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("y")
     )
@@ -2004,7 +2006,7 @@ def skyline_suppliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rev, sup["s_suppkey"] == rev["l_suppkey"], "left")
         .select(
             "s_suppkey",
-            F.round(F.col("s_acctbal") * 100).cast("long").alias("x"),
+            F.floor(F.col("s_acctbal") * 100 + 0.5).cast("long").alias("x"),
             F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
         )
     )
@@ -2031,7 +2033,7 @@ def skyline_suppliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS revenue_cents,
            CAST(min(o_orderkey) AS BIGINT) AS min_key,
            CAST(max(o_orderkey) AS BIGINT) AS max_key
@@ -2061,7 +2063,7 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(path)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("revenue_cents"),
         F.min("o_orderkey").cast("long").alias("min_key"),

@@ -77,7 +77,7 @@ _BOOT_KEY_G_DUCK = (
     "stats_poisson_bootstrap_ci",
     oracle=f"""
     WITH cents AS (
-      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
       FROM orders
     ), hs AS (
       SELECT c, gg.g AS g, md5({_BOOT_KEY_G_DUCK}) AS h
@@ -139,7 +139,7 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = rebalance_if_narrow(
         orders.select(
             "o_orderkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c"),
         )
     )
     # b = -1 is a pseudo-replicate with unit weights: it yields the plain
@@ -224,7 +224,7 @@ _PERM_KEY_G_DUCK = (
     oracle=f"""
     WITH base AS (
       SELECT o_orderkey,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
              CASE WHEN o_orderpriority = '{_URGENT}' THEN 1 ELSE 0 END AS grp
       FROM orders WHERE o_orderpriority IN ('{_URGENT}', '{_LOW}')
     ), obs AS (
@@ -285,7 +285,7 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = rebalance_if_narrow(
         orders.filter(F.col("o_orderpriority").isin(_URGENT, _LOW)).select(
             "o_orderkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c"),
             F.when(F.col("o_orderpriority") == _URGENT, 1).otherwise(0).alias("grp"),
         )
     )
@@ -361,7 +361,7 @@ def stats_permutation_diff_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT l_returnflag AS flag,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
              CAST(floor(l_quantity) AS BIGINT) AS y
       FROM lineitem
       WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
@@ -408,7 +408,7 @@ def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
     ).select(
         F.col("l_returnflag").alias("flag"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("x"),
         F.floor(F.col("l_quantity")).cast("long").alias("y"),
     )
     t = b.groupBy("flag").agg(

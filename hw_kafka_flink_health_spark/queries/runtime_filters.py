@@ -69,7 +69,7 @@ def lineitem_by_ship_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dpp_partitioned_revenue",
     oracle="""
     SELECT ship_month,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
              / 100.0 AS revenue,
            count(*) AS n_items
     FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
@@ -110,9 +110,9 @@ def dpp_partitioned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.round(
+                    F.floor(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                    ).cast("bigint")
+                     + 0.5).cast("bigint")
                 )
                 / 100.0
             ).alias("revenue"),
@@ -125,7 +125,7 @@ def dpp_partitioned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_filtered_join_revenue",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
              / 100.0 AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -157,9 +157,9 @@ def bloom_filtered_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.round(
+                    F.floor(
                         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                    ).cast("bigint")
+                     + 0.5).cast("bigint")
                 )
                 / 100.0
             ).alias("revenue"),
@@ -206,7 +206,7 @@ def bucketed_orders_customer(
     oracle="""
     SELECT c.c_mktsegment AS segment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS revenue_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -230,7 +230,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("revenue_cents"),
         )

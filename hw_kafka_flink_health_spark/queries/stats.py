@@ -1357,7 +1357,7 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     "orders_benford_digits",
     oracle="""
     WITH d AS (
-      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+      SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
                AS digit,
              count(*)::BIGINT AS cnt
       FROM orders
@@ -1385,7 +1385,7 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_totalprice") > 0)
         .select(
             F.substring(
-                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
                 1,
                 1,
             ).alias("digit")
@@ -2082,7 +2082,7 @@ def stats_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM orders WHERE o_orderdate IS NOT NULL
       GROUP BY 1
     ), med AS (
@@ -2133,7 +2133,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("cents")
         )
@@ -2187,7 +2187,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH x AS (
       SELECT CAST(ts AS DATE) AS day, event_type,
-             CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS v
       FROM events
       WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
       GROUP BY 1, 2
@@ -2242,7 +2242,7 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("value").isNotNull()
     )
     x = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-        F.sum(F.round(F.col("value") * 1000).cast("long")).cast("long").alias("v")
+        F.sum(F.floor(F.col("value") * 1000 + 0.5).cast("long")).cast("long").alias("v")
     )
     kk = x.agg(F.countDistinct("event_type").cast("long").alias("k"))
     blocks = (

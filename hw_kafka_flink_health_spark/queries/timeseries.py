@@ -177,7 +177,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_window_features",
     oracle="""
     SELECT user_id, epoch_ms(ts) AS ts_ms,
-           floor(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w
+           floor(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) OVER w
                  / 1000000.0 / (count(*) OVER w) * 10000.0 + 0.5) / 10000.0
              AS avg_7d,
            CAST(count(*) OVER w AS BIGINT) AS n_7d,
@@ -209,7 +209,7 @@ def rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per engine. floor(x * 1e6) is the same double op everywhere, and
     # integer addition is associative, so both engines see identical sums
     n7 = F.count(F.lit(1)).over(w)
-    dsum = F.sum(F.round(F.col("value") * 1000000.0).cast("bigint")).over(w)
+    dsum = F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")).over(w)
     return ev.select(
         "user_id",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
@@ -685,7 +685,7 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH priced AS (
       SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS bar_month,
              l_extendedprice / l_quantity AS unit_price,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
              CAST(l_quantity AS BIGINT) AS qty,
              row_number() OVER (
                PARTITION BY date_trunc('month', l_shipdate)
@@ -735,7 +735,7 @@ def timeseries_ohlc_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     priced = li.select(
         month.alias("bar_month"),
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("price_cents"),
         F.col("l_quantity").cast("long").alias("qty"),
         okey.alias("okey"),
     )
@@ -955,7 +955,7 @@ _ACF_LAGS = 7
     oracle=f"""
     WITH series AS (
       SELECT event_type,
-             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
              row_number() OVER (
                PARTITION BY event_type ORDER BY ts, event_id) AS rn
       FROM events WHERE value IS NOT NULL
@@ -1006,7 +1006,7 @@ def timeseries_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE multiplying so nothing overflows int64 at any SF)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    v = F.round(F.col("value") * 100).cast("bigint")
+    v = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     # one window pass: the current value plus all 7 lagged copies
     lagged = ev.select(
         "event_type",
@@ -1064,7 +1064,7 @@ _SAX_B = 0.6744897501960817
     oracle=f"""
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
       FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
       GROUP BY event_type, date_trunc('day', ts)
     ), stats AS (
@@ -1115,7 +1115,7 @@ def timeseries_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("x"))
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).cast("bigint").alias("x"))
     wt = Window.partitionBy("event_type")
     stats = daily.select(
         "event_type",
@@ -1153,7 +1153,7 @@ def timeseries_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM orders
       WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1
@@ -1212,7 +1212,7 @@ def timeseries_ma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d")
         )
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("cents")
         )
@@ -1311,7 +1311,7 @@ def events_error_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT CAST(date_part('month', CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM orders WHERE o_orderdate IS NOT NULL
       GROUP BY 1
     ), tot AS (
@@ -1336,7 +1336,7 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.month(F.to_date("o_orderdate")).cast("long").alias("mo"))
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("cents")
         )
@@ -1358,7 +1358,7 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority AS priority,
              CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                   AS BIGINT) AS d,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
       FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1, 2
     ),
@@ -1408,7 +1408,7 @@ def regr_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d"),
         )
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("y")
         )
@@ -1444,7 +1444,7 @@ def regr_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority AS priority,
              CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                   AS BIGINT) AS d,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
       FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
       GROUP BY 1, 2
     ),
@@ -1501,7 +1501,7 @@ def forecast_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d"),
         )
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
             .cast("long")
             .alias("y")
         )
@@ -1545,7 +1545,7 @@ def forecast_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
       FROM orders
       WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
@@ -1588,7 +1588,7 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("day")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("cents")
     )
@@ -1609,7 +1609,7 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
       FROM orders
       WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
@@ -1652,7 +1652,7 @@ def spc_imr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("day")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("cents")
     )

@@ -237,8 +237,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
       SELECT l_partkey,
-             CAST(round(l_extendedprice * 100) AS BIGINT)
-               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS v4
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT) AS v4
       FROM lineitem
     ), g AS (
       SELECT l_partkey, CAST(sum(v4) AS DECIMAL(38,0)) AS raw4
