@@ -364,6 +364,46 @@ def _srp_sign_matrix(dim: int, n_bits: int) -> list[list[int]]:
     ]
 
 
+def _srp_sigs_arrow(
+    staged: DataFrame, role: str, mat, n_bits: int
+) -> DataFrame:
+    """Arrow/numpy tier for the SRP signature pass: one int64 matmul per
+    batch against the pinned ±1 hyperplane matrix. Bit-identical to the
+    HOF fold — the quantized inputs are exact int64 (floor happens
+    Spark-side in `bands_of`, so both tiers share the identical
+    quantization expression) and integer dot products have no summation
+    -order hazard — but ~10x faster past a few million multiply-adds
+    (the 16 zip_with/aggregate folds evaluate ~1k lambdas per row)."""
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(staged.sparkSession)
+    id_type = dict(staged.dtypes)[role]
+    M_rows = [list(r) for r in mat]
+
+    def op(batches):
+        M = np.array(M_rows, dtype=np.int64)  # (dim, n_bits)
+        weights = np.int64(1) << np.arange(n_bits, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [
+                    np.nan_to_num(
+                        np.asarray(v, dtype=np.float64), nan=0.0
+                    ).astype(np.int64)
+                    for v in pdf["_qv"]
+                ]
+            )
+            dps = X @ M
+            sig = ((dps > 0).astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame({role: pdf[role].to_numpy(), "sig": sig})
+
+    return staged.mapInPandas(op, schema=f"{role} {id_type}, sig long")
+
+
 def srp_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -374,6 +414,7 @@ def srp_ann_topk(
     n_bits: int = 16,
     band_bits: int = 4,
     scale: int = 1000,
+    signature_work_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Approximate cosine top-k via DETERMINISTIC sign-random-projection
     (hyperplane) LSH — the ANN family member whose whole pipeline is
@@ -418,6 +459,28 @@ def srp_ann_topk(
         staged = df.filter(F.size(F.col(vec_col)) == dim).select(
             F.col(id_col).alias(role), qv.alias("_qv")
         )
+        # Tier the signature pass on estimated work (rows x dim x bits):
+        # the n_bits zip_with/aggregate folds evaluate ~dim*bits lambdas
+        # per row (~2M mul-adds/s measured), so a 50k x 64 x 16 corpus
+        # pays ~10 s HOF vs ~1 s for the Arrow int64-matmul tier — which
+        # is BIT-IDENTICAL (quantization stays in the shared Spark
+        # expression above; integer dots have no summation-order hazard).
+        n_side = staged.count()
+        if n_side * max(dim, 1) * n_bits > signature_work_threshold:
+            sigs = _srp_sigs_arrow(staged, role, mat, n_bits)
+            band_entries = [
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (
+                        F.shiftright(F.col("sig"), b * band_bits)
+                        % (1 << band_bits)
+                    ).alias("bval"),
+                )
+                for b in range(n_bands)
+            ]
+            return sigs.select(
+                role, F.explode(F.array(*band_entries)).alias("bk")
+            ).select(role, "bk.band", "bk.bval")
         dots = staged.select(
             role,
             *[

@@ -1276,7 +1276,13 @@ def retrieval_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     measuring the ANN's recall before trusting it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    gt = cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    # auto-routed exact arm (r11): 50k x 20 x 64 dims at sf0.1 is ~6x past
+    # the HOF/Arrow crossover — the router flips the ground-truth pass to
+    # BLAS there while sf0.01 stays on the expression tier (same values,
+    # both tiers share one oracle)
+    gt = cosine_topk_auto(
+        emb, q, k=3, n_corpus=emb.count(), n_queries=20, dims=64
+    ).select("query_id", "neighbor_id")
     ann = srp_ann_topk(emb, q, k=3).select(
         "query_id", F.col("neighbor_id").alias("ann_neighbor")
     )
