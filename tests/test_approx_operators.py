@@ -665,3 +665,25 @@ def test_cosine_auto_precomputed_sizes_skip_probe_jobs(spark):
     expr = cosine_topk_auto(emb, q, k=3, n_corpus=1, n_queries=1, dims=1)
     expr_plan = expr._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in expr_plan and "PythonMapInArrow" not in expr_plan
+
+
+def test_srp_signature_tiers_bit_identical_and_plan_routed(spark):
+    """The Arrow int64-matmul signature tier must return EXACTLY the HOF
+    tier's rows (signatures are integer arithmetic — no tolerance), and
+    the router must pick HOF below the work threshold (no Python node in
+    the plan) vs Arrow above it (MapInPandas present)."""
+    from hw_kafka_flink_health_spark.operators.similarity import srp_ann_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+
+    def canon(rows):
+        return sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in rows)
+
+    hof = srp_ann_topk(emb, q, k=3, signature_work_threshold=1 << 60)
+    arrow = srp_ann_topk(emb, q, k=3, signature_work_threshold=1)
+    assert canon(hof.collect()) == canon(arrow.collect())
+    hof_plan = hof._jdf.queryExecution().executedPlan().toString()
+    arrow_plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in hof_plan
+    assert "MapInPandas" in arrow_plan
