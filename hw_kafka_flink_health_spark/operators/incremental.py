@@ -47,7 +47,7 @@ def daily_partials(
     """Per-(day, key) algebraic partial states for one ingest slice.
 
     Emits only mergeable states (count/sum/min/max). The sum is carried
-    as EXACT integer cents (round(value*100) as bigint): double sums
+    as EXACT integer cents (floor(value*100 + 0.5) as bigint): double sums
     are order-dependent in their last bits, which makes "merge order
     never matters" only approximately true — and approximately is not
     a contract. Integer partials make merge bit-exact, associative, and
@@ -61,7 +61,9 @@ def daily_partials(
             F.col(key_col).alias("key"),
         ).agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.round(F.col(value_col).cast("double") * 100).cast("bigint")).alias(
+            F.sum(
+                F.floor(F.col(value_col).cast("double") * 100 + 0.5).cast("bigint")
+            ).alias(
                 "sum_cents"
             ),
             F.min(F.col(value_col).cast("double")).alias("min_value"),

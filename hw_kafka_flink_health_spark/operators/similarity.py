@@ -415,6 +415,8 @@ def srp_ann_topk(
     band_bits: int = 4,
     scale: int = 1000,
     signature_work_threshold: int = 5_000_000,
+    n_corpus: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via DETERMINISTIC sign-random-projection
     (hyperplane) LSH — the ANN family member whose whole pipeline is
@@ -435,10 +437,15 @@ def srp_ann_topk(
       cosine re-rank of candidates only, row_number top-k with the
       round(sim, 6) + id tiebreak the exact tier uses.
 
-    The signature is ONE narrow codegen projection per row (n_bits
-    zip_with/aggregate folds over literal arrays — no explode, no join,
-    no shuffle); the only shuffles are the band join and the final
-    per-query window. Returns (query_id, neighbor_id, sim, rank).
+    The signature pass tiers on estimated work (rows x dim x bits): a
+    narrow codegen projection of n_bits zip_with/aggregate folds below
+    `signature_work_threshold`, ONE numpy int64 matmul per Arrow batch
+    above it — bit-identical either way (the quantization expression is
+    shared; integer dots have no summation-order hazard). The only
+    shuffles are the band join and the final per-query window.
+    `n_corpus` / `n_queries`, when passed, skip the per-side tier-probe
+    count jobs (the cosine_topk_auto precomputed-sizes pattern, ADVICE
+    r9 / review r11). Returns (query_id, neighbor_id, sim, rank).
     """
     if n_bits % band_bits != 0:
         raise ValueError("n_bits must be a multiple of band_bits")
@@ -446,6 +453,7 @@ def srp_ann_topk(
     dim = dim_row[0] or 0
     mat = _srp_sign_matrix(dim, n_bits)
     n_bands = n_bits // band_bits
+    known_n = {"query_id": n_queries, "neighbor_id": n_corpus}
 
     def bands_of(df: DataFrame, role: str) -> DataFrame:
         qv = F.transform(
@@ -461,53 +469,42 @@ def srp_ann_topk(
         )
         # Tier the signature pass on estimated work (rows x dim x bits):
         # the n_bits zip_with/aggregate folds evaluate ~dim*bits lambdas
-        # per row (~2M mul-adds/s measured), so a 50k x 64 x 16 corpus
-        # pays ~10 s HOF vs ~1 s for the Arrow int64-matmul tier — which
-        # is BIT-IDENTICAL (quantization stays in the shared Spark
-        # expression above; integer dots have no summation-order hazard).
-        n_side = staged.count()
+        # per row, so a large corpus pays seconds HOF vs ~1 s for the
+        # Arrow int64-matmul tier — which is BIT-IDENTICAL (quantization
+        # stays in the shared Spark expression above; integer dots have
+        # no summation-order hazard). A caller-supplied size skips the
+        # probe count job.
+        n_side = known_n[role] if known_n[role] is not None else staged.count()
         if n_side * max(dim, 1) * n_bits > signature_work_threshold:
             sigs = _srp_sigs_arrow(staged, role, mat, n_bits)
-            band_entries = [
-                F.struct(
-                    F.lit(b).alias("band"),
-                    (
-                        F.shiftright(F.col("sig"), b * band_bits)
-                        % (1 << band_bits)
-                    ).alias("bval"),
-                )
-                for b in range(n_bands)
-            ]
-            return sigs.select(
-                role, F.explode(F.array(*band_entries)).alias("bk")
-            ).select(role, "bk.band", "bk.bval")
-        dots = staged.select(
-            role,
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_qv"),
-                        F.array(*[F.lit(mat[i][j]) for i in range(dim)]),
-                        # NULL elements count as 0, matching SQL SUM's
-                        # NULL-skipping over the exploded replay
-                        lambda a, s: F.coalesce(a, F.lit(0).cast("bigint"))
-                        * s.cast("long"),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                ).alias(f"dp{j}")
-                for j in range(n_bits)
-            ],
-        )
-        sig = reduce(
-            lambda acc, j: acc
-            + F.when(F.col(f"dp{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            range(n_bits),
-            F.lit(0).cast("long"),
-        )
-        sigs = dots.select(role, sig.alias("sig"))
+        else:
+            dots = staged.select(
+                role,
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_qv"),
+                            F.array(*[F.lit(mat[i][j]) for i in range(dim)]),
+                            # NULL elements count as 0, matching SQL SUM's
+                            # NULL-skipping over the exploded replay
+                            lambda a, s: F.coalesce(a, F.lit(0).cast("bigint"))
+                            * s.cast("long"),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias(f"dp{j}")
+                    for j in range(n_bits)
+                ],
+            )
+            sig = reduce(
+                lambda acc, j: acc
+                + F.when(F.col(f"dp{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                range(n_bits),
+                F.lit(0).cast("long"),
+            )
+            sigs = dots.select(role, sig.alias("sig"))
         band_entries = [
             F.struct(
                 F.lit(b).alias("band"),

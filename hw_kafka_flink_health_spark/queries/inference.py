@@ -160,7 +160,7 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios, safe at 4 decimals. Still exactly one grouped pass over
     orders — 100 TB cost unchanged."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     g = (
         orders.filter(F.col("o_totalprice").isNotNull())
         .select(F.col("o_orderpriority").alias("grp"), cents.alias("cents"))

@@ -266,8 +266,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.002 fraction as an integer inequality) partition-order invariant
     in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    v4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
-        (1 - F.col("l_discount")) * 100, 0
+    v4 = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * F.floor(
+        (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("long")
     staged = li.select("l_partkey", v4.alias("v4"))
     per_part = staged.groupBy("l_partkey").agg(

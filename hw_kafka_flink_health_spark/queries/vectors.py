@@ -1276,16 +1276,18 @@ def retrieval_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     measuring the ANN's recall before trusting it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    # auto-routed exact arm (r11): 50k x 20 x 64 dims at sf0.1 is ~6x past
-    # the HOF/Arrow crossover — the router flips the ground-truth pass to
-    # BLAS there while sf0.01 stays on the expression tier (same values,
-    # both tiers share one oracle)
+    # ONE corpus count shared by both arms' tier routers (review r11);
+    # dims probes on the tiny query side. The exact ground-truth arm
+    # flips to the Arrow/BLAS tier past the ~10M mul-add crossover
+    # (same values, both tiers share one oracle), and the SRP arm's
+    # signature pass tiers the same way.
+    n_corpus = emb.count()
     gt = cosine_topk_auto(
-        emb, q, k=3, n_corpus=emb.count(), n_queries=20, dims=64
+        emb, q, k=3, n_corpus=n_corpus, n_queries=20
     ).select("query_id", "neighbor_id")
-    ann = srp_ann_topk(emb, q, k=3).select(
-        "query_id", F.col("neighbor_id").alias("ann_neighbor")
-    )
+    ann = srp_ann_topk(
+        emb, q, k=3, n_corpus=n_corpus, n_queries=20
+    ).select("query_id", F.col("neighbor_id").alias("ann_neighbor"))
     joined = gt.join(
         ann,
         (gt.query_id == ann.query_id)

@@ -348,11 +348,11 @@ def test_tile_codec_images_matches_pixel_formula(spark, grid):
             key = (aid, ((j // w) * grid) // h, ((j % w) * grid) // w)
             s, n = want.get(key, (0, 0))
             want[key] = (s + g, n + 1)
+    assert set(got) == set(want), "empty tiles must be omitted, none missing"
     for key, (s, n) in want.items():
         r = got[key]
         assert (r["t_sum"], r["t_cnt"]) == (s, n), (key, r)
         per_image_cnt[key[0]] = per_image_cnt.get(key[0], 0) + r["t_cnt"]
-    assert set(got) == set(want), "empty tiles must be omitted, none missing"
     for aid, total in per_image_cnt.items():
         assert total == (8 + aid % 5) * (6 + aid % 3)
     for r in got.values():
