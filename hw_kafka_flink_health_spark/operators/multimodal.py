@@ -859,7 +859,14 @@ def tile_codec_images(
                 tr = ((idx // w) * grid) // h
                 tc = ((idx % w) * grid) // w
                 flat = tr * grid + tc
-                tsum = np.bincount(flat, weights=gray, minlength=grid * grid)
+                # np.bincount(weights=...) accumulates in float64, which
+                # is only exact while a tile's total gray stays < 2^53
+                # (~4.7e12 pixels/tile at max gray 765 — plausible for
+                # stitched satellite/pathology assets). np.add.at on an
+                # int64 accumulator keeps the "exact integer gray sum"
+                # claim unconditional (ADVICE r11).
+                tsum = np.zeros(grid * grid, dtype=np.int64)
+                np.add.at(tsum, flat, gray)
                 tcnt = np.bincount(flat, minlength=grid * grid)
                 for r in range(grid):
                     for c in range(grid):

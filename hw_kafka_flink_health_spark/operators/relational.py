@@ -302,17 +302,58 @@ def global_prefix_sum(
     100 TB this is one range shuffle + one tiny broadcast — vs the
     global-window plan that funnels every row through one task.
     """
+    return global_prefix_sums(
+        df,
+        [value_col],
+        order_cols,
+        out_cols=[out_col],
+        n_partitions=n_partitions,
+    )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    value_cols: list,
+    order_cols: list,
+    *,
+    out_cols: list | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column :func:`global_prefix_sum`: ONE range shuffle + ONE
+    bounded offsets collect computes the inclusive running total of EACH
+    value column over the same total order. Callers that need several
+    cumulative series on one ordered table (two-sample ECDFs, paired
+    debit/credit ledgers) would otherwise pay the shuffle per column.
+
+    The partition-local window is shared, so Catalyst evaluates all the
+    cumsums in a single Window operator over one sort; the offsets pass
+    collects one row per partition carrying every column's partition
+    total (bounded: ``n_partitions`` rows).
+    """
+    if out_cols is None:
+        out_cols = [f"{c}_running" for c in value_cols]
+    if len(out_cols) != len(value_cols):
+        raise ValueError(
+            f"out_cols ({len(out_cols)}) must pair 1:1 with "
+            f"value_cols ({len(value_cols)})"
+        )
+    staging = {"_pid", *(f"_ls_{i}" for i in range(len(value_cols)))}
+    clash = staging & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_prefix_sums reserves column names {sorted(clash)}; "
+            "rename them on the input frame first"
+        )
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = df.repartitionByRange(n, *order_cols)
-    pid = F.spark_partition_id()
-    local = ordered.withColumn("_pid", pid).withColumn(
-        "_local_sum",
-        F.sum(value_col).over(
-            Window.partitionBy("_pid")
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = ordered.withColumn("_pid", F.spark_partition_id())
+    for i, vc in enumerate(value_cols):
+        local = local.withColumn(f"_ls_{i}", F.sum(vc).over(wloc))
     # RangePartitioner SAMPLES its boundaries, so two executions of the
     # same plan can cut the order differently; the offsets job and the
     # final job must see ONE materialization — pin it (same lineage-
@@ -322,21 +363,32 @@ def global_prefix_sum(
     # value). max(_local_sum) would only coincide for non-negative
     # inputs and silently inflates offsets for signed values (sweep-line
     # +1/-1 deltas) — caught by max_concurrent_sessions' oracle.
-    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal")).collect()
-    offsets = {}
-    acc = 0
+    totals = local.groupBy("_pid").agg(
+        *[F.sum(vc).alias(f"_pt_{i}") for i, vc in enumerate(value_cols)]
+    ).collect()
+    accs = [0] * len(value_cols)
+    offsets: dict[int, list] = {}
     for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
-        acc += r["_ptotal"] or 0
-    off_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        ),
-        F.col("_pid"),
-    )
-    return local.withColumn(out_col, F.col("_local_sum") + off_expr).drop(
-        "_pid", "_local_sum"
-    )
+        offsets[r["_pid"]] = list(accs)
+        for i in range(len(value_cols)):
+            accs[i] += r[f"_pt_{i}"] or 0
+    out = local
+    for i, oc in enumerate(out_cols):
+        if offsets:
+            off_expr = F.element_at(
+                F.create_map(
+                    *[
+                        F.lit(x)
+                        for pid, offs in offsets.items()
+                        for x in (pid, offs[i])
+                    ]
+                ),
+                F.col("_pid"),
+            )
+        else:  # empty input: no partitions produced rows
+            off_expr = F.lit(0)
+        out = out.withColumn(oc, F.col(f"_ls_{i}") + off_expr)
+    return out.drop("_pid", *(f"_ls_{i}" for i in range(len(value_cols))))
 
 
 def _range_local_row_number(

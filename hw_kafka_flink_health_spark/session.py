@@ -35,8 +35,37 @@ ROCKSDB_STATE_CONF = {
 }
 
 
+def _cgroup_limit_bytes() -> int | None:
+    """Container memory limit, if one is set. /proc/meminfo reports HOST
+    RAM inside a cgroup-limited container, so the OOM guard must take
+    the minimum with the cgroup ceiling (ADVICE r11): v2 memory.max,
+    falling back to v1 memory.limit_in_bytes. 'max' / the v1 no-limit
+    sentinel (~2^63) mean unlimited -> None.
+    """
+    for path in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(path) as fh:
+                raw = fh.read().strip()
+        except OSError:
+            continue
+        if raw == "max":
+            return None
+        try:
+            limit = int(raw)
+        except ValueError:
+            continue
+        if 0 < limit < 1 << 62:  # v1 prints ~2^63 when unconstrained
+            return limit
+    return None
+
+
 def _default_driver_mem(cap_gib: int = 12) -> str:
-    """Local-mode driver heap default: min(cap, ~70% of MemTotal).
+    """Local-mode driver heap default: min(cap, ~70% of available RAM),
+    where available = min(MemTotal, cgroup limit) — the cgroup is where
+    the OOM-killer actually engages in a container (ADVICE r11).
 
     /proc/meminfo is Linux-only; anywhere it is unreadable the cap is
     returned unchanged (the pre-r11 behavior).
@@ -45,7 +74,11 @@ def _default_driver_mem(cap_gib: int = 12) -> str:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemTotal:"):
-                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    total = int(line.split()[1]) * 1024
+                    cg = _cgroup_limit_bytes()
+                    if cg is not None:
+                        total = min(total, cg)
+                    total_gib = total / (1024**3)
                     return f"{max(1, min(cap_gib, int(total_gib * 0.7)))}g"
     except OSError:
         pass

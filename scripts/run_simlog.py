@@ -29,6 +29,7 @@ from decimal import Decimal
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 TABLES = (
@@ -38,17 +39,24 @@ TABLES = (
 
 
 def strict_cell(x) -> str:
-    """Type-tagged canonical cell: Decimal('0.3') != 0.3, 1 != 1.0."""
+    """Type-tagged canonical cell: Decimal('0.3') != 0.3, 1 != 1.0.
+
+    numpy scalars (itertuples yields np.int64/np.float32/np.bool_, NOT
+    Python builtins) take the SAME tag as their Python twins — without
+    the np branches an int64 cell fell through to the generic 's:' tag,
+    so an integer column and a varchar column with equal lexical values
+    compared equal (ADVICE r11)."""
     if x is None or x is pd.NaT:
         return "∅"
-    if isinstance(x, float):
-        return "∅" if math.isnan(x) else f"f:{x!r}"
+    if isinstance(x, (bool, np.bool_)):
+        return f"b:{bool(x)}"
+    if isinstance(x, (float, np.floating)):
+        v = float(x)
+        return "∅" if math.isnan(v) else f"f:{v!r}"
     if isinstance(x, Decimal):
         return f"dec:{x}"
-    if isinstance(x, bool):
-        return f"b:{x}"
-    if isinstance(x, int):
-        return f"i:{x}"
+    if isinstance(x, (int, np.integer)):
+        return f"i:{int(x)}"
     if isinstance(x, (datetime.datetime, pd.Timestamp)):
         return f"ts:{x}"
     if isinstance(x, datetime.date):

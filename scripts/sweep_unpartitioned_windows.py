@@ -17,11 +17,13 @@ import sys
 
 sys.path.insert(0, ".")
 
-from pyspark.sql import DataFrame  # noqa: E402
-
 from hw_kafka_flink_health_spark.queries import QUERIES  # noqa: E402
 from hw_kafka_flink_health_spark.session import get_spark  # noqa: E402
-from hw_kafka_flink_health_spark.plans import unpartitioned_specs  # noqa: E402
+from hw_kafka_flink_health_spark.plans import (  # noqa: E402
+    analyzed_str,
+    capture_checkpoints,
+    unpartitioned_specs,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -30,21 +32,14 @@ def main() -> None:
     flt = sys.argv[1] if len(sys.argv) > 1 else ""
     spark = get_spark("window-sweep")
     captured: list[str] = []
-    orig = DataFrame.localCheckpoint
-
-    def capturing(self, eager=True):
-        captured.append(str(self._jdf.queryExecution().analyzed()))
-        return orig(self, eager=eager)
-
-    DataFrame.localCheckpoint = capturing
-    try:
+    with capture_checkpoints(captured):
         for name in sorted(QUERIES):
             if flt and flt not in name:
                 continue
             captured.clear()
             try:
                 df = QUERIES[name](spark, SF)
-                plans = [str(df._jdf.queryExecution().analyzed())] + list(captured)
+                plans = [analyzed_str(df)] + list(captured)
             except Exception as e:  # noqa: BLE001
                 print(f"{name}\tBUILD_ERROR\t{e}")
                 continue
@@ -54,8 +49,6 @@ def main() -> None:
                     if h not in seen:
                         seen.add(h)
                         print(f"{name}\t{h}")
-    finally:
-        DataFrame.localCheckpoint = orig
 
 
 if __name__ == "__main__":

@@ -534,14 +534,29 @@ def test_geo_knn_partial_topk_prune_and_broadcast(spark):
 
 
 def test_mannwhitney_distinct_value_reduction(spark):
-    plan = plan_of(spark, "stats_mannwhitney_u")
-    # one hash shuffle to distinct values; the ordered cumulative pass is
-    # a single-partition window over the VALUE table only
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("Exchange SinglePartition") == 1
+    """r12 shape: distinct-value reduction (one hash shuffle) feeding a
+    RANGE-partitioned prefix sum — o_totalprice is continuous, so the
+    value grain grows ~O(rows) and the old single-partition cumulative
+    window had to go (VERDICT r11 #1). The interesting exchanges now sit
+    BEHIND global_prefix_sum's checkpoint, so inspect the captured
+    pre-checkpoint executed plan."""
+    from hw_kafka_flink_health_spark.plans import capture_checkpoints
+
+    captured, executed = [], []
+    with capture_checkpoints(captured, executed):
+        df = QUERIES["stats_mannwhitney_u"](spark, SF)
+    pre = "\n".join(executed)
+    assert "Exchange SinglePartition" not in pre  # the r11 shape, gone
+    # every exchange partitions on a key — value groupBy + prefix sum
+    assert pre.count("Exchange hashpartitioning") >= 1
     # scan pruned to the two participating columns
-    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", pre)
     assert m and len(m.group(1).split(",")) <= 2, m and m.group(1)
+    # final pass reads the checkpointed value table; the only remaining
+    # work is the 1-row scalar aggregate
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in final
+    assert "FileScan parquet" not in final
 
 
 def test_range_interval_frame_is_range_not_rows(spark):
@@ -793,15 +808,24 @@ def test_hits_broadcasts_authority_and_takeordered_topk(spark):
 
 
 def test_kruskal_ranks_from_value_groups_not_row_sort(spark):
-    """Kruskal-Wallis must rank DISTINCT VALUES (bounded single-partition
-    ordered pass), never globally sort the row stream: the only Sort
-    operators allowed are inside the single-partition window pass — no
-    Exchange rangepartitioning (a global row sort) may appear."""
-    plan = plan_of(spark, "stats_kruskal_wallis")
-    assert "Exchange rangepartitioning" not in plan, plan
-    # the distinct-value rank pass sits behind a localCheckpoint (two
-    # consumers), so the final plan reads the materialized RDD; the final
-    # statistic assembly is broadcast 1-row joins, never a cartesian
+    """Kruskal-Wallis must rank DISTINCT VALUES, never globally sort the
+    row stream — and since r12 the value-table cumulative itself rides
+    global_prefix_sum (o_totalprice is continuous, so the distinct grain
+    is ~O(rows): a single-partition ordered pass over it was the r11
+    sweep's blind spot). The range shuffle in the pre-checkpoint subtree
+    partitions the VALUE table, not raw rows: it sits above the value
+    groupBy's hash exchange."""
+    from hw_kafka_flink_health_spark.plans import capture_checkpoints
+
+    captured, executed = [], []
+    with capture_checkpoints(captured, executed):
+        df = QUERIES["stats_kruskal_wallis"](spark, SF)
+    pre = "\n".join(executed)
+    assert "Exchange SinglePartition" not in pre  # no global ordered pass
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the rank pass sits behind the prefix sum's localCheckpoint, so the
+    # final plan reads the materialized RDD; the final statistic
+    # assembly is broadcast 1-row joins, never a cartesian
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
 

@@ -24,9 +24,11 @@ output cardinality), and vocabulary grain (Heaps-sublinear).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
-
-from hw_kafka_flink_health_spark.plans import unpartitioned_specs
+from hw_kafka_flink_health_spark.plans import (
+    analyzed_str,
+    capture_checkpoints,
+    unpartitioned_specs,
+)
 
 from hw_kafka_flink_health_spark.queries import QUERIES
 
@@ -43,6 +45,16 @@ AUDITED_BOUNDED = {
     "spc_imr_revenue": "day grain (I-MR control chart over days)",
     "stats_runs_test": "day grain (sign runs over days)",
     "timeseries_ma_decomposition": "day grain (centered MA over days)",
+    # (the next four had been invisible to the r11 sweep: the checkpoint
+    # capture never fired on Spark 4 — see capture_checkpoints — so their
+    # pre-checkpoint windows were audited only in r12)
+    "recursive_holt_linear_trend": "month grain (~84-row series anchor)",
+    "recursive_holt_winters_daily": "day grain inside a FIXED 59-day "
+    "window (row_number anchor + first-week seasonal init)",
+    "timeseries_croston": "day grain inside a FIXED 181-day window "
+    "(demand-day anchor + lag intervals)",
+    "eval_isotonic_calibration": "20 fixed score bins (prefix sums for "
+    "the PAV minimax identity)",
     # -- decile / fixed-bucket rollups: <= 10s of rows by construction --
     "eval_decile_lift": "10-row decile cumulation (post-aggregate)",
     "eval_qini_uplift": "10-row decile cumulation (post-aggregate)",
@@ -58,13 +70,20 @@ AUDITED_BOUNDED = {
     "per distinct threshold)",
     "eval_cost_optimal_threshold": "distinct-score grain",
     "eval_pr_curve": "distinct-score grain (exact PR curve)",
-    "mlprep_quantile_normalize": "distinct-length grain (pooled ECDF table)",
-    "stats_cliffs_delta": "distinct-value grain (midrank table)",
-    "stats_kaplan_meier_reorder": "distinct-event-time grain (risk table)",
-    "stats_ks_two_sample": "distinct-value grain (ECDF support)",
-    "stats_logrank_test": "distinct-event-time grain (risk table)",
-    "stats_mannwhitney_u": "distinct-value grain (midrank table)",
-    "stats_nelson_aalen": "distinct-event-time grain (hazard table)",
+    # (stats_mannwhitney_u / stats_ks_two_sample / stats_cliffs_delta /
+    # stats_kruskal_wallis were pruned in r12: their distinct grain is a
+    # CONTINUOUS money column (~O(rows) at 100x), so the cumulative pass
+    # was rewired onto global_prefix_sum — VERDICT r11 #1)
+    "mlprep_quantile_normalize": "distinct-length grain (pooled ECDF table; "
+    "n_chars is an INTEGER char count, so distinct values are bounded by "
+    "the max document length, not corpus row count — unlike the pruned "
+    "continuous-money rank stats; grain measured by the SCALING probe)",
+    "stats_kaplan_meier_reorder": "distinct-event-time grain (risk table; "
+    "event times are DAY-granular dates, so the grain is calendar-bounded)",
+    "stats_logrank_test": "distinct-event-time grain (risk table; "
+    "day-granular dates -> calendar-bounded)",
+    "stats_nelson_aalen": "distinct-event-time grain (hazard table; "
+    "day-granular dates -> calendar-bounded)",
     "skyline_suppliers_2d": "distinct (x,y) point grain (skyline sweep is "
     "defined on the distinct-point set)",
     # -- vocabulary grain: Heaps-sublinear in corpus size --
@@ -96,9 +115,14 @@ def test_unpartitioned_spec_parser_self_check(spark):
         "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
     )
     whole = df.withColumn("s", F.sum("id").over(Window.partitionBy()))
-    assert unpartitioned_specs(str(bad._jdf.queryExecution().analyzed()))
-    assert not unpartitioned_specs(str(good._jdf.queryExecution().analyzed()))
-    assert unpartitioned_specs(str(whole._jdf.queryExecution().analyzed()))
+    assert unpartitioned_specs(analyzed_str(bad))
+    assert not unpartitioned_specs(analyzed_str(good))
+    assert unpartitioned_specs(analyzed_str(whole))
+    # truncation false-negative guard (r12): past maxToStringFields the
+    # plain str() drops windowspecdefinition behind '... N more fields';
+    # analyzed_str must keep seeing it on arbitrarily wide projections.
+    wide = bad.select("*", *[(F.col("id") + i).alias(f"c{i}") for i in range(60)])
+    assert unpartitioned_specs(analyzed_str(wide))
 
 
 def test_no_unaudited_unpartitioned_window_anywhere(spark):
@@ -107,16 +131,10 @@ def test_no_unaudited_unpartitioned_window_anywhere(spark):
     in either direction (a stale whitelist entry also fails, so the list
     tracks reality)."""
     captured: list[str] = []
-    orig = DataFrame.localCheckpoint
-
-    def capturing(self, eager=True):
-        captured.append(str(self._jdf.queryExecution().analyzed()))
-        return orig(self, eager=eager)
-
     violators: dict[str, list[str]] = {}
     build_errors: dict[str, str] = {}
-    DataFrame.localCheckpoint = capturing
-    try:
+    n_checkpoints = 0
+    with capture_checkpoints(captured):
         for name in sorted(QUERIES):
             captured.clear()
             try:
@@ -124,14 +142,23 @@ def test_no_unaudited_unpartitioned_window_anywhere(spark):
             except Exception as e:  # noqa: BLE001
                 build_errors[name] = repr(e)[:200]
                 continue
-            plans = [str(df._jdf.queryExecution().analyzed())] + list(captured)
+            n_checkpoints += len(captured)
+            plans = [analyzed_str(df)] + list(captured)
             hits = sorted({h for p in plans for h in unpartitioned_specs(p)})
             if hits:
                 violators[name] = hits
-    finally:
-        DataFrame.localCheckpoint = orig
 
     assert not build_errors, f"queries failed to build: {build_errors}"
+    # The capture itself must be ALIVE: the r11 patch targeted the
+    # pyspark.sql.DataFrame base while Spark 4 instances are
+    # classic.DataFrame with their own localCheckpoint, so zero subtrees
+    # were ever captured and the sweep silently degraded to final-plan-
+    # only. Dozens of queries checkpoint — a zero here means the patch
+    # lost the concrete class again.
+    assert n_checkpoints > 20, (
+        f"checkpoint capture looks dead (captured {n_checkpoints} subtrees "
+        "across the whole catalog) — is the concrete DataFrame class patched?"
+    )
     unaudited = {n: v for n, v in violators.items() if n not in AUDITED_BOUNDED}
     assert not unaudited, (
         "unpartitioned window over input not audited as bounded — either fix "
