@@ -547,8 +547,19 @@ def main() -> None:
     fingerprint = _fingerprint(spark)
     fingerprint["python_worker_warm"] = True
 
+    # SPARK_GRAFT_BENCH_FULL=1 times the ENTIRE registered catalog
+    # instead of the headline list (VERDICT r11 #5: 125 of 419 queries
+    # had never appeared in any BENCH record — "covered" should not
+    # silently mean "the 70% we time"). The driver's per-round run keeps
+    # the headline contract; the full sweep is a committed one-off
+    # artifact (BENCH_FULL.json via SPARK_GRAFT_BENCH_DETAIL).
+    names = (
+        sorted(QUERIES)
+        if os.environ.get("SPARK_GRAFT_BENCH_FULL")
+        else HEADLINE
+    )
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         # time construction + execution: iterative operators (connected
         # components) do eager work while the DataFrame is being built
         t0 = time.perf_counter()

@@ -324,70 +324,329 @@ def global_prefix_sums(
     value column over the same total order. Callers that need several
     cumulative series on one ordered table (two-sample ECDFs, paired
     debit/credit ledgers) would otherwise pay the shuffle per column.
-
-    The partition-local window is shared, so Catalyst evaluates all the
-    cumsums in a single Window operator over one sort; the offsets pass
-    collects one row per partition carrying every column's partition
-    total (bounded: ``n_partitions`` rows).
     """
+    return global_prefix_scan(
+        df,
+        value_cols,
+        order_cols,
+        out_cols=out_cols,
+        n_partitions=n_partitions,
+    )
+
+
+_INTEGRAL_SPARK_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_SCAN_IDENTITY = {
+    "sum": 0,
+    "max": -(1 << 63),  # int64 min: max(x, id) == x for any int64
+    "min": (1 << 63) - 1,
+}
+
+
+def global_prefix_scan(
+    df: DataFrame,
+    value_cols: list,
+    order_cols: list,
+    *,
+    ops: list | None = None,
+    out_cols: list | None = None,
+    exclusive: bool = False,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Generalized distributed prefix scan: running sum/max/min of each
+    value column over one global total order, inclusive (frame
+    UNBOUNDED PRECEDING..CURRENT ROW) or exclusive (..1 PRECEDING —
+    sweep-line "state before this point", e.g. the skyline's
+    previous-max). NULL semantics match the window functions exactly:
+    NULLs contribute nothing, and a row with no non-NULL predecessor in
+    its frame gets NULL.
+
+    Plan shape for INTEGRAL value columns (the Arrow tier):
+
+    1. ``repartitionByRange(order_cols)`` + ``sortWithinPartitions`` —
+       the ONE exchange — then ``localCheckpoint`` pins the cut
+       (RangePartitioner samples its boundaries; the offsets job and
+       the scan must see the same materialization).
+    2. Per-partition (aggregate, non-null count) pairs — one bounded
+       collect — become exclusive partition carries.
+    3. One Arrow ``mapInPandas`` pass over the sorted, materialized
+       partitions computes the within-partition scan and adds the
+       carry: exact int64 vectorized accumulation, results emitted as
+       Python ints (arbitrary precision) so output conversion can never
+       silently wrap; a float64 shadow raises loudly past 2^62.
+
+    The r10-r11 implementation ran the local scan as a
+    ``Window.partitionBy(_pid)`` — whose required distribution Catalyst
+    cannot prove from the range exchange, so every caller silently paid
+    a SECOND full exchange (hashpartitioning(_pid)) the operator's
+    docstring claimed not to exist (found r12 in the captured
+    pre-checkpoint executed plan). Non-integral value columns (double /
+    decimal) fall back to that windowed tier, which keeps engine-native
+    type and FP-ordering semantics at the price of the extra exchange.
+    """
+    k = len(value_cols)
+    if ops is None:
+        ops = ["sum"] * k
     if out_cols is None:
         out_cols = [f"{c}_running" for c in value_cols]
-    if len(out_cols) != len(value_cols):
+    if not (len(out_cols) == len(ops) == k):
         raise ValueError(
-            f"out_cols ({len(out_cols)}) must pair 1:1 with "
-            f"value_cols ({len(value_cols)})"
+            f"value_cols ({k}) / ops ({len(ops)}) / out_cols "
+            f"({len(out_cols)}) must pair 1:1"
         )
-    staging = {"_pid", *(f"_ls_{i}" for i in range(len(value_cols)))}
+    bad_ops = set(ops) - set(_SCAN_IDENTITY)
+    if bad_ops:
+        raise ValueError(f"unsupported scan ops: {sorted(bad_ops)}")
+    staging = {"_pid", *(f"_ls_{i}" for i in range(k))}
     clash = staging & set(df.columns)
     if clash:
         raise ValueError(
-            f"global_prefix_sums reserves column names {sorted(clash)}; "
+            f"global_prefix_scan reserves column names {sorted(clash)}; "
             "rename them on the input frame first"
         )
+    in_types = dict(df.dtypes)
+    missing = [c for c in value_cols if c not in in_types]
+    if missing:
+        raise ValueError(f"value_cols not in frame: {missing}")
+    if all(in_types[c] in _INTEGRAL_SPARK_TYPES for c in value_cols):
+        return _prefix_scan_arrow(
+            df, value_cols, order_cols, ops, out_cols, exclusive, n_partitions
+        )
+    return _prefix_scan_window(
+        df, value_cols, order_cols, ops, out_cols, exclusive, n_partitions
+    )
+
+
+def _prefix_scan_arrow(
+    df: DataFrame,
+    value_cols: list,
+    order_cols: list,
+    ops: list,
+    out_cols: list,
+    exclusive: bool,
+    n_partitions: int | None,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from hw_kafka_flink_health_spark.pyship import ship_package
+
+    ship_package(df.sparkSession)
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = df.repartitionByRange(n, *order_cols)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    staged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    agg_fn = {"sum": F.sum, "max": F.max, "min": F.min}
+    totals = staged.groupBy("_pid").agg(
+        *[
+            agg_fn[op](vc).alias(f"_pt_{i}")
+            for i, (vc, op) in enumerate(zip(value_cols, ops))
+        ],
+        *[
+            F.count(vc).alias(f"_pc_{i}")
+            for i, vc in enumerate(value_cols)
+        ],
+    ).collect()
+    # Exclusive partition carries: for each column, the combined scan
+    # value and non-null count of every EARLIER partition. Python-int
+    # arithmetic — no wrap possible on the driver side.
+    comb = {
+        "sum": lambda a, b: a + b,
+        "max": max,
+        "min": min,
+    }
+    carry_val = [None] * len(value_cols)  # None == no non-null yet
+    carry_cnt = [0] * len(value_cols)
+    carries: dict[int, tuple] = {}
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        carries[r["_pid"]] = (list(carry_val), list(carry_cnt))
+        for i, op in enumerate(ops):
+            v = r[f"_pt_{i}"]
+            if v is not None:
+                v = int(v)
+                carry_val[i] = (
+                    v
+                    if carry_val[i] is None
+                    else comb[op](carry_val[i], v)
+                )
+            carry_cnt[i] += int(r[f"_pc_{i}"])
+    payload_fields = [f for f in staged.schema.fields if f.name != "_pid"]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in payload_fields]
+        + [f"`{oc}` bigint" for oc in out_cols]
+    )
+    payload_names = [f.name for f in payload_fields]
+    kk = len(value_cols)
+    identities = [_SCAN_IDENTITY[op] for op in ops]
+    accum = {
+        "sum": np.add.accumulate,
+        "max": np.maximum.accumulate,
+        "min": np.minimum.accumulate,
+    }
+    LOUD = float(2**62)
+
+    def op_fn(batches):
+        run_val = None  # initialized from the partition's carry
+        run_cnt = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if run_val is None:
+                pid = int(pdf["_pid"].iloc[0])
+                cv, cc = carries.get(pid, ([None] * kk, [0] * kk))
+                run_val, run_cnt = list(cv), list(cc)
+            outs = {}
+            for i, (vc, op) in enumerate(zip(value_cols, ops)):
+                s = pdf[vc]
+                a = s.to_numpy()
+                if a.dtype.kind in "iu":
+                    vals = a.astype(np.int64, copy=False)
+                    valid = np.ones(len(a), dtype=bool)
+                elif a.dtype == object:
+                    valid = np.array([e is not None for e in a])
+                    vals = np.array(
+                        [0 if e is None else int(e) for e in a],
+                        dtype=np.int64,
+                    )
+                else:  # NULL-bearing int columns arrive as float64
+                    valid = ~np.isnan(a)
+                    f = np.nan_to_num(a, nan=0.0)
+                    if np.any(np.abs(f) >= 2.0**53):
+                        raise ValueError(
+                            "prefix scan: |value| >= 2^53 arrived through "
+                            "the float64 NULL path — conversion would "
+                            "lose integer precision"
+                        )
+                    vals = f.astype(np.int64)
+                seed = (
+                    identities[i] if run_val[i] is None else run_val[i]
+                )
+                filled = np.where(
+                    valid, vals, np.int64(identities[i] if op != "sum" else 0)
+                )
+                ext = np.concatenate(
+                    ([np.int64(seed)], filled)
+                )
+                scan = accum[op](ext)  # length L+1; [0] == carry-in
+                if op == "sum":
+                    shadow = np.add.accumulate(
+                        np.concatenate(([float(seed)], filled.astype(np.float64)))
+                    )
+                    if np.any(np.abs(shadow) >= LOUD):
+                        raise ValueError(
+                            "prefix scan: running sum approaching int64 "
+                            "range (|sum| >= 2^62) — use the windowed "
+                            "tier / wider type"
+                        )
+                cnt = np.concatenate(
+                    ([np.int64(run_cnt[i])], valid.astype(np.int64))
+                ).cumsum()
+                picked = scan[:-1] if exclusive else scan[1:]
+                pcnt = cnt[:-1] if exclusive else cnt[1:]
+                outs[out_cols[i]] = [
+                    None if c == 0 else int(v)
+                    for v, c in zip(picked.tolist(), pcnt.tolist())
+                ]
+                run_val[i] = None if cnt[-1] == 0 else int(scan[-1])
+                run_cnt[i] = int(cnt[-1])
+            res = pdf[payload_names].copy()
+            for oc in out_cols:
+                res[oc] = pd.Series(outs[oc], dtype=object, index=res.index)
+            yield res
+
+    return staged.mapInPandas(op_fn, schema=out_schema)
+
+
+def _prefix_scan_window(
+    df: DataFrame,
+    value_cols: list,
+    order_cols: list,
+    ops: list,
+    out_cols: list,
+    exclusive: bool,
+    n_partitions: int | None,
+) -> DataFrame:
+    """Windowed fallback tier for non-integral value columns: keeps the
+    engine's native type/FP semantics, at the cost of the extra
+    hashpartitioning(_pid) exchange Catalyst inserts above the range
+    exchange (it cannot prove the data is already clustered by _pid)."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ordered = df.repartitionByRange(n, *cols)
+    hi = -1 if exclusive else Window.currentRow
     wloc = (
         Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, hi)
     )
+    win_fn = {"sum": F.sum, "max": F.max, "min": F.min}
     local = ordered.withColumn("_pid", F.spark_partition_id())
-    for i, vc in enumerate(value_cols):
-        local = local.withColumn(f"_ls_{i}", F.sum(vc).over(wloc))
-    # RangePartitioner SAMPLES its boundaries, so two executions of the
-    # same plan can cut the order differently; the offsets job and the
-    # final job must see ONE materialization — pin it (same lineage-
-    # truncation pattern as the connected-components loop).
+    for i, (vc, op) in enumerate(zip(value_cols, ops)):
+        local = local.withColumn(f"_ls_{i}", win_fn[op](vc).over(wloc))
+    # Pin ONE materialization: RangePartitioner samples its boundaries,
+    # so the offsets job and the final job must agree on the cut.
     local = local.localCheckpoint()
-    # Partition total = SUM of values (== the partition's LAST running
-    # value). max(_local_sum) would only coincide for non-negative
-    # inputs and silently inflates offsets for signed values (sweep-line
-    # +1/-1 deltas) — caught by max_concurrent_sessions' oracle.
+    # Partition carry = the column's FULL-partition aggregate (for sum:
+    # the partition total — max(_ls) would be wrong for signed values).
+    agg_fn = {"sum": F.sum, "max": F.max, "min": F.min}
     totals = local.groupBy("_pid").agg(
-        *[F.sum(vc).alias(f"_pt_{i}") for i, vc in enumerate(value_cols)]
+        *[
+            agg_fn[op](vc).alias(f"_pt_{i}")
+            for i, (vc, op) in enumerate(zip(value_cols, ops))
+        ]
     ).collect()
-    accs = [0] * len(value_cols)
-    offsets: dict[int, list] = {}
+    comb_expr = {
+        "sum": lambda a, b: a + b,
+        "max": F.greatest,
+        "min": F.least,
+    }
+    carry = [None] * len(value_cols)
+    carries: dict[int, list] = {}
     for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = list(accs)
-        for i in range(len(value_cols)):
-            accs[i] += r[f"_pt_{i}"] or 0
+        carries[r["_pid"]] = list(carry)
+        for i, op in enumerate(ops):
+            v = r[f"_pt_{i}"]
+            if v is not None:
+                if carry[i] is None:
+                    carry[i] = v
+                elif op == "sum":
+                    carry[i] = carry[i] + v
+                elif op == "max":
+                    carry[i] = max(carry[i], v)
+                else:
+                    carry[i] = min(carry[i], v)
     out = local
-    for i, oc in enumerate(out_cols):
-        if offsets:
+    for i, (op, oc) in enumerate(zip(ops, out_cols)):
+        if carries:
             off_expr = F.element_at(
                 F.create_map(
                     *[
                         F.lit(x)
-                        for pid, offs in offsets.items()
-                        for x in (pid, offs[i])
+                        for pid, cs in carries.items()
+                        for x in (pid, cs[i])
                     ]
                 ),
                 F.col("_pid"),
             )
         else:  # empty input: no partitions produced rows
-            off_expr = F.lit(0)
-        out = out.withColumn(oc, F.col(f"_ls_{i}") + off_expr)
+            off_expr = F.lit(None)
+        ls = F.col(f"_ls_{i}")
+        if op == "sum":
+            combined = ls + F.coalesce(off_expr, F.lit(0))
+            # NULL window value (no non-null predecessor in-partition)
+            # + non-null carry must still yield the carry, matching the
+            # global window's null-skipping semantics.
+            combined = F.coalesce(combined, off_expr, ls)
+        else:
+            combined = F.when(
+                ls.isNull(), off_expr
+            ).when(off_expr.isNull(), ls).otherwise(
+                comb_expr[op](ls, off_expr)
+            )
+        out = out.withColumn(oc, combined)
     return out.drop("_pid", *(f"_ls_{i}" for i in range(len(value_cols))))
 
 
@@ -395,18 +654,39 @@ def _range_local_row_number(
     df: DataFrame, order_cols: list, n_partitions: int | None
 ) -> DataFrame:
     """Pass 1 of the distributed rank: range-partition on the total
-    order, then a PARTITION-LOCAL row_number (the window hash-partitions
-    on `_pid`, so no single-partition exchange exists anywhere in the
-    plan — pinned by tests/test_plans.py). Factored out un-checkpointed
-    so the plan tests can inspect the shape the checkpoint later hides.
+    order, sort within partitions, and read (_pid, _local_rn) straight
+    out of ``monotonically_increasing_id()`` — which by contract encodes
+    ``(partition_id << 33) + row_index_within_partition`` evaluated in
+    physical row order above the sort.
+
+    This shape has exactly ONE exchange. The r10-r11 version computed
+    the local row_number with ``Window.partitionBy("_pid")``, whose
+    required ClusteredDistribution(_pid) Catalyst cannot prove from the
+    range exchange, so it inserted a SECOND full exchange
+    (hashpartitioning(_pid)) plus a window sort — 2x the data movement
+    for a value the row stream already carries positionally (found r12
+    by reading the captured pre-checkpoint executed plan). The id-based
+    read is pure codegen'd projection: no Window operator at all.
+    Caveat: row index is 33 bits, so a single range partition past
+    ~8.6B rows would wrap — size n_partitions to keep slices under that
+    (distributed_row_number's offsets pass checks the per-partition
+    counts and raises loudly on a violation).
+
+    Factored out un-checkpointed so the plan tests can inspect the
+    shape the checkpoint later hides.
     """
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ordered = df.repartitionByRange(n, *cols)
-    return ordered.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_local_rn",
-        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+    ordered = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    mid = F.monotonically_increasing_id()
+    out = ordered.withColumn("_mid", mid).select(
+        "*",
+        F.shiftright(F.col("_mid"), 33).cast("int").alias("_pid"),
+        (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias(
+            "_local_rn"
+        ),
     )
+    return out.drop("_mid")
 
 
 def distributed_row_number(
@@ -448,7 +728,7 @@ def distributed_row_number(
     # column, so a caller frame already carrying an internal staging
     # name would lose that column with no error (the asof_join
     # __b_/__fw_ hazard class, ADVICE r10 / review r11).
-    clash = {"_pid", "_local_rn"} & set(df.columns)
+    clash = {"_pid", "_local_rn", "_mid"} & set(df.columns)
     if clash:
         raise ValueError(
             f"distributed_row_number reserves column names {sorted(clash)}; "
@@ -461,6 +741,14 @@ def distributed_row_number(
     offsets = {}
     acc = 0
     for r in sorted(counts, key=lambda r: r["_pid"]):
+        # the id-based local row index is 33 bits per partition — a
+        # slice past that wraps silently, so fail loudly instead
+        if r["_pcount"] >= (1 << 33):
+            raise ValueError(
+                f"range partition {r['_pid']} holds {r['_pcount']} rows "
+                ">= 2^33; raise n_partitions so each slice fits the "
+                "33-bit local row index"
+            )
         offsets[r["_pid"]] = acc
         acc += r["_pcount"]
     if offsets:

@@ -1991,9 +1991,13 @@ def skyline_suppliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     then y DESC, and keep a point iff its y strictly exceeds the running
     max of all preceding (higher-x) points. Distinct-point reduction
     first makes coincident points (ties fixture) correctly mutual-non-
-    dominating survivors and bounds the ordered pass at |distinct
-    points|, not |suppliers| — the standard scale posture; coordinates
-    are exact integer cents."""
+    dominating survivors; coordinates are exact integer cents. The
+    sweep's running max rides `global_prefix_scan(op=max, exclusive)` —
+    a range shuffle + bounded carries, NOT a single-partition ordered
+    window: the distinct-point grain is supplier-cardinality, which
+    grows linearly with SF (measured 10/100/1000 at the three test SFs),
+    so the r11 whitelist entry calling it bounded was wrong (VERDICT r11
+    #2 — rewired r12 instead of probed)."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
@@ -2014,10 +2018,18 @@ def skyline_suppliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
         F.min("s_suppkey").cast("long").alias("exemplar"),
     )
-    wsweep = Window.orderBy(F.desc("x"), F.desc("y")).rowsBetween(
-        Window.unboundedPreceding, -1
+    from hw_kafka_flink_health_spark.operators.relational import (
+        global_prefix_scan,
     )
-    swept = pts.withColumn("prev_max_y", F.max("y").over(wsweep))
+
+    swept = global_prefix_scan(
+        pts,
+        ["y"],
+        [F.col("x").desc(), F.col("y").desc()],
+        ops=["max"],
+        out_cols=["prev_max_y"],
+        exclusive=True,
+    )
     return swept.filter(
         F.col("prev_max_y").isNull() | (F.col("y") > F.col("prev_max_y"))
     ).select(

@@ -109,7 +109,7 @@ SHOWCASE = {
     "supplier_otif": "OTIF vendor scorecard: one orderkey-shuffled equi join + one suppkey hash aggregate, both map-side combined; never-shipped lines counted against the rate without a second pass",
     "spc_imr_revenue": "I-MR control chart: one day-grain hash aggregate, then lag + mean windows over the ~2.4k-day table; all limits derived from integer cents",
     # round-10 additions
-    "histogram_equidepth_totalprice": "exact equi-depth histogram over the raw fact via distributed_ntile: range shuffle + _pid-local rank + bounded offset broadcast — the Exchange SinglePartition global window is GONE (VERDICT r9 task 1)",
+    "histogram_equidepth_totalprice": "exact equi-depth histogram over the raw fact via distributed_ntile: ONE range shuffle + id-derived local rank + bounded offset broadcast — the Exchange SinglePartition global window is GONE (VERDICT r9 task 1), and so is the second hashpartitioning(_pid) exchange the r10-r11 window-based local rank paid (r12)",
     "rfm_user_profile": "three exact global quartiles over unbounded user cardinality, each a distributed_ntile pass — three metadata-width range shuffles, zero single-partition windows",
     "mlprep_global_doc_ids": "contiguous global ids via distributed_row_number with the corpus total from the same offsets pass — the row_number()+count() OVER () pair that would plan TWO SinglePartition exchanges plans none",
     "embedding_semdedup_det": "deterministic SemDeDup: pinned md5 centroid sample broadcast for argmax-cosine assignment, per-cluster pair pass (sum of per-cluster squares, never corpus-wide), norms computed once per vector and carried as a column",
@@ -441,7 +441,17 @@ r8-closing tree `4c0de54` replayed first, then the r10 head):
   deliberate trade VERDICT r9 task 1 asked for (the old plan funnels
   every fact/user/doc row through ONE task at 100x; the new one is a
   range shuffle + per-partition rank + tiny broadcast, constant
-  overhead amortized by data size).
+  overhead amortized by data size). r12 halved the rank pass's data
+  movement again: the r10-r11 `Window.partitionBy(_pid)` local rank
+  silently paid a SECOND full exchange (Catalyst cannot prove the
+  range shuffle already clusters by `_pid`, so it inserted
+  `hashpartitioning(_pid)`) — the local (pid, row_number) pair is now
+  read straight out of `monotonically_increasing_id()` after
+  `sortWithinPartitions` (pure codegen, no Window operator), and
+  `global_prefix_scan`'s integral tier computes running sum/max/min in
+  one Arrow pass over the sorted checkpoint (exact int64, Python-int
+  outputs, loud 2^62 guard). Plan shape pinned one-exchange-no-Window
+  by tests/test_skew.py::test_prefix_scan_single_exchange_no_window.
 
 So this class of question is answerable from the artifact alone,
 `bench.py` now records a `fingerprint` block with every run: cpu model,

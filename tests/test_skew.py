@@ -158,6 +158,82 @@ def test_global_prefix_sum_signed_values(spark):
     assert got == expected
 
 
+def test_global_prefix_scan_max_min_exclusive_and_nulls(spark):
+    """global_prefix_scan's max/min ops and the exclusive frame must
+    match the naive global window exactly, including NULL semantics
+    (NULLs contribute nothing; rows with no non-NULL predecessor in the
+    frame get NULL — the skyline's first point)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.relational import (
+        global_prefix_scan,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, random.choice([None, random.randint(-40, 40)]))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "pos long, v long")
+    for op, fn in (("max", F.max), ("min", F.min), ("sum", F.sum)):
+        for excl in (False, True):
+            hi = -1 if excl else Window.currentRow
+            w = Window.orderBy(F.desc("pos")).rowsBetween(
+                Window.unboundedPreceding, hi
+            )
+            exp = {
+                r["pos"]: r["o"]
+                for r in df.withColumn("o", fn("v").over(w)).collect()
+            }
+            got = {
+                r["pos"]: r["o"]
+                for r in global_prefix_scan(
+                    df,
+                    ["v"],
+                    [F.col("pos").desc()],
+                    ops=[op],
+                    out_cols=["o"],
+                    exclusive=excl,
+                    n_partitions=6,
+                ).collect()
+            }
+            assert got == exp, (op, excl)
+
+
+def test_prefix_scan_single_exchange_no_window(spark):
+    """The Arrow tier's pre-checkpoint plan must carry EXACTLY ONE
+    exchange (the range shuffle) and no Window operator — the r10-r11
+    shape paid a second hashpartitioning(_pid) exchange plus a window
+    sort that Catalyst inserted above the range exchange."""
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.relational import (
+        distributed_row_number,
+        global_prefix_scan,
+    )
+    from hw_kafka_flink_health_spark.plans import capture_checkpoints
+
+    df = spark.range(2000).select(
+        F.col("id").alias("pos"), (F.col("id") % 7).cast("long").alias("v")
+    )
+    for build in (
+        lambda: global_prefix_scan(
+            df, ["v"], ["pos"], out_cols=["rt"], n_partitions=6
+        ),
+        lambda: distributed_row_number(df, ["pos"], out_col="rn"),
+    ):
+        captured, executed = [], []
+        with capture_checkpoints(captured, executed):
+            build()
+        pre = "\n".join(executed)
+        assert pre.count("Exchange") == 1, pre[:2000]
+        assert "Exchange rangepartitioning" in pre
+        assert "Window" not in pre, pre[:2000]
+
+
 def test_distributed_row_number_matches_single_task_window(spark):
     """distributed_row_number over a total order must equal the naive
     single-partition `row_number().over(Window.orderBy(...))`, for asc,
@@ -242,9 +318,12 @@ def test_distributed_ntile_matches_builtin_all_k(spark):
 
 
 def test_distributed_rank_pass1_never_single_partition(spark):
-    """The pass-1 plan (pre-checkpoint) must be range-partitioned with a
-    _pid-partitioned window — no Exchange SinglePartition anywhere. This
-    is the shape that replaces the five global-window queries' plans."""
+    """The pass-1 plan (pre-checkpoint) must be range-partitioned with
+    the (_pid, _local_rn) pair read straight out of
+    monotonically_increasing_id — ONE exchange total, no Window operator
+    at all. (The r10-r11 window-based pass paid a second full
+    hashpartitioning(_pid) exchange Catalyst inserted above the range
+    exchange — the shape this test now forbids.)"""
     from pyspark.sql import functions as F
 
     from hw_kafka_flink_health_spark.operators.relational import (
@@ -256,4 +335,5 @@ def test_distributed_rank_pass1_never_single_partition(spark):
     plan = local._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "Exchange rangepartitioning" in plan
-    assert "Exchange hashpartitioning(_pid" in plan
+    assert "Exchange hashpartitioning" not in plan  # the r12 win
+    assert "Window" not in plan  # id-based, no window sort pass

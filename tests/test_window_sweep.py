@@ -84,8 +84,10 @@ AUDITED_BOUNDED = {
     "day-granular dates -> calendar-bounded)",
     "stats_nelson_aalen": "distinct-event-time grain (hazard table; "
     "day-granular dates -> calendar-bounded)",
-    "skyline_suppliers_2d": "distinct (x,y) point grain (skyline sweep is "
-    "defined on the distinct-point set)",
+    # (skyline_suppliers_2d pruned r12: its distinct-point grain is
+    # supplier-cardinality — LINEAR in SF, measured 10/100/1000 at the
+    # three test SFs — so the sweep now rides global_prefix_scan's
+    # exclusive running max instead of a single-partition window)
     # -- vocabulary grain: Heaps-sublinear in corpus size --
     "text_phrase_proximity": "vocab grain (word-frequency ranking)",
     "text_zipf_slope": "vocab grain (rank-frequency regression input)",
@@ -103,6 +105,31 @@ AUDITED_BOUNDED = {
     "stats_chi_square_independence": "contingency-cell grain",
     "stats_mutual_information": "contingency-cell grain",
 }
+
+
+def test_quantile_normalize_grain_is_value_bounded():
+    """The whitelist's boundedness argument for mlprep_quantile_normalize,
+    MEASURED instead of asserted (VERDICT r11 #2): distinct n_chars must
+    grow far sublinearly in corpus rows (it saturates toward max document
+    length — 311/313/523 distinct values against 500/500/5000 docs at the
+    three test SFs). If this ever trends linear, rewire the pooled-ECDF
+    cumulative onto global_prefix_scan like the r12 rank-stat rewires."""
+    import duckdb
+
+    con = duckdb.connect()
+    g = {}
+    for sf in ("0.001", "0.1"):
+        g[sf] = con.execute(
+            "SELECT count(*), count(DISTINCT n_chars) FROM read_parquet("
+            f"'/root/testdata/sf{sf}/documents.parquet')"
+        ).fetchone()
+    row_ratio = g["0.1"][0] / g["0.001"][0]
+    grain_ratio = g["0.1"][1] / g["0.001"][1]
+    assert grain_ratio < row_ratio / 2, (
+        g,
+        "distinct-length grain growing ~linearly with rows — the "
+        "single-partition pooled-ECDF window is no longer bounded",
+    )
 
 
 def test_unpartitioned_spec_parser_self_check(spark):
