@@ -379,6 +379,8 @@ HEADLINE = [
     "embedding_matryoshka_recall",
     "embedding_knn_label_eval",
     "multimodal_image_tiles",
+    # round-12 additions
+    "quantile_exact_disc_totalprice",
 ]
 
 

@@ -403,6 +403,14 @@ def global_prefix_scan(
             f"global_prefix_scan reserves column names {sorted(clash)}; "
             "rename them on the input frame first"
         )
+    out_clash = set(out_cols) & set(df.columns)
+    if out_clash:
+        # the window tier's withColumn would silently REPLACE the input
+        # column; the Arrow tier's schema would carry a duplicate name —
+        # refuse loudly instead of either
+        raise ValueError(
+            f"out_cols collide with input columns: {sorted(out_clash)}"
+        )
     in_types = dict(df.dtypes)
     missing = [c for c in value_cols if c not in in_types]
     if missing:
@@ -546,15 +554,28 @@ def _prefix_scan_arrow(
                 ).cumsum()
                 picked = scan[:-1] if exclusive else scan[1:]
                 pcnt = cnt[:-1] if exclusive else cnt[1:]
-                outs[out_cols[i]] = [
-                    None if c == 0 else int(v)
-                    for v, c in zip(picked.tolist(), pcnt.tolist())
-                ]
+                if pcnt[0] > 0:
+                    # fast path (the common all-valid case): every row
+                    # has a non-null predecessor in its frame (pcnt is
+                    # nondecreasing, so checking the first suffices) —
+                    # hand the int64 array straight to Arrow, no per-row
+                    # Python objects (measured ~2x on the value table)
+                    outs[out_cols[i]] = picked
+                else:
+                    outs[out_cols[i]] = [
+                        None if c == 0 else int(v)
+                        for v, c in zip(picked.tolist(), pcnt.tolist())
+                    ]
                 run_val[i] = None if cnt[-1] == 0 else int(scan[-1])
                 run_cnt[i] = int(cnt[-1])
             res = pdf[payload_names].copy()
             for oc in out_cols:
-                res[oc] = pd.Series(outs[oc], dtype=object, index=res.index)
+                v = outs[oc]
+                res[oc] = (
+                    pd.Series(v, index=res.index)
+                    if isinstance(v, np.ndarray)
+                    else pd.Series(v, dtype=object, index=res.index)
+                )
             yield res
 
     return staged.mapInPandas(op_fn, schema=out_schema)

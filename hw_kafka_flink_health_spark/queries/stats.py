@@ -2771,3 +2771,69 @@ def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("expected1", 4).alias("expected1"),
         F.round(F.try_divide(diff * diff, F.col("var1")), 4).alias("chi2"),
     )
+
+
+@register(
+    "quantile_exact_disc_totalprice",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75,
+           quantile_disc(o_totalprice, 0.90) AS p90,
+           quantile_disc(o_totalprice, 0.99) AS p99
+    FROM orders WHERE o_totalprice IS NOT NULL
+    """,
+)
+def quantile_exact_disc_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT discrete quantiles (p25/p50/p75/p90/p99) of a continuous
+    money column at fact cardinality — without `percentile_disc`'s
+    single-partition sort and without `approx_percentile`'s error bound.
+
+    The inverse-CDF identity: percentile_disc(q) is the smallest value
+    whose cumulative count reaches ceil(q*N). groupBy value collapses N
+    rows to the distinct-value table (one hash shuffle); the cumulative
+    count rides `global_prefix_scan`'s Arrow tier (range shuffle +
+    bounded carries — the same rewire class as the r12 rank stats,
+    since a continuous money column's distinct grain is ~O(rows)); the
+    five thresholds are integer cross-multiplications (100*cum >=
+    pct*n avoids ceil AND division entirely), and each quantile is one
+    conditional-min aggregate. The oracle is DuckDB's INDEPENDENT
+    builtin quantile_disc, not a replay — the engines agree because
+    both implement the same SQL-standard inverse-CDF convention (the
+    r10 finance_var_historical parity, extended to five points).
+    Output values are raw doubles from the data, untouched by
+    arithmetic, so the hash comparison is bitwise."""
+    from hw_kafka_flink_health_spark.operators.relational import (
+        global_prefix_scan,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    byval = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cums = global_prefix_scan(byval, ["c"], ["v"], out_cols=["cum"])
+    # N = max of the monotone cumulative, read from the frame the scan
+    # already checkpointed; coalesce(0) keeps the all-NULL fixture on
+    # the oracle's one-row count(*)=0 shape.
+    tot = cums.agg(
+        F.coalesce(F.max("cum"), F.lit(0)).cast("long").alias("n")
+    )
+    j = cums.crossJoin(F.broadcast(tot))
+
+    def pick(pct: int):
+        # cum >= ceil(pct*n/100)  <=>  100*cum >= pct*n  (integers)
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * pct, F.col("v"))
+        ).alias(f"p{pct}")
+
+    # global (ungrouped) aggregate: exactly ONE output row even on an
+    # empty value table — matching the oracle's aggregate shape
+    picks = j.agg(pick(25), pick(50), pick(75), pick(90), pick(99))
+    return picks.crossJoin(F.broadcast(tot)).select(
+        "n", "p25", "p50", "p75", "p90", "p99"
+    )

@@ -441,8 +441,19 @@ r8-closing tree `4c0de54` replayed first, then the r10 head):
   deliberate trade VERDICT r9 task 1 asked for (the old plan funnels
   every fact/user/doc row through ONE task at 100x; the new one is a
   range shuffle + per-partition rank + tiny broadcast, constant
-  overhead amortized by data size). r12 halved the rank pass's data
-  movement again: the r10-r11 `Window.partitionBy(_pid)` local rank
+  overhead amortized by data size).
+* **Graph-family checkpoint-vs-compute split, measured (VERDICT r11
+  #6)**: at sf0.1 the shared edge cache builds once in ~7.8 s (the
+  orders⋈lineitem distinct — amortized across the whole family via the
+  session LRU), and the iterative headliners then run at a steady state
+  of 3.9–4.8 s each (BFS 5.0, LPA 4.5, PPR 3.9 after JIT warm; the
+  higher first-rep numbers are session codegen warmup, not plan cost).
+  That steady state is ~0.3–0.5 s per round-job of scheduler+codegen
+  floor over node-sized tables — overhead that amortizes away at real
+  cardinalities (SCALING alpha ≤ 0.27), with no structural cut left
+  that doesn't change semantics: the edge list, the expensive subtree,
+  is already materialized exactly once.
+* r12 halved the rank pass's data movement again: the r10-r11 `Window.partitionBy(_pid)` local rank
   silently paid a SECOND full exchange (Catalyst cannot prove the
   range shuffle already clusters by `_pid`, so it inserted
   `hashpartitioning(_pid)`) — the local (pid, row_number) pair is now

@@ -32,6 +32,8 @@ TABLES = (
 # every query the round-5 full-catalog fuzz audit caught diverging (each
 # fixed; pinned here so the divergence class stays dead).
 RECENT = [
+    # round-12 additions
+    "quantile_exact_disc_totalprice",
     # round-11 additions
     "retrieval_mmr_rerank",
     "embedding_matryoshka_recall",
