@@ -859,14 +859,21 @@ def tile_codec_images(
                 tr = ((idx // w) * grid) // h
                 tc = ((idx % w) * grid) // w
                 flat = tr * grid + tc
-                # np.bincount(weights=...) accumulates in float64, which
-                # is only exact while a tile's total gray stays < 2^53
-                # (~4.7e12 pixels/tile at max gray 765 — plausible for
-                # stitched satellite/pathology assets). np.add.at on an
-                # int64 accumulator keeps the "exact integer gray sum"
-                # claim unconditional (ADVICE r11).
-                tsum = np.zeros(grid * grid, dtype=np.int64)
-                np.add.at(tsum, flat, gray)
+                # np.bincount(weights=...) accumulates in float64: every
+                # partial sum is an integer, so the result is exact while
+                # the largest tile total stays < 2^53 — guaranteed up to
+                # 2^42 pixels/image at max gray 765 (2^10). bincount is
+                # several times faster than the unbuffered per-element
+                # np.add.at scatter on this per-pixel hot path (review
+                # r12), so the exact-but-slow scatter is only the
+                # fallback for absurdly large stitched assets.
+                if n < 1 << 42:
+                    tsum = np.bincount(
+                        flat, weights=gray, minlength=grid * grid
+                    ).astype(np.int64)
+                else:  # keep "exact integer gray sum" unconditional
+                    tsum = np.zeros(grid * grid, dtype=np.int64)
+                    np.add.at(tsum, flat, gray)
                 tcnt = np.bincount(flat, minlength=grid * grid)
                 for r in range(grid):
                     for c in range(grid):

@@ -302,7 +302,7 @@ def global_prefix_sum(
     100 TB this is one range shuffle + one tiny broadcast — vs the
     global-window plan that funnels every row through one task.
     """
-    return global_prefix_sums(
+    return global_prefix_scan(
         df,
         [value_col],
         order_cols,
@@ -436,6 +436,9 @@ def _prefix_scan_arrow(
     import numpy as np
     import pandas as pd
 
+    # shared null-absorbing exact conversion (review r12): NULL-bearing
+    # int columns cross the Arrow boundary as float64/object
+    from hw_kafka_flink_health_spark.operators._arrow import to_int64_exact
     from hw_kafka_flink_health_spark.pyship import ship_package
 
     ship_package(df.sparkSession)
@@ -508,27 +511,7 @@ def _prefix_scan_arrow(
                 run_val, run_cnt = list(cv), list(cc)
             outs = {}
             for i, (vc, op) in enumerate(zip(value_cols, ops)):
-                s = pdf[vc]
-                a = s.to_numpy()
-                if a.dtype.kind in "iu":
-                    vals = a.astype(np.int64, copy=False)
-                    valid = np.ones(len(a), dtype=bool)
-                elif a.dtype == object:
-                    valid = np.array([e is not None for e in a])
-                    vals = np.array(
-                        [0 if e is None else int(e) for e in a],
-                        dtype=np.int64,
-                    )
-                else:  # NULL-bearing int columns arrive as float64
-                    valid = ~np.isnan(a)
-                    f = np.nan_to_num(a, nan=0.0)
-                    if np.any(np.abs(f) >= 2.0**53):
-                        raise ValueError(
-                            "prefix scan: |value| >= 2^53 arrived through "
-                            "the float64 NULL path — conversion would "
-                            "lose integer precision"
-                        )
-                    vals = f.astype(np.int64)
+                vals, valid = to_int64_exact(pdf[vc].to_numpy())
                 seed = (
                     identities[i] if run_val[i] is None else run_val[i]
                 )

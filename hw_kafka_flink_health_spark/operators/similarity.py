@@ -383,30 +383,10 @@ def _srp_sigs_arrow(
     id_type = dict(staged.dtypes)[role]
     M_rows = [list(r) for r in mat]
 
-    def to_int64(v):
-        # NULL-absorbing int64 conversion WITHOUT a silent float64
-        # round-trip: above 2^53 float64 drops low bits, which would
-        # quietly break the documented bit-identity with the HOF fold
-        # (ADVICE r11). int64 passes through untouched; object arrays
-        # (Python ints + None) convert exactly; only the float64 form
-        # Arrow hands back for null-bearing int lists is inherently
-        # lossy — guarded by a LOUD assert instead of divergence.
-        a = np.asarray(v)
-        if a.dtype == np.int64:
-            return a
-        if a.dtype == object:
-            return np.asarray(
-                [0 if e is None else e for e in a], dtype=np.int64
-            )
-        f = np.nan_to_num(a.astype(np.float64), nan=0.0)
-        if np.any(np.abs(f) >= 2.0**53):
-            raise ValueError(
-                "_srp_sigs_arrow: |quantized coordinate| >= 2^53 arrived "
-                "through the float64 NULL path — the conversion would "
-                "lose integer precision and silently diverge from the "
-                "HOF signature tier"
-            )
-        return f.astype(np.int64)
+    # NULL-absorbing int64 conversion without a silent float64
+    # round-trip (bit-identity with the HOF fold, ADVICE r11) — shared
+    # with the prefix scan's Arrow tier (review r12)
+    from hw_kafka_flink_health_spark.operators._arrow import to_int64_exact
 
     def op(batches):
         M = np.array(M_rows, dtype=np.int64)  # (dim, n_bits)
@@ -414,7 +394,7 @@ def _srp_sigs_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack([to_int64(v) for v in pdf["_qv"]])
+            X = np.stack([to_int64_exact(v)[0] for v in pdf["_qv"]])
             dps = X @ M
             sig = ((dps > 0).astype(np.int64) * weights).sum(axis=1)
             yield pd.DataFrame({role: pdf[role].to_numpy(), "sig": sig})

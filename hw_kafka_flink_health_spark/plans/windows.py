@@ -52,13 +52,17 @@ def capture_checkpoints(captured: list, executed: list | None = None):
             continue
 
         def make(orig_fn):
-            def capturing(self, eager: bool = True):
+            # signature-transparent: PySpark 4.1's localCheckpoint is
+            # (self, eager=True, storageLevel=None) — a fixed (self,
+            # eager) wrapper would TypeError on storageLevel and turn a
+            # legitimate build into a spurious BUILD_ERROR (review r12)
+            def capturing(self, *args, **kwargs):
                 captured.append(analyzed_str(self))
                 if executed is not None:
                     executed.append(
                         str(self._jdf.queryExecution().executedPlan())
                     )
-                return orig_fn(self, eager=eager)
+                return orig_fn(self, *args, **kwargs)
 
             return capturing
 

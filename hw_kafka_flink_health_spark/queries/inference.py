@@ -380,11 +380,13 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~a, 1)).cast("long").alias("cb"),
         )
     )
+    # Checkpoint the scan OUTPUT (its internal checkpoint sits below
+    # the Arrow pass): tot and the argmax pass are two consumers that
+    # would otherwise each replay the mapInPandas scan (review r12).
     cumsums = global_prefix_sums(
         byval, ["ca", "cb"], ["v"], out_cols=["ca_cum", "cb_cum"]
-    )
-    # Totals = max of the monotone nonneg cumsums — read from the frame
-    # global_prefix_sums already checkpointed, so no second table scan.
+    ).localCheckpoint()
+    # Totals = max of the monotone nonneg cumsums — no second table scan.
     tot = cumsums.agg(
         F.max("ca_cum").cast("long").alias("n_a"),
         F.max("cb_cum").cast("long").alias("n_b"),
@@ -879,11 +881,16 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grain grows ~O(rows) and a single-partition ordered pass would die
     # at 100x (same rewire as Mann-Whitney/KS/Cliffs, r12; this one had
     # evaded the r11 sweep because the checkpoint capture never fired).
-    # The prefix sum checkpoints internally, so the two consumers (tot
-    # and the per-group join) replay only a cheap projection.
-    ranked = global_prefix_sum(byval, "c", ["v"], out_col="_c_cum").withColumn(
-        "avgrank2",
-        2 * (F.col("_c_cum") - F.col("c")) + F.col("c") + 1,
+    # The scan's internal checkpoint sits BELOW its Arrow pass, so the
+    # OUTPUT is checkpointed too: tot and the per-group join would
+    # otherwise each replay the mapInPandas scan (review r12).
+    ranked = (
+        global_prefix_sum(byval, "c", ["v"], out_col="_c_cum")
+        .withColumn(
+            "avgrank2",
+            2 * (F.col("_c_cum") - F.col("c")) + F.col("c") + 1,
+        )
+        .localCheckpoint()
     )
     tot = ranked.agg(
         F.sum("c").cast("long").alias("n_tot"),

@@ -2816,10 +2816,14 @@ def quantile_exact_disc_totalprice(
     byval = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    cums = global_prefix_scan(byval, ["c"], ["v"], out_cols=["cum"])
-    # N = max of the monotone cumulative, read from the frame the scan
-    # already checkpointed; coalesce(0) keeps the all-NULL fixture on
-    # the oracle's one-row count(*)=0 shape.
+    # Checkpoint the scan OUTPUT — tot and the threshold picks are two
+    # consumers that would otherwise each replay the Arrow pass (the
+    # scan's internal checkpoint sits below it, review r12).
+    cums = global_prefix_scan(
+        byval, ["c"], ["v"], out_cols=["cum"]
+    ).localCheckpoint()
+    # N = max of the monotone cumulative; coalesce(0) keeps the
+    # all-NULL fixture on the oracle's one-row count(*)=0 shape.
     tot = cums.agg(
         F.coalesce(F.max("cum"), F.lit(0)).cast("long").alias("n")
     )

@@ -38,28 +38,51 @@ ROCKSDB_STATE_CONF = {
 def _cgroup_limit_bytes() -> int | None:
     """Container memory limit, if one is set. /proc/meminfo reports HOST
     RAM inside a cgroup-limited container, so the OOM guard must take
-    the minimum with the cgroup ceiling (ADVICE r11): v2 memory.max,
-    falling back to v1 memory.limit_in_bytes. 'max' / the v1 no-limit
-    sentinel (~2^63) mean unlimited -> None.
+    the minimum with the cgroup ceiling (ADVICE r11). The limit can sit
+    on the process's OWN cgroup or ANY ancestor (k8s pod slices,
+    --cgroupns=host layouts put it below the root, where a root-only
+    probe reads nothing — review r12), so resolve the cgroup path from
+    /proc/self/cgroup and take the minimum over the whole chain, both
+    v2 (memory.max) and v1 (memory/.../memory.limit_in_bytes). 'max' /
+    the v1 no-limit sentinel (~2^63) mean unbounded.
     """
-    for path in (
-        "/sys/fs/cgroup/memory.max",
-        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
-    ):
+    limits: list[int] = []
+
+    def probe(path: str) -> None:
         try:
             with open(path) as fh:
                 raw = fh.read().strip()
         except OSError:
-            continue
+            return
         if raw == "max":
-            return None
+            return
         try:
-            limit = int(raw)
+            v = int(raw)
         except ValueError:
-            continue
-        if 0 < limit < 1 << 62:  # v1 prints ~2^63 when unconstrained
-            return limit
-    return None
+            return
+        if 0 < v < 1 << 62:  # v1 prints ~2^63 when unconstrained
+            limits.append(v)
+
+    try:
+        with open("/proc/self/cgroup") as fh:
+            lines = fh.read().splitlines()
+    except OSError:
+        lines = []
+    for ln in lines:
+        parts = ln.split(":", 2)
+        if len(parts) != 3 or parts[1] not in ("", "memory"):
+            continue  # v2 unified ("") or v1 memory controller only
+        base = (
+            "/sys/fs/cgroup" if parts[1] == "" else "/sys/fs/cgroup/memory"
+        )
+        fname = "memory.max" if parts[1] == "" else "memory.limit_in_bytes"
+        segs = [s for s in parts[2].strip("/").split("/") if s]
+        for i in range(len(segs), -1, -1):  # own cgroup -> root
+            probe("/".join([base, *segs[:i], fname]))
+    if not lines:  # no /proc on this platform: fall back to root probes
+        probe("/sys/fs/cgroup/memory.max")
+        probe("/sys/fs/cgroup/memory/memory.limit_in_bytes")
+    return min(limits) if limits else None
 
 
 def _default_driver_mem(cap_gib: int = 12) -> str:

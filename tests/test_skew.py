@@ -203,6 +203,52 @@ def test_global_prefix_scan_max_min_exclusive_and_nulls(spark):
             assert got == exp, (op, excl)
 
 
+def test_prefix_scan_window_fallback_tier_doubles(spark):
+    """Non-integral value columns take the windowed fallback tier (no
+    catalog caller today — this test keeps it correct): sum/max,
+    inclusive/exclusive, NULLs, vs the naive global window. Values are
+    dyadic (k/2) so every partial sum is exact in double and equality
+    is exact regardless of where the range cut lands."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hw_kafka_flink_health_spark.operators.relational import (
+        global_prefix_scan,
+    )
+
+    random.seed(3)
+    rows = [
+        (i, random.choice([None, random.randint(-20, 20) / 2.0]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "pos long, v double")
+    for op, fn in (("sum", F.sum), ("max", F.max)):
+        for excl in (False, True):
+            hi = -1 if excl else Window.currentRow
+            w = Window.orderBy("pos").rowsBetween(
+                Window.unboundedPreceding, hi
+            )
+            exp = {
+                r["pos"]: r["o"]
+                for r in df.withColumn("o", fn("v").over(w)).collect()
+            }
+            got = {
+                r["pos"]: r["o"]
+                for r in global_prefix_scan(
+                    df,
+                    ["v"],
+                    ["pos"],
+                    ops=[op],
+                    out_cols=["o"],
+                    exclusive=excl,
+                    n_partitions=5,
+                ).collect()
+            }
+            assert got == exp, (op, excl)
+
+
 def test_prefix_scan_single_exchange_no_window(spark):
     """The Arrow tier's pre-checkpoint plan must carry EXACTLY ONE
     exchange (the range shuffle) and no Window operator — the r10-r11
