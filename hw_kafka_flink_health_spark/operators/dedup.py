@@ -20,10 +20,41 @@ Scale design notes:
 
 from __future__ import annotations
 
+import threading
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Session-scoped keyed cache for the near-dup PAIRS table and its
+# connected-components cluster map — the same pattern (and the same
+# staleness argument) as the shared graph edge cache in queries/graph.py:
+# five registered queries build the identical jaccard-pairs pipeline
+# (dedup_ngram_jaccard, dedup_clusters, dedup_cluster_report,
+# mlprep_dedup_aware_split, graph_triangle_neardup), and three of them
+# then run the identical label-propagation fixpoint on it. The key pins
+# the session object AND the exact parquet file list (part names are
+# unique per write, so a changed input can never be served stale) plus
+# every parameter that shapes the result. In-memory only, per process:
+# every bench/oracle run still computes the table from the parquet
+# inputs — the cache only stops the SAME session recomputing the same
+# intermediate five times. Non-file-backed inputs (test/fuzz frames from
+# createDataFrame) have no inputFiles and skip caching entirely.
+_PAIRS_CACHE: dict = {}
+_PAIRS_CACHE_CAP = 4
+_CC_CACHE: list = []  # [(pairs_df, src, dst, max_iter, labels_df)]
+_CC_CACHE_CAP = 2
+_DEDUP_CACHE_LOCK = threading.Lock()
+
+
+def _pairs_cache_key(df: DataFrame, *params) -> tuple | None:
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        return None
+    if not files:
+        return None
+    return (id(df.sparkSession), files, *params)
 
 
 def fingerprint_expr(text: Column | str) -> Column:
@@ -113,14 +144,20 @@ def ngram_jaccard_pairs(
     so at 100 TB an uncapped hot shingle is the whole job. With a cap the
     result is a lower bound on Jaccard; None keeps it exact.
     """
-    src = df
-    # A small input (one parquet file -> one partition) would serialize the
-    # expensive shingle construction; spread it across the cluster first.
-    # At real scale inputs arrive in many partitions and this no-ops.
-    sc = df.sparkSession.sparkContext
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism)
-    sh = shingle_table(src, text_col, id_col, n)
+    key = _pairs_cache_key(df, "jacc", text_col, id_col, n, threshold,
+                           max_shingle_freq)
+    if key is not None:
+        with _DEDUP_CACHE_LOCK:
+            if key in _PAIRS_CACHE:
+                hit = _PAIRS_CACHE.pop(key)  # move-to-end: refresh recency
+                _PAIRS_CACHE[key] = hit
+                return hit
+    # shingle_table spreads an under-partitioned scan across the cluster
+    # (cached probe in rebalance_if_narrow); no extra probe here — the
+    # raw df.rdd.getNumPartitions() this used to call compiles a fresh
+    # RDD lineage per invocation (~0.3 s, r7 lesson) and duplicated the
+    # rebalance shingle_table already performs.
+    sh = shingle_table(df, text_col, id_col, n)
     # Per-doc shingle counts ride ALONG the postings (8 bytes/row of extra
     # shuffle) instead of a second shingle pass + two re-joins at the end.
     # explode_OUTER, not explode: plain explode triggers the
@@ -161,11 +198,20 @@ def ngram_jaccard_pairs(
         F.first("n2").alias("n2"),
     )
     jaccard = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
-    return (
+    out = (
         pairs.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
+    if key is not None:
+        # materialize once; the thresholded pair table is tiny relative
+        # to the postings pass it replaces for every later consumer
+        out = out.localCheckpoint()
+        with _DEDUP_CACHE_LOCK:
+            while len(_PAIRS_CACHE) >= _PAIRS_CACHE_CAP:
+                _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))  # evict LRU head
+            _PAIRS_CACHE[key] = out
+    return out
 
 
 def ngram_containment_pairs(
@@ -191,12 +237,9 @@ def ngram_containment_pairs(
     """
     # identical pair-count pipeline; the duplication stops at the final
     # scalar, which is the cheap part — see ngram_jaccard_pairs for the
-    # plan rationale of every step
-    src = df
-    sc = df.sparkSession.sparkContext
-    if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        src = src.repartition(sc.defaultParallelism)
-    sh = shingle_table(src, text_col, id_col, n)
+    # plan rationale of every step (incl. why there is no partition probe
+    # here: shingle_table's cached rebalance covers it)
+    sh = shingle_table(df, text_col, id_col, n)
     postings = (
         sh.select(
             "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
@@ -347,7 +390,14 @@ def winnowing_fingerprint(
             F.sequence(F.lit(1), n_grams), lambda i: hf(c.substr(i, F.lit(kgram)))
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    staged = df.select(F.col(id_col).alias("doc"), grams.alias("__grams"))
+    # the per-gram hash chain (~len hashes per row, md5 in the oracle
+    # tier) runs in THIS projection's stage: spread an under-partitioned
+    # scan first or the whole corpus hashes on 1-2 cores (guide §2.5;
+    # same cached-probe rebalance shingle_table uses — r12)
+    from hw_kafka_flink_health_spark.sources.files import rebalance_if_narrow
+
+    src = rebalance_if_narrow(df.select(F.col(id_col), F.col(text_col)))
+    staged = src.select(F.col(id_col).alias("doc"), grams.alias("__grams"))
     g = F.col("__grams")
     n_wins = F.size("__grams") - (window - 1)
     wins = F.when(
@@ -598,7 +648,17 @@ def connected_components(
 
     Returns (node, cluster_id). Nodes appearing only on one side of a pair
     are still labeled (edges are symmetrized).
+
+    The (pairs-object, src, dst, rounds) result is memoized per session:
+    three registered queries run this exact fixpoint on the SAME cached
+    pairs frame (see _PAIRS_CACHE) — identity of the input frame is the
+    key, so a recomputed or differently-parameterized pairs table can
+    never be served a stale cluster map.
     """
+    with _DEDUP_CACHE_LOCK:
+        for p, s, d, mi, labels in _CC_CACHE:
+            if p is pairs and (s, d, mi) == (src, dst, max_iterations):
+                return labels
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -636,6 +696,10 @@ def connected_components(
         labels = stepped.select("node", "cluster_id")
         if stepped.filter(F.col("__changed")).limit(1).count() == 0:
             break
+    with _DEDUP_CACHE_LOCK:
+        while len(_CC_CACHE) >= _CC_CACHE_CAP:
+            _CC_CACHE.pop(0)
+        _CC_CACHE.append((pairs, src, dst, max_iterations, labels))
     return labels
 
 

@@ -94,7 +94,16 @@ def cosine_topk(
         F.col(vec_col).alias("__qvec"),
         norm_expr(F.col(vec_col)).alias("__qnorm"),
     )
-    c = corpus.select(
+    # The |corpus| x |queries| dot-product folds run in the CORPUS SCAN
+    # stage (the query side broadcasts, and the only exchange is the
+    # final per-query window) — a small embeddings parquet scans as ONE
+    # partition, pinning the entire pair fold to a single core (guide
+    # §2.5; measured: the whole expression tier was single-task at
+    # sf0.1). Spread an under-partitioned scan first; real-scale inputs
+    # pass through untouched.
+    from hw_kafka_flink_health_spark.sources.files import rebalance_if_narrow
+
+    c = rebalance_if_narrow(corpus.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
         norm_expr(F.col(vec_col)).alias("__cnorm"),
@@ -412,7 +421,7 @@ def srp_ann_topk(
     n_bits: int = 16,
     band_bits: int = 4,
     scale: int = 1000,
-    signature_work_threshold: int = 5_000_000,
+    signature_work_threshold: int = 500_000,
     n_corpus: int | None = None,
     n_queries: int | None = None,
 ) -> DataFrame:
@@ -447,8 +456,20 @@ def srp_ann_topk(
     """
     if n_bits % band_bits != 0:
         raise ValueError("n_bits must be a multiple of band_bits")
-    dim_row = corpus.agg(F.max(F.size(F.col(vec_col)))).first()
-    dim = dim_row[0] or 0
+    # one probe job reads dim AND the corpus row count (the count only
+    # routes the signature tier — both tiers are bit-identical, so an
+    # approximate size is always SAFE; r12: the separate dim + count +
+    # count probe jobs were ~20% of this operator's wall time at sf0.1)
+    if n_corpus is None:
+        probe = corpus.agg(
+            F.max(F.size(F.col(vec_col))).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        dim = probe["d"] or 0
+        n_corpus = int(probe["n"])
+    else:
+        dim_row = corpus.agg(F.max(F.size(F.col(vec_col)))).first()
+        dim = dim_row[0] or 0
     mat = _srp_sign_matrix(dim, n_bits)
     n_bands = n_bits // band_bits
     known_n = {"query_id": n_queries, "neighbor_id": n_corpus}
@@ -705,6 +726,13 @@ def cosine_topk_arrow(
                     }
                 )
 
+    # Deliberately NOT rebalanced (r12 measurement): a small corpus is one
+    # Arrow batch = one cheap BLAS matmul, and adding a round-robin
+    # exchange ahead of the Python pass measured ~2x SLOWER at sf0.1
+    # (0.7 -> 1.4 s) — while at real scale the scan arrives
+    # multi-partition and a rebalance would no-op anyway. The expression
+    # tier is the one that needs spreading (per-row fold in the scan
+    # stage); this tier's unit of work is already batch-sized.
     local = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).mapInPandas(batches, schema=out_schema)

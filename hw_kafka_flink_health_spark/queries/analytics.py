@@ -1787,6 +1787,10 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(F.broadcast(conv), F.expr("(mask & tm) = mask"), "left")
         .groupBy("tm")
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("v"))
+        # 16-row coalition-value table, broadcast TWICE below (v0/v1):
+        # unmaterialized, each broadcast re-ran the whole events mask
+        # aggregation (4 events scans in the executed plan; 2 after — r12)
+        .localCheckpoint()
     )
     ch = spark.createDataFrame(_SHAP_CHANNELS, "channel string, bit long")
     w24 = F.expr(

@@ -477,6 +477,11 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_cal"),
             F.sum("cents").cast("bigint").alias("s_cal"),
         )
+        # 5-row aggregate with TWO consumers (the q branch and the test
+        # branch): Catalyst re-executes unmaterialized subplans per
+        # consumer, so without this the orders scan + per-row md5 ran 4x
+        # (4 FileScans in the executed plan; 3 after — r12 measurement)
+        .localCheckpoint()
     )
     resid = base.join(F.broadcast(cal_stats), "priority").select(
         "priority",
@@ -492,6 +497,8 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("q_scaled")
         )
+        # same rationale: 5 rows, consumed by the test branch's broadcast
+        .localCheckpoint()
     )
     test = resid.filter(F.col("is_cal") == 0).join(F.broadcast(q), "priority")
     return test.groupBy("priority").agg(

@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.mlprep import hash_unit
 from hw_kafka_flink_health_spark.queries._registry import register
-from hw_kafka_flink_health_spark.sources.files import load_table
+from hw_kafka_flink_health_spark.sources.files import (
+    load_table,
+    rebalance_if_narrow,
+)
 
 _PIVOT = "2024-01-16"  # events span 2024-01; first half = covariate period
 
@@ -889,16 +892,24 @@ def experiment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     B≈100-200 — rather than scaling it with data size. SCALING.md
     carries the measured sf0.001→0.1 alpha for this query."""
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(
-        F.col("value").isNotNull()
-        & F.col("user_id").isNotNull()
-        & F.col("event_type").isNotNull()
-        & F.col("event_id").isNotNull()
-    ).select(
-        "event_id",
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
-        (hash_unit("user_id", "fdr") < 0.5).cast("int").alias("grp"),
+    # The replicate stream below multiplies every base row x B (80): a
+    # small events.parquet scans as ONE partition, which would pin the
+    # whole 80x generation + 20 md5/row to a single core (guide §2.5,
+    # the same hazard stats_poisson_bootstrap_ci guards; measured
+    # 7.5 s -> the explode stage alone was the query). At real scale the
+    # scan arrives in many partitions and this no-ops.
+    base = rebalance_if_narrow(
+        ev.filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+        ).select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+            (hash_unit("user_id", "fdr") < 0.5).cast("int").alias("grp"),
+        )
     )
     g = F.col("grp")
     obs = (

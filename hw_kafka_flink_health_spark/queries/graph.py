@@ -196,13 +196,12 @@ def graph_triangle_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hw_kafka_flink_health_spark.queries.text import dedup_ngram_jaccard
 
     # The Jaccard pair pipeline is the expensive subtree and feeds the
-    # degree agg, the orientation join, AND the wedge-closure join —
-    # without materialization Catalyst re-executes it per consumer
-    # (exchange reuse only collapses identical exchanges, not the three
-    # differently-shaped reads). localCheckpoint pins the (tiny,
-    # O(pairs)) edge list once; same lineage-truncation lever
-    # connected_components uses.
-    e = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2").localCheckpoint()
+    # degree agg, the orientation join, AND the wedge-closure join. The
+    # pairs table arrives ALREADY materialized (the session-keyed
+    # _PAIRS_CACHE checkpoint inside ngram_jaccard_pairs), so the three
+    # consumers re-read a tiny checkpointed table — a second checkpoint
+    # of this projection would only add a job (r12 optimization pass).
+    e = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
     deg = (
         e.select(F.col("doc1").alias("s"))
         .unionAll(e.select(F.col("doc2").alias("s")))

@@ -1258,12 +1258,15 @@ def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # part-grain table has TWO consumers (the distributed rank and the
+    # grand-total aggregate): unmaterialized, each re-ran the lineitem
+    # scan + both aggregates (2 FileScans in the executed plan — r12)
     parts = monthly.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.sum("qty").cast("long").alias("s"),
         F.sum(dec(F.col("qty")) * F.col("qty")).alias("ss"),
         F.sum("cents").cast("long").alias("spend"),
-    )
+    ).localCheckpoint()
     ranked = global_prefix_sum(
         parts,
         "spend",

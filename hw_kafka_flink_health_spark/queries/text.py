@@ -1026,6 +1026,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("doc_id", "source", "text")
+        # qual (dedup window over the CORPUS BODY + quality gate) feeds
+        # decontaminate_hits, the anti-join, the mixture counts and the
+        # final join: unmaterialized, the documents scan ran 6x and the
+        # fingerprint-window body shuffle 3x (r12 executed-plan audit).
+        # Materializing one survivor body is strictly fewer bytes than
+        # re-shuffling it twice more — the §8 "move heavy rows once"
+        # rule applied to a checkpoint instead of a join.
+        .localCheckpoint()
     )
 
     # stage 3: drop anything sharing a 5-gram with the eval set

@@ -129,7 +129,10 @@ def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates the identical matrix, signatures, bands, candidates,
     and ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = srp_ann_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    # n_queries is a tier-routing size only (both signature tiers are
+    # bit-identical) — the vec_id < 20 filter bounds it, so passing the
+    # bound skips the query-side count probe job (r12)
+    out = srp_ann_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, n_queries=20)
     return out.select(
         "query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank"
     )

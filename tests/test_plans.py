@@ -121,8 +121,23 @@ def test_jaccard_postings_no_inferred_generate_filter(spark):
     predicate into the documents scan: the pushed form inlines the whole
     shingle HOF chain un-staged (split() re-evaluated per element) and
     re-runs construction per row — measured 5x on the postings pass.
-    explode_outer + isNotNull keeps the scan clean."""
-    plan = plan_of(spark, "dedup_ngram_jaccard")
+    explode_outer + isNotNull keeps the scan clean.
+
+    The pairs pipeline is checkpointed into the session-keyed
+    _PAIRS_CACHE (r12), so the visible plan starts at Scan ExistingRDD —
+    assert on the CAPTURED pre-checkpoint executed subtree instead, the
+    same window the catalog sweep uses."""
+    from hw_kafka_flink_health_spark.operators import dedup as dd
+    from hw_kafka_flink_health_spark.plans import capture_checkpoints
+
+    with dd._DEDUP_CACHE_LOCK:
+        dd._PAIRS_CACHE.clear()
+    captured: list = []
+    executed: list = []
+    with capture_checkpoints(captured, executed):
+        QUERIES["dedup_ngram_jaccard"](spark, SF)
+    assert executed, "pairs checkpoint never fired — dead capture"
+    plan = "\n".join(executed)
     assert "DataFilters: [(size" not in plan, plan[:2000]
     # the documents scan must carry no data filters at all
     assert "DataFilters: []" in plan
