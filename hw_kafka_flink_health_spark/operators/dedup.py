@@ -752,8 +752,14 @@ def decontaminate_hits(
         .select(F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("gram"))
         .distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col), norm_tokens_expr(text_col).alias("__toks")
+    # corpus-side tokenize + gram explode runs in the corpus's own stage
+    # (the bench set broadcasts, so there is no exchange below the count):
+    # spread an under-partitioned scan first (guide §2.5, r12) — the
+    # cached probe no-ops on anything already partitioned
+    from hw_kafka_flink_health_spark.sources.files import rebalance_if_narrow
+
+    corpus_grams = rebalance_if_narrow(
+        corpus.select(F.col(id_col), norm_tokens_expr(text_col).alias("__toks"))
     ).select(
         F.col(id_col), F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("gram")
     )

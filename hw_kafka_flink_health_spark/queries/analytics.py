@@ -639,9 +639,12 @@ def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
+    # FPGrowth.fit consumes its input TWICE (frequent-items pass + the
+    # FP-tree pass) without caching it — unmaterialized, each pass re-ran
+    # the lineitem⋈part join and the basket aggregate (r12)
     baskets = orders.groupBy("l_orderkey").agg(
         F.array_distinct(F.collect_list("p_brand")).alias("items")
-    )
+    ).localCheckpoint()
     fp = FPGrowth(itemsCol="items", minSupport=0.02, minConfidence=0.1)
     model = fp.fit(baskets)
     # Scalar-typed output: the external correctness driver canonicalizes via
@@ -2730,6 +2733,12 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("v")
             )
             .select(F.col("j").alias("s"), "v")
+            # checkpoint the UNNORMALIZED vector, not pi: raw has two
+            # consumers (the renormalizer aggregate and the division), so
+            # checkpointing downstream of both re-executed the round's
+            # join+aggregate twice per round (r12); pi stays a lazy 1-level
+            # projection over this materialized k-row table
+            .localCheckpoint()
         )
         tot = raw.agg(
             F.aggregate(
@@ -2743,7 +2752,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pi = raw.crossJoin(F.broadcast(tot)).select(
             "s", F.try_divide(F.col("v"), F.col("t")).alias("v")
-        ).localCheckpoint()
+        )
     return states.join(pi, states["i"] == pi["s"], "left").select(
         F.col("i").alias("event_type"),
         F.round(F.coalesce("v", F.lit(0.0)), 6).alias("stationary_p"),

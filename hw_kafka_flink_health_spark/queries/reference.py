@@ -159,7 +159,16 @@ def hr_parse_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return parse_events_df(ev.select(raw.alias("raw"))).select(
+    # the to_json synthesis + from_json parse both run in the scan stage
+    # (pure narrow plan): spread the under-partitioned events scan BEFORE
+    # the synthesis expression (guide §2.5, r12) — rebalancing the
+    # synthesized strings instead left to_json single-task below the
+    # exchange (measured slower). Values are row-local, so the result is
+    # partition-invariant and the reference goldens are untouched.
+    from hw_kafka_flink_health_spark.sources.files import rebalance_if_narrow
+
+    spread = rebalance_if_narrow(ev.select("event_id", "user_id", "ts", "value"))
+    return parse_events_df(spread.select(raw.alias("raw"))).select(
         "patient_id", "heart_rate_bpm", "event_time"
     )
 

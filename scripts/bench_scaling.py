@@ -295,6 +295,13 @@ def main() -> None:
         )
     lines += [
         "",
+        "Cache semantics (r12): probes run in ONE session per sweep, so",
+        "`dedup_clusters` / `pipeline_pretrain_corpus` measure the",
+        "steady-state cost after `dedup_ngram_jaccard` populated the",
+        "session-keyed pairs cache at that SF (the same warm-session",
+        "semantics bench.py reports); `dedup_ngram_jaccard` itself carries",
+        "the full pipeline build per SF.",
+        "",
         "Beyond-sf0.1 behavior is probed separately by",
         "`scripts/probe_sf02_basket.py` (run it and record the result in",
         "PLANS.md — a one-off measurement does not belong in this",

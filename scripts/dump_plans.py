@@ -27,8 +27,8 @@ SHOWCASE = {
     "q18_large_orders": "agg-filter-join pipeline + TakeOrderedAndProject (top-k never sorts the full table)",
     "join_broadcast_part_revenue": "explicit broadcast hint on the dim side",
     "join_asof": "as-of join via union + window — NO BroadcastNestedLoop/CartesianProduct anywhere",
-    "dedup_ngram_jaccard": "one scan of documents; postings shuffle + pair agg are the only exchanges",
-    "embedding_cosine_topk": "brute-force cosine: query set broadcast, corpus scanned once, per-query top-k via window",
+    "dedup_ngram_jaccard": "pairs served from the session-keyed _PAIRS_CACHE checkpoint (r12): the visible plan is a projection over the materialized pair table; the build itself is one documents scan -> postings shuffle -> pair agg (pre-checkpoint shape pinned by tests/test_plans.py::test_jaccard_postings_no_inferred_generate_filter via capture_checkpoints)",
+    "embedding_cosine_topk": "brute-force cosine: query set broadcast, corpus scanned once (round-robin spread when the scan is under-partitioned — the pair fold otherwise runs single-task, r12), per-query top-k via window",
     "timeseries_gapfill": "per-key spine generate + broadcast grid join + single window pass",
     "chunk_documents": "pure narrow chunking: scan -> generate -> project, zero exchanges",
     "hr_alerts_tumbling": "the reference pipeline's batch twin: window agg with partial aggregation before the shuffle",
@@ -37,7 +37,7 @@ SHOWCASE = {
     "interval_join_outer_attribution": "left-outer interval join stays a hash-partitionable equi join with time-range residuals",
     "join_interval_binned": "no-equi-key interval containment rewritten as a day-bin equi join — NO BroadcastNestedLoopJoin",
     "text_decontaminate": "benchmark gram set broadcast; corpus grams filtered map-side, one shuffle for the per-doc count",
-    "pipeline_pretrain_corpus": "dedup -> quality -> decontaminate -> mixture as ONE fused DAG; corpus body shuffled once",
+    "pipeline_pretrain_corpus": "dedup -> quality -> decontaminate -> mixture; the survivor body is checkpointed after the dedup window (r12: the fingerprint-window body shuffle ran 3x, once per consumer branch) so the corpus body is shuffled once",
     "mlprep_domain_mix": "per-source keep rates from a 20-row aggregate broadcast back; corpus filter is map-side",
     "quality_logistic_score": "model inference as columnar math: features + sigmoid in one WholeStageCodegen span over the scan",
     "text_bigram_logprob": "LM scoring: compact model table joins once; probe is per-doc bigram COUNTS, not occurrences",
@@ -102,7 +102,7 @@ SHOWCASE = {
     "finance_sharpe_rolling": "rolling Sharpe on integer sufficient statistics: fact-side hash agg to (region, day), lag + rolling windows over the ~2.4k-day dimension, variance numerator squared in DECIMAL(38,0)",
     "stats_grubbs_test": "Grubbs outlier screen: one stats aggregate, broadcast join-back (stats side = |event_types| rows), one max/argmax aggregate - two passes over events, zero sorts",
     "multimodal_aspect_buckets": "aspect bucketing: one Arrow decode pass over real BMP payloads (checkpointed), bucket aggregate + broadcast join-back of the ~15-row bucket table for the waste sum",
-    "experiment_bh_fdr": "BH-FDR over permutation tests: deliberate B=40 replicate explode (md5-quartered: one hash = four draws) into ONE partial hash aggregate keyed (type, replicate); obs stats checkpointed once and BROADCAST into both the replicate compare and the p-value join; the BH step-up runs on |types| rows with an integer decision rule. The B-vs-corpus lever is the documented scale knob",
+    "experiment_bh_fdr": "BH-FDR over permutation tests: deliberate B=80 replicate explode (rebalance_if_narrow spreads the 1-partition events scan before the 80x generation, r12) (md5-quartered: one hash = four draws) into ONE partial hash aggregate keyed (type, replicate); obs stats checkpointed once and BROADCAST into both the replicate compare and the p-value join; the BH step-up runs on |types| rows with an integer decision rule. The B-vs-corpus lever is the documented scale knob",
     "graph_harmonic_centrality": "multi-source frontier BFS: the reached set keys (seed, node) so 4 seeds share every edge probe; per round one join vs the SHARED checkpointed edge list + min-agg + anti-join; harmonic sum emitted as exact integer 6*sum(1/d)",
     "graph_hits_bipartite": "HITS, two mutual-reinforcement rounds in exact BIGINT (normalization dropped, ranking identical): edge list checkpointed once for its three consumers, each round one broadcast join + map-side-combined sum, top-15 via TakeOrderedAndProject",
     "versioned_changefeed": "net CDF across mixed DML (append/DV delete/merge): inserts read only span-added files, deletes only DV-targeted old files — O(changes), never O(table); netting is one anti-join of two bounded change sets",
@@ -463,6 +463,23 @@ r8-closing tree `4c0de54` replayed first, then the r10 head):
   one Arrow pass over the sorted checkpoint (exact int64, Python-int
   outputs, loud 2^62 guard). Plan shape pinned one-exchange-no-Window
   by tests/test_skew.py::test_prefix_scan_single_exchange_no_window.
+* **r12 optimization round** (OPTIMIZATION_r12.md has per-query numbers
+  and before/after plans under plans/r12/): the near-dup pairs table and
+  its cluster map are session-cached like the graph edge list (5 queries
+  built the identical pipeline, 3 re-ran the identical fixpoint —
+  headline family 26 s -> 11 s); single-partition scan stages feeding
+  expensive per-row work (80x replicate explodes, per-gram md5 chains,
+  the expression-tier cosine fold, the reference JSON parse) are
+  round-robin spread via the cached `rebalance_if_narrow` probe
+  (experiment_bh_fdr 12.5 -> 5.2 s, doc_winnowing_fingerprint
+  9.8 -> 0.9 s on the same box); small multi-consumer aggregates that
+  re-ran fact scans are checkpointed (conformal calibration stats,
+  abc_xyz part grain, shapley coalition values, FPGrowth basket input,
+  markov unnormalized vector); SRP's signature pass routes to the Arrow
+  int64-matmul tier at sf0.1 (threshold 5M -> 500K mul-adds; tiers are
+  bit-identical and test-pinned) with dim+count probes merged into one
+  job. Arrow map tiers were measured and deliberately NOT spread (a
+  batch-sized matmul regressed 2x behind an added exchange).
 
 So this class of question is answerable from the artifact alone,
 `bench.py` now records a `fingerprint` block with every run: cpu model,
