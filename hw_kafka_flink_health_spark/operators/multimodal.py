@@ -802,9 +802,16 @@ def phash_codec_images(
                 gray = px.reshape(-1, 3).sum(axis=1)
                 n = int(gray.size)
                 b = (np.arange(n) * n_buckets) // n
-                bsum = np.bincount(b, weights=gray, minlength=n_buckets).astype(
-                    np.int64
-                )
+                # same exactness guard as tile_codec (r12): bincount's
+                # float64 accumulation is integer-exact only while a
+                # bucket total stays < 2^53 (n < 2^42 at max gray 765)
+                if n < 1 << 42:
+                    bsum = np.bincount(
+                        b, weights=gray, minlength=n_buckets
+                    ).astype(np.int64)
+                else:  # exact scatter fallback for absurd asset sizes
+                    bsum = np.zeros(n_buckets, dtype=np.int64)
+                    np.add.at(bsum, b, gray)
                 bcnt = np.bincount(b, minlength=n_buckets).astype(np.int64)
                 total = int(gray.sum())
                 ph = 0
