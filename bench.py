@@ -555,7 +555,13 @@ def main() -> None:
     # silently mean "the 70% we time"). The driver's per-round run keeps
     # the headline contract; the full sweep is a committed one-off
     # artifact (BENCH_FULL.json via SPARK_GRAFT_BENCH_DETAIL).
-    full_sweep = bool(os.environ.get("SPARK_GRAFT_BENCH_FULL"))
+    # explicit truthy values only: bool() on the raw string made
+    # SPARK_GRAFT_BENCH_FULL=0 enable the sweep (review r12)
+    full_sweep = os.environ.get("SPARK_GRAFT_BENCH_FULL", "").lower() in (
+        "1",
+        "true",
+        "yes",
+    )
     names = sorted(QUERIES) if full_sweep else HEADLINE
     # label what was actually timed: a 420-query full-catalog total read
     # against ~300 s headline records would misread as a regression

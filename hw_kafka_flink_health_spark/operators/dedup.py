@@ -48,13 +48,21 @@ _DEDUP_CACHE_LOCK = threading.Lock()
 
 
 def _pairs_cache_key(df: DataFrame, *params) -> tuple | None:
+    """Cache key = (session, exact file list, CANONICALIZED analyzed
+    plan, params). The canonical plan string (exprIds normalized —
+    identical builds compare equal, review r12) pins every
+    transformation between the scan and the operator, so a filtered or
+    re-projected frame over the same files can never be served another
+    frame's pairs. Non-file-backed frames (createDataFrame fixtures) skip
+    caching: a LocalRelation's canonical form does not pin its rows."""
     try:
         files = tuple(sorted(df.inputFiles()))
+        if not files:
+            return None
+        plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
     except Exception:
         return None
-    if not files:
-        return None
-    return (id(df.sparkSession), files, *params)
+    return (id(df.sparkSession), files, plan, *params)
 
 
 def fingerprint_expr(text: Column | str) -> Column:
@@ -203,10 +211,13 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
+    # ALWAYS materialize (review r12): the thresholded pair table is tiny
+    # relative to the postings pass, and consumers like the triangle
+    # query's degree/orientation/closure branches otherwise replay the
+    # whole pipeline per consumer — including for non-file-backed inputs
+    # the cache skips.
+    out = out.localCheckpoint()
     if key is not None:
-        # materialize once; the thresholded pair table is tiny relative
-        # to the postings pass it replaces for every later consumer
-        out = out.localCheckpoint()
         with _DEDUP_CACHE_LOCK:
             while len(_PAIRS_CACHE) >= _PAIRS_CACHE_CAP:
                 _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))  # evict LRU head

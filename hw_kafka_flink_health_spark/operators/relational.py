@@ -602,8 +602,9 @@ def _prefix_scan_window(
             for i, (vc, op) in enumerate(zip(value_cols, ops))
         ]
     ).collect()
+    # only max/min reach the comb_expr branch below — sum combines via
+    # the coalesce form (review r12 removed a dead "sum" entry here)
     comb_expr = {
-        "sum": lambda a, b: a + b,
         "max": F.greatest,
         "min": F.least,
     }

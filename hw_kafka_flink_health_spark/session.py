@@ -70,15 +70,26 @@ def _cgroup_limit_bytes() -> int | None:
         lines = []
     for ln in lines:
         parts = ln.split(":", 2)
-        if len(parts) != 3 or parts[1] not in ("", "memory"):
-            continue  # v2 unified ("") or v1 memory controller only
-        base = (
-            "/sys/fs/cgroup" if parts[1] == "" else "/sys/fs/cgroup/memory"
-        )
-        fname = "memory.max" if parts[1] == "" else "memory.limit_in_bytes"
+        # v2 unified ("") or a v1 line whose controller LIST contains
+        # memory — a comounted "memory,cpuacct" line is still the memory
+        # controller (an exact-match test silently disabled the guard on
+        # comounted hosts — review r12)
+        if len(parts) != 3 or (
+            parts[1] != "" and "memory" not in parts[1].split(",")
+        ):
+            continue
+        if parts[1] == "":
+            bases = ["/sys/fs/cgroup"]
+            fname = "memory.max"
+        else:
+            # the mount point may be the symlink (/sys/fs/cgroup/memory)
+            # or the comount directory (/sys/fs/cgroup/memory,cpuacct)
+            bases = ["/sys/fs/cgroup/memory", f"/sys/fs/cgroup/{parts[1]}"]
+            fname = "memory.limit_in_bytes"
         segs = [s for s in parts[2].strip("/").split("/") if s]
-        for i in range(len(segs), -1, -1):  # own cgroup -> root
-            probe("/".join([base, *segs[:i], fname]))
+        for base in dict.fromkeys(bases):
+            for i in range(len(segs), -1, -1):  # own cgroup -> root
+                probe("/".join([base, *segs[:i], fname]))
     if not lines:  # no /proc on this platform: fall back to root probes
         probe("/sys/fs/cgroup/memory.max")
         probe("/sys/fs/cgroup/memory/memory.limit_in_bytes")

@@ -157,6 +157,16 @@ def test_no_unaudited_unpartitioned_window_anywhere(spark):
     and fail on any unpartitioned window outside the audited whitelist —
     in either direction (a stale whitelist entry also fails, so the list
     tracks reality)."""
+    # Clear the session-scoped dedup caches: warm from an earlier test in
+    # this session (test_plans builds the catalog first), every
+    # dedup-family query would be a cache HIT and the pairs/cluster
+    # subtrees would be captured ZERO times — a window added inside those
+    # operators would pass this gate green (review r12).
+    from hw_kafka_flink_health_spark.operators import dedup as _dd
+
+    with _dd._DEDUP_CACHE_LOCK:
+        _dd._PAIRS_CACHE.clear()
+        _dd._CC_CACHE.clear()
     captured: list[str] = []
     violators: dict[str, list[str]] = {}
     build_errors: dict[str, str] = {}
