@@ -414,7 +414,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by every query over the customer-supplier graph. The build (the
 # orders-lineitem join + distinct) is each graph query's single most
 # expensive subtree and is IDENTICAL across k-core / BFS / LPA /
-# assortativity / harmonic centrality — a session-scoped LRU (cap 2,
+# assortativity / harmonic centrality — a session-scoped LRU (cap 4,
 # true recency: hits move to end) keyed by (session identity, sf_dir,
 # exact input file list) returns the same checkpointed table instead of
 # rebuilding it per query. Keying by id(spark) rather than applicationId
@@ -426,18 +426,34 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # results (each consumer still derives its own projection). At 100 TB
 # this is the "materialize the edge table once" step every production
 # graph pipeline runs at ingest.
+#
+# r13: both tables are checkpointed HASH-PARTITIONED AND SORTED ON `src`
+# (`checkpoint_partitioned`) — the in-session analog of the bucketed
+# edge layout a production graph store keeps on disk. Every iterative
+# consumer keys its per-round join/aggregate on src, so with the layout
+# preserved the edge table never re-shuffles per round; before, each
+# round paid an edge exchange which AQE then "optimized" by broadcasting
+# the 15 MB edge side and coalescing the node-sized probe side to ONE
+# task (the measured 1.3-1.6 s single-task stage inside every LPA/PPR
+# round at sf0.1). The undirected (doubled) list is cached as its own
+# partitioned checkpoint because a union of two partitioned copies has
+# no partitioning. The cache changes wall time and layout only — every
+# consumer's RESULT is partitioning-independent (oracle-hash-pinned).
 _EDGE_CACHE: dict = {}
-_EDGE_CACHE_CAP = 2
+_EDGE_CACHE_CAP = 4
 _EDGE_CACHE_LOCK = threading.Lock()
 
 
 def _cs_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hw_kafka_flink_health_spark.sources.files import checkpoint_partitioned
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     try:
         sig = (
             id(spark),
             sf_dir,
+            "directed",
             tuple(sorted(orders.inputFiles())),
             tuple(sorted(li.inputFiles())),
         )
@@ -451,15 +467,15 @@ def _cs_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return hit
     # distinct over the NUMERIC pair before building node strings (the
     # measured ~25% exchange-width win recorded at graph_degree_histogram)
-    e0 = (
+    e0 = checkpoint_partitioned(
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .localCheckpoint()
+        ),
+        "src",
     )
     if sig is not None:
         with _EDGE_CACHE_LOCK:
@@ -470,14 +486,32 @@ def _cs_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cs_edges_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doubled (symmetrized) view of the shared directed list. No
-    distinct after the union: the c*/s* namespaces are disjoint, so the
-    two directed copies of a distinct set are already globally
-    distinct."""
+    """Doubled (symmetrized) copy of the shared directed list, cached as
+    its own src-partitioned checkpoint (a union of two partitioned
+    tables has no partitioning, so the doubled view must be laid out
+    once itself to keep the per-round joins exchange-free). No distinct
+    after the union: the c*/s* namespaces are disjoint, so the two
+    directed copies of a distinct set are already globally distinct."""
+    from hw_kafka_flink_health_spark.sources.files import checkpoint_partitioned
+
     e0 = _cs_edges_directed(spark, sf_dir)
-    return e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sig = (id(spark), sf_dir, "undirected", id(e0))
+    with _EDGE_CACHE_LOCK:
+        if sig in _EDGE_CACHE:
+            hit = _EDGE_CACHE.pop(sig)
+            _EDGE_CACHE[sig] = hit
+            return hit
+    ed = checkpoint_partitioned(
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        "src",
     )
+    with _EDGE_CACHE_LOCK:
+        while len(_EDGE_CACHE) >= _EDGE_CACHE_CAP:
+            _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
+        _EDGE_CACHE[sig] = ed
+    return ed
 
 
 _KCORE_K = 30
@@ -777,8 +811,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs, so every neighbor-label count is exactly 1 and the
     # mode-with-min-tiebreak is just min(neighbor id) — ONE aggregate
     # instead of a join + two aggregates (the oracle mirrors this).
-    labels = edges.groupBy(F.col("dst").alias("node")).agg(
-        F.min("src").alias("lab")
+    # Grouped on SRC (min over dst): on the symmetrized list this is the
+    # identical (node, min-neighbor) set — (u,v) and (v,u) both present —
+    # and src is the cached table's partitioning key, so the aggregate
+    # needs no exchange at all (r13; oracle hash unchanged).
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("lab")
     )
     for rnd in range(1, _LPA_ROUNDS):
         cnt = (

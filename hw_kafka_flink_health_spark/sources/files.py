@@ -119,6 +119,49 @@ def rebalance_if_narrow(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def checkpoint_partitioned(df: DataFrame, *cols: str) -> DataFrame:
+    """localCheckpoint `df` hash-partitioned on `cols`, with
+    the partitioning PRESERVED in the checkpointed frame's plan — the
+    in-session analog of writing a bucketed+sorted table (guide §2.4):
+    every downstream join or aggregate keyed on `cols` reuses the layout
+    instead of re-shuffling the table, which is the whole per-round edge
+    shuffle of an iterative graph query.
+
+    Two Spark mechanics make the function non-obvious:
+
+    * `Dataset.localCheckpoint` only carries `outputPartitioning` /
+      `outputOrdering` into the resulting `LogicalRDD` when the physical
+      plan's partitioning maps onto plain output attributes. Under AQE
+      the executed plan is an `AdaptiveSparkPlan` whose final partitioning
+      is not exposed that way, so the checkpoint comes back
+      `UnknownPartitioning` (measured: the r13 LPA join re-shuffled 1.17M
+      cached edge rows per round, then AQE broadcast the 15 MB edge side
+      and coalesced the node-sized probe to ONE task). AQE is therefore
+      disabled around this one action and restored after.
+    * The partition count is pinned to `spark.sql.shuffle.partitions` so
+      EnsureRequirements recognizes the table as co-partitioned with any
+      join side it plans at the session default — a mismatched count
+      would re-shuffle the pre-partitioned side.
+
+    Scale note: this writes no constant anywhere — the layout follows the
+    session's shuffle parallelism, exactly like the ingest-time bucketing
+    a 100 TB graph pipeline runs once before its iterative phase.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # no sortWithinPartitions: the ordering would only help a same-key
+    # SMJ skip its sort, and these joins either broadcast the small side
+    # (local scale) or sort node-sized tables, not this one; the sort
+    # measured +0.3 s per build for no downstream change (r13)
+    staged = df.repartition(n, *cols)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return staged.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}
 
