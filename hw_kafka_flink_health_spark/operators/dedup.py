@@ -40,6 +40,14 @@ from pyspark.sql import functions as F
 # inputs — the cache only stops the SAME session recomputing the same
 # intermediate five times. Non-file-backed inputs (test/fuzz frames from
 # createDataFrame) have no inputFiles and skip caching entirely.
+#
+# Deployment note (ADVICE r12): cached frames are localCheckpoint-backed,
+# i.e. executor-local non-replicated blocks. On a LOCAL master (this
+# engine's driver contract) the blocks live as long as the session; on a
+# multi-executor deployment with dynamic allocation, an executor loss
+# would make every later cache hit fail on missing blocks rather than
+# recompute — port the cache to reliable checkpoint() (or catch the
+# block-fetch failure and invalidate) before running it off local mode.
 _PAIRS_CACHE: dict = {}
 _PAIRS_CACHE_CAP = 4
 _CC_CACHE: list = []  # [(pairs_df, src, dst, max_iter, labels_df)]
@@ -48,21 +56,42 @@ _DEDUP_CACHE_LOCK = threading.Lock()
 
 
 def _pairs_cache_key(df: DataFrame, *params) -> tuple | None:
-    """Cache key = (session, exact file list, CANONICALIZED analyzed
-    plan, params). The canonical plan string (exprIds normalized —
-    identical builds compare equal, review r12) pins every
-    transformation between the scan and the operator, so a filtered or
-    re-projected frame over the same files can never be served another
-    frame's pairs. Non-file-backed frames (createDataFrame fixtures) skip
-    caching: a LocalRelation's canonical form does not pin its rows."""
+    """Cache key = (session, exact file list, per-file size+mtime,
+    CANONICALIZED analyzed plan, params). The canonical plan string
+    (exprIds normalized — identical builds compare equal, review r12)
+    pins every transformation between the scan and the operator, so a
+    filtered or re-projected frame over the same files can never be
+    served another frame's pairs; the size+mtime signature (ADVICE r12)
+    invalidates on an in-session overwrite of a fixed-name input file.
+    The plan is rendered with maxToStringFields raised (ADVICE r12: the
+    default render truncates wide expression lists at 25 fields, so two
+    different wide plans could in principle collide). Non-file-backed
+    frames (createDataFrame fixtures) skip caching: a LocalRelation's
+    canonical form does not pin its rows."""
+    from hw_kafka_flink_health_spark.sources.files import file_stats_signature
+
     try:
         files = tuple(sorted(df.inputFiles()))
         if not files:
             return None
-        plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        stats = file_stats_signature(files)
+        spark = df.sparkSession
+        conf_key = "spark.sql.debug.maxToStringFields"
+        try:
+            old = spark.conf.get(conf_key)
+        except Exception:  # unset → provider raises in some versions
+            old = None
+        spark.conf.set(conf_key, "2147483647")
+        try:
+            plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        finally:
+            if old is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, old)
     except Exception:
         return None
-    return (id(df.sparkSession), files, plan, *params)
+    return (id(df.sparkSession), files, stats, plan, *params)
 
 
 def fingerprint_expr(text: Column | str) -> Column:
@@ -121,18 +150,22 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     return staged.select("doc", word_shingles(F.col("__toks"), n).alias("sh"))
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_counts(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
-    n: int = 3,
-    threshold: float = 0.3,
-    max_shingle_freq: int | None = None,
+    n: int,
+    max_shingle_freq: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard >= threshold).
-
-    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-grams.
+    """(doc1, doc2, common, n1, n2) for every doc pair sharing >= 1
+    distinct word n-gram — the measure-independent core of BOTH
+    near-dup screens (Jaccard and containment differ only in the final
+    scalar over these five columns), cached and checkpointed ONCE per
+    (input plan, n, cap) so a session running both screens builds the
+    postings pipeline a single time (r13; before, the containment query
+    replayed the whole explode+shuffle the jaccard cache had already
+    materialized).
 
     Physical shape (chosen over the naive explode-self-join, which scans
     and shuffles the shingle table twice): ONE pass builds (doc, n,
@@ -150,10 +183,15 @@ def ngram_jaccard_pairs(
     `max_shingle_freq` drops stop-shingle buckets (df > cap) BEFORE pair
     generation — the scale lever: a shingle in f docs makes f^2/2 pairs,
     so at 100 TB an uncapped hot shingle is the whole job. With a cap the
-    result is a lower bound on Jaccard; None keeps it exact.
+    counts are lower bounds; None keeps them exact.
+
+    ALWAYS materialized (review r12): the pair-count table is tiny
+    relative to the postings pass, and consumers (the two screens, the
+    triangle query's degree/orientation/closure branches) otherwise
+    replay the whole pipeline per consumer — including for
+    non-file-backed inputs the cache skips.
     """
-    key = _pairs_cache_key(df, "jacc", text_col, id_col, n, threshold,
-                           max_shingle_freq)
+    key = _pairs_cache_key(df, "counts", text_col, id_col, n, max_shingle_freq)
     if key is not None:
         with _DEDUP_CACHE_LOCK:
             if key in _PAIRS_CACHE:
@@ -200,23 +238,58 @@ def ngram_jaccard_pairs(
         ).alias("p")
     ).select("p.doc1", "p.n1", "p.doc2", "p.n2")
 
-    pairs = pair.groupBy("doc1", "doc2").agg(
+    counts = pair.groupBy("doc1", "doc2").agg(
         F.count(F.lit(1)).alias("common"),
         F.first("n1").alias("n1"),
         F.first("n2").alias("n2"),
+    ).localCheckpoint()
+    if key is not None:
+        with _DEDUP_CACHE_LOCK:
+            while len(_PAIRS_CACHE) >= _PAIRS_CACHE_CAP:
+                _PAIRS_CACHE.pop(next(iter(_PAIRS_CACHE)))  # evict LRU head
+            _PAIRS_CACHE[key] = counts
+    return counts
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard >= threshold).
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct word n-grams.
+    The heavy pipeline lives in `_ngram_pair_counts` (shared with the
+    containment screen and cached per session); this is one scalar +
+    filter over that checkpointed five-column table. The thresholded
+    frame itself stays in the cache too so repeat callers (and the
+    connected-components memo, which keys on frame identity) get the
+    same object back.
+    """
+    key = _pairs_cache_key(df, "jacc", text_col, id_col, n, threshold,
+                           max_shingle_freq)
+    if key is not None:
+        with _DEDUP_CACHE_LOCK:
+            if key in _PAIRS_CACHE:
+                hit = _PAIRS_CACHE.pop(key)  # move-to-end: refresh recency
+                _PAIRS_CACHE[key] = hit
+                return hit
+    counts = _ngram_pair_counts(
+        df, text_col, id_col, n=n, max_shingle_freq=max_shingle_freq
     )
     jaccard = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     out = (
-        pairs.withColumn("jaccard", jaccard)
+        counts.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
-    # ALWAYS materialize (review r12): the thresholded pair table is tiny
-    # relative to the postings pass, and consumers like the triangle
-    # query's degree/orientation/closure branches otherwise replay the
-    # whole pipeline per consumer — including for non-file-backed inputs
-    # the cache skips.
-    out = out.localCheckpoint()
+    # no second checkpoint: `out` is a narrow filter+projection over the
+    # already-checkpointed counts table — each consumer re-reads a tiny
+    # materialized table, never the postings pipeline
     if key is not None:
         with _DEDUP_CACHE_LOCK:
             while len(_PAIRS_CACHE) >= _PAIRS_CACHE_CAP:
@@ -242,47 +315,17 @@ def ngram_containment_pairs(
     per undirected pair, keeping pairs where EITHER reaches `threshold`;
     `min_shingles` drops trivially-tiny docs whose containment is noise.
 
-    Same single-shuffle postings->buckets->upper-triangle physical shape
-    as `ngram_jaccard_pairs` (the common/n1/n2 counts are identical —
-    only the final scalar differs), so the same hot-shingle cap applies.
+    Shares `_ngram_pair_counts` with the Jaccard screen (the common/n1/n2
+    counts are identical — only the final scalar differs), so a session
+    running both builds the postings pipeline once (r13).
     """
-    # identical pair-count pipeline; the duplication stops at the final
-    # scalar, which is the cheap part — see ngram_jaccard_pairs for the
-    # plan rationale of every step (incl. why there is no partition probe
-    # here: shingle_table's cached rebalance covers it)
-    sh = shingle_table(df, text_col, id_col, n)
-    postings = (
-        sh.select(
-            "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
-        )
-        .filter(F.col("shingle").isNotNull())
-        .select("doc", "n", F.xxhash64("shingle").alias("h"))
-    )
-    buckets = (
-        postings.groupBy("h")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    if max_shingle_freq is not None:
-        buckets = buckets.filter(F.size("ds") <= max_shingle_freq)
-    pair = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                "y -> struct(x.doc AS doc1, x.n AS n1, y.doc AS doc2, y.n AS n2))))"
-            )
-        ).alias("p")
-    ).select("p.doc1", "p.n1", "p.doc2", "p.n2")
-    pairs = pair.groupBy("doc1", "doc2").agg(
-        F.count(F.lit(1)).alias("common"),
-        F.first("n1").alias("n1"),
-        F.first("n2").alias("n2"),
+    counts = _ngram_pair_counts(
+        df, text_col, id_col, n=n, max_shingle_freq=max_shingle_freq
     )
     c12 = F.col("common") / F.col("n1")
     c21 = F.col("common") / F.col("n2")
     return (
-        pairs.filter(
+        counts.filter(
             (F.col("n1") >= min_shingles) & (F.col("n2") >= min_shingles)
         )
         .select(

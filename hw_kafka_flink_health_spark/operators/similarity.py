@@ -452,7 +452,12 @@ def srp_ann_topk(
     shuffles are the band join and the final per-query window.
     `n_corpus` / `n_queries`, when passed, skip the per-side tier-probe
     count jobs (the cosine_topk_auto precomputed-sizes pattern, ADVICE
-    r9 / review r11). Returns (query_id, neighbor_id, sim, rank).
+    r9 / review r11). They are UPPER-BOUND ROUTING HINTS, not exact row
+    counts (ADVICE r12): callers pass whole-table or pinned-sample-size
+    bounds that may exceed the dim-filtered participating set — always
+    safe because the tiers are bit-identical, but never repurpose them
+    for anything correctness-bearing. Returns (query_id, neighbor_id,
+    sim, rank).
     """
     if n_bits % band_bits != 0:
         raise ValueError("n_bits must be a multiple of band_bits")

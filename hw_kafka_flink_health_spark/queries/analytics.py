@@ -620,42 +620,78 @@ def join_scd2_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def basket_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent itemsets beyond pairs via FP-Growth (pyspark.ml): baskets
-    are each order's distinct part brands; minSupport filters the lattice
-    the a-priori pair pass (`basket_part_pairs`) only begins. The FP-tree
-    is built on a support-pruned item list, so the candidate explosion of
-    a-priori never materializes — the distributed lattice walk at 100 TB.
+    """Frequent itemsets of size <= 3 over each order's distinct part
+    brands, minSupport = 0.02 — FP-Growth-equivalent by the
+    downward-closure property (every frequent k-itemset appears in the
+    exact 1/2/3-way enumeration; the FP-tree only changes HOW the
+    lattice is walked, never which itemsets pass minCount).
 
-    Value-oracled: the emitted surface is bounded to itemsets of size <=3
-    (the downward-closure property guarantees FP-Growth finds every
-    frequent k-itemset, so the bound loses nothing below the cap), which
-    an exact SQL 1/2/3-way enumeration can replay; the FP-tree internals
-    affect only HOW the lattice is walked, never WHICH itemsets pass
-    minSupport. Pair-level parity is additionally pinned in
-    tests/test_stats.py::test_fpgrowth_pairs_agree_with_exact_pair_pass."""
-    from pyspark.ml.fpm import FPGrowth
+    r12 ran pyspark.ml's FPGrowth here and materialized its input; the
+    remaining ~4 s was the library's opaque lattice jobs. For the
+    BOUNDED k<=3 surface over a small item vocabulary the native
+    relational plan is strictly better distributed work (VERDICT r12
+    #8): ONE exchange builds the per-order sorted distinct-brand array,
+    every 1/2/3-subset is generated JVM-side inside that row (the same
+    upper-triangle array-expression idiom the near-dup postings bucket
+    uses — k<=brands-per-order, so the fan-out is C(k,1)+C(k,2)+C(k,3)
+    per order), and ONE map-side-combined aggregate counts all grains
+    together (<= |brands|^3 groups regardless of data size); minCount =
+    ceil(0.02 * n_baskets) applies via one broadcast scalar — the same
+    IEEE double ceil FPGrowth computes. A measured intermediate variant
+    (co-partitioned pair/triple self-joins) ran 2.9 s steady; this form
+    replaces its five checkpoint re-scans with one. Unbounded-k mining
+    at 100 TB is where FP-Growth earns its keep; a k-bounded screen is
+    a-priori's home turf because the candidate explosion the FP-tree
+    avoids is capped by the vocabulary, not the data. Identical rows to
+    the r12 FPGrowth implementation (oracle-hash-pinned; pair parity
+    additionally pinned in
+    tests/test_stats.py::test_fpgrowth_pairs_agree_with_exact_pair_pass).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # one exchange: per-order sorted distinct brand array; checkpointed —
+    # the basket-count scalar and the combo explode both consume it.
+    # checkpoint_partitioned on the groupBy key adds NO exchange (the
+    # aggregate already hash-partitions on it) — it pins the checkpoint
+    # at full parallelism so the combo-explode stage is not confined to
+    # the handful of partitions AQE coalesces the tiny agg output into
+    from hw_kafka_flink_health_spark.sources.files import checkpoint_partitioned
 
-    orders = load_table(spark, sf_dir, "lineitem").join(
-        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"),
-        F.col("l_partkey") == F.col("p_partkey"),
+    baskets = checkpoint_partitioned(
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("p_brand"))).alias("bs")),
+        "l_orderkey",
     )
-    # FPGrowth.fit consumes its input TWICE (frequent-items pass + the
-    # FP-tree pass) without caching it — unmaterialized, each pass re-ran
-    # the lineitem⋈part join and the basket aggregate (r12)
-    baskets = orders.groupBy("l_orderkey").agg(
-        F.array_distinct(F.collect_list("p_brand")).alias("items")
-    ).localCheckpoint()
-    fp = FPGrowth(itemsCol="items", minSupport=0.02, minConfidence=0.1)
-    model = fp.fit(baskets)
-    # Scalar-typed output: the external correctness driver canonicalizes via
-    # pandas sort/factorize, which cannot hash list cells — join the sorted
-    # itemset into a comma string (semantics unchanged, order canonical).
+    nb = baskets.agg(F.count(F.lit(1)).alias("nb"))
+    # FPGrowth parity: minCount = ceil(minSupport * n_baskets) in IEEE
+    # double (the DuckDB twin casts the 0.02 literal to DOUBLE for the
+    # same reason — exact-decimal arithmetic would diverge near integers)
+    min_count = F.ceil(F.lit(0.02).cast("double") * F.col("nb")).cast("long")
+    # all subsets of size 1..3 of the sorted array, as comma-joined
+    # strings (sorted within each itemset by construction); transform
+    # indices are 0-based, slice positions 1-based — y sits at absolute
+    # position i+2+j, so the z-tail starts at i+j+3
+    pairs = (
+        "flatten(transform(bs, (x, i) -> "
+        "transform(slice(bs, i + 2, size(bs) - i - 1), "
+        "y -> concat(x, ',', y))))"
+    )
+    triples = (
+        "flatten(transform(bs, (x, i) -> "
+        "flatten(transform(slice(bs, i + 2, size(bs) - i - 1), (y, j) -> "
+        "transform(slice(bs, i + j + 3, size(bs) - i - j - 2), "
+        "z -> concat(x, ',', y, ',', z))))))"
+    )
+    combos = baskets.select(
+        F.explode(F.expr(f"concat(bs, {pairs}, {triples})")).alias("items")
+    )
     return (
-        model.freqItemsets.filter(F.size("items") <= 3)
-        .select(
-            F.array_join(F.array_sort("items"), ",").alias("items"),
-            F.col("freq").cast("bigint").alias("freq"),
-        )
+        combos.groupBy("items")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("freq") >= min_count)
+        .select("items", "freq")
     )
 
 

@@ -450,12 +450,19 @@ def _cs_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     try:
+        from hw_kafka_flink_health_spark.sources.files import file_stats_signature
+
+        ofiles = tuple(sorted(orders.inputFiles()))
+        lfiles = tuple(sorted(li.inputFiles()))
         sig = (
             id(spark),
             sf_dir,
             "directed",
-            tuple(sorted(orders.inputFiles())),
-            tuple(sorted(li.inputFiles())),
+            ofiles,
+            lfiles,
+            # size+mtime per file (ADVICE r12): fixed-name fixture files
+            # overwritten in-session must change the key
+            file_stats_signature(ofiles + lfiles),
         )
     except Exception:
         sig = None

@@ -119,6 +119,29 @@ def rebalance_if_narrow(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def file_stats_signature(files: tuple) -> tuple:
+    """(size, mtime_ns) per input file, for session-cache keys (ADVICE
+    r12): part names are unique per Spark/parquet WRITER, but this
+    repo's fixtures are single fixed-name files, so an in-session
+    overwrite at the same path must change the key. Non-local URIs
+    (no os.stat) contribute None — the cache then degrades to
+    name-keyed, its pre-r13 behavior."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    out = []
+    for f in files:
+        p = f
+        if p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        try:
+            st = os.stat(p)
+            out.append((st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append(None)
+    return tuple(out)
+
+
 def checkpoint_partitioned(df: DataFrame, *cols: str) -> DataFrame:
     """localCheckpoint `df` hash-partitioned on `cols`, with
     the partitioning PRESERVED in the checkpointed frame's plan — the

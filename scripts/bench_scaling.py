@@ -310,8 +310,26 @@ def main() -> None:
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
+    # preserve the synthesized-sf1 probe block (r13: a separate one-off
+    # measurement maintained by scripts/probe_sf1_graph_recursive.py —
+    # regen of this table must not drop the third-decade evidence)
+    sf1_block = ""
+    mark_begin = "<!-- SF1-PROBE:BEGIN (scripts/probe_sf1_graph_recursive.py) -->"
+    mark_end = "<!-- SF1-PROBE:END -->"
+    try:
+        prev = open(out).read()
+        if mark_begin in prev and mark_end in prev:
+            sf1_block = (
+                "\n"
+                + mark_begin
+                + prev.split(mark_begin)[1].split(mark_end)[0]
+                + mark_end
+                + "\n"
+            )
+    except OSError:
+        pass
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + sf1_block)
     print(f"wrote SCALING.md ({len(PROBES)} probes x {len(SFS)} SFs)")
     spark.stop()
 

@@ -4,6 +4,8 @@ near-dup detection property on planted duplicates."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hw_kafka_flink_health_spark.operators.dedup import (
@@ -27,6 +29,7 @@ def _exact_neighbors(spark, k=5):
     return by_q
 
 
+@pytest.mark.slow  # ~15 s statistical recall property; full-suite tier
 def test_ivf_recall_vs_exact(spark):
     exact = _exact_neighbors(spark)
     emb = load_table(spark, SF, "embeddings")
@@ -49,6 +52,7 @@ def test_ivf_self_excluded_and_k_respected(spark):
     assert all(1 <= r.rank <= 5 for r in rows)
 
 
+@pytest.mark.slow  # ~7 s statistical recall property; full-suite tier
 def test_pq_recall_vs_exact_and_determinism(spark):
     """PQ ADC search: recall against exact brute force must be meaningful
     (byte codes lose information by design, but near neighbors survive),

@@ -23,6 +23,11 @@ from hypothesis import strategies as st
 from hw_kafka_flink_health_spark.queries import ORACLES, QUERIES
 from tests.test_oracle import canon
 
+# full-suite tier: the driver's own correctness gate (and run_simlog)
+# re-checks every oracle each round; this mirror runs with
+# SPARK_GRAFT_TESTS_FULL=1 (see conftest)
+pytestmark = pytest.mark.slow
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

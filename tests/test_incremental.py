@@ -90,6 +90,7 @@ def test_exact_quantiles_rejects_all_null(spark):
         exact_quantiles(df, "v", [0.5])
 
 
+@pytest.mark.slow  # ~10 s random property fuzz; full-suite tier
 def test_exact_quantiles_property_random_distributions(spark):
     """Adversarial shapes a fixed-width histogram hates: heavy skew, point
     masses, negatives, tiny n, few buckets (forcing multi-rank buckets) —

@@ -13,6 +13,11 @@ from hw_kafka_flink_health_spark.queries import ORACLES, QUERIES
 
 from tests.conftest import SF_DIR
 
+# full-suite tier: the driver's own correctness gate (and run_simlog)
+# re-checks every oracle each round; this mirror runs with
+# SPARK_GRAFT_TESTS_FULL=1 (see conftest)
+pytestmark = pytest.mark.slow
+
 
 def assert_driver_scalar_schema(name: str, df) -> None:
     """Catalog-wide lint: the external driver canonicalizes query output via

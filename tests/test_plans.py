@@ -107,14 +107,8 @@ def test_q17_per_part_avg_broadcasts_back(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_catalog_never_plans_cartesian_product(spark):
-    """No query in the catalog may degenerate into CartesianProduct —
-    the one plan shape that cannot survive any scale-up. (1-row broadcast
-    nested loops from scalar subqueries are fine and excluded by name.)"""
-    for name in sorted(QUERIES):
-        plan = plan_of(spark, name)
-        assert "CartesianProduct" not in plan, name
-
+# test_catalog_never_plans_cartesian_product moved to
+# tests/test_catalog_sweep.py (r13): shares one full-catalog build pass.
 
 def test_jaccard_postings_no_inferred_generate_filter(spark):
     """InferFiltersFromGenerate must not push a size(shingles) > 0

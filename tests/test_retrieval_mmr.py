@@ -48,6 +48,7 @@ def _brute_force_mmr(vecs: dict[int, np.ndarray], k_cand: int, k_sel: int):
 
 
 @pytest.mark.parametrize("seed,n,dim", [(7, 30, 8), (11, 60, 16), (23, 12, 4)])
+@pytest.mark.slow  # ~21 s brute-force matrix; full-suite tier
 def test_mmr_matches_brute_force_reference(spark, tmp_path, seed, n, dim):
     rng = np.random.default_rng(seed)
     vecs = {i: rng.normal(size=dim).astype(np.float32) for i in range(n)}

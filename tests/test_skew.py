@@ -336,6 +336,7 @@ def test_distributed_row_number_total_col_and_empty(spark):
     )
 
 
+@pytest.mark.slow  # ~10 s all-k matrix; basic parity stays in the fast tier; full-suite tier
 def test_distributed_ntile_matches_builtin_all_k(spark):
     """distributed_ntile must reproduce SQL-standard NTILE bucket
     placement bit-for-bit (first N%k buckets one row larger), including

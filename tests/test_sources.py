@@ -4,6 +4,8 @@ reference's `parse_event` (None on bad input) applied at the file layer."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -70,6 +72,7 @@ def test_csv_permissive_captures_malformed(spark, tmp_path):
     assert sorted(r.event_id for r in dropped.collect()) == [1, 3]
 
 
+@pytest.mark.slow  # ~14 s subprocess CLI; full-suite tier
 def test_sqlrun_cli_executes_sql(tmp_path):
     """`python -m hw_kafka_flink_health_spark.sqlrun` runs ad-hoc SQL over
     the registered views and prints JSON lines — the engine's front door
@@ -101,6 +104,7 @@ def test_sqlrun_cli_executes_sql(tmp_path):
     assert all(r["n"] > 0 for r in rows)
 
 
+@pytest.mark.slow  # ~13 s subprocess CLI; full-suite tier
 def test_sqlrun_cli_explain(tmp_path):
     """--explain prints the formatted physical plan (regression: the
     ExplainMode overload isn't py4j-reachable from a bare string —

@@ -87,9 +87,12 @@ def test_approx_percentile_within_rank_error_bound(spark):
 
 
 def test_fpgrowth_pairs_agree_with_exact_pair_pass(spark):
-    """FP-Growth's size-2 itemsets must carry exactly the frequencies an
-    exact pair-count computes (same baskets, same support floor) — the
-    approximate-looking ml operator is in fact exact, and this pins it."""
+    """The size-2 itemsets of basket_frequent_itemsets must carry exactly
+    the frequencies an independently-constructed exact pair-count computes
+    (collect_list+explode baskets vs the query's co-partitioned incidence
+    self-join — different plan, same counts, same support floor). Pinned
+    the pyspark.ml FPGrowth implementation through r12; now pins the
+    native bounded-k enumeration that replaced it (r13)."""
     from tests.conftest import SF_DIR
     from hw_kafka_flink_health_spark.queries import QUERIES
 

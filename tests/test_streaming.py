@@ -563,6 +563,7 @@ def test_trigger_available_now_backfills_and_stops(spark, tmp_path):
     assert len(batches) == 4  # one micro-batch per file, rate-limited
 
 
+@pytest.mark.slow  # ~20 s subprocess demo CLI; full-suite tier
 def test_health_job_demo_cli_runs():
     """The flagship job's broker-less demo mode (`python -m ... --demo`)
     must run end-to-end from the CLI — the `flink run` parity check a
@@ -593,6 +594,7 @@ def test_health_job_demo_cli_runs():
     assert "Batch: " in proc.stdout  # console sink ticked
 
 
+@pytest.mark.slow  # ~7 s scale stress; full-suite tier
 def test_state_store_scales_to_100k_keys_and_evicts(spark, tmp_path):
     """State-scale probe: the alert pipeline at realistic key cardinality.
 
@@ -1353,6 +1355,7 @@ def test_side_outputs_route_main_and_quarantine(spark, tmp_path):
     assert set(viol[("", -1)].split(",")) == {"nonempty_id", "bpm_in_range"}
 
 
+@pytest.mark.slow  # ~20 s subprocess demo CLI; full-suite tier
 def test_cep_job_demo_cli_runs(tmp_path):
     """The CEP monitor's broker-less demo (`python -m ... cep_job --demo`)
     runs end-to-end from the CLI and the console sink ticks — the

@@ -152,57 +152,9 @@ def test_unpartitioned_spec_parser_self_check(spark):
     assert unpartitioned_specs(analyzed_str(wide))
 
 
-def test_no_unaudited_unpartitioned_window_anywhere(spark):
-    """Build EVERY registered query, capturing pre-checkpoint subtrees,
-    and fail on any unpartitioned window outside the audited whitelist —
-    in either direction (a stale whitelist entry also fails, so the list
-    tracks reality)."""
-    # Clear the session-scoped dedup caches: warm from an earlier test in
-    # this session (test_plans builds the catalog first), every
-    # dedup-family query would be a cache HIT and the pairs/cluster
-    # subtrees would be captured ZERO times — a window added inside those
-    # operators would pass this gate green (review r12).
-    from hw_kafka_flink_health_spark.operators import dedup as _dd
-
-    with _dd._DEDUP_CACHE_LOCK:
-        _dd._PAIRS_CACHE.clear()
-        _dd._CC_CACHE.clear()
-    captured: list[str] = []
-    violators: dict[str, list[str]] = {}
-    build_errors: dict[str, str] = {}
-    n_checkpoints = 0
-    with capture_checkpoints(captured):
-        for name in sorted(QUERIES):
-            captured.clear()
-            try:
-                df = QUERIES[name](spark, SF)
-            except Exception as e:  # noqa: BLE001
-                build_errors[name] = repr(e)[:200]
-                continue
-            n_checkpoints += len(captured)
-            plans = [analyzed_str(df)] + list(captured)
-            hits = sorted({h for p in plans for h in unpartitioned_specs(p)})
-            if hits:
-                violators[name] = hits
-
-    assert not build_errors, f"queries failed to build: {build_errors}"
-    # The capture itself must be ALIVE: the r11 patch targeted the
-    # pyspark.sql.DataFrame base while Spark 4 instances are
-    # classic.DataFrame with their own localCheckpoint, so zero subtrees
-    # were ever captured and the sweep silently degraded to final-plan-
-    # only. Dozens of queries checkpoint — a zero here means the patch
-    # lost the concrete class again.
-    assert n_checkpoints > 20, (
-        f"checkpoint capture looks dead (captured {n_checkpoints} subtrees "
-        "across the whole catalog) — is the concrete DataFrame class patched?"
-    )
-    unaudited = {n: v for n, v in violators.items() if n not in AUDITED_BOUNDED}
-    assert not unaudited, (
-        "unpartitioned window over input not audited as bounded — either fix "
-        "the plan (distributed_row_number / global_prefix_sum) or audit and "
-        f"whitelist it with a boundedness argument: {unaudited}"
-    )
-    stale = sorted(set(AUDITED_BOUNDED) - set(violators))
-    assert not stale, (
-        f"whitelist entries with no unpartitioned window left (prune them): {stale}"
-    )
+def _moved_note():
+    """test_no_unaudited_unpartitioned_window_anywhere moved to
+    tests/test_catalog_sweep.py (r13): it shares ONE full-catalog
+    build pass with the cartesian and column-name sweeps instead of
+    re-building all 420 queries itself. AUDITED_BOUNDED stays here
+    (imported by the shared sweep) next to its taxonomy."""
