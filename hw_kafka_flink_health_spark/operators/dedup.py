@@ -133,20 +133,42 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, *, nonempty: bool = False
+) -> DataFrame:
     """(doc, sh) with tokens staged as a real column between selects —
     avoids per-element re-evaluation of split() inside the shingle lambda.
     The projection is rebalanced only when the scan is under-partitioned
     (a 1-2-partition small parquet would pin the downstream shingle
     explode to 1-2 cores); well-partitioned inputs pass through with no
-    added shuffle."""
+    added shuffle.
+
+    `nonempty=True` drops docs whose shingle array would be empty —
+    callers must use THIS instead of `.filter(size(sh) > 0)` on the
+    output: that filter gets predicate-pushed below the rebalance
+    exchange with the whole shingle chain INLINED in unstaged form, so
+    the single-task scan stage re-ran the full construction per row
+    (measured 0.8 s at sf0.1 — the same pathology class the postings
+    path dodges with explode_outer, r13). Here the equivalent condition
+    is evaluated on the STAGED token array (sh is non-empty iff the doc
+    has >= n tokens), whose pushed-down form is one cheap split per
+    scan row."""
     from hw_kafka_flink_health_spark.sources.files import rebalance_if_narrow
 
+    # rebalance the RAW text, not the token arrays (r13): with the split
+    # below the exchange, the whole tokenization ran single-task in the
+    # 1-partition scan stage (measured 0.8 s at sf0.1) and the exchange
+    # carried the WIDER token arrays; the raw string is the column the
+    # expression READS (the r12 hr_parse_contract lesson). The two-level
+    # projection staging (tokens materialized between selects) is
+    # unchanged — the exchange sits between the text and the split, and
+    # word_shingles references __toks multiple times, so CollapseProject
+    # still cannot inline the split into the shingle lambda.
     staged = rebalance_if_narrow(
-        df.select(
-            F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
-        )
-    )
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt"))
+    ).select("doc", F.split(F.col("__txt"), " ").alias("__toks"))
+    if nonempty:
+        staged = staged.filter(F.size("__toks") >= n)
     return staged.select("doc", word_shingles(F.col("__toks"), n).alias("sh"))
 
 
@@ -226,6 +248,16 @@ def _ngram_pair_counts(
     )
     if max_shingle_freq is not None:
         buckets = buckets.filter(F.size("ds") <= max_shingle_freq)
+    # Spread the bucket arrays before the upper-triangle generation: the
+    # generator's work is QUADRATIC in bucket size while the bucket rows
+    # themselves are linear, and AQE's bytes-based coalescing sees only
+    # the bytes — at sf0.1 it packed the 5 MB bucket exchange into 4
+    # partitions and the f²/2 pair explosion ran on 4 of 32 cores
+    # (measured 2.25 s stage, cpu-bound). One round-robin exchange of the
+    # linear-sized bucket table before a superlinear generator is the
+    # guide §2.5 trade (the experiment_bh_fdr replicate-explode
+    # precedent); width follows the session's parallelism, no constant.
+    buckets = buckets.repartition(postings.sparkSession.sparkContext.defaultParallelism)
     # upper-triangle pairs within each shingle bucket, generated JVM-side;
     # sort_array ordered by doc, so x.doc < y.doc holds in every pair
     pair = buckets.select(
@@ -520,7 +552,7 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = shingle_table(df, text_col, id_col, shingle_n).filter(F.size("sh") > 0)
+    sh = shingle_table(df, text_col, id_col, shingle_n, nonempty=True)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
@@ -581,7 +613,7 @@ def _minhash_det_bands(
             f"(p={MINHASH_P}); use rows_per_band in (1, 2)"
         )
     n_bands = num_perm // rows_per_band
-    sh = shingle_table(df, text_col, id_col, shingle_n).filter(F.size("sh") > 0)
+    sh = shingle_table(df, text_col, id_col, shingle_n, nonempty=True)
     x = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
         % MINHASH_P
@@ -851,7 +883,7 @@ def minhash_incremental_candidates(
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     def featurize(df):
-        sh = shingle_table(df, text_col, id_col, shingle_n).filter(F.size("sh") > 0)
+        sh = shingle_table(df, text_col, id_col, shingle_n, nonempty=True)
         tf = HashingTF(
             inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
         )

@@ -502,33 +502,32 @@ def srp_ann_topk(
         if n_side * max(dim, 1) * n_bits > signature_work_threshold:
             sigs = _srp_sigs_arrow(staged, role, mat, n_bits)
         else:
-            dots = staged.select(
-                role,
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("_qv"),
-                            F.array(*[F.lit(mat[i][j]) for i in range(dim)]),
-                            # NULL elements count as 0, matching SQL SUM's
-                            # NULL-skipping over the exploded replay
-                            lambda a, s: F.coalesce(a, F.lit(0).cast("bigint"))
-                            * s.cast("long"),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: acc + v,
-                    ).alias(f"dp{j}")
-                    for j in range(n_bits)
-                ],
+            # The dim x n_bits fold is rendered as ONE SQL string per
+            # column and parsed server-side: the same expressions built
+            # through the F.* API cost ~2 s of pure DRIVER construction
+            # per call (thousands of py4j round trips for the literal
+            # matrix and the lambda plumbing — cProfile, r13). Resolved
+            # plans are identical; only who builds them changed.
+            # NULL elements count as 0, matching SQL SUM's NULL-skipping
+            # over the exploded replay.
+            def mat_col(j: int) -> str:
+                return "array(" + ",".join(str(int(mat[i][j])) for i in range(dim)) + ")"
+
+            dp_exprs = [
+                (
+                    f"aggregate(zip_with(_qv, {mat_col(j)}, "
+                    "(a, s) -> coalesce(a, CAST(0 AS BIGINT)) * CAST(s AS BIGINT)), "
+                    f"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dp{j}"
+                )
+                for j in range(n_bits)
+            ]
+            dots = staged.selectExpr(role, *dp_exprs)
+            sig_sql = " + ".join(
+                f"(CASE WHEN dp{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+                for j in range(n_bits)
             )
-            sig = reduce(
-                lambda acc, j: acc
-                + F.when(F.col(f"dp{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                ),
-                range(n_bits),
-                F.lit(0).cast("long"),
-            )
-            sigs = dots.select(role, sig.alias("sig"))
+            sigs = dots.selectExpr(role, f"CAST(0 AS BIGINT) + {sig_sql} AS sig")
         band_entries = [
             F.struct(
                 F.lit(b).alias("band"),

@@ -599,7 +599,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every round's survivors feed BOTH next-round consumers (degree
         # agg + semi probes) — checkpoint; the LAST round has exactly one
         # consumer (the final degree agg), so its materialization would
-        # be pure waste
+        # be pure waste. NOT checkpoint_partitioned (measured r13): the
+        # AQE-off materialization that pins the layout also plans the
+        # round's OWN semi-joins statically — the keep side (unknown
+        # estimate behind the previous checkpoint) then sort-merge-joins
+        # instead of AQE's runtime broadcast, and the round got slower
+        # (2.6 -> 4.2 s solo). The per-round ~1M-row degree re-exchange
+        # is the cheaper evil at every scale where the keep set
+        # broadcasts.
         if rnd < _KCORE_ROUNDS - 1:
             edges = edges.localCheckpoint()
     return edges.groupBy(F.col("src").alias("node")).agg(

@@ -2201,8 +2201,7 @@ def text_cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        shingle_table(docs, "text", "doc_id", 5)
-        .filter(F.size("sh") > 0)
+        shingle_table(docs, "text", "doc_id", 5, nonempty=True)
         .localCheckpoint()
     )
     per_doc = sh.select(
