@@ -440,7 +440,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no partitioning. The cache changes wall time and layout only — every
 # consumer's RESULT is partitioning-independent (oracle-hash-pinned).
 _EDGE_CACHE: dict = {}
-_EDGE_CACHE_CAP = 4
+_EDGE_CACHE_CAP = 6  # directed + undirected + cp incidence, two SF dirs
 _EDGE_CACHE_LOCK = threading.Lock()
 
 
@@ -490,6 +490,54 @@ def _cs_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))  # evict LRU head
             _EDGE_CACHE[sig] = e0
     return e0
+
+
+def _cp_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared distinct customer-part incidence list (c, p), checkpointed
+    hash-partitioned on p in the same session LRU as the edge tables
+    (r13): `graph_adamic_adar` and `graph_jaccard_neighbors` build the
+    IDENTICAL orders⋈lineitem distinct and key every downstream
+    aggregate/self-join on p — with the layout pinned, the part-degree
+    aggregate, the hub cap semi-join and the within-part pair self-join
+    all reuse it exchange-free."""
+    from hw_kafka_flink_health_spark.sources.files import (
+        checkpoint_partitioned,
+        file_stats_signature,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    try:
+        ofiles = tuple(sorted(orders.inputFiles()))
+        lfiles = tuple(sorted(li.inputFiles()))
+        sig = (
+            id(spark),
+            sf_dir,
+            "cp",
+            ofiles,
+            lfiles,
+            file_stats_signature(ofiles + lfiles),
+        )
+    except Exception:
+        sig = None
+    if sig is not None:
+        with _EDGE_CACHE_LOCK:
+            if sig in _EDGE_CACHE:
+                hit = _EDGE_CACHE.pop(sig)
+                _EDGE_CACHE[sig] = hit
+                return hit
+    cp = checkpoint_partitioned(
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct(),
+        "p",
+    )
+    if sig is not None:
+        with _EDGE_CACHE_LOCK:
+            while len(_EDGE_CACHE) >= _EDGE_CACHE_CAP:
+                _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
+            _EDGE_CACHE[sig] = cp
+    return cp
 
 
 def _cs_edges_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,14 +702,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers (both join sides + the degree table), so it is
     localCheckpoint'd once. Ranking orders by the ROUNDED score with
     the pair as tiebreak — engine-independent."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # shared p-partitioned incidence checkpoint (r13): jaccard_neighbors
+    # builds the identical table; the degree agg / cap join / pair
+    # self-join below all key on p and reuse the layout exchange-free
+    cp = _cp_incidence(spark, sf_dir)
     deg = cp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
     dk = deg.filter((F.col("d") >= 2) & (F.col("d") <= 25)).select(
         F.col("p").alias("kp"), "d"
@@ -896,13 +940,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer division, emitted unrounded. Plan: two hash aggregates
     + one self-equi-join on part + two degree joins (AQE broadcasts the
     degree side), then a global top-50 via TakeOrderedAndProject."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    # shared p-partitioned incidence checkpoint (r13, same table as
+    # graph_adamic_adar); dk and the semi-join both key on p, so the
+    # capped table derives exchange-free from the cached layout
+    cp = _cp_incidence(spark, sf_dir)
     dk = (
         cp.groupBy("p")
         .agg(F.count(F.lit(1)).alias("dp"))
